@@ -1,1 +1,429 @@
-"""placeholder — filled in as operators land."""
+"""Core relational operators (SURVEY.md §2.6, M2).
+
+The reference has zero joins / grouped aggregation / set ops (verified
+in SURVEY §2.6: its only grouping is plotly's color key, app.py:402).
+Everything here is the generalization the engine adds, expressed on
+built-in DataFrame ops so Catalyst plans broadcast vs sort-merge,
+pushes filters into scans, and AQE handles skew at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..functions.numeric import davg_sql, davg, dsum, dsum_sql
+from ..operators.joins import asof_join
+from ..registry import query
+
+
+# --- joins -----------------------------------------------------------------
+
+
+@query(
+    "join_inner_star",
+    oracle=f"""
+    SELECT n.n_name AS nation, r.r_name AS region,
+           count(*) AS n_orders, {dsum_sql("o.o_totalprice")} AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+    tags=("join", "groupby"),
+)
+def join_inner_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema inner join: fact ⋈ three dims. The dims are
+    broadcast (map-side join, no shuffle of the fact table) — the
+    100 TB plan: only `orders` streams, dims ship to executors."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle=f"""
+    SELECT c.c_custkey AS custkey, c.c_name AS name,
+           count(o.o_orderkey) AS n_orders,
+           coalesce({dsum_sql("o.o_totalprice")}, 0.0) AS spend
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    tags=("join", "groupby", "null"),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping order-less customers, with coalesce for
+    the null aggregate (reference's null-fallback pattern app.py:375-379
+    lifted to relational form)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("spend"),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers holding at least one order
+    above a threshold. No row multiplication, no columns from the
+    right — cheapest existence test at scale."""
+    customer = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH od AS (SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n_orders
+                FROM orders GROUP BY 1),
+         ld AS (SELECT date_trunc('month', l_shipdate) AS month, count(*) AS n_ships
+                FROM lineitem GROUP BY 1)
+    SELECT coalesce(od.month, ld.month) AS month,
+           coalesce(od.n_orders, 0) AS n_orders,
+           coalesce(ld.n_ships, 0) AS n_ships
+    FROM od FULL OUTER JOIN ld ON od.month = ld.month
+    """,
+    tags=("join", "date"),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two monthly aggregates — order months vs
+    ship months, preserving months present on only one side."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    od = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.count("*").alias("n_orders")
+    )
+    ld = li.groupBy(F.date_trunc("month", "l_shipdate").alias("month")).agg(
+        F.count("*").alias("n_ships")
+    )
+    return (
+        od.join(ld, "month", "full_outer")
+        .select(
+            F.col("month"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_ships", F.lit(0)).alias("n_ships"),
+        )
+    )
+
+
+@query(
+    "join_theta_range",
+    oracle=f"""
+    SELECT p.p_brand AS brand,
+           count(*) AS n,
+           {davg_sql("l.l_extendedprice")} AS avg_price
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+               AND l.l_quantity BETWEEN p.p_size - 5 AND p.p_size + 5
+    GROUP BY p.p_brand
+    """,
+    tags=("join", "range"),
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range (theta) join: quantity within ±5 of part size.
+    The equi key carries the shuffle; the range predicate evaluates
+    post-match, so no quadratic blowup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cond = (
+        (li.l_partkey == part.p_partkey)
+        & (li.l_quantity >= part.p_size - 5)
+        & (li.l_quantity <= part.p_size + 5)
+    )
+    return (
+        li.join(F.broadcast(part), cond)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.count("*").alias("n"), davg("l_extendedprice").alias("avg_price"))
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH clicks AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+         errors AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+    SELECT e.event_id AS event_id, e.user_id AS user_id, e.ts AS ts,
+           c.value AS value_asof
+    FROM errors e ASOF LEFT JOIN clicks c
+      ON e.user_id = c.user_id AND c.ts <= e.ts
+    """,
+    tags=("join", "asof", "custom"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each 'error' event picks up the value of the most
+    recent 'click' by the same user at or before it. Union-merge
+    implementation (operators/joins.py) — one shuffle, no explosion;
+    oracle uses DuckDB's native ASOF JOIN."""
+    events = load_table(spark, sf_dir, "events")
+    errors = events.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        errors, clicks, on="user_id", left_ts="ts", right_ts="ts", value_cols=["value"]
+    )
+
+
+# --- grouped aggregation variants ------------------------------------------
+
+
+@query(
+    "agg_multi_key",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           {dsum_sql("o_totalprice")} AS total,
+           {davg_sql("o_totalprice")} AS avg_price,
+           min(o_orderdate) AS first_order,
+           max(o_orderdate) AS last_order
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+    tags=("groupby",),
+)
+def agg_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key GROUP BY with the full reference aggregate set
+    (A1-A5) — partial aggregation map-side, one shuffle on the keys."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        dsum("o_totalprice").alias("total"),
+        davg("o_totalprice").alias("avg_price"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT count(DISTINCT o_custkey) AS n_customers,
+           count(DISTINCT o_orderstatus) AS n_statuses,
+           count(*) AS n_orders
+    FROM orders
+    """,
+    tags=("groupby", "distinct"),
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct (expands to a two-phase aggregate)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "distinct_rows",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    tags=("distinct",),
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT over a projection — hash aggregate, no sort."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_nationkey"
+    ).distinct()
+
+
+@query("agg_approx_distinct", oracle=None, tags=("groupby", "approx"))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++). Sketch internals are
+    engine-specific so there is no exact oracle; the pytest suite
+    checks the estimate against the exact count within rsd bounds.
+    At 100 TB this replaces exact distinct wherever ±2% suffices —
+    single pass, constant memory per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT coalesce(o_orderstatus, '(all)') AS status,
+           coalesce(o_orderpriority, '(all)') AS priority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+           count(*) AS n, {dsum_sql("o_totalprice")} AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("groupby", "rollup"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchical subtotals (status, priority) -> status ->
+    grand total, with grouping_id to distinguish subtotal levels."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            dsum("o_totalprice").alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            F.col("gid").cast("long").alias("gid"),
+            "n",
+            "total",
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+           coalesce(l_linestatus, '(all)') AS linestatus,
+           count(*) AS n, {dsum_sql("l_quantity")} AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("groupby", "cube"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping combinations in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), dsum("l_quantity").alias("qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "n",
+            "qty",
+        )
+    )
+
+
+# --- set operations --------------------------------------------------------
+
+
+@query(
+    "setop_union_intersect_except",
+    oracle="""
+    WITH machinery AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'),
+         building  AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         u AS (SELECT DISTINCT c_nationkey FROM (SELECT * FROM machinery UNION ALL SELECT * FROM building)),
+         i AS (SELECT c_nationkey FROM machinery INTERSECT SELECT c_nationkey FROM building),
+         e AS (SELECT c_nationkey FROM machinery EXCEPT SELECT c_nationkey FROM building)
+    SELECT 'union' AS op, count(*) AS n FROM u
+    UNION ALL SELECT 'intersect', count(*) FROM i
+    UNION ALL SELECT 'except', count(*) FROM e
+    """,
+    tags=("setop",),
+)
+def setop_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over two segment slices, summarized
+    as counts in one result."""
+    customer = load_table(spark, sf_dir, "customer")
+    machinery = customer.where(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey")
+    building = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    u = machinery.unionByName(building).distinct().agg(F.count("*").alias("n")).select(
+        F.lit("union").alias("op"), "n"
+    )
+    i = machinery.intersect(building).agg(F.count("*").alias("n")).select(
+        F.lit("intersect").alias("op"), "n"
+    )
+    e = machinery.subtract(building).agg(F.count("*").alias("n")).select(
+        F.lit("except").alias("op"), "n"
+    )
+    return u.unionByName(i).unionByName(e)
+
+
+# --- pivot -----------------------------------------------------------------
+
+
+@query(
+    "pivot_status",
+    oracle=f"""
+    SELECT l_returnflag AS returnflag,
+           {dsum_sql("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_F,
+           {dsum_sql("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("pivot",),
+)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns (explicit value list, so one pass,
+    no values-discovery job)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(dsum("l_quantity"))
+        .withColumnRenamed("F", "qty_F")
+        .withColumnRenamed("O", "qty_O")
+    )
+
+
+@query(
+    "sample_deterministic",
+    oracle=None,
+    tags=("sample",),
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample + count. RNG streams differ across
+    engines so there is no oracle; the pytest suite checks the rate
+    statistically and that the same seed reproduces exactly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).agg(
+        F.count("*").alias("n_sampled"),
+        dsum("l_quantity").alias("qty"),
+    )
