@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs each headline query end-to-end (full execution via the `noop`
+sink — no driver-side materialization, so it times the distributed
+plan, not a collect) and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Usage: python bench.py  (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from big_data_final_project_spark.registry import catalog  # noqa: E402
+from big_data_final_project_spark.session import get_spark  # noqa: E402
+
+# Heaviest / most representative queries: full-scan agg, joins at every
+# size class, windows, dedup/text scans. Coverage queries (scalar_*)
+# are cheap projections and excluded — they'd just time parquet IO.
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "join_inner_star",
+    "join_asof",
+    "agg_multi_key",
+    "agg_rollup",
+    "window_running_sum",
+    "window_topk_per_group",
+    "ref_grouped_summary",
+]
+
+
+def _run(df) -> None:
+    """Force full execution of every column without collecting."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    spark = get_spark(app_name="bench")
+
+    cat = catalog()
+    names = [n for n in HEADLINE if n in cat]
+    # Warm the JVM (whole-stage codegen JIT, parquet reader, shuffle
+    # machinery) with one full untimed run — a limit(1) is not enough,
+    # AQE short-circuits the aggregation and leaves the agg path cold.
+    _run(cat[names[0]].fn(spark, sf_dir))
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        _run(cat[name].fn(spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,1 +1,234 @@
-"""placeholder — filled in as operators land."""
+"""Scalar function coverage (SURVEY.md §2.6: string / date / math /
+conditional / array / JSON).
+
+The reference's only scalar work is label formatting and `.get()`
+defaults (app.py:375-388, :450); here each family gets a real query
+over the driver tables. Everything stays in built-in functions (JVM
+codegen, no Python in the row path). Cross-engine gotchas handled:
+Spark `dayofweek` is 1=Sunday vs DuckDB 0=Sunday; DuckDB date_diff /
+year return BIGINT (Spark side casts to long); array math is forced
+to double on both sides before folding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..registry import query
+
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT p_partkey AS partkey,
+           upper(p_brand) AS brand_upper,
+           lower(p_type) AS type_lower,
+           trim(p_name) AS name_trim,
+           substring(p_name, 1, 10) AS name_head,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           replace(p_type, ' ', '_') AS type_snake,
+           p_type LIKE '%BRUSHED%' AS is_brushed,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels,
+           CAST(strpos(p_name, 'a') AS BIGINT) AS a_pos
+    FROM part
+    """,
+    tags=("scalar", "string"),
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: case, trim, substring, concat, length, replace,
+    LIKE, regexp extract/replace, position."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").alias("partkey"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.trim("p_name").alias("name_trim"),
+        F.substring("p_name", 1, 10).alias("name_head"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.col("p_type").like("%BRUSHED%").alias("is_brushed"),
+        F.regexp_extract("p_name", r"([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", r"[aeiou]", "").alias("no_vowels"),
+        F.instr(F.col("p_name"), "a").cast("long").alias("a_pos"),
+    )
+
+
+@query(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           date_trunc('month', o_orderdate) AS order_month,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           CAST(day(o_orderdate) AS BIGINT) AS dy,
+           CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+           epoch_us(o_orderdate) AS epoch_micro,
+           o_orderdate + INTERVAL 90 DAY AS due_date,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS BIGINT)
+             AS days_to_2002
+    FROM orders
+    """,
+    tags=("scalar", "date"),
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: trunc, parts, day-of-week (normalized to
+    Spark's 1=Sunday), formatting, epoch, interval arithmetic, diff."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dy"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("epoch_micro"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("timestamp"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days_to_2002"),
+    )
+
+
+@query(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+           round(l_extendedprice * (1 - l_discount), 6) AS net_r6,
+           abs(l_discount - 0.05) AS disc_dev,
+           sqrt(l_quantity) AS qty_sqrt,
+           round(ln(l_extendedprice), 6) AS price_ln,
+           round(log10(l_extendedprice), 6) AS price_log10,
+           pow(l_quantity, 2) AS qty_sq,
+           CAST(floor(l_quantity / 7) AS BIGINT) AS qty_div7,
+           CAST(l_quantity AS BIGINT) % 7 AS qty_mod7,
+           greatest(l_discount, l_tax) AS max_rate,
+           least(l_discount, l_tax) AS min_rate,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
+    FROM lineitem
+    """,
+    tags=("scalar", "math"),
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: round/abs/sqrt/ln/log10/pow/floor/mod/greatest/
+    least/sign — all IEEE-deterministic, bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("net_r6"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+        F.floor(F.col("l_quantity") / 7).alias("qty_div7"),
+        (F.col("l_quantity").cast("long") % 7).alias("qty_mod7"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+    )
+
+
+@query(
+    "scalar_conditional",
+    oracle="""
+    SELECT c_custkey AS custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debtor'
+                WHEN c_acctbal < 5000 THEN 'standard'
+                ELSE 'premium' END AS tier,
+           coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg_masked,
+           CASE WHEN c_acctbal >= 0 THEN c_acctbal ELSE 0.0 END AS bal_clamped,
+           c_acctbal IS NULL AS bal_missing,
+           if(c_nationkey % 2 = 0, 'even', 'odd') AS nation_parity
+    FROM customer
+    """,
+    tags=("scalar", "conditional"),
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/null family: CASE WHEN, nullif+coalesce, clamping,
+    IS NULL, if() — the relational form of the reference's per-field
+    display fallbacks (app.py:375-379)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.when(F.col("c_acctbal") < 0, "debtor")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+        .alias("tier"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")).alias(
+            "seg_masked"
+        ),
+        F.when(F.col("c_acctbal") >= 0, F.col("c_acctbal")).otherwise(0.0).alias("bal_clamped"),
+        F.col("c_acctbal").isNull().alias("bal_missing"),
+        F.when(F.col("c_nationkey") % 2 == 0, "even").otherwise("odd").alias("nation_parity"),
+    )
+
+
+@query(
+    "scalar_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           CAST(embedding[64] AS DOUBLE) AS last_val,
+           list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                       (a, x) -> a + x) AS vec_sum,
+           list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                       (a, x) -> CASE WHEN x > a THEN x ELSE a END) AS vec_max,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive
+    FROM embeddings
+    """,
+    tags=("scalar", "array"),
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family over the embedding column: size, element_at,
+    fold (sum / max via F.aggregate), filter — the primitives the
+    similarity operators build on. Elements are cast to double before
+    folding so both engines accumulate identically."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.element_at("embedding", 64).cast("double").alias("last_val"),
+        F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x).alias("vec_sum"),
+        F.aggregate(
+            dbl, F.lit(float("-inf")), lambda a, x: F.when(x > a, x).otherwise(a)
+        ).alias("vec_max"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_positive"),
+    )
+
+
+@query(
+    "scalar_json_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           json_extract_string(props, '$.missing') IS NULL AS missing_absent
+    FROM events
+    """,
+    tags=("scalar", "json"),
+)
+def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family over events.props: path extraction + cast, absent
+    path -> null. The batch analog of the reference's ingest-time JSON
+    flattening (producer.py:90-101)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select(
+        "event_id",
+        k.alias("k_val"),
+        (k % 10).alias("k_bucket"),
+        F.get_json_object("props", "$.missing").isNull().alias("missing_absent"),
+    )

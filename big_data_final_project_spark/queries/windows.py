@@ -40,10 +40,10 @@ def window_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey"),
         F.col("o_orderkey").alias("orderkey"),
         F.col("o_totalprice").alias("price"),
-        F.row_number().over(w).alias("rn"),
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
     )
 
 
@@ -219,4 +219,4 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=["custkey"],
         order_cols=[F.col("price").desc(), F.col("orderkey")],
         k=3,
-    )
+    ).withColumn("rn", F.col("rn").cast("long"))
