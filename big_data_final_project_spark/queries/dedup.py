@@ -1,1 +1,402 @@
-"""placeholder — filled in as operators land."""
+"""Deduplication operators over ``documents`` / ``embeddings``
+(north-star extension; SURVEY.md §2.6 / §7 M5): exact hash dedup,
+MinHash+LSH banding, SimHash, n-gram Jaccard, embedding-cosine
+near-dup.
+
+The reference *produces* duplicates (at-least-once Kafka→Mongo with no
+dedup, app.py:254/:220 — SURVEY ST2); these operators are the cure,
+generalized to the corpus scale an LLM-data pipeline needs.
+
+Scale posture (100 TB): every stage is declarative —
+ * signatures (minhash / simhash / fingerprints) are per-row maps over
+   built-in higher-order functions: narrow, codegen'd, no Python;
+ * candidate generation shuffles on (band_idx, band_hash) — uniform
+   md5-derived keys, so no skew — and compares only within buckets
+   (LSH), never all-pairs;
+ * the only all-pairs work is inside explicit small blocks
+   (lang × length bucket, or embedding label cell).
+
+Oracle notes: md5 is the cross-engine hash (Spark xxhash64 has no
+DuckDB twin); MinHash permutations are md5(seed || '#' || shingle)
+minima, so both engines derive identical signatures. Both engines
+fold arrays sequentially left-to-right, so double sums/products are
+bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..registry import query
+from .text import _NORM_SQL, _norm
+
+N_PERM = 8  # minhash permutations
+N_BANDS = 4  # LSH bands (2 rows each): collision prob 1-(1-j^2)^4
+ROWS_PER_BAND = N_PERM // N_BANDS
+SEEDS = tuple(f"s{i}" for i in range(N_PERM))
+MIN_EST_JACCARD = 0.5  # candidate-pair filter: >=4/8 signature hits
+
+COPY_OFFSET = 1_000_000  # doc_id offset for the exact-duplicate probe
+
+
+def _bigram_shingles(text: Column) -> Column:
+    """Distinct token-2-gram shingle set of the normalized text.
+
+    NB: callers should materialize this as a column (one projection)
+    before using it in further lambdas — inlining it inside another
+    higher-order function re-evaluates the whole split per outer
+    lambda iteration (quadratic blowup)."""
+    toks = F.split(_norm(text), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.get(toks, i - 1), F.get(toks, i)),
+        )
+    )
+
+
+_SHINGLES_SQL = f"""
+    list_distinct(list_transform(
+        range(1, len(string_split({_NORM_SQL}, ' '))),
+        i -> string_split({_NORM_SQL}, ' ')[i] || ' ' ||
+             string_split({_NORM_SQL}, ' ')[i+1]))
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {COPY_OFFSET}, text FROM documents
+    )
+    SELECT md5({_NORM_SQL}) AS content_hash,
+           min(doc_id) AS canonical_doc_id,
+           count(*) AS n_copies
+    FROM corpus
+    GROUP BY content_hash
+    """,
+    tags=("dedup", "exact"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized content, keep the min
+    doc_id as canonical. Run over the corpus unioned with a shifted
+    copy of itself so the collapse (n_copies=2 everywhere) is
+    actually exercised — the property 'exact duplicates always
+    collide' from SURVEY.md §5.5. Map-side partial aggregation makes
+    this one shuffle of (hash, partial count) pairs at scale."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.withColumn("doc_id", F.col("doc_id") + F.lit(COPY_OFFSET))
+    )
+    return (
+        corpus.select(F.md5(_norm(F.col("text"))).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+_SEEDS_SQL = "[" + ", ".join(f"'{s}'" for s in SEEDS) + "]"
+
+
+@query(
+    "dedup_minhash_pairs",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents),
+    sig AS (
+        SELECT doc_id,
+               list_transform({_SEEDS_SQL}, s ->
+                   list_aggregate(
+                       list_transform(shingles, x -> md5(s || '#' || x)),
+                       'min')) AS sig
+        FROM sh
+    ),
+    bands AS (
+        SELECT doc_id, sig, unnest(range({N_BANDS})) AS band_idx FROM sig
+    ),
+    hashed AS (
+        SELECT doc_id, sig, band_idx,
+               md5(sig[{ROWS_PER_BAND}*band_idx + 1] || '|' ||
+                   sig[{ROWS_PER_BAND}*band_idx + 2]) AS band_hash
+        FROM bands
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(list_reduce(
+                   list_transform(range(1, {N_PERM} + 1),
+                       i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END),
+                   (acc, x) -> acc + x) AS DOUBLE) / {N_PERM} AS est_jaccard
+        FROM hashed a JOIN hashed b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, est_jaccard FROM cand
+    WHERE est_jaccard >= {MIN_EST_JACCARD}
+    """,
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup, MinHash + LSH banding: shingle → 8-permutation
+    minhash signature → 4 bands of 2 → bucket self-join on
+    (band_idx, band_hash) → candidate pairs with estimated Jaccard.
+
+    The corpus has ~25 planted near-dup pairs (true Jaccard >= 0.9);
+    band collision probability 1-(1-j^2)^4 catches essentially all of
+    them. The join key is an md5 band hash — uniformly distributed,
+    so the shuffle is skew-free and the candidate set (not the n^2
+    pair space) is all that's ever materialized.
+
+    Physical shape: shingle → explode → per-seed md5 → min-aggregate
+    back to one signature row per doc. Flat and linear — computing
+    the signature *inside* nested array lambdas instead re-evaluates
+    the shingle set once per seed (quadratic per doc; measured 40s vs
+    2s at sf0.001). The explode/agg gets map-side partial mins, so
+    the shuffle carries one partial signature per doc per partition."""
+    d = load_table(spark, sf_dir, "documents")
+    sh_rows = (
+        d.select("doc_id", _bigram_shingles(F.col("text")).alias("sh"))
+        .select("doc_id", F.explode("sh").alias("x"))
+    )
+    sig_row = sh_rows.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(s), F.lit("#"), F.col("x")))).alias(f"h{i}")
+            for i, s in enumerate(SEEDS)
+        ]
+    )
+    sig = F.array(*[F.col(f"h{i}") for i in range(N_PERM)])
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.element_at("sig", ROWS_PER_BAND * j + r + 1)
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                )
+            )
+            for j in range(N_BANDS)
+        ]
+    )
+    hashed = (
+        sig_row.select("doc_id", sig.alias("sig"))
+        .select("doc_id", "sig", F.posexplode(band_hashes).alias("band_idx", "band_hash"))
+    )
+    a, b = hashed.alias("a"), hashed.alias("b")
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("a.sig"),
+                F.col("b.sig"),
+                lambda x, y: F.when(x == y, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / N_PERM
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            est.alias("est_jaccard"),
+        )
+        .distinct()
+        .where(F.col("est_jaccard") >= MIN_EST_JACCARD)
+    )
+
+
+SIMHASH_BITS = 16  # one bit per leading md5 hex digit
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+        FROM documents
+    ),
+    h AS (SELECT doc_id, md5(tok) AS th FROM toks),
+    bits AS (
+        SELECT doc_id, count(*) AS n_tokens,
+               {", ".join(
+                   f"sum(CASE WHEN substring(th, {i + 1}, 1) >= '8' "
+                   f"THEN 1 ELSE -1 END) AS s{i}"
+                   for i in range(SIMHASH_BITS)
+               )}
+        FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CAST({" + ".join(
+               f"CASE WHEN s{i} >= 0 THEN {1 << (SIMHASH_BITS - 1 - i)} ELSE 0 END"
+               for i in range(SIMHASH_BITS)
+           )} AS BIGINT) AS simhash
+    FROM bits
+    """,
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: per-token md5, one signature bit per hex position
+    (majority vote of the position's high bit, token-frequency
+    weighted via explode multiplicity), packed to a 16-bit integer.
+    Near-dups land at small Hamming distance. explode + groupBy gets
+    map-side partial aggregation — one narrow shuffle of per-doc
+    partial bit-counts at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(_norm(F.col("text")), " ")
+    exploded = d.select("doc_id", F.explode(toks).alias("tok")).select(
+        "doc_id", F.md5("tok").alias("th")
+    )
+    bits = exploded.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        *[
+            F.sum(
+                F.when(F.substring("th", i + 1, 1) >= "8", 1).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(SIMHASH_BITS)
+        ],
+    )
+    packed = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(
+            F.col(f"s{i}") >= 0, F.lit(1 << (SIMHASH_BITS - 1 - i))
+        ).otherwise(0)
+        packed = term if packed is None else packed + term
+    return bits.select("doc_id", "n_tokens", packed.cast("long").alias("simhash"))
+
+
+JACCARD_THRESHOLD = 0.10
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+               {_SHINGLES_SQL} AS sh
+        FROM documents
+    )
+    SELECT * FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        FROM t a JOIN t b
+          ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+         AND a.doc_id < b.doc_id
+    ) p WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard within cheap blocks (language × length
+    bucket): the verification stage after LSH candidate generation —
+    all-pairs only inside a block, never across the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+        _bigram_shingles(F.col("text")).alias("sh"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    jac = (
+        F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
+        / F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lang").alias("lang"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+COSINE_THRESHOLD = 0.3
+
+
+def _vec_dbl(col: str) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _l2(col: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+
+
+_VEC_SQL = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+_L2_SQL = "sqrt(list_reduce(list_transform(v, x -> x * x), (a, x) -> a + x) + 0.0)"
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, {_VEC_SQL} AS v FROM embeddings
+    ),
+    n AS (SELECT vec_id, label, v, {_L2_SQL} AS nrm FROM e)
+    SELECT * FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+               list_reduce(
+                   list_transform(range(1, len(a.v) + 1),
+                                  i -> a.v[i] * b.v[i]),
+                   (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cosine
+        FROM n a JOIN n b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+    ) p WHERE cosine >= {COSINE_THRESHOLD}
+    """,
+    tags=("dedup", "embedding"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: pairs above a cosine threshold,
+    blocked by label (the coarse-quantization cell) so the self-join
+    is per-cell, not corpus-wide. Dot product and norms are explicit
+    sequential folds — bit-identical across engines and across
+    partitionings (per-row map, order-free)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec_dbl("embedding").alias("v")
+    )
+    n = e.select("vec_id", "label", "v", _l2(F.col("v")).alias("nrm"))
+    a, b = n.alias("a"), n.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"),
+        )
+        .where(F.col("cosine") >= COSINE_THRESHOLD)
+    )

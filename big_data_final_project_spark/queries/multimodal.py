@@ -1,1 +1,202 @@
-"""placeholder — filled in as operators land."""
+"""Multimodal column handling (north-star extension; SURVEY.md §2.6):
+opaque binary payloads + typed metadata, decode/feature-extract as
+Arrow-batched Python stages.
+
+The container has no image/audio codecs, so the *decode* step is a
+deterministic fake (documented below) — but the Spark-side plumbing
+is real: binary columns flow through the plan as `BinaryType`,
+metadata is typed, and the Python stage is `mapInPandas` (Arrow
+batches, not per-row UDFs), with an explicit output schema. Swapping
+the fake decoder for PIL/ffmpeg changes one function body, none of
+the dataflow.
+
+Scale posture: binary payloads never shuffle here — ingest and
+feature extraction are narrow per-partition maps; only the small
+extracted-feature rows would ever move. mapInPandas streams Arrow
+record batches, so executor memory is bounded by batch size
+(spark.sql.execution.arrow.maxRecordsPerBatch), not file size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..data import load_table
+from ..registry import query
+
+FRAME_BYTES = 16  # fake "frame" width for the frame-sampling stage
+FRAME_STRIDE = 4  # keep every 4th frame
+
+
+@query(
+    "mm_binary_ingest",
+    oracle="""
+    -- md5(VARCHAR) hashes the utf-8 bytes == md5 of the payload blob
+    SELECT doc_id AS asset_id,
+           'text/plain' AS content_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           CAST(octet_length(encode(text)) // 16 AS BIGINT) AS n_frames
+    FROM documents
+    """,
+    tags=("multimodal", "ingest"),
+)
+def mm_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal ingest shape: payload as an opaque binary column +
+    typed metadata (content type, byte length, checksum, frame
+    count). The payload here is the utf-8 encoding of the document
+    text — a stand-in for image/audio bytes with identical plumbing."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    return d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("text/plain").alias("content_type"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("content_md5"),
+        F.floor(F.octet_length(payload) / FRAME_BYTES).cast("long").alias("n_frames"),
+    )
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("max_byte", T.LongType()),
+        T.StructField("fake_width", T.LongType()),
+        T.StructField("fake_height", T.LongType()),
+    ]
+)
+
+
+def _decode_image(payload: bytes) -> tuple[int, int]:
+    """STUB decoder. A real build calls PIL.Image.open here; the
+    container has no codecs, so dimensions are derived
+    deterministically from the payload (width = first byte + 1,
+    height = ceil(n/width)) to keep the pipeline testable."""
+    width = (payload[0] if payload else 0) + 1
+    height = -(-len(payload) // width)
+    return width, height
+
+
+def _extract_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: one Arrow batch in, one feature frame out.
+    Vectorized over the batch; per-asset work is pure bytes math."""
+    for pdf in batches:
+        rows = []
+        for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+            b = bytes(payload)
+            w, h = _decode_image(b)
+            rows.append(
+                {
+                    "asset_id": int(asset_id),
+                    "n_bytes": len(b),
+                    "mean_byte": (sum(b) / len(b)) if b else 0.0,
+                    "max_byte": max(b) if b else 0,
+                    "fake_width": w,
+                    "fake_height": h,
+                }
+            )
+        yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+
+@query(
+    "mm_feature_extract",
+    oracle="""
+    -- corpus is pure ASCII (verified: octet_length(encode(text)) =
+    -- length(text) for every row), so char ops below are byte-exact
+    SELECT doc_id AS asset_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(list_reduce(list_transform(range(1, length(text) + 1),
+                    i -> CAST(ord(substring(text, i, 1)) AS BIGINT)),
+                (a, x) -> a + x) AS DOUBLE) / length(text) AS mean_byte
+    FROM documents
+    """,
+    tags=("multimodal", "features"),
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads via mapInPandas
+    (Arrow-batched; the decode itself is the documented stub).
+    Projected to the byte-statistics columns the oracle can also
+    compute, so even the Python stage is differentially checked."""
+    d = load_table(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"), F.encode("text", "utf-8").alias("payload")
+    )
+    feats = assets.mapInPandas(_extract_features, schema=FEATURE_SCHEMA)
+    return feats.select("asset_id", "n_bytes", "mean_byte")
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+        T.StructField("frame_bytes", T.LongType()),
+    ]
+)
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: split each payload into FRAME_BYTES-wide
+    'frames' and keep every FRAME_STRIDE-th — the video frame-sampling
+    access pattern (decode is the same documented stub)."""
+    import hashlib
+
+    for pdf in batches:
+        rows = []
+        for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+            b = bytes(payload)
+            n_frames = len(b) // FRAME_BYTES
+            for idx in range(0, n_frames, FRAME_STRIDE):
+                frame = b[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
+                rows.append(
+                    {
+                        "asset_id": int(asset_id),
+                        "frame_idx": idx,
+                        "frame_md5": hashlib.md5(frame).hexdigest(),
+                        "frame_bytes": len(frame),
+                    }
+                )
+        yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+
+@query(
+    "mm_frame_sample",
+    oracle=f"""
+    -- ASCII corpus: char-indexed substring = byte-indexed slice, and
+    -- md5(VARCHAR) hashes the utf-8 bytes, so frames match the
+    -- Python-side bytes exactly
+    WITH f AS (
+        SELECT doc_id AS asset_id,
+               unnest(range(0, length(text) // {FRAME_BYTES},
+                            {FRAME_STRIDE})) AS frame_idx,
+               text
+        FROM documents
+    )
+    SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           md5(substring(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}))
+             AS frame_md5,
+           CAST({FRAME_BYTES} AS BIGINT) AS frame_bytes
+    FROM f
+    """,
+    tags=("multimodal", "frames"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: every 4th 16-byte 'frame' of each payload,
+    fingerprinted — a flat-map from assets to frames executed in
+    Arrow batches. The oracle recomputes the same frames with
+    substring arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"), F.encode("text", "utf-8").alias("payload")
+    )
+    return assets.mapInPandas(_sample_frames, schema=FRAME_SCHEMA)

@@ -1,1 +1,336 @@
-"""placeholder — filled in as operators land."""
+"""Similarity search over ``embeddings`` (north-star extension;
+SURVEY.md §2.6 / §7 M5): brute-force cosine top-k baseline, sign-bit
+LSH bucketing, and IVF coarse quantization — the three rungs of the
+ANN ladder.
+
+Scale posture (100 TB of vectors):
+ * brute force is the *baseline*: the query set is tiny and
+   broadcast, so the big side never shuffles — one scan, one local
+   top-k per partition, then a k-row merge on the driver side of the
+   exchange (TakeOrdered);
+ * LSH prunes the scan: vectors shuffle once by bucket id, queries
+   probe only their own bucket;
+ * IVF prunes by data-adaptive cells: centroids are a 10-row
+   broadcast table, assignment is a narrow map, probing visits
+   nprobe cells.
+
+Determinism: all dots/norms are explicit sequential folds (see
+dedup.py); centroid means route through decimal sums
+(functions/numeric.py rationale) so they don't depend on partition
+order; every ranking breaks float ties on vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..registry import query
+from .dedup import _L2_SQL, _VEC_SQL, _l2, _vec_dbl
+
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 10
+
+_COS_SQL = """
+    list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]),
+                (acc, x) -> acc + x) / ({na} * {nb})
+"""
+
+
+def _cosine(va: Column, vb: Column, na: Column, nb: Column) -> Column:
+    dot = F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return dot / (na * nb)
+
+
+@query(
+    "sim_bruteforce_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, {_VEC_SQL} AS v FROM embeddings),
+    n AS (SELECT vec_id, label, v, {_L2_SQL} AS nrm FROM e),
+    q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               n.label AS neighbor_label,
+               {_COS_SQL.format(a="q.v", b="n.v", na="q.nrm", nb="n.nrm")} AS cosine
+        FROM q JOIN n ON q.vec_id <> n.vec_id
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cosine,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM scored
+    ) r WHERE rnk <= {TOP_K}
+    """,
+    tags=("similarity", "bruteforce"),
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: broadcast the query vectors against the
+    full corpus, cosine per pair, top-k per query. The corpus side
+    stays partition-local until the final per-query top-k."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec_dbl("embedding").alias("v")
+    )
+    n = e.select("vec_id", "label", "v", _l2(F.col("v")).alias("nrm"))
+    q = n.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        n.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            _cosine(
+                F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= TOP_K)
+    )
+
+
+LSH_DIMS = (1, 9, 17, 25, 33, 41, 49, 57)  # axis-aligned hyperplanes
+
+
+def _bucket_expr_sql(v: str) -> str:
+    return " + ".join(
+        f"CASE WHEN {v}[{d}] >= 0 THEN {1 << i} ELSE 0 END"
+        for i, d in enumerate(LSH_DIMS)
+    )
+
+
+def _bucket_expr(v: Column) -> Column:
+    out = None
+    for i, d in enumerate(LSH_DIMS):
+        term = F.when(F.element_at(v, d) >= 0, F.lit(1 << i)).otherwise(0)
+        out = term if out is None else out + term
+    return out.cast("long")
+
+
+@query(
+    "sim_lsh_bucketed_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, {_VEC_SQL} AS v FROM embeddings),
+    n AS (SELECT vec_id, label, v, {_L2_SQL} AS nrm,
+                 CAST({_bucket_expr_sql("v")} AS BIGINT) AS bucket
+          FROM e),
+    q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, n.bucket AS bucket,
+               {_COS_SQL.format(a="q.v", b="n.v", na="q.nrm", nb="n.nrm")} AS cosine
+        FROM q JOIN n ON q.bucket = n.bucket AND q.vec_id <> n.vec_id
+    )
+    SELECT query_id, neighbor_id, bucket, cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM scored
+    ) r WHERE rnk <= {TOP_K}
+    """,
+    tags=("similarity", "lsh"),
+)
+def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via sign-bit LSH: an 8-bit bucket from the sign
+    of 8 fixed dimensions (axis-aligned random-hyperplane LSH — the
+    hyperplane set is a deterministic constant here, a seeded random
+    matrix in production). Search touches only the query's bucket:
+    the corpus shuffles once on bucket id and each probe is a
+    bucket-local scan, ~1/256 of brute force."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec_dbl("embedding").alias("v")
+    )
+    n = e.select(
+        "vec_id",
+        "v",
+        _l2(F.col("v")).alias("nrm"),
+        _bucket_expr(F.col("v")).alias("bucket"),
+    )
+    q = n.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        n.join(
+            F.broadcast(q),
+            (F.col("qbucket") == F.col("bucket"))
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "bucket",
+            _cosine(F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= TOP_K)
+    )
+
+
+DEC_V = "decimal(27,12)"  # exact-sum type for centroid means
+N_PROBE = 2
+
+
+@query(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, {_VEC_SQL} AS v FROM embeddings),
+    -- centroid = per-label mean, decimal-routed so the sum is exact
+    -- and order-independent (same construction as the Spark side)
+    expl AS (
+        SELECT label, unnest(range(1, len(v) + 1)) AS pos,
+               unnest(v) AS val
+        FROM e
+    ),
+    cent_dim AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(val AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS c
+        FROM expl GROUP BY label, pos
+    ),
+    cent AS (
+        SELECT label AS cell, list(c ORDER BY pos) AS cv,
+               sqrt(list_reduce(list_transform(list(c ORDER BY pos), x -> x * x),
+                                (a, x) -> a + x) + 0.0) AS cnrm
+        FROM cent_dim GROUP BY label
+    ),
+    n AS (SELECT vec_id, label, v, {_L2_SQL} AS nrm FROM e),
+    -- assign every vector to its nearest centroid by cosine
+    assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT n.vec_id, cent.cell,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY {_COS_SQL.format(a="n.v", b="cent.cv", na="n.nrm", nb="cent.cnrm")} DESC,
+                                cent.cell) AS rn
+            FROM n CROSS JOIN cent
+        ) x WHERE rn = 1
+    ),
+    q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}),
+    -- each query probes its nprobe nearest cells
+    probes AS (
+        SELECT query_id, cell FROM (
+            SELECT q.vec_id AS query_id, cent.cell,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_COS_SQL.format(a="q.v", b="cent.cv", na="q.nrm", nb="cent.cnrm")} DESC,
+                                cent.cell) AS rn
+            FROM q CROSS JOIN cent
+        ) x WHERE rn <= {N_PROBE}
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               a.cell AS cell,
+               {_COS_SQL.format(a="q.v", b="n.v", na="q.nrm", nb="n.nrm")} AS cosine
+        FROM q
+        JOIN probes p ON p.query_id = q.vec_id
+        JOIN assign a ON a.cell = p.cell
+        JOIN n ON n.vec_id = a.vec_id AND n.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cell, cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM scored
+    ) r WHERE rnk <= {TOP_K}
+    """,
+    tags=("similarity", "ivf"),
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: per-label mean centroids (a one-shot
+    k-means step — production would iterate, the dataflow is
+    identical), every vector assigned to its nearest centroid cell,
+    queries probe the nprobe=2 nearest cells and brute-force only
+    those. Centroids are a tiny broadcast table; the corpus is
+    scanned once for assignment and only probed cells are rescored."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec_dbl("embedding").alias("v")
+    )
+    # Centroids: decimal-exact per-dimension means, reassembled in
+    # position order.
+    cent = (
+        e.select("label", F.posexplode("v").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            (F.sum(F.col("val").cast(DEC_V)).cast("double") / F.count("*")).alias("c")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+        .select(
+            F.col("label").alias("cell"), "cv", _l2(F.col("cv")).alias("cnrm")
+        )
+    )
+    n = e.select("vec_id", "label", "v", _l2(F.col("v")).alias("nrm"))
+
+    cent_b = F.broadcast(cent)
+    cos_to_cent = _cosine(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm"))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        cos_to_cent.desc(), F.col("cell")
+    )
+    assign = (
+        n.crossJoin(cent_b)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+
+    q = n.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cos_q_cent = _cosine(F.col("qv"), F.col("cv"), F.col("qnrm"), F.col("cnrm"))
+    w_probe = Window.partitionBy("query_id").orderBy(
+        cos_q_cent.desc(), F.col("cell")
+    )
+    probes = (
+        q.crossJoin(cent_b)
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= N_PROBE)
+        .select("query_id", "cell")
+    )
+
+    scored = (
+        F.broadcast(q)
+        .join(F.broadcast(probes), "query_id")
+        .join(assign, "cell")
+        .join(n, "vec_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            _cosine(F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= TOP_K)
+    )

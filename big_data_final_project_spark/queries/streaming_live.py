@@ -1,0 +1,136 @@
+"""Streaming pipeline surfaced through the correctness harness: each
+query here runs a REAL Structured Streaming job (file source standing
+in for Kafka, availableNow trigger, memory/parquet sink), drains it,
+and returns the result as a batch DataFrame — so the DuckDB oracle
+differentially checks the *incremental* execution against batch SQL
+(SURVEY.md §5.4 batch-equivalence; "hard parts" note in §7).
+
+Work dirs are keyed by scale factor + pid: fresh per process, reused
+within one (so checkpoint-replay semantics are exercised when several
+queries share the staged source).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..streaming.pipeline import (
+    N_MALFORMED,
+    dedup_stream,
+    persist_stream,
+    read_event_stream,
+    read_store,
+    run_to_memory,
+    split_valid,
+    stage_events_as_json,
+    windowed_live_view,
+)
+
+
+def _work_dir(sf_dir: str, leaf: str) -> str:
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_stream_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    path = os.path.join(base, leaf)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def _staged_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staging = stage_events_as_json(spark, sf_dir, _work_dir(sf_dir, "staging"))
+    valid, _ = split_valid(read_event_stream(spark, staging))
+    return valid
+
+
+@query(
+    "streaming_tumbling_live",
+    oracle="""
+    SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+           make_timestamp((epoch_us(ts) // 3600000000) * 3600000000
+                          + 3600000000) AS window_end,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    tags=("streaming", "live", "window"),
+)
+def streaming_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling window aggregation executed as a real stream
+    (watermark + availableNow, complete mode) and checked against the
+    batch SQL answer: the incremental plan must produce exactly what
+    one big batch would."""
+    return run_to_memory(
+        windowed_live_view(_staged_valid(spark, sf_dir)),
+        spark,
+        "streaming_tumbling_live_sink",
+        complete=True,
+    )
+
+
+@query(
+    "streaming_persist_store",
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+    tags=("streaming", "live", "persist"),
+)
+def streaming_persist_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end persistence parity: stream the staged JSON through
+    validation into the checkpointed parquet store, then read the
+    store back. Every valid input row lands exactly once — the
+    upgrade over the reference's at-least-once insert_one
+    (app.py:220, SURVEY ST2); malformed lines are quarantined, not
+    persisted."""
+    store = _work_dir(sf_dir, "store")
+    ckpt = _work_dir(sf_dir, "ckpt")
+    persist_stream(_staged_valid(spark, sf_dir), store, ckpt)
+    return read_store(spark, store).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+@query(
+    "streaming_dedup_live",
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+    tags=("streaming", "live", "dedup"),
+)
+def streaming_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark over a doubled source (the
+    stream unioned with itself — every event delivered twice, the
+    reference's redelivery failure mode ST2): output must equal the
+    distinct original events."""
+    valid = _staged_valid(spark, sf_dir)
+    doubled = valid.unionByName(valid)
+    out = run_to_memory(
+        dedup_stream(doubled),
+        spark,
+        "streaming_dedup_live_sink",
+        complete=False,
+    )
+    return out.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@query(
+    "streaming_quarantine_count",
+    oracle=f"SELECT CAST({N_MALFORMED} AS BIGINT) AS n_quarantined",
+    tags=("streaming", "live", "quarantine"),
+)
+def streaming_quarantine_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validation contract: exactly the N injected malformed lines —
+    no more (no false drops), no fewer (no silent passes) — reach the
+    quarantine branch (reference logs-and-drops, app.py:264-267)."""
+    staging = stage_events_as_json(spark, sf_dir, _work_dir(sf_dir, "staging"))
+    _, quarantine = split_valid(read_event_stream(spark, staging))
+    counted = run_to_memory(
+        quarantine.select("raw"),
+        spark,
+        "streaming_quarantine_sink",
+        complete=False,
+    )
+    return counted.agg(F.count("*").alias("n_quarantined"))

@@ -68,6 +68,7 @@ def _load_all() -> None:
         similarity,
         text,
         streaming_batch,
+        streaming_live,
         multimodal,
     )
 

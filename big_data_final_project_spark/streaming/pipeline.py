@@ -1,0 +1,193 @@
+"""Structured Streaming pipeline (SURVEY.md §7 M4): the reference's
+dual pipeline — Kafka → validate → persist, Kafka → live view
+(app.py:226-272, reference repo) — rebuilt on Spark primitives, with
+the upgrades the reference lacks (SURVEY §2.5): checkpointed
+exactly-once persistence instead of at-least-once insert_one
+(app.py:220), watermarks for late data (ST3), event-time windows
+(ST6), and keyed dedup fixing ST2's duplicate deliveries.
+
+Topology (file source stands in for the Kafka topic; the driver's
+test parquet replaces the weather feed, SURVEY §1.3):
+
+    staging (JSON lines == Kafka `value` bytes)
+      └─ readStream.text → from_json(schema)        [S5]
+           ├─ invalid rows → quarantine sink        [P2 upgraded]
+           └─ valid rows
+                ├─ foreachBatch append → parquet store   [S6 upgraded]
+                ├─ watermark + tumbling agg → live view  [ST6]
+                └─ dropDuplicatesWithinWatermark         [ST2 fix]
+
+Scale posture: the store is written partitioned (date column), each
+micro-batch append is idempotent under checkpoint replay because
+foreachBatch writes batch-id-named subdirs (classic idempotent-sink
+recipe); state stores (window agg, dedup) are bounded by watermark.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..data import load_table
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+# Required-field subset, the analog of the reference's 4-key presence
+# check (app.py:251-252).
+REQUIRED = ("event_id", "ts", "user_id")
+
+N_MALFORMED = 10  # poison-pill lines injected into staging
+
+# Default JSON timestamp format is millisecond-precision; the events
+# table carries microseconds, so serialize/parse must round-trip them.
+TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+def stage_events_as_json(spark: SparkSession, sf_dir: str, staging_dir: str) -> str:
+    """Materialize ``events`` as JSON-lines files — the stand-in for
+    the Kafka topic's serialized values (producer.py:122 semantics).
+    Injects N_MALFORMED non-JSON lines so the validation path is
+    actually exercised. Idempotent per staging_dir."""
+    marker = os.path.join(staging_dir, "_STAGED")
+    if os.path.exists(marker):
+        return staging_dir
+    ev = load_table(spark, sf_dir, "events")
+    (
+        ev.select(
+            F.to_json(
+                F.struct("event_id", "ts", "user_id", "event_type", "value", "props"),
+                {"timestampFormat": TS_FORMAT},
+            ).alias("value")
+        )
+        .repartition(4)
+        .write.mode("overwrite")
+        .text(staging_dir)
+    )
+    poison = os.path.join(staging_dir, "part-poison.txt")
+    with open(poison, "w") as f:
+        for i in range(N_MALFORMED):
+            f.write(f"this is not json #{i}\n")
+    with open(marker, "w") as f:
+        f.write("ok")
+    return staging_dir
+
+
+def read_event_stream(spark: SparkSession, staging_dir: str) -> DataFrame:
+    """File-source stream of raw values → parsed struct. Mirrors the
+    Kafka consumer's json deserializer (app.py:156) with Spark's
+    null-on-corrupt from_json."""
+    raw = spark.readStream.text(staging_dir)
+    return raw.select(
+        F.col("value").alias("raw"),
+        F.from_json("value", EVENT_SCHEMA, {"timestampFormat": TS_FORMAT}).alias(
+            "rec"
+        ),
+    )
+
+
+def split_valid(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(valid, quarantine): required fields present vs everything
+    else. The reference logs-and-drops (app.py:264-267); here the bad
+    rows are a first-class DataFrame for a quarantine sink."""
+    required_ok = F.lit(True)
+    for c in REQUIRED:
+        required_ok = required_ok & F.col(f"rec.{c}").isNotNull()
+    valid = parsed.where(required_ok).select("rec.*")
+    quarantine = parsed.where(~required_ok).select(
+        "raw", F.current_timestamp().alias("quarantined_at")
+    )
+    return valid, quarantine
+
+
+def persist_stream(
+    valid: DataFrame, store_dir: str, checkpoint_dir: str
+) -> None:
+    """Exactly-once persistence: checkpointed offsets + idempotent
+    batch-id-keyed appends. Replacing the reference's per-record
+    at-least-once insert_one (app.py:220) — a redelivered batch
+    overwrites its own directory instead of duplicating rows."""
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.withColumn("event_date", F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(os.path.join(store_dir, f"batch_id={batch_id}"))
+        )
+
+    (
+        valid.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    return spark.read.option("basePath", store_dir).parquet(
+        os.path.join(store_dir, "batch_id=*")
+    )
+
+
+def windowed_live_view(valid: DataFrame) -> DataFrame:
+    """Event-time tumbling aggregate with a 10-minute watermark — the
+    streaming form of queries/streaming_batch.stream_tumbling_window
+    (ST3+ST6; the reference charts raw points with no windows,
+    app.py:398-409)."""
+    w = F.window("ts", "1 hour")
+    return (
+        valid.withWatermark("ts", "10 minutes")
+        .groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_stream(valid: DataFrame) -> DataFrame:
+    """Keyed dedup inside the watermark horizon — the fix for the
+    reference's duplicate-on-redelivery behavior (ST2)."""
+    return valid.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory(df: DataFrame, spark: SparkSession, name: str, complete: bool) -> DataFrame:
+    """Run a stream with availableNow to a memory sink and return the
+    final result as a batch DataFrame (deterministic: the source is
+    finite, so availableNow drains it exactly once)."""
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if complete else "append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name)
