@@ -38,6 +38,12 @@ HEADLINE = [
     "window_running_sum",
     "window_topk_per_group",
     "ref_grouped_summary",
+    # LLM-data-pipeline operators (north star): fuzzy dedup, quality
+    # scoring, ANN search
+    "dedup_minhash_pairs",
+    "text_quality_score",
+    "sim_lsh_bucketed_topk",
+    "sim_bruteforce_topk_pandas",
 ]
 
 
@@ -61,6 +67,13 @@ def main() -> None:
     # machinery) with one full untimed run — a limit(1) is not enough,
     # AQE short-circuits the aggregation and leaves the agg path cold.
     _run(cat[names[0]].fn(spark, sf_dir))
+    # Warm the Python/Arrow worker pool too (one tiny mapInPandas job)
+    # so pandas-path queries measure steady state, not worker spawn.
+    import pandas as _pd
+
+    spark.range(64, numPartitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in names:

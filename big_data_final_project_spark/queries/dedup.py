@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..data import load_table
+from ..operators.scale import spread
 from ..registry import query
 from .text import _NORM_SQL, _norm
 
@@ -41,19 +42,32 @@ MIN_EST_JACCARD = 0.5  # candidate-pair filter: >=4/8 signature hits
 COPY_OFFSET = 1_000_000  # doc_id offset for the exact-duplicate probe
 
 
-def _bigram_shingles(text: Column) -> Column:
-    """Distinct token-2-gram shingle set of the normalized text.
+def _shingled(d: DataFrame, *keep: str) -> DataFrame:
+    """Project ``keep`` columns plus ``sh`` = distinct token-2-gram
+    shingle set of the normalized text.
 
-    NB: callers should materialize this as a column (one projection)
-    before using it in further lambdas — inlining it inside another
-    higher-order function re-evaluates the whole split per outer
-    lambda iteration (quadratic blowup)."""
-    toks = F.split(_norm(text), " ")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(" ", F.get(toks, i - 1), F.get(toks, i)),
-        )
+    Two-step projection on purpose: the token array must be a
+    materialized attribute before the shingle lambda indexes it.
+    Inlining the split expression into the lambda re-evaluates
+    normalize+split once per 2-gram element (per-element, not
+    per-row: measured 17s vs <1s for the sf0.1 corpus). Input is
+    spread first — shingling is CPU-bound, and a byte-small corpus
+    file otherwise pins the whole pipeline to one scan partition."""
+    toks = spread(d).select(*keep, F.split(_norm(F.col("text")), " ").alias("toks"))
+    tk = F.col("toks")
+    # zip_with over two slices beats per-index F.get by ~7x (bounds
+    # checks + per-element ElementAt dispatch); same 2-grams in the
+    # same first-occurrence order, so array_distinct output matches
+    # the oracle's range-indexed construction exactly.
+    return toks.select(
+        *keep,
+        F.array_distinct(
+            F.zip_with(
+                F.slice(tk, 1, F.size(tk) - 1),
+                F.slice(tk, 2, F.size(tk) - 1),
+                lambda x, y: F.concat_ws(" ", x, y),
+            )
+        ).alias("sh"),
     )
 
 
@@ -159,10 +173,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     2s at sf0.001). The explode/agg gets map-side partial mins, so
     the shuffle carries one partial signature per doc per partition."""
     d = load_table(spark, sf_dir, "documents")
-    sh_rows = (
-        d.select("doc_id", _bigram_shingles(F.col("text")).alias("sh"))
-        .select("doc_id", F.explode("sh").alias("x"))
-    )
+    sh_rows = _shingled(d, "doc_id").select("doc_id", F.explode("sh").alias("x"))
     sig_row = sh_rows.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(s), F.lit("#"), F.col("x")))).alias(f"h{i}")
@@ -184,9 +195,14 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(N_BANDS)
         ]
     )
+    # Persist the signature table: the LSH self-join reads it twice,
+    # and without this the whole shingle→md5→min-agg pipeline runs
+    # once per side (measured 2x wall). At 100 TB this materialization
+    # is a parquet signature table, not a cache — same dataflow.
     hashed = (
         sig_row.select("doc_id", sig.alias("sig"))
         .select("doc_id", "sig", F.posexplode(band_hashes).alias("band_idx", "band_hash"))
+        .persist()
     )
     a, b = hashed.alias("a"), hashed.alias("b")
     est = (
@@ -303,13 +319,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard within cheap blocks (language × length
     bucket): the verification stage after LSH candidate generation —
     all-pairs only inside a block, never across the corpus."""
-    d = load_table(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id",
-        "lang",
-        F.floor(F.col("n_chars") / 100).cast("long").alias("len_bucket"),
-        _bigram_shingles(F.col("text")).alias("sh"),
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "len_bucket", F.floor(F.col("n_chars") / 100).cast("long")
     )
+    t = _shingled(d, "doc_id", "lang", "len_bucket").persist()
     a, b = t.alias("a"), t.alias("b")
     jac = (
         F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")

@@ -24,8 +24,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..data import load_table
+from ..operators.scale import spread
 from ..registry import query
 from .dedup import _L2_SQL, _VEC_SQL, _l2, _vec_dbl
 
@@ -332,5 +334,79 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= TOP_K)
+    )
+
+
+def _topk_partition_scorer(qids, qmat, qnorms, k):
+    """Per-partition numpy scorer for the pandas brute-force variant:
+    corpus batch in, that batch's per-query top-k out."""
+    import numpy as np
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["v"].to_numpy())  # (b, d)
+            norms = np.linalg.norm(mat, axis=1)
+            sims = (qmat @ mat.T) / (qnorms[:, None] * norms[None, :])
+            ids = pdf["vec_id"].to_numpy()
+            for qi, qid in enumerate(qids):
+                row = sims[qi]
+                mask = ids != qid
+                order = np.argsort(-row[mask], kind="stable")[:k]
+                cand_ids = ids[mask][order]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": cand_ids,
+                        "cosine": row[mask][order],
+                    }
+                )
+
+    return score
+
+
+@query("sim_bruteforce_topk_pandas", oracle=None, tags=("similarity", "pandas", "bench"))
+def sim_bruteforce_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throughput variant of sim_bruteforce_topk: the query block is
+    collected (tiny) and broadcast as a numpy matrix; each corpus
+    partition computes a (queries x batch) matmul and emits its local
+    top-k; a final per-query top-k merges partitions. This is the
+    100 TB shape — all-pairs work stays partition-local and
+    SIMD-vectorized, only nq*k rows per partition ever shuffle.
+
+    numpy's pairwise summation differs from a sequential fold in the
+    low bits, so this variant is rows-only (no bit-exact oracle); the
+    exact-fold twin sim_bruteforce_topk carries the oracle, and the
+    test suite asserts both agree on the neighbor SETS."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_dbl("embedding").alias("v")
+    )
+    e = spread(e)
+    qrows = e.where(F.col("vec_id") < N_QUERIES).collect()
+    qids = [r["vec_id"] for r in qrows]
+    qmat = np.stack([np.asarray(r["v"]) for r in qrows])
+    qnorms = np.linalg.norm(qmat, axis=1)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    local = e.mapInPandas(
+        _topk_partition_scorer(qids, qmat, qnorms, TOP_K), schema=out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        local.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= TOP_K)
     )

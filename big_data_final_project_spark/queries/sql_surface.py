@@ -1,0 +1,180 @@
+"""SQL surface (SURVEY.md §7 M3): the same engine capabilities routed
+through ``spark.sql()`` over temp views — proving the declarative
+layer is reachable both ways (the reference's only 'query language'
+was Mongo find() dicts, app.py:311-313). Catalyst plans SQL and
+DataFrame forms identically, so these carry the same scale posture as
+their DataFrame twins.
+
+Also home to the shapes SQL expresses most naturally: GROUPING SETS
+(DataFrame API only has rollup/cube), stack()-based unpivot, CTEs
+with correlated subqueries, and typed from_json extraction (the P1
+nested-JSON flattening of producer.py:90-101, generalized)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..data import load_table
+from ..functions.numeric import dsum_sql
+from ..registry import query
+
+_SPARK_DSUM = "CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+def _view(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+@query(
+    "sql_grouping_sets",
+    oracle=f"""
+    SELECT coalesce(n_name, 'ALL') AS nation,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           count(*) AS n_orders,
+           {dsum_sql("o_totalprice")} AS total_price,
+           CAST(grouping(n_name) AS BIGINT) AS g_nation,
+           CAST(grouping(o_orderstatus) AS BIGINT) AS g_status
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY GROUPING SETS ((n_name, o_orderstatus), (n_name), ())
+    """,
+    tags=("sql", "grouping-sets"),
+)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — subtotal lattice the DataFrame API only
+    reaches via rollup/cube; SQL expresses the exact set list. One
+    shuffle: Spark expands the sets map-side and aggregates once."""
+    _view(spark, sf_dir, "orders", "customer", "nation")
+    return spark.sql(f"""
+        SELECT coalesce(n_name, 'ALL') AS nation,
+               coalesce(o_orderstatus, 'ALL') AS status,
+               count(*) AS n_orders,
+               {_SPARK_DSUM.format(expr="o_totalprice")} AS total_price,
+               CAST(grouping(n_name) AS BIGINT) AS g_nation,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status
+        FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+        GROUP BY GROUPING SETS ((n_name, o_orderstatus), (n_name), ())
+    """)
+
+
+@query(
+    "sql_unpivot_stack",
+    oracle="""
+    SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+           u.metric AS metric, u.amount AS amount
+    FROM lineitem
+    CROSS JOIN LATERAL (VALUES ('quantity', l_quantity),
+                               ('extendedprice', l_extendedprice),
+                               ('discount', l_discount)) AS u(metric, amount)
+    """,
+    tags=("sql", "unpivot"),
+)
+def sql_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full unpivot via stack() — the generalization of the
+    reference's one-metric-at-a-time melt (P8, app.py:447-451): all
+    three measures to rows in one pass, no shuffle (narrow map)."""
+    _view(spark, sf_dir, "lineitem")
+    return spark.sql("""
+        SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+               metric, amount
+        FROM lineitem
+        LATERAL VIEW stack(3,
+            'quantity', l_quantity,
+            'extendedprice', l_extendedprice,
+            'discount', l_discount) AS metric, amount
+    """)
+
+
+@query(
+    "sql_cte_subquery",
+    oracle=f"""
+    WITH nation_avg AS (
+        SELECT c_nationkey, {dsum_sql("c_acctbal")} / count(*) AS avg_bal
+        FROM customer GROUP BY c_nationkey
+    )
+    SELECT c.c_custkey AS custkey, c.c_name AS name,
+           c.c_acctbal AS acctbal, n.avg_bal AS nation_avg_bal
+    FROM customer c
+    JOIN nation_avg n ON n.c_nationkey = c.c_nationkey
+    WHERE c.c_acctbal > n.avg_bal * 1.5
+    """,
+    tags=("sql", "cte"),
+)
+def sql_cte_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE + self-referential comparison: customers holding 1.5x
+    their nation's mean balance. The per-nation aggregate is 25 rows
+    — Catalyst broadcasts it back against the full table (no second
+    shuffle of the fact side)."""
+    _view(spark, sf_dir, "customer")
+    return spark.sql(f"""
+        WITH nation_avg AS (
+            SELECT c_nationkey,
+                   {_SPARK_DSUM.format(expr="c_acctbal")} / count(*) AS avg_bal
+            FROM customer GROUP BY c_nationkey
+        )
+        SELECT c.c_custkey AS custkey, c.c_name AS name,
+               c.c_acctbal AS acctbal, n.avg_bal AS nation_avg_bal
+        FROM customer c
+        JOIN nation_avg n ON n.c_nationkey = c.c_nationkey
+        WHERE c.c_acctbal > n.avg_bal * 1.5
+    """)
+
+
+@query(
+    "sql_from_json_typed",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 7 AS k_mod7
+    FROM events
+    """,
+    tags=("sql", "json"),
+)
+def sql_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON decode: from_json with an explicit schema then
+    struct-field access — the engine form of the producer's
+    flatten-at-ingest (P1, producer.py:90-101). Schema-on-read with
+    null-on-corrupt, not stringly get_json_object probing."""
+    _view(spark, sf_dir, "events")
+    return spark.sql("""
+        SELECT event_id, parsed.k AS k, event_type, parsed.k % 7 AS k_mod7
+        FROM (
+            SELECT event_id, event_type,
+                   from_json(props, 'k BIGINT') AS parsed
+            FROM events
+        )
+    """)
+
+
+@query(
+    "sql_window_over",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           o_totalprice AS price,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           lag(o_totalprice) OVER w AS prev_price,
+           CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("sql", "window"),
+)
+def sql_window_over(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions through the SQL WINDOW clause — same plan as
+    the DataFrame Window spec (queries/windows.py), one sort per
+    distinct (partition, order) pair."""
+    _view(spark, sf_dir, "orders")
+    return spark.sql("""
+        SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+               o_totalprice AS price,
+               CAST(row_number() OVER w AS BIGINT) AS rn,
+               lag(o_totalprice) OVER w AS prev_price,
+               count(*) OVER (PARTITION BY o_custkey) AS n_orders
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """)

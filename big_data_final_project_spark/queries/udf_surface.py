@@ -1,0 +1,170 @@
+"""User-defined function surface (SURVEY.md §2.6): Arrow-vectorized
+pandas UDF (scalar), applyInPandas grouped-map (Spark's Python UDAF
+gap — SURVEY §2.6 note), and a Python UDTF — each differentially
+checked against a pure-SQL oracle, which is the strongest possible
+test of a UDF: the Python path must agree with the declarative
+semantics bit-for-bit.
+
+Scale posture: everything here is Arrow-batched (pandas_udf /
+applyInPandas / UDTF), never row-at-a-time `F.udf` — the 10-100x
+slow path this engine deliberately has no query using. The grouped
+map shuffles once on its keys; the scalar UDF and UDTF are narrow.
+
+Determinism: float work inside the UDFs is scaled-integer arithmetic
+(2-decimal money × 100 is exact in int64), so results don't depend
+on pandas' summation order — same construction as
+functions/numeric.dsum.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf, udtf
+
+from ..data import load_table
+from ..registry import query
+
+
+def _net_price_capped_fn(ep: pd.Series, disc: pd.Series) -> pd.Series:
+    """Vectorized net price, rounded to cents, capped at 50000 —
+    numpy double ops, one Arrow batch at a time."""
+    net = (ep * (1 - disc) * 100).round() / 100
+    return net.clip(upper=50000.0)
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    -- round_even: pandas/numpy .round() is half-to-even
+    SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+           least(round_even(l_extendedprice * (1 - l_discount) * 100, 0) / 100,
+                 50000.0) AS net_capped
+    FROM lineitem
+    """,
+    tags=("udf", "pandas"),
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF (Arrow batches) vs the equivalent SQL
+    expression: identical IEEE doubles. In production this slot holds
+    logic genuinely outside SQL (tokenizers, model scoring); here it
+    is SQL-expressible precisely so the oracle can check the
+    machinery."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # constructed here, not at import: the decorator resolves its
+    # return type against the active session
+    net_price_capped = pandas_udf(_net_price_capped_fn, T.DoubleType())
+    return li.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        net_price_capped("l_extendedprice", "l_discount").alias("net_capped"),
+    )
+
+
+_GROUP_SCHEMA = T.StructType(
+    [
+        T.StructField("l_returnflag", T.StringType()),
+        T.StructField("l_linestatus", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("sum_qty", T.DoubleType()),
+        T.StructField("avg_price", T.DoubleType()),
+    ]
+)
+
+
+def _group_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map 'UDAF': per-group stats in scaled-int arithmetic
+    (exact, order-independent — pandas sum order varies with
+    partitioning, so raw float sums would flap)."""
+    qty_c = pdf["l_quantity"].mul(100).round().astype("int64").sum()
+    price_c = pdf["l_extendedprice"].mul(100).round().astype("int64").sum()
+    n = len(pdf)
+    return pd.DataFrame(
+        {
+            "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+            "l_linestatus": [pdf["l_linestatus"].iloc[0]],
+            "n_rows": [n],
+            "sum_qty": [qty_c / 100.0],
+            "avg_price": [price_c / 100.0 / n],
+        }
+    )
+
+
+@query(
+    "udf_grouped_agg_pandas",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+             / count(*) AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("udf", "applyInPandas", "udaf"),
+)
+def udf_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped map — the idiom filling Spark's Python
+    UDAF gap (SURVEY §2.6): whole group in, one aggregate row out,
+    one shuffle on the group keys. At 100 TB the group count (6 here)
+    caps parallelism, so this shape is for many-group workloads;
+    few-group aggregation belongs in built-in aggs (tpch_q1)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").applyInPandas(
+        _group_stats, schema=_GROUP_SCHEMA
+    )
+
+
+class _TokenizeUDTF:
+    """Python UDTF: one document in, one row per token out (the
+    table-function shape of text.text_token_stats' tokenizer)."""
+
+    def eval(self, text: str) -> Iterator[tuple[int, str]]:
+        if text is None:
+            return
+        import re
+
+        norm = re.sub(r"\s+", " ", text.lower()).strip()
+        for i, tok in enumerate(norm.split(" ")):
+            yield i + 1, tok
+
+
+@query(
+    "udf_udtf_tokenize",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                            ' ') AS toks
+        FROM documents
+    )
+    SELECT doc_id, CAST(idx AS BIGINT) AS token_idx, toks[idx] AS token
+    FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS idx FROM t) u
+    """,
+    tags=("udf", "udtf"),
+)
+def udf_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral-joined Python UDTF vs an unnest oracle: the generator
+    yields (position, token) per document row."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    tokenize = udtf(
+        _TokenizeUDTF,
+        returnType=T.StructType(
+            [
+                T.StructField("token_idx", T.LongType()),
+                T.StructField("token", T.StringType()),
+            ]
+        ),
+    )
+    spark.udtf.register("tokenize_udtf", tokenize)
+    return spark.sql("""
+        SELECT d.doc_id, t.token_idx, t.token
+        FROM documents d, LATERAL tokenize_udtf(d.text) t
+    """)

@@ -70,6 +70,8 @@ def _load_all() -> None:
         streaming_batch,
         streaming_live,
         multimodal,
+        sql_surface,
+        udf_surface,
     )
 
 

@@ -1,0 +1,94 @@
+"""Property tests for the non-oracle similarity/dedup paths
+(SURVEY.md §5.5): the numpy top-k must agree with the exact-fold
+oracle twin on neighbor sets, and exact duplicates must collide under
+MinHash."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from big_data_final_project_spark.registry import catalog
+
+
+def _neighbor_sets(rows):
+    out = defaultdict(set)
+    for r in rows:
+        out[r["query_id"]].add(r["neighbor_id"])
+    return dict(out)
+
+
+def test_pandas_topk_matches_exact_sets(spark, sf_dir):
+    cat = catalog()
+    exact = cat["sim_bruteforce_topk"].fn(spark, sf_dir).collect()
+    fast = cat["sim_bruteforce_topk_pandas"].fn(spark, sf_dir).collect()
+    se, sf_ = _neighbor_sets(exact), _neighbor_sets(fast)
+    assert se.keys() == sf_.keys()
+    for q in se:
+        # identical sets except possibly at the k-th rank under float
+        # tie reordering; require >= k-1 overlap and equal size
+        assert len(se[q]) == len(sf_[q])
+        assert len(se[q] & sf_[q]) >= len(se[q]) - 1, (q, se[q] ^ sf_[q])
+
+
+def test_minhash_finds_planted_near_duplicates(spark, sf_dir):
+    """Recall property: the corpus has planted near-dup pairs (true
+     2-gram Jaccard >= 0.9); with these fixed seeds the LSH candidate
+    set must contain (deterministically) at least 90% of them, and
+    every candidate with a perfect signature match must be a genuine
+    near-dup (true Jaccard >= 0.5)."""
+    from big_data_final_project_spark.data import load_table
+    from big_data_final_project_spark.queries import dedup as D
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = D._shingled(d, "doc_id")
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = F.size(F.array_intersect("a.sh", "b.sh")).cast("double") / F.size(
+        F.array_union("a.sh", "b.sh")
+    )
+    truth = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jac"),
+        )
+        .where(F.col("jac") >= 0.9)
+        .collect()
+    )
+    true_pairs = {(r["doc_a"], r["doc_b"]) for r in truth}
+    found = D.dedup_minhash_pairs(spark, sf_dir).collect()
+    found_pairs = {(r["doc_a"], r["doc_b"]) for r in found}
+    if true_pairs:
+        recall = len(true_pairs & found_pairs) / len(true_pairs)
+        assert recall >= 0.9, (recall, true_pairs - found_pairs)
+    # precision at est == 1.0
+    jac_by_pair = None
+    perfect = [(r["doc_a"], r["doc_b"]) for r in found if r["est_jaccard"] >= 0.999]
+    if perfect:
+        from pyspark.sql import Row
+
+        pairs_df = spark.createDataFrame(
+            [Row(doc_a=x, doc_b=y) for x, y in perfect]
+        )
+        jac_by_pair = (
+            pairs_df.join(a, F.col("a.doc_id") == F.col("doc_a"))
+            .join(b, F.col("b.doc_id") == F.col("doc_b"))
+            .select(jac.alias("jac"))
+            .collect()
+        )
+        assert all(r["jac"] >= 0.5 for r in jac_by_pair)
+
+
+def test_similarity_symmetry(spark, sf_dir):
+    """Cosine near-dup output is symmetric by construction (a<b) and
+    self-pairs are excluded."""
+    cat = catalog()
+    rows = cat["dedup_embedding_cosine"].fn(spark, sf_dir).collect()
+    seen = set()
+    for r in rows:
+        assert r["vec_a"] < r["vec_b"]
+        assert (r["vec_a"], r["vec_b"]) not in seen
+        seen.add((r["vec_a"], r["vec_b"]))
+        assert -1.0000001 <= r["cosine"] <= 1.0000001
