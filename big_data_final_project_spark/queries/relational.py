@@ -427,3 +427,88 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sampled"),
         dsum("l_quantity").alias("qty"),
     )
+
+
+@query(
+    "agg_percentiles_exact",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.5) AS median,
+           quantile_cont(l_quantity, 0.75) AS q75,
+           max(l_quantity) AS q_max
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("groupby", "percentile"),
+)
+def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group: Spark `percentile` and DuckDB
+    `quantile_cont` share the linear-interpolation definition, so
+    values are bit-comparable. Exact percentile sorts per group —
+    the approx twin below is the 100 TB path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+        F.expr("percentile(l_quantity, 0.5)").alias("median"),
+        F.expr("percentile(l_quantity, 0.75)").alias("q75"),
+        F.max("l_quantity").alias("q_max"),
+    )
+
+
+@query("agg_percentiles_approx", oracle=None, tags=("groupby", "percentile", "approx"))
+def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-sketch-style): mergeable partial state,
+    no per-group sort — the scale path for quantiles (rows-only
+    check: sketch internals are engine-specific)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10000).alias("approx_q"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "agg_variance_exact",
+    oracle="""
+    SELECT l_linestatus,
+           count(*) AS n,
+           (CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(27,8))) AS DOUBLE)
+            - CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+              * CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*))
+           / (count(*) - 1) AS var_qty
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    tags=("groupby", "stats"),
+)
+def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sample variance via the sum-of-squares identity
+    with decimal-exact sums — order-independent where the built-in
+    single-pass var_samp is partition-order sensitive in the low
+    bits. (l_quantity is 2-decimal, so squares are exact in
+    DECIMAL(27,8).)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = F.count("*")
+    sx = F.sum((F.col("l_quantity")).cast("decimal(18,6)")).cast("double")
+    sxx = F.sum(
+        (F.col("l_quantity") * F.col("l_quantity")).cast("decimal(27,8)")
+    ).cast("double")
+    return li.groupBy("l_linestatus").agg(
+        n.alias("n"),
+        ((sxx - sx * sx / n) / (n - 1)).alias("var_qty"),
+    )
+
+
+@query("agg_stats_moments", oracle=None, tags=("groupby", "stats", "approx"))
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in single-pass moment aggregates (stddev/var/skewness/
+    kurtosis/corr): mergeable partial state, one shuffle — rows-only
+    because their partition-order float drift is engine-specific
+    (the deterministic variance twin above carries the oracle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.stddev_samp("l_quantity").alias("sd_qty"),
+        F.var_samp("l_quantity").alias("var_qty"),
+        F.skewness("l_quantity").alias("skew_qty"),
+        F.kurtosis("l_quantity").alias("kurt_qty"),
+        F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
+    )
