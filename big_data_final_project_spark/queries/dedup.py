@@ -195,14 +195,16 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(N_BANDS)
         ]
     )
-    # Persist the signature table: the LSH self-join reads it twice,
-    # and without this the whole shingle→md5→min-agg pipeline runs
-    # once per side (measured 2x wall). At 100 TB this materialization
-    # is a parquet signature table, not a cache — same dataflow.
+    # Materialize the signature table EAGERLY before the self-join:
+    # a lazy .persist() doesn't help here because both join sides
+    # compute concurrently against the still-empty cache and the
+    # whole shingle→md5→min-agg pipeline runs twice (measured 2x
+    # wall). At 100 TB this materialization is a written parquet
+    # signature table — same dataflow, durable instead of cached.
     hashed = (
         sig_row.select("doc_id", sig.alias("sig"))
         .select("doc_id", "sig", F.posexplode(band_hashes).alias("band_idx", "band_hash"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     a, b = hashed.alias("a"), hashed.alias("b")
     est = (
@@ -322,7 +324,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").withColumn(
         "len_bucket", F.floor(F.col("n_chars") / 100).cast("long")
     )
-    t = _shingled(d, "doc_id", "lang", "len_bucket").persist()
+    # eager for the same concurrent-cache-miss reason as the minhash
+    # signature table
+    t = _shingled(d, "doc_id", "lang", "len_bucket").localCheckpoint(eager=True)
     a, b = t.alias("a"), t.alias("b")
     jac = (
         F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")

@@ -232,3 +232,92 @@ def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k % 10).alias("k_bucket"),
         F.get_json_object("props", "$.missing").isNull().alias("missing_absent"),
     )
+
+
+@query(
+    "scalar_map_funcs",
+    oracle="""
+    -- DuckDB map extraction yields a 1-element list; [1] unwraps it
+    WITH m AS (
+        SELECT o_orderkey AS orderkey,
+               map(['status', 'priority'],
+                   [o_orderstatus, o_orderpriority]) AS props
+        FROM orders
+    )
+    SELECT orderkey,
+           CAST(cardinality(props) AS BIGINT) AS n_keys,
+           list_sort(map_keys(props)) AS keys_sorted,
+           props['status'][1] AS status_val,
+           props['priority'][1] AS priority_val,
+           props['missing'][1] IS NULL AS missing_is_null
+    FROM m
+    """,
+    tags=("scalar", "map"),
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: construction from entries, size, sorted key list,
+    element lookup, absent-key null — the typed-dictionary column
+    shape (per-row, narrow; maps never shuffle here)."""
+    o = load_table(spark, sf_dir, "orders")
+    props = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.size(props).cast("long").alias("n_keys"),
+        F.sort_array(F.map_keys(props)).alias("keys_sorted"),
+        F.element_at(props, "status").alias("status_val"),
+        F.element_at(props, "priority").alias("priority_val"),
+        F.element_at(props, "missing").isNull().alias("missing_is_null"),
+    )
+
+
+@query(
+    "scalar_array_extended",
+    oracle="""
+    WITH t AS (
+        SELECT l_orderkey AS orderkey,
+               list_sort(list(l_linenumber)) AS lines,
+               list_sort(list(DISTINCT l_returnflag)) AS flags
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT orderkey,
+           lines,
+           flags,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           lines[1] AS first_line,
+           lines[len(lines)] AS last_line,
+           CAST(list_position(lines, 3) AS BIGINT) AS pos_of_3,
+           lines[2:3] AS middle_slice,
+           flatten([lines, lines]) AS doubled,
+           3 IN (SELECT unnest(lines)) AS has_line3
+    FROM t
+    """,
+    tags=("scalar", "array"),
+)
+def scalar_array_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family beyond the basics: collect_list + sort (the
+    deterministic form of aggregation-to-array), distinct collect,
+    indexing from both ends, position, slice, flatten, membership.
+    collect_list order is partition-dependent, so every collected
+    array is sorted before leaving the aggregation — the same rule
+    the oracle applies."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+        F.sort_array(F.collect_list("l_linenumber")).alias("lines"),
+        F.sort_array(F.collect_set("l_returnflag")).alias("flags"),
+    )
+    lines = F.col("lines")
+    return t.select(
+        "orderkey",
+        "lines",
+        "flags",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.element_at(lines, 1).alias("first_line"),
+        F.element_at(lines, -1).alias("last_line"),
+        F.array_position(lines, 3).cast("long").alias("pos_of_3"),
+        F.slice(lines, 2, 2).alias("middle_slice"),
+        F.flatten(F.array(lines, lines)).alias("doubled"),
+        F.array_contains(lines, 3).alias("has_line3"),
+    )

@@ -191,3 +191,48 @@ def run_to_memory(df: DataFrame, spark: SparkSession, name: str, complete: bool)
         .awaitTermination()
     )
     return spark.table(name)
+
+
+def maintain_latest_view(
+    valid: DataFrame,
+    view_dir: str,
+    checkpoint_dir: str,
+    key: str = "user_id",
+) -> None:
+    """Incrementally maintained latest-record-per-key view — the
+    reference's `st.session_state['latest_batch_df']` + find_one(sort
+    =-1) upgraded to a durable materialized view (SURVEY ST4/S8).
+
+    Each micro-batch merges into the compact view (one row per key),
+    so readers get point-lookup latency regardless of history size.
+    The merge is read-modify-overwrite on a localCheckpointed frame
+    (lineage detached before the overwrite clobbers its input files);
+    on a lakehouse table format this becomes a MERGE INTO, same
+    dataflow."""
+    from pyspark.sql import Window
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            existing = spark.read.parquet(view_dir)
+            merged = existing.unionByName(batch)
+        except Exception:
+            merged = batch
+        w = Window.partitionBy(key).orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+            .localCheckpoint(eager=True)
+        )
+        latest.write.mode("overwrite").parquet(view_dir)
+
+    (
+        valid.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -1,0 +1,58 @@
+"""Plan-shape regression tests (SCALE.md): assert the physical plans
+keep the properties the 100 TB posture depends on. These are the
+checked form of `.explain` review — a change that drops a pushdown,
+un-broadcasts a dimension, or introduces a cartesian product fails
+here before it ships."""
+
+from __future__ import annotations
+
+from big_data_final_project_spark.plans.audit import audit
+from big_data_final_project_spark.registry import catalog
+
+
+def _plan(spark, sf_dir, name):
+    return audit(catalog()[name].fn(spark, sf_dir))
+
+
+def test_q6_filter_pushdown_and_column_pruning(spark, sf_dir):
+    p = _plan(spark, sf_dir, "tpch_q6_forecast_revenue")
+    assert p.pushed_filters("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate")
+    # 4 of lineitem's 11 columns — projection reached the scan
+    cols = p.read_schema_columns()
+    assert cols == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+
+
+def test_q5_star_join_is_all_broadcast(spark, sf_dir):
+    p = _plan(spark, sf_dir, "tpch_q5_local_supplier_volume")
+    assert p.broadcast_joins >= 4, p.text
+    assert p.cartesian_products == 0
+
+
+def test_q3_selective_dimension_broadcast(spark, sf_dir):
+    p = _plan(spark, sf_dir, "tpch_q3_shipping_priority")
+    assert p.broadcast_joins >= 1
+    assert p.cartesian_products == 0
+    assert p.pushed_filters("EqualTo(c_mktsegment,BUILDING)")
+
+
+def test_minhash_no_cartesian_and_bounded_shuffles(spark, sf_dir):
+    # clear caches: a pre-populated signature cache changes the
+    # explain output (InMemoryTableScan lineage) and the counts
+    spark.catalog.clearCache()
+    p = _plan(spark, sf_dir, "dedup_minhash_pairs")
+    assert p.cartesian_products == 0
+    # signature agg + band join + distinct — the plan must not grow
+    # extra shuffles silently
+    assert p.shuffles <= 8, p.text
+
+
+def test_grouped_summary_single_aggregation_shuffle(spark, sf_dir):
+    p = _plan(spark, sf_dir, "ref_grouped_summary")
+    assert p.shuffles <= 2, p.text
+    assert p.cartesian_products == 0
+
+
+def test_lsh_topk_broadcasts_queries_not_corpus(spark, sf_dir):
+    p = _plan(spark, sf_dir, "sim_lsh_bucketed_topk")
+    assert p.broadcast_joins >= 1
+    assert p.sortmerge_joins == 0, "corpus must not sort-merge against 5 queries"

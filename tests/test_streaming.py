@@ -71,3 +71,25 @@ def test_store_partitioned_by_date(spark, sf_dir, staging, tmp_path_factory):
     assert batch_dirs
     inner = os.listdir(os.path.join(store, batch_dirs[0]))
     assert any(d.startswith("event_date=") for d in inner)
+
+
+def test_latest_view_matches_batch_semantics(spark, sf_dir, staging, tmp_path_factory):
+    """The incrementally maintained latest-per-user view must equal
+    the batch window query (stream_dedup_latest) over the same data."""
+    from big_data_final_project_spark.registry import catalog
+    from big_data_final_project_spark.streaming.pipeline import maintain_latest_view
+
+    view = str(tmp_path_factory.mktemp("latest_view"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_latest"))
+    valid, _ = split_valid(read_event_stream(spark, staging))
+    maintain_latest_view(valid, view, ckpt)
+
+    got = {
+        r["user_id"]: (r["event_id"], r["ts"])
+        for r in spark.read.parquet(view).collect()
+    }
+    want = {
+        r["user_id"]: (r["event_id"], r["ts"])
+        for r in catalog()["stream_dedup_latest"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
