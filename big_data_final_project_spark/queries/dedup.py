@@ -320,13 +320,24 @@ JACCARD_THRESHOLD = 0.10
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard within cheap blocks (language × length
     bucket): the verification stage after LSH candidate generation —
-    all-pairs only inside a block, never across the corpus."""
+    all-pairs only inside a block, never across the corpus.
+
+    The per-pair set ops run on xxhash64-hashed shingles (long
+    arrays), not the strings: primitive equality beats UTF8String
+    hashing several-fold in the interpreted join condition, and the
+    intersect/union COUNTS equal the string-set counts unless two
+    distinct shingles of the same pair collide in 64 bits
+    (P ~ 1e-16 per pair) — the string-side oracle stays exact."""
     d = load_table(spark, sf_dir, "documents").withColumn(
         "len_bucket", F.floor(F.col("n_chars") / 100).cast("long")
     )
     # eager for the same concurrent-cache-miss reason as the minhash
     # signature table
-    t = _shingled(d, "doc_id", "lang", "len_bucket").localCheckpoint(eager=True)
+    t = (
+        _shingled(d, "doc_id", "lang", "len_bucket")
+        .withColumn("sh", F.transform("sh", lambda x: F.xxhash64(x)))
+        .localCheckpoint(eager=True)
+    )
     a, b = t.alias("a"), t.alias("b")
     jac = (
         F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")

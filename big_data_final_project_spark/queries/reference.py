@@ -69,40 +69,62 @@ def ref_historical_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANGES = (("1h", 1), ("24h", 24), ("7d", 168), ("30d", 720))
+
+
 @query(
     "ref_time_range_counts",
-    oracle="""
+    oracle=f"""
     WITH anchor AS (SELECT max(ts) AS mx FROM events),
-    ranges(range_label, hrs) AS (VALUES ('1h', 1), ('24h', 24), ('7d', 168), ('30d', 720))
-    SELECT r.range_label AS range_label,
-           count(e.ts) AS n_rows,
-           CAST(sum(CASE WHEN e.value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_values
-    FROM ranges r CROSS JOIN anchor a
-    LEFT JOIN events e ON e.ts >= a.mx - to_hours(r.hrs)
-    GROUP BY r.range_label
+    wide AS (
+        SELECT
+        {", ".join(
+            f"CAST(sum(CASE WHEN e.ts >= a.mx - to_hours({h}) THEN 1 ELSE 0 END) AS BIGINT) AS n_{lbl}, "
+            f"CAST(sum(CASE WHEN e.ts >= a.mx - to_hours({h}) AND e.value IS NOT NULL "
+            f"THEN 1 ELSE 0 END) AS BIGINT) AS v_{lbl}"
+            for lbl, h in _RANGES
+        )}
+        FROM events e CROSS JOIN anchor a
+    )
+    SELECT u.range_label, u.n_rows, u.n_values
+    FROM wide, LATERAL (VALUES
+        {", ".join(f"('{lbl}', n_{lbl}, v_{lbl})" for lbl, _ in _RANGES)}
+    ) AS u(range_label, n_rows, n_values)
     """,
     tags=("reference", "filter"),
 )
 def ref_time_range_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-range predicate builder (P9, reference app.py:293-301):
-    all four UI ranges {1h,24h,7d,30d} evaluated in one pass."""
+    all four UI ranges {1h,24h,7d,30d} evaluated in one pass as
+    conditional aggregates over a single scan — no range×events
+    nested-loop join (the first formulation; BNLJ evaluated every
+    range predicate per row pair and was the slowest query in the
+    suite), then a 1-row unpivot back to (label, counts)."""
     events = load_table(spark, sf_dir, "events")
-    ranges = spark.createDataFrame(
-        [("1h", 1), ("24h", 24), ("7d", 168), ("30d", 720)], "range_label string, hrs int"
-    )
     mx = events.agg(F.max("ts").alias("mx"))
-    return (
-        F.broadcast(ranges.crossJoin(mx))
-        .join(
-            events,
-            F.col("ts") >= F.col("mx") - F.expr("make_interval(0, 0, 0, 0, hrs, 0, 0)"),
-            "left",
-        )
-        .groupBy("range_label")
-        .agg(
-            F.count("ts").alias("n_rows"),
-            F.sum(F.when(F.col("value").isNotNull(), 1).otherwise(0)).alias("n_values"),
-        )
+    wide = events.crossJoin(F.broadcast(mx)).agg(
+        *[
+            agg
+            for lbl, h in _RANGES
+            for agg in (
+                F.sum(
+                    F.when(
+                        F.col("ts") >= F.col("mx") - F.expr(f"INTERVAL {h} HOURS"), 1
+                    ).otherwise(0)
+                ).alias(f"n_{lbl}"),
+                F.sum(
+                    F.when(
+                        (F.col("ts") >= F.col("mx") - F.expr(f"INTERVAL {h} HOURS"))
+                        & F.col("value").isNotNull(),
+                        1,
+                    ).otherwise(0)
+                ).alias(f"v_{lbl}"),
+            )
+        ]
+    )
+    stack_args = ", ".join(f"'{lbl}', n_{lbl}, v_{lbl}" for lbl, _ in _RANGES)
+    return wide.selectExpr(
+        f"stack({len(_RANGES)}, {stack_args}) AS (range_label, n_rows, n_values)"
     )
 
 

@@ -321,3 +321,44 @@ def scalar_array_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.flatten(F.array(lines, lines)).alias("doubled"),
         F.array_contains(lines, 3).alias("has_line3"),
     )
+
+
+@query(
+    "scalar_generator_funcs",
+    oracle="""
+    -- outer explode: an empty array must still yield one NULL row
+    -- (emulated in the oracle with CASE len=0 THEN [NULL])
+    WITH t AS (
+        SELECT o_orderkey AS orderkey,
+               CASE WHEN o_orderstatus = 'O' THEN []
+                    ELSE [o_orderstatus, o_orderpriority] END AS arr
+        FROM orders
+    ),
+    pos AS (
+        SELECT orderkey, arr,
+               unnest(CASE WHEN len(arr) = 0 THEN [NULL] ELSE arr END) AS item,
+               unnest(CASE WHEN len(arr) = 0 THEN [NULL]
+                           ELSE range(0, len(arr)) END) AS pos
+        FROM t
+    )
+    SELECT orderkey, CAST(pos AS BIGINT) AS pos, item FROM pos
+    """,
+    tags=("scalar", "generator"),
+)
+def scalar_generator_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator family: posexplode_outer — rows from arrays with the
+    outer semantics that keep empty-array parents (one NULL row)
+    instead of dropping them. Narrow flat-map, no shuffle; parent
+    row preserved for downstream joins regardless of array content."""
+    o = load_table(spark, sf_dir, "orders")
+    arr = F.when(F.col("o_orderstatus") == "O", F.array().cast("array<string>")).otherwise(
+        F.array("o_orderstatus", "o_orderpriority")
+    )
+    return (
+        o.select(F.col("o_orderkey").alias("orderkey"), arr.alias("arr"))
+        .select(
+            "orderkey",
+            F.posexplode_outer("arr").alias("pos", "item"),
+        )
+        .select("orderkey", F.col("pos").cast("long").alias("pos"), "item")
+    )

@@ -1,0 +1,44 @@
+"""Batch source/sink format coverage (SURVEY.md §2.1): the engine's
+store is parquet, but an engine users switch to must also ingest the
+interchange formats the reference's ecosystem produces (JSON lines on
+the wire — producer.py:122 — plus the CSV/ORC lake formats).
+
+Round-trip contract: write(format) → read(format, explicit schema) is
+value-identical for the event schema. Explicit schemas everywhere —
+schema inference is a scan of its own at 100 TB and produces unstable
+types; `TS_FORMAT` carries microseconds through text formats.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming.pipeline import EVENT_SCHEMA, TS_FORMAT
+
+_TEXT_OPTS = {"timestampFormat": TS_FORMAT}
+
+
+def write_events(df: DataFrame, path: str, fmt: str) -> None:
+    w = df.write.mode("overwrite")
+    if fmt in ("csv", "json"):
+        w = w.options(**_TEXT_OPTS)
+        if fmt == "csv":
+            w = w.option("header", "true")
+    w.format(fmt).save(path)
+
+
+def read_events(spark: SparkSession, path: str, fmt: str) -> DataFrame:
+    r = spark.read.schema(EVENT_SCHEMA)
+    if fmt in ("csv", "json"):
+        r = r.options(**_TEXT_OPTS)
+        if fmt == "csv":
+            r = r.option("header", "true")
+    return r.format(fmt).load(path)
+
+
+def roundtrip(spark: SparkSession, df: DataFrame, base_dir: str, fmt: str) -> DataFrame:
+    path = os.path.join(base_dir, fmt)
+    write_events(df, path, fmt)
+    return read_events(spark, path, fmt)

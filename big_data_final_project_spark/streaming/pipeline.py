@@ -236,3 +236,68 @@ def maintain_latest_view(
         .start()
         .awaitTermination()
     )
+
+
+def running_counts_stateful(
+    spark: SparkSession, staging_dir: str
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState (SURVEY
+    §2.5 ST4): a per-event-type running total maintained in explicit
+    GroupState across micro-batches — the shape for stateful logic
+    that built-in windowed aggs can't express (counters, sessions
+    with custom close rules, CEP-ish accumulators).
+
+    maxFilesPerTrigger=1 forces one micro-batch per staged file, so
+    the test proves state actually carries across batches rather
+    than being recomputed per batch. Update-mode output emits one row
+    per key per batch; the LAST row per key is the final total.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    raw = (
+        spark.readStream.option("maxFilesPerTrigger", "1").text(staging_dir)
+    )
+    parsed = raw.select(
+        F.from_json("value", EVENT_SCHEMA, {"timestampFormat": TS_FORMAT}).alias(
+            "rec"
+        )
+    ).select("rec.*").where(F.col("event_id").isNotNull())
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("running_count", T.LongType()),
+            T.StructField("running_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("count", T.LongType()),
+            T.StructField("value_cents", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        count, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            count += len(pdf)
+            # scaled-int accumulation: deterministic across batch
+            # orders (same construction as functions/numeric.dsum)
+            cents += int(pd.Series(pdf["value"]).mul(100).round().astype("int64").sum())
+        state.update((count, cents))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "running_count": [count],
+                "running_value": [cents / 100.0],
+            }
+        )
+
+    return parsed.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,86 @@
+"""Hypothesis property tests (SURVEY.md §5.3/§5.5): reference
+semantics that must hold for ALL inputs, not just fixtures."""
+
+from __future__ import annotations
+
+from datetime import timedelta
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from big_data_final_project_spark.functions.ranges import (
+    DEFAULT_RANGE,
+    TIME_RANGES,
+    range_delta,
+)
+from big_data_final_project_spark.sources.weather import flatten_weather_response
+
+# -- P9: time-range builder ------------------------------------------------
+
+
+@given(st.text(max_size=20))
+def test_unknown_labels_default_to_24h(label):
+    if label in TIME_RANGES:
+        assert range_delta(label) == TIME_RANGES[label]
+    else:
+        assert range_delta(label) == timedelta(hours=24)
+
+
+def test_known_ranges_exact():
+    assert range_delta("1h") == timedelta(hours=1)
+    assert range_delta("7d") == timedelta(days=7)
+    assert range_delta("30d") == timedelta(days=30)
+    assert range_delta(DEFAULT_RANGE) == timedelta(hours=24)
+
+
+# -- P1/P2: flattening never raises, degrades to nulls ---------------------
+
+_any_json = st.recursive(
+    st.none() | st.booleans() | st.integers() | st.floats(allow_nan=False) | st.text(max_size=10),
+    lambda children: st.dictionaries(st.text(max_size=8), children, max_size=4),
+    max_leaves=10,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.none() | st.dictionaries(st.sampled_from(
+    ["location", "current", "other"]), _any_json, max_size=3))
+def test_flatten_total_on_arbitrary_responses(resp):
+    """The flattener is TOTAL over arbitrary nested responses: any
+    shape yields either None (no response) or a 10-field record with
+    absent paths as None (reference producer.py:92-100 .get chains)."""
+    try:
+        rec = flatten_weather_response(resp)
+    except (TypeError, ValueError, AttributeError) as ex:  # numeric coercion of junk
+        # only the documented coercion of temp/humidity/wind may
+        # reject a value; dict-shape traversal itself must not
+        assert any(k in str(ex) for k in ("float", "bool", "int", "str")), ex
+        return
+    if resp is None:
+        assert rec is None
+        return
+    assert set(rec) == {
+        "producer_timestamp", "location_name", "region", "country",
+        "temp_c", "humidity", "wind_kph", "condition_text", "is_day",
+        "api_time",
+    }
+
+
+# -- M3: SQL and DataFrame forms agree -------------------------------------
+
+
+def test_sql_and_dataframe_forms_agree(spark, sf_dir):
+    from big_data_final_project_spark.registry import catalog
+
+    cat = catalog()
+    sql_rows = {
+        tuple(r)
+        for r in cat["sql_surface_q1"].fn(spark, sf_dir)
+        .select("l_returnflag", "l_linestatus", "sum_qty", "count_order")
+        .collect()
+    }
+    df_rows = {
+        (r["l_returnflag"], r["l_linestatus"], r["sum_qty"], r["count_order"])
+        for r in cat["tpch_q1_pricing_summary"].fn(spark, sf_dir).collect()
+    }
+    assert sql_rows == df_rows

@@ -93,3 +93,49 @@ def test_latest_view_matches_batch_semantics(spark, sf_dir, staging, tmp_path_fa
         for r in catalog()["stream_dedup_latest"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_stateful_running_counts_across_batches(spark, sf_dir, staging):
+    """applyInPandasWithState: with one micro-batch per file, the
+    final per-key running totals must equal the batch aggregation —
+    i.e. state survived across batches."""
+    from big_data_final_project_spark.data import load_table
+    from big_data_final_project_spark.streaming.pipeline import (
+        running_counts_stateful,
+    )
+    import pyspark.sql.functions as F
+
+    stream = running_counts_stateful(spark, staging)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("stateful_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    updates = spark.table("stateful_sink")
+    # multiple update rows per key => state crossed batch boundaries
+    n_updates = updates.count()
+    final = {
+        r["event_type"]: (r["running_count"], r["running_value"])
+        for r in updates.groupBy("event_type")
+        .agg(
+            F.max("running_count").alias("running_count"),
+            F.max("running_value").alias("running_value"),
+        )
+        .collect()
+    }
+    # expected side computed with the SAME pandas rounding the state
+    # update uses (pandas .round is half-even, F.round is half-up —
+    # don't mix them in an exact compare)
+    pdf = load_table(spark, sf_dir, "events").select("event_type", "value").toPandas()
+    grouped = pdf.assign(cents=pdf["value"].mul(100).round().astype("int64")).groupby(
+        "event_type"
+    )
+    want = {
+        k: (int(g["value"].count()), int(g["cents"].sum()) / 100.0)
+        for k, g in grouped
+    }
+    assert final == want
+    assert n_updates > len(final), "expected >1 update per key (multi-batch)"
