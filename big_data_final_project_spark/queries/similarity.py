@@ -288,14 +288,19 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cent_b = F.broadcast(cent)
     cos_to_cent = _cosine(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm"))
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        cos_to_cent.desc(), F.col("cell")
-    )
+    # nearest-centroid assignment as a min_by aggregate (argmin over
+    # a (-cosine, cell) struct, ties to the lowest cell — the same
+    # deterministic order the oracle's row_number uses) instead of a
+    # per-key window: no sort, map-side partial argmin, one narrow
+    # shuffle of one struct per vec per partition
     assign = (
         n.crossJoin(cent_b)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "cell")
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                "cell", F.struct((-cos_to_cent).alias("nc"), F.col("cell"))
+            ).alias("cell")
+        )
     )
 
     q = n.where(F.col("vec_id") < N_QUERIES).select(

@@ -134,3 +134,61 @@ def streaming_quarantine_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         complete=False,
     )
     return counted.agg(F.count("*").alias("n_quarantined"))
+
+
+@query(
+    "streaming_session_live",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, value
+                                 ROWS UNBOUNDED PRECEDING) AS session_num
+        FROM ordered
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_num
+    """,
+    tags=("streaming", "live", "session"),
+)
+def streaming_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows executed as a REAL stream (session_window +
+    watermark, availableNow, complete mode) and differentially
+    checked against the batch gaps-and-islands SQL: Spark's
+    incremental session merging — partial sessions extended and
+    fused across micro-batches — must converge to exactly the batch
+    answer."""
+    valid = _staged_valid(spark, sf_dir)
+    sw = F.session_window("ts", "30 minutes")
+    sessions = (
+        valid.withWatermark("ts", "10 minutes")
+        .groupBy(sw.alias("s"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_to_memory(
+        sessions, spark, "streaming_session_live_sink", complete=True
+    )
