@@ -44,6 +44,7 @@ HEADLINE = [
     "text_quality_score",
     "sim_lsh_bucketed_topk",
     "sim_bruteforce_topk_pandas",
+    "dedup_embedding_cosine_pandas",
 ]
 
 

@@ -428,3 +428,67 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cosine") >= COSINE_THRESHOLD)
     )
+
+
+def _blocked_cosine_scorer(threshold):
+    """applyInPandas stage: one label block in, its above-threshold
+    pairs out — a single numpy gram matrix per block instead of an
+    interpreted fold per pair."""
+
+    def score(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "label": [], "cosine": []}
+            ).astype({"vec_a": "int64", "vec_b": "int64", "label": "int32",
+                      "cosine": "float64"})
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.stack(pdf["v"].to_numpy())[order]
+        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = unit @ unit.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        mask = sims[ia, ib] >= threshold
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia[mask]],
+                "vec_b": ids[ib[mask]],
+                "label": pdf["label"].iloc[0],
+                "cosine": sims[ia, ib][mask],
+            }
+        )
+
+    return score
+
+
+@query("dedup_embedding_cosine_pandas", oracle=None, tags=("dedup", "embedding", "pandas", "bench"))
+def dedup_embedding_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throughput twin of dedup_embedding_cosine: per label block,
+    one numpy gram matrix (unit-normalized rows, upper triangle,
+    threshold) via applyInPandas — SIMD replaces ~1e6 interpreted
+    folds. Rows-only (numpy's pairwise summation shifts the last
+    ulp); tests/test_similarity.py pins its pair set to the
+    exact-fold oracle twin. At 100 TB this is the shape: one shuffle
+    by block key, block-local O(b^2 d) matmul, only survivors leave
+    the executor."""
+    from pyspark.sql import types as T
+
+    e = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", _vec_dbl("embedding").alias("v")
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("label", T.IntegerType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    return e.groupBy("label").applyInPandas(
+        _blocked_cosine_scorer(COSINE_THRESHOLD), schema=out_schema
+    )

@@ -92,3 +92,20 @@ def test_similarity_symmetry(spark, sf_dir):
         assert (r["vec_a"], r["vec_b"]) not in seen
         seen.add((r["vec_a"], r["vec_b"]))
         assert -1.0000001 <= r["cosine"] <= 1.0000001
+
+
+def test_pandas_cosine_pairs_match_exact(spark, sf_dir):
+    """The numpy blocked near-dup twin finds the same pair set as the
+    exact-fold oracle query (cosines may differ in the last ulp, so
+    only pairs straddling the threshold by <1e-9 may legally differ —
+    none exist in this corpus)."""
+    cat = catalog()
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in cat["dedup_embedding_cosine"].fn(spark, sf_dir).collect()
+    }
+    fast = {
+        (r["vec_a"], r["vec_b"])
+        for r in cat["dedup_embedding_cosine_pandas"].fn(spark, sf_dir).collect()
+    }
+    assert exact == fast
