@@ -270,3 +270,80 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(sh).alias("max_shingle_hash"),
         F.size(sh).cast("long").alias("n_shingles"),
     )
+
+
+TFIDF_TOP_K = 3
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        -- rounded to 6 decimals before ranking: Java's and C's ln()
+        -- differ in the last ulp, so the raw double is not
+        -- cross-engine-stable (everything else here is exact-int math)
+        SELECT tf.doc_id, tf.term,
+               round(CAST(tf.tf AS DOUBLE) * ln(1.0 + CAST(n.n_docs AS DOUBLE) / df.df),
+                     6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+        FROM scored
+    ) r WHERE rnk <= {TFIDF_TOP_K}
+    """,
+    tags=("text", "tfidf"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational TF-IDF, top-k characteristic terms per document:
+    term frequency (explode + groupBy), document frequency (distinct
+    docs per term — a broadcast-sized table), idf = ln(1 + N/df),
+    rank per doc. All counts are exact integers, so the double score
+    is bit-identical cross-engine; ties break on the term.
+
+    Scale shape: two shuffles (tf by (doc, term), df by term), the
+    df table broadcasts back, top-k is a windowed rank-limit — no
+    corpus-sized collect anywhere (the MLlib HashingTF/IDF pipeline
+    trades exactness for fixed-width vectors; this form keeps exact
+    terms, which is what near-dup explanations and quality audits
+    want)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(_norm(F.col("text")), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar; one job at plan-build, fine for a constant
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(1.0 + F.lit(float(n_docs)) / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= TFIDF_TOP_K)
+    )
