@@ -361,7 +361,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN region r ON r.r_regionkey = n2.n_regionkey
         JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
         WHERE r.r_name = 'EUROPE'
-          AND p.p_type LIKE '%BRUSHED%'
+          AND p.p_type = 'PROMO'
           AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
                                 AND TIMESTAMP '1997-12-31 00:00:00'
     ) all_nations
@@ -385,7 +385,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = n.select(F.col("n_nationkey").alias("ck"), F.col("n_regionkey").alias("crk"))
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
-        li.join(F.broadcast(p.where(F.col("p_type").like("%BRUSHED%"))),
+        li.join(F.broadcast(p.where(F.col("p_type") == "PROMO")),
                 F.col("p_partkey") == F.col("l_partkey"))
         .join(
             o.where(
@@ -419,7 +419,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q14_promo_revenue",
     oracle=f"""
-    SELECT 100.00 * {dsum_sql("CASE WHEN p_type LIKE '%BRUSHED%' "
+    SELECT 100.00 * {dsum_sql("CASE WHEN p_type = 'PROMO' "
                               "THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
            / {dsum_sql("l_extendedprice * (1 - l_discount)")} AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -444,7 +444,7 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 100.0
-                * dsum(F.when(F.col("p_type").like("%BRUSHED%"), rev).otherwise(0.0))
+                * dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
                 / dsum(rev)
             ).alias("promo_revenue")
         )

@@ -63,6 +63,7 @@ def _load_all() -> None:
         relational,
         windows,
         tpch,
+        tpch2,
         scalar,
         dedup,
         similarity,
