@@ -31,6 +31,9 @@ HEADLINE = [
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
+    "tpch_q9_product_profit",
+    "tpch_q13_customer_distribution",
+    "tpch_q21_waiting_suppliers",
     "join_inner_star",
     "join_asof",
     "agg_multi_key",
@@ -42,6 +45,7 @@ HEADLINE = [
     # scoring, ANN search
     "dedup_minhash_pairs",
     "text_quality_score",
+    "text_tfidf_top_terms",
     "sim_lsh_bucketed_topk",
     "sim_bruteforce_topk_pandas",
     "dedup_embedding_cosine_pandas",

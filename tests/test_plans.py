@@ -56,3 +56,42 @@ def test_lsh_topk_broadcasts_queries_not_corpus(spark, sf_dir):
     p = _plan(spark, sf_dir, "sim_lsh_bucketed_topk")
     assert p.broadcast_joins >= 1
     assert p.sortmerge_joins == 0, "corpus must not sort-merge against 5 queries"
+
+
+def test_q9_dimensions_broadcast_one_fact_shuffle(spark, sf_dir):
+    # part/supplier/nation broadcast; only lineitem join orders shuffles
+    p = _plan(spark, sf_dir, "tpch_q9_product_profit")
+    assert p.broadcast_joins >= 3, p.text
+    assert p.sortmerge_joins <= 1, p.text
+    assert p.cartesian_products == 0
+    assert p.pushed_filters("StringContains(p_name,gear)")
+
+
+def test_q13_left_join_keeps_filter_on_orders_side(spark, sf_dir):
+    # the priority filter must NOT push below the left join's
+    # null-extension in a way that drops zero-order customers; it
+    # belongs on the orders scan
+    p = _plan(spark, sf_dir, "tpch_q13_customer_distribution")
+    assert p.pushed_filters("Not(EqualTo(o_orderpriority,5-LOW))")
+    assert p.cartesian_products == 0
+
+
+def test_q21_exists_chain_no_cartesian(spark, sf_dir):
+    p = _plan(spark, sf_dir, "tpch_q21_waiting_suppliers")
+    assert p.cartesian_products == 0
+    assert p.broadcast_joins >= 1  # nation-filtered supplier
+
+
+def test_q2_distinct_after_part_prune(spark, sf_dir):
+    # the DISTINCT (partkey, suppkey) shuffle must run on the
+    # part-filtered subset, not all of lineitem: the broadcast semi
+    # of qualifying parts appears below the distinct's exchange
+    p = _plan(spark, sf_dir, "tpch_q2_best_supplier")
+    assert p.broadcast_joins >= 4, p.text
+    assert p.cartesian_products == 0
+
+
+def test_tfidf_df_table_broadcasts_back(spark, sf_dir):
+    p = _plan(spark, sf_dir, "text_tfidf_top_terms")
+    assert p.broadcast_joins >= 1, p.text
+    assert p.cartesian_products == 0
