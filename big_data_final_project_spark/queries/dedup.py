@@ -119,10 +119,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEEDS_SQL = "[" + ", ".join(f"'{s}'" for s in SEEDS) + "]"
 
 
-@query(
-    "dedup_minhash_pairs",
-    oracle=f"""
-    WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents),
+# CTE chain shared by the minhash-pairs oracle and the cluster
+# (connected-components) oracle built on top of it.
+_MINHASH_CTES = f"""
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents),
     sig AS (
         SELECT doc_id,
                list_transform({_SEEDS_SQL}, s ->
@@ -150,6 +150,13 @@ _SEEDS_SQL = "[" + ", ".join(f"'{s}'" for s in SEEDS) + "]"
           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          AND a.doc_id < b.doc_id
     )
+"""
+
+
+@query(
+    "dedup_minhash_pairs",
+    oracle=f"""
+    WITH {_MINHASH_CTES}
     SELECT doc_a, doc_b, est_jaccard FROM cand
     WHERE est_jaccard >= {MIN_EST_JACCARD}
     """,
@@ -492,3 +499,87 @@ def dedup_embedding_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame
     return e.groupBy("label").applyInPandas(
         _blocked_cosine_scorer(COSINE_THRESHOLD), schema=out_schema
     )
+
+
+CC_MAX_ITERS = 20  # min-label propagation bound; see docstring
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs AS (
+        SELECT doc_a, doc_b FROM cand WHERE est_jaccard >= {MIN_EST_JACCARD}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT src AS node, src AS r FROM edges
+        UNION
+        SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(r) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+    tags=("dedup", "minhash", "clusters", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the MinHash
+    candidate pairs — the operator a corpus dedup actually ends with
+    (pairs alone can't answer "which docs do I drop?"; the cluster's
+    min doc_id is the canonical survivor).
+
+    Algorithm: min-label propagation to fixpoint. Every node starts
+    labeled with itself; each round takes the min label over its
+    neighborhood; converged when no label shrinks. Rounds needed =
+    graph diameter, and near-dup graphs are unions of tiny cliques
+    (planted pairs/triples here), so this converges in 2-3 rounds.
+    The driver-side loop only reads a scalar per round (the changed
+    count — the standard convergence check of every iterative Spark
+    algorithm, e.g. GraphX Pregel); data never leaves the executors,
+    and lineage is cut per round with an eager localCheckpoint so the
+    plan doesn't grow exponentially with iterations. At web scale
+    (billions of edges, long chains) the same loop with the
+    large-star/small-star edge rewrite [Kiveris et al., "Connected
+    Components in MapReduce and Beyond"] keeps rounds logarithmic;
+    the per-round dataflow (join + min-aggregate on the same key) is
+    unchanged.
+
+    The oracle is a recursive CTE computing min-reachable-id per node
+    over the same edge set — DuckDB's fixpoint semantics (UNION
+    dedup) terminates on the cyclic doubled-edge graph.
+    """
+    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # One pair computation feeds every iteration: materialize it.
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("nb"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        merged = labels.join(nbr_min, labels.node == F.col("nb"), "left").select(
+            "node",
+            "label",
+            F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias(
+                "new_label"
+            ),
+        )
+        merged = merged.localCheckpoint(eager=True)
+        n_changed = merged.where(F.col("new_label") < F.col("label")).count()
+        labels = merged.select("node", F.col("new_label").alias("label"))
+        if n_changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -1,0 +1,171 @@
+"""End-to-end training-data curation pipeline over ``documents``
+(north-star extension): quality gate → exact dedup → deterministic
+shard assignment → per-shard token budget. This is the composition
+the individual dedup/text operators exist FOR — a corpus goes in, a
+sharded training set and an audit trail come out.
+
+The reference's analogue is its validate-then-persist ingest path
+(app.py:251-254): rows either pass the required-key gate into the
+store or are dropped with a log line. Here the gate is a quality
+predicate, the store is sharded, and the "log line" is a first-class
+audit relation (pipeline_stage_audit) instead of stderr.
+
+Scale posture: every stage is a narrow map or a single key-partitioned
+wide op (the dedup window partitions by content hash — md5-uniform, no
+skew; the shard aggregate has N_SHARDS groups). Shard assignment is
+content-derived (md5 prefix mod N), so re-runs and late-arriving
+re-crawls land identically — no coordination, no sequence numbers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..registry import query
+from .dedup import COPY_OFFSET
+from .text import _NORM_SQL, _norm
+
+N_SHARDS = 8
+MIN_CHARS = 200  # quality gate: drop short docs
+
+# The synthetic corpus has near-dups but no EXACT dups, which would
+# leave the dedup stage vacuously passing everything. Run the
+# pipeline over corpus ∪ shifted-id copy (same probe as dedup_exact)
+# so every content hash has exactly one duplicate to collapse and the
+# audit's dropped_duplicate branch is exercised, not just present.
+_CORPUS_SQL = f"""
+        SELECT doc_id, text, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + {COPY_OFFSET}, text, n_chars FROM documents
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    return d.unionByName(d.withColumn("doc_id", F.col("doc_id") + F.lit(COPY_OFFSET)))
+
+# Cross-engine hex-prefix → integer: Spark conv(hex,16,10) and DuckDB
+# CAST('0x'||hex AS UBIGINT) agree on the first 8 md5 hex digits
+# (fits in 32 bits, no sign issues on either side).
+_SHARD_SQL = (
+    "CAST(CAST(('0x' || substring(content_hash, 1, 8)) AS UBIGINT) "
+    f"% {N_SHARDS} AS BIGINT)"
+)
+
+
+def _shard_col() -> F.Column:
+    return (
+        F.conv(F.substring(F.col("content_hash"), 1, 8), 16, 10).cast("long")
+        % N_SHARDS
+    ).cast("long")
+
+
+@query(
+    "pipeline_training_shards",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, md5({_NORM_SQL}) AS content_hash,
+               CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tokens
+        FROM ({_CORPUS_SQL}) corpus
+        WHERE n_chars >= {MIN_CHARS}
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY content_hash ORDER BY doc_id) AS rn
+        FROM docs
+    )
+    SELECT {_SHARD_SQL} AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM ranked WHERE rn = 1
+    GROUP BY shard
+    """,
+    tags=("pipeline", "dedup", "shard"),
+)
+def pipeline_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate → exact dedup (min doc_id survives per content
+    hash) → content-hash shard assignment → per-shard doc and token
+    budget. At 100 TB the GROUP BY shard becomes the write
+    partitioning of the output parquet (``partitionBy("shard")``);
+    the budget numbers here are the manifest a training job reads.
+
+    Plan shape: n_chars gate pushes into the parquet scan; one
+    hash-partitioned window for the dedup (md5 keys — uniform); the
+    final aggregate is N_SHARDS groups with map-side partials."""
+    d = _corpus(spark, sf_dir).where(F.col("n_chars") >= MIN_CHARS)
+    docs = d.select(
+        "doc_id",
+        F.md5(_norm(F.col("text"))).alias("content_hash"),
+        F.size(F.split(_norm(F.col("text")), " ")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    survivors = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return (
+        survivors.select(_shard_col().alias("shard"), "n_tokens")
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+@query(
+    "pipeline_stage_audit",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, n_chars, md5({_NORM_SQL}) AS content_hash
+        FROM ({_CORPUS_SQL}) corpus
+    ),
+    ranked AS (
+        SELECT *, CASE WHEN n_chars >= {MIN_CHARS} THEN
+            row_number() OVER (
+                PARTITION BY content_hash,
+                            (n_chars >= {MIN_CHARS})
+                ORDER BY doc_id)
+            ELSE NULL END AS rn
+        FROM docs
+    )
+    SELECT CASE
+             WHEN n_chars < {MIN_CHARS} THEN 'dropped_quality'
+             WHEN rn > 1 THEN 'dropped_duplicate'
+             ELSE 'kept'
+           END AS stage_outcome,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM ranked
+    GROUP BY stage_outcome
+    """,
+    tags=("pipeline", "audit"),
+)
+def pipeline_stage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit relation for the shard pipeline: how many docs each stage
+    dropped and why — the reference logs-and-drops invalid rows
+    (app.py:264-267); a pipeline at scale needs the drop reasons
+    queryable, not buried in executor logs. Quality-dropped docs are
+    excluded from the dedup ranking (NULL rank) so the duplicate
+    counts match pipeline_training_shards' survivor set exactly."""
+    docs = _corpus(spark, sf_dir).select(
+        "doc_id",
+        "n_chars",
+        F.md5(_norm(F.col("text"))).alias("content_hash"),
+    )
+    passes = F.col("n_chars") >= MIN_CHARS
+    w = Window.partitionBy("content_hash", passes).orderBy("doc_id")
+    ranked = docs.withColumn(
+        "rn", F.when(passes, F.row_number().over(w)).otherwise(F.lit(None))
+    )
+    return (
+        ranked.select(
+            F.when(~passes, "dropped_quality")
+            .when(F.col("rn") > 1, "dropped_duplicate")
+            .otherwise("kept")
+            .alias("stage_outcome")
+        )
+        .groupBy("stage_outcome")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )

@@ -71,6 +71,7 @@ def _load_all() -> None:
         streaming_batch,
         streaming_live,
         multimodal,
+        pipeline,
         sql_surface,
         udf_surface,
     )

@@ -95,3 +95,13 @@ def test_tfidf_df_table_broadcasts_back(spark, sf_dir):
     p = _plan(spark, sf_dir, "text_tfidf_top_terms")
     assert p.broadcast_joins >= 1, p.text
     assert p.cartesian_products == 0
+
+
+def test_shard_pipeline_quality_gate_pushed_down(spark, sf_dir):
+    # the n_chars quality gate must reach both branches of the
+    # doubled-corpus union's parquet scans
+    p = _plan(spark, sf_dir, "pipeline_training_shards")
+    assert p.pushed_filters("GreaterThanOrEqual(n_chars,200)")
+    assert p.cartesian_products == 0
+    # window (hash-partition) + final 8-group agg: no hidden extras
+    assert p.shuffles <= 4, p.text
