@@ -192,3 +192,99 @@ def streaming_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         sessions, spark, "streaming_session_live_sink", complete=True
     )
+
+
+@query(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT a.event_id AS event_a, b.event_id AS event_b,
+           a.user_id AS user_id,
+           a.event_type AS type_a, b.event_type AS type_b
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts
+     AND b.ts <= a.ts + INTERVAL 5 MINUTE
+     AND a.event_id <> b.event_id
+    """,
+    tags=("streaming", "live", "join"),
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval self-join: events followed by another
+    event from the same user within 5 minutes (the funnel /
+    sessionizing primitive). Both sides carry watermarks and the join
+    condition bounds event time on both ends, so Spark can expire
+    state — unbounded stream-stream joins never GC their buffers; the
+    time bound is what makes this runnable forever. Checked against
+    the batch join: availableNow over a finite source must emit
+    exactly the batch answer, once.
+
+    Scale: state is per-user rows inside the watermark+interval
+    horizon; the join shuffles both sides on user_id. 150 distinct
+    users here, but the key space at 100 TB is whatever the id domain
+    is — uniform, no planted skew."""
+    staging = stage_events_as_json(spark, sf_dir, _work_dir(sf_dir, "staging"))
+    a, _ = split_valid(read_event_stream(spark, staging))
+    b, _ = split_valid(read_event_stream(spark, staging))
+    a = a.select(
+        F.col("event_id").alias("event_a"),
+        F.col("user_id").alias("user_a"),
+        F.col("ts").alias("ts_a"),
+        F.col("event_type").alias("type_a"),
+    ).withWatermark("ts_a", "10 minutes")
+    b = b.select(
+        F.col("event_id").alias("event_b"),
+        F.col("user_id").alias("user_b"),
+        F.col("ts").alias("ts_b"),
+        F.col("event_type").alias("type_b"),
+    ).withWatermark("ts_b", "10 minutes")
+    joined = a.join(
+        b,
+        (F.col("user_a") == F.col("user_b"))
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("event_a") != F.col("event_b")),
+    ).select(
+        "event_a",
+        "event_b",
+        F.col("user_a").alias("user_id"),
+        "type_a",
+        "type_b",
+    )
+    return run_to_memory(
+        joined, spark, "streaming_stream_stream_join_sink", complete=False
+    )
+
+
+@query(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY segment
+    """,
+    tags=("streaming", "live", "join"),
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join + running aggregate: the live
+    event stream joins a static dimension (customer, broadcast — the
+    production pattern for enriching a firehose with reference data;
+    the dim is re-resolvable per micro-batch, so a slowly-changing
+    dim picks up updates without restarting the query). Aggregate in
+    complete mode so the memory sink holds the final totals; checked
+    against the batch join+GROUP BY."""
+    from ..data import load_table
+
+    valid = _staged_valid(spark, sf_dir)
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    enriched = valid.join(dim, F.col("user_id") == F.col("c_custkey"))
+    agg = enriched.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+    return run_to_memory(
+        agg, spark, "streaming_static_enrich_sink", complete=True
+    )
