@@ -169,3 +169,46 @@ def pipeline_stage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("stage_outcome")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
+
+
+SAMPLE_MOD = 10  # keep 1-in-10 per stratum
+
+
+@query(
+    "sample_hash_stratified",
+    oracle=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_sampled
+    FROM documents
+    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS UBIGINT) % {SAMPLE_MOD} = 0
+    GROUP BY lang
+    """,
+    tags=("pipeline", "sample"),
+)
+def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling, stratified per language: keep the
+    docs whose id-hash lands in bucket 0 of {SAMPLE_MOD}. Unlike
+    seeded RNG sampling (sample_deterministic — reproducible only
+    within one engine), hash-gating is reproducible across engines,
+    runs, AND repartitions — which is why training pipelines sample
+    this way: the same doc is in or out forever, no matter where the
+    pipeline runs or how the data is laid out. The filter is a narrow
+    per-row predicate — no shuffle, scans at parquet speed; the
+    per-stratum aggregate is the only wide op."""
+    d = load_table(spark, sf_dir, "documents")
+    keep = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % SAMPLE_MOD
+        == 0
+    )
+    return (
+        d.where(keep)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("chars_sampled"),
+        )
+    )

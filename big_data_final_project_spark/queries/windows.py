@@ -220,3 +220,32 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=[F.col("price").desc(), F.col("orderkey")],
         k=3,
     ).withColumn("rn", F.col("rn").cast("long"))
+
+
+@query(
+    "window_distribution_funcs",
+    oracle="""
+    SELECT o_orderkey AS orderkey, o_orderpriority AS priority,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window",),
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank ((rank-1)/(n-1))
+    and cume_dist (rows<=current / n) per priority class — both exact
+    integer ratios cast to double, so cross-engine bit-identical.
+    The o_orderkey tiebreak makes rank deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+    )
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
