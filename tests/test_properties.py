@@ -84,3 +84,36 @@ def test_sql_and_dataframe_forms_agree(spark, sf_dir):
         for r in cat["tpch_q1_pricing_summary"].fn(spark, sf_dir).collect()
     }
     assert sql_rows == df_rows
+
+
+# -- dedup_clusters invariants ---------------------------------------------
+
+
+def test_cluster_invariants(spark, sf_dir):
+    """Connected-components postconditions: (a) both endpoints of
+    every candidate pair share a cluster; (b) each cluster's id is
+    the min member (canonical survivor is stable); (c) every node in
+    the pair graph is labeled exactly once."""
+    from big_data_final_project_spark.registry import catalog
+
+    cat = catalog()
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in cat["dedup_minhash_pairs"].fn(spark, sf_dir).collect()
+    }
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cat["dedup_clusters"].fn(spark, sf_dir).collect()
+    }
+    assert pairs, "corpus must contain planted near-dup pairs"
+    for a, b in pairs:
+        assert labels[a] == labels[b], (a, b)
+    nodes = {d for p in pairs for d in p}
+    assert set(labels) == nodes  # exactly the pair-graph nodes, once each
+    from collections import defaultdict
+
+    members = defaultdict(set)
+    for n, c in labels.items():
+        members[c].add(n)
+    for c, ms in members.items():
+        assert c == min(ms), (c, ms)
