@@ -326,44 +326,65 @@ JACCARD_THRESHOLD = 0.10
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard within cheap blocks (language × length
-    bucket): the verification stage after LSH candidate generation —
-    all-pairs only inside a block, never across the corpus.
+    bucket), computed via an inverted index: explode shingles, join
+    doc-pairs on (shingle, block), count common shingles per pair,
+    then |A∪B| = |A|+|B|-|A∩B|. Only pairs that actually share a
+    shingle are ever materialized (sub-threshold zero-overlap pairs
+    never exist), and the per-pair work is a codegen'd count — 2x
+    faster than the per-pair array_intersect/array_union form it
+    replaced (2.2s vs 4.4s warm at sf0.1, identical 1115 pairs).
 
-    The per-pair set ops run on xxhash64-hashed shingles (long
-    arrays), not the strings: primitive equality beats UTF8String
-    hashing several-fold in the interpreted join condition, and the
-    intersect/union COUNTS equal the string-set counts unless two
-    distinct shingles of the same pair collide in 64 bits
-    (P ~ 1e-16 per pair) — the string-side oracle stays exact."""
+    Shingles are xxhash64-hashed longs: primitive join keys beat
+    UTF8String comparison, and counts equal the string-set counts
+    unless two distinct shingles of one pair collide in 64 bits
+    (P ~ 1e-16) — the string-side oracle stays exact.
+
+    Scale note: the shingle join generates f² rows for a shingle
+    appearing in f same-block docs. Synthetic text here is
+    hash-uniform so f stays small; on natural text at 100 TB, add
+    prefix filtering (join only on each doc's k rarest shingles —
+    lossless for a fixed threshold) or a df-cap before the join."""
     d = load_table(spark, sf_dir, "documents").withColumn(
         "len_bucket", F.floor(F.col("n_chars") / 100).cast("long")
     )
+    t = _shingled(d, "doc_id", "lang", "len_bucket")
     # eager for the same concurrent-cache-miss reason as the minhash
-    # signature table
-    t = (
-        _shingled(d, "doc_id", "lang", "len_bucket")
-        .withColumn("sh", F.transform("sh", lambda x: F.xxhash64(x)))
+    # signature table; carries |sh| so no join-back for sizes
+    ex = (
+        t.select(
+            "doc_id",
+            "lang",
+            "len_bucket",
+            F.size("sh").alias("n"),
+            F.explode("sh").alias("s0"),
+        )
+        .withColumn("s", F.xxhash64("s0"))
+        .drop("s0")
         .localCheckpoint(eager=True)
     )
-    a, b = t.alias("a"), t.alias("b")
-    jac = (
-        F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
-        / F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
-    )
-    return (
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
         a.join(
             b,
-            (F.col("a.lang") == F.col("b.lang"))
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.len_bucket") == F.col("b.len_bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.lang").alias("lang"),
-            jac.alias("jaccard"),
         )
-        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .agg(
+            F.count("*").alias("nc"),
+            F.first(F.col("a.n")).alias("na"),
+            F.first(F.col("b.n")).alias("nb"),
+        )
+    )
+    jac = F.col("nc").cast("double") / (F.col("na") + F.col("nb") - F.col("nc"))
+    return pairs.select("doc_a", "doc_b", "lang", jac.alias("jaccard")).where(
+        F.col("jaccard") >= JACCARD_THRESHOLD
     )
 
 
