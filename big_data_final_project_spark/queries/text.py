@@ -256,16 +256,26 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: whole-content md5 plus rolling
     character-shingle hashes reduced to min/max (a 1-permutation
-    MinHash — the primitive dedup_minhash_pairs generalizes)."""
-    d = load_table(spark, sf_dir, "documents")
-    norm = _norm(F.col("text"))
+    MinHash — the primitive dedup_minhash_pairs generalizes).
+
+    The normalized text is materialized as an attribute BEFORE the
+    shingle lambda touches it — inlining `_norm` into the lambda
+    re-evaluates the regexp per array element (quadratic per doc:
+    11.2s → 2.3s at sf0.1). Input spread first: md5-per-shingle is
+    CPU-bound and the corpus file is byte-small (one scan partition
+    otherwise)."""
+    from ..operators.scale import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", _norm(F.col("text")).alias("norm"))
+    nc = F.col("norm")
     sh = F.transform(
-        F.sequence(F.lit(1), F.length(norm) - (SHINGLE_K - 1)),
-        lambda i: F.md5(norm.substr(i, F.lit(SHINGLE_K))),
+        F.sequence(F.lit(1), F.length(nc) - (SHINGLE_K - 1)),
+        lambda i: F.md5(nc.substr(i, F.lit(SHINGLE_K))),
     )
-    return d.select(
+    return t.select(
         "doc_id",
-        F.md5(norm).alias("content_hash"),
+        F.md5(nc).alias("content_hash"),
         F.array_min(sh).alias("min_shingle_hash"),
         F.array_max(sh).alias("max_shingle_hash"),
         F.size(sh).cast("long").alias("n_shingles"),
