@@ -512,3 +512,40 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.kurtosis("l_quantity").alias("kurt_qty"),
         F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
     )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    SELECT priority, status AS mode_status, n AS mode_n
+    FROM (
+        SELECT o_orderpriority AS priority, o_orderstatus AS status,
+               count(*) AS n,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY count(*) DESC, o_orderstatus) AS rn
+        FROM orders
+        GROUP BY o_orderpriority, o_orderstatus
+    ) t WHERE rn = 1
+    """,
+    tags=("groupby", "mode"),
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE (most frequent value per group): count +
+    rank with a lexicographic tiebreak — the built-in ``F.mode``
+    breaks ties arbitrarily, which can't be hash-compared across
+    engines (or across two runs of the same cluster). Two shuffles:
+    the (group, value) count and the tiny per-group window."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("priority").orderBy(F.col("n").desc(), "status")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("priority", F.col("status").alias("mode_status"), F.col("n").alias("mode_n"))
+    )
