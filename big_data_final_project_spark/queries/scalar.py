@@ -362,3 +362,46 @@ def scalar_generator_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("orderkey", F.col("pos").cast("long").alias("pos"), "item")
     )
+
+
+@query(
+    "scalar_map_hof",
+    oracle="""
+    WITH m AS (
+        SELECT o_orderkey AS orderkey,
+               map(['status', 'priority'],
+                   [o_orderstatus, o_orderpriority]) AS props
+        FROM orders
+    )
+    SELECT orderkey,
+           array_to_string(
+               list_sort(list_transform(
+                   list_filter(map_entries(props),
+                               e -> upper(e.value) <> 'F'),
+                   e -> e.key || '=' || upper(e.value))),
+               ',') AS kept_entries
+    FROM m
+    """,
+    tags=("scalar", "map", "hof"),
+)
+def scalar_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: transform_values (uppercase),
+    map_filter (drop 'F' values), then flatten to a sorted
+    'k=v' string — maps have no canonical cross-engine wire order,
+    so the comparable form is the sorted entry list, same rule as
+    collect_list ordering. All per-row, codegen'd, no shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    props = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    upped = F.transform_values(props, lambda k, v: F.upper(v))
+    kept = F.map_filter(upped, lambda k, v: v != "F")
+    entries = F.transform(
+        F.map_entries(kept),
+        lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+    )
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.array_join(F.sort_array(entries), ",").alias("kept_entries"),
+    )
