@@ -1,0 +1,103 @@
+"""Time-series operators over ``events`` (engine addition): grid
+densification (gap filling) and last-observation-carried-forward —
+the resampling primitives a metrics/monitoring pipeline needs (the
+reference plots raw irregular points, app.py:398-409; real dashboards
+resample to a regular grid first).
+
+Determinism: the grid is anchored on the data's own min/max event
+time (no wall clock — registry contract), bucket means are
+decimal-routed, and the LOCF window frame is spelled out explicitly
+because Spark and DuckDB have different default frames for
+last_value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..functions.numeric import davg, davg_sql
+from ..registry import query
+
+
+@query(
+    "ts_gapfill_locf",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo,
+               date_trunc('hour', max(ts)) AS hi
+        FROM events
+    ),
+    grid AS (
+        SELECT t.event_type, h.h AS bucket
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+                    FROM bounds) h
+    ),
+    actual AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               {davg_sql("value")} AS avg_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT g.event_type, g.bucket,
+           coalesce(a.n, 0) AS n_events,
+           last_value(a.avg_value IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+    FROM grid g LEFT JOIN actual a
+      ON a.event_type = g.event_type AND a.bucket = g.bucket
+    """,
+    tags=("timeseries", "gapfill", "window"),
+)
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densify the per-type hourly series over the data's own time
+    range (every (type, hour) cell exists, zero-count where no events
+    landed) and carry the last observed hourly mean forward through
+    the gaps. Buckets before a type's first observation stay null —
+    LOCF has nothing to carry.
+
+    Scale shape: the grid is |types| x |hours| — bounded by the time
+    range, not the event count; generated with sequence+explode from
+    a one-row bounds aggregate (broadcast cross join, no data
+    shuffle). The dense left join and the aggregate shuffle on
+    (type, bucket); LOCF is one ordered window per type. At 100 TB
+    the events aggregate dominates and is a single map-side-combined
+    shuffle; the grid stays tiny."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .join(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket"),
+        )
+    )
+    actual = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        davg("value").alias("avg_value"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(actual, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("value_locf"),
+        )
+    )

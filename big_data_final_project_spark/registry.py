@@ -72,6 +72,7 @@ def _load_all() -> None:
         streaming_live,
         multimodal,
         pipeline,
+        timeseries,
         sql_surface,
         udf_surface,
     )
