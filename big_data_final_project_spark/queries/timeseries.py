@@ -101,3 +101,62 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("avg_value", ignorenulls=True).over(w).alias("value_locf"),
         )
     )
+
+
+def _partitioned_store(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per process) a date-partitioned copy of events —
+    the layout the streaming persist path would produce at scale
+    (store partitioned by event date, the reference's Mongo replaced
+    by parquet; SURVEY §1.3)."""
+    import os
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_store_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    marker = os.path.join(path, "_built")
+    if not os.path.exists(marker):
+        e = load_table(spark, sf_dir, "events")
+        (
+            e.withColumn("event_date", F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(path)
+        )
+        open(marker, "w").close()
+    return path
+
+
+@query(
+    "store_partition_pruned_day",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+      AND ts < TIMESTAMP '2024-01-16 00:00:00'
+    GROUP BY event_type
+    """,
+    tags=("store", "pruning"),
+)
+def store_partition_pruned_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One day's summary read from the DATE-PARTITIONED store: the
+    partition column filter becomes a PartitionFilter (directory
+    pruning — asserted in tests/test_plans.py), so a 1-day query
+    against a 10-year 100 TB store lists and reads one directory,
+    not the table. This is the reference's `$gte` Mongo range scan
+    (app.py:311-313) done the way a columnar store does it: prune by
+    layout first, then row-group min/max inside the day."""
+    store = _partitioned_store(spark, sf_dir)
+    day = F.lit("2024-01-15").cast("date")
+    return (
+        spark.read.parquet(store)
+        .where(F.col("event_date") == day)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )

@@ -122,3 +122,12 @@ def test_shard_pipeline_quality_gate_pushed_down(spark, sf_dir):
     assert p.cartesian_products == 0
     # window (hash-partition) + final 8-group agg: no hidden extras
     assert p.shuffles <= 4, p.text
+
+
+def test_store_day_query_prunes_partitions(spark, sf_dir):
+    p = _plan(spark, sf_dir, "store_partition_pruned_day")
+    # directory-level pruning: the date filter must be a
+    # PartitionFilter on the scan, not a post-scan Filter
+    assert "PartitionFilters" in p.text
+    assert "event_date" in p.text.split("PartitionFilters", 1)[1][:200], p.text
+    assert p.cartesian_products == 0
