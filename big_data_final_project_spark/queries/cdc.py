@@ -1,0 +1,97 @@
+"""Change-data-capture / slowly-changing-dimension operators (engine
+addition): MERGE-style upsert semantics emulated on plain parquet
+with joins + unions — the pattern for dimension maintenance when the
+store is not a transactional table format (Delta/Iceberg's MERGE
+INTO reduces to exactly this dataflow internally).
+
+The change batch here is derived deterministically from the data
+itself (no wall clock, no RNG — registry contract): delinquent
+customers (negative balance) get a segment change, near-zero-balance
+customers are deleted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..registry import query
+
+NEW_SEGMENT = "DELINQUENT"
+
+
+@query(
+    "scd2_merge",
+    oracle=f"""
+    WITH dim AS (
+        SELECT c_custkey AS custkey, c_mktsegment AS segment
+        FROM customer
+    ),
+    updates AS (
+        SELECT c_custkey AS custkey, '{NEW_SEGMENT}' AS segment
+        FROM customer WHERE c_acctbal < 0
+    ),
+    deletes AS (
+        SELECT c_custkey AS custkey
+        FROM customer WHERE c_acctbal >= 0 AND c_acctbal < 10
+    )
+    SELECT d.custkey, d.segment,
+           CAST(1 AS BIGINT) AS version, FALSE AS is_current
+    FROM dim d
+    WHERE d.custkey IN (SELECT custkey FROM updates)
+       OR d.custkey IN (SELECT custkey FROM deletes)
+    UNION ALL
+    SELECT custkey, segment, CAST(2 AS BIGINT) AS version, TRUE AS is_current
+    FROM updates
+    UNION ALL
+    SELECT d.custkey, d.segment, CAST(1 AS BIGINT) AS version, TRUE AS is_current
+    FROM dim d
+    WHERE d.custkey NOT IN (SELECT custkey FROM updates)
+      AND d.custkey NOT IN (SELECT custkey FROM deletes)
+    """,
+    tags=("cdc", "scd2", "merge"),
+)
+def scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 merge without a transactional table format: apply
+    an update batch (segment changes) and a delete batch to the
+    customer dimension, keeping history — matched rows are expired
+    (is_current=false), updates insert a new current version,
+    deletes expire without replacement, untouched rows pass through.
+
+    Dataflow: the change batches are dimension-change-rate sized, so
+    both sides broadcast; the big dim table is touched by exactly one
+    scan feeding a semi-join (expire), an anti-join (carry-over), and
+    the update insert — at 100 TB this is the standard
+    read-dim/write-dim merge job, partitioned by the dim key, and
+    the three branches are one shuffle-free union of broadcast-joined
+    scans. Delta/Iceberg MERGE INTO compiles to this same plan plus
+    a transactional commit."""
+    c = load_table(spark, sf_dir, "customer")
+    dim = c.select(F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment"))
+    updates = (
+        c.where(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").alias("custkey"), F.lit(NEW_SEGMENT).alias("segment"))
+    )
+    deletes = (
+        c.where((F.col("c_acctbal") >= 0) & (F.col("c_acctbal") < 10))
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    touched = F.broadcast(
+        updates.select("custkey").unionByName(deletes).distinct()
+    )
+    expired = (
+        dim.join(touched, "custkey", "left_semi")
+        .select("custkey", "segment", F.lit(1).cast("long").alias("version"),
+                F.lit(False).alias("is_current"))
+    )
+    inserted = updates.select(
+        "custkey", "segment", F.lit(2).cast("long").alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    carried = (
+        dim.join(touched, "custkey", "left_anti")
+        .select("custkey", "segment", F.lit(1).cast("long").alias("version"),
+                F.lit(True).alias("is_current"))
+    )
+    return expired.unionByName(inserted).unionByName(carried)

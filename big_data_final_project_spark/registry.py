@@ -73,6 +73,7 @@ def _load_all() -> None:
         multimodal,
         pipeline,
         timeseries,
+        cdc,
         sql_surface,
         udf_surface,
     )
