@@ -38,11 +38,41 @@ def davg(col: Column | str) -> Column:
 def dsum_sql(expr: str) -> str:
     """Oracle-side rendering of :func:`dsum` (DuckDB).
 
-    DuckDB's SUM(DECIMAL(18,6)) widens to DECIMAL(38,6); still exact,
-    and the final cast to double matches Spark bit-for-bit.
+    DuckDB's SUM(DECIMAL(18,6)) widens to DECIMAL(38,6); still exact.
+    The final cast routes through VARCHAR because DuckDB's direct
+    int128-decimal → double cast double-rounds (int128→double, then
+    the 10^scale division — measured 1-ulp drift once the unscaled
+    value exceeds 2^53), while string→double is correctly rounded
+    and matches Spark's BigDecimal.doubleValue bit-for-bit.
     """
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
+    return f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)"
 
 
 def davg_sql(expr: str) -> str:
     return f"{dsum_sql(expr)} / COUNT({expr})"
+
+
+def dsum_prod(a: Column | str, b: Column | str) -> Column:
+    """Order-independent SUM(a*b) where a and b are money-style
+    values (≤6 decimal places, so the per-factor decimal cast is
+    EXACT). Casting the double *product* instead rounds at the 6th
+    decimal, and Spark (half-up) and DuckDB (half-even) disagree on
+    ties — measured 0.02 drift over a 60k-row sum of squares.
+    Multiplying in decimal keeps every step exact: decimal(18,6) x
+    decimal(18,6) -> decimal(37,12), summed exactly, one final cast."""
+    ca = (F.col(a) if isinstance(a, str) else a).cast(DEC)
+    cb = (F.col(b) if isinstance(b, str) else b).cast(DEC)
+    return F.sum(ca * cb).cast("double")
+
+
+def dsum_prod_sql(a: str, b: str) -> str:
+    """Oracle-side rendering of :func:`dsum_prod` (DuckDB).
+
+    Factors cast to DECIMAL(19,6), not (18,6): width ≤18 keeps DuckDB
+    on int64 storage and the int64×int64 product overflows; 19 forces
+    int128 (the multiply then runs exact at (38,12)). Same VARCHAR
+    route as dsum_sql for the correctly-rounded final double."""
+    return (
+        f"CAST(CAST(SUM(CAST(({a}) AS DECIMAL(19,6)) * CAST(({b}) AS DECIMAL(19,6)))"
+        " AS VARCHAR) AS DOUBLE)"
+    )

@@ -95,3 +95,51 @@ def scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(True).alias("is_current"))
     )
     return expired.unionByName(inserted).unionByName(carried)
+
+
+@query(
+    "cdc_changelog_apply",
+    oracle="""
+    WITH log AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               value
+        FROM events
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM log
+    )
+    SELECT user_id, ts AS last_ts, value AS last_value
+    FROM ranked WHERE rn = 1 AND op = 'U'
+    """,
+    tags=("cdc", "compaction"),
+)
+def cdc_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction, latest-wins with tombstones: the events
+    table read as a keyed changelog (error events = deletes), reduced
+    to the current snapshot — keys whose newest entry is a tombstone
+    vanish. This is the batch form of the streaming
+    maintain_latest_view, and the compaction step every CDC-fed table
+    needs. One hash-partitioned window per key (ts + event_id
+    tiebreak makes the winner total-ordered); at scale this is the
+    standard log-compaction job partitioned by key."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    log = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") == "U"))
+        .select("user_id", F.col("ts").alias("last_ts"), F.col("value").alias("last_value"))
+    )

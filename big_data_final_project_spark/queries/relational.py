@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..data import load_table
-from ..functions.numeric import davg_sql, davg, dsum, dsum_sql
+from ..functions.numeric import davg_sql, davg, dsum, dsum_prod, dsum_prod_sql, dsum_sql
 from ..operators.joins import asof_join
 from ..registry import query
 
@@ -548,4 +548,52 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("priority", F.col("status").alias("mode_status"), F.col("n").alias("mode_n"))
+    )
+
+
+@query(
+    "agg_corr_exact",
+    oracle=f"""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE) AS n,
+               {dsum_sql("l_quantity")} AS sx,
+               {dsum_sql("l_extendedprice")} AS sy,
+               {dsum_prod_sql("l_quantity", "l_quantity")} AS sxx,
+               {dsum_prod_sql("l_extendedprice", "l_extendedprice")} AS syy,
+               {dsum_prod_sql("l_quantity", "l_extendedprice")} AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           (n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price
+    FROM s
+    """,
+    tags=("groupby", "statistics"),
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Pearson correlation: the built-in ``corr`` uses
+    a streaming covariance update whose float error depends on
+    partition merge order, so it can't hash-match across engines (or
+    runs). Computing the five decimal-exact sums and combining in
+    one final double expression is order-independent AND still one
+    map-side-combined shuffle — same cost, reproducible answer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(q).alias("sx"),
+        dsum(p).alias("sy"),
+        dsum_prod(q, q).alias("sxx"),
+        dsum_prod(p, p).alias("syy"),
+        dsum_prod(q, p).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        (
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("corr_qty_price"),
     )
