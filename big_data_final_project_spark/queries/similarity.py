@@ -415,3 +415,52 @@ def sim_bruteforce_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         local.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= TOP_K)
     )
+
+
+# Self-evaluation: recall@k of the IVF index against the exact
+# brute-force answer. Composes the two already-verified oracle
+# queries as subqueries (DuckDB allows WITH inside FROM (...)).
+def _recall_oracle() -> str:
+    from ..registry import REGISTRY
+
+    exact_sql = REGISTRY["sim_bruteforce_topk"].oracle
+    ivf_sql = REGISTRY["sim_ivf_topk"].oracle
+    return f"""
+    WITH exact_r AS (SELECT query_id, neighbor_id FROM ({exact_sql}) x),
+    approx_r AS (SELECT query_id, neighbor_id FROM ({ivf_sql}) y),
+    hits AS (
+        SELECT e.query_id, count(*) AS n_hit
+        FROM exact_r e JOIN approx_r a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+    )
+    SELECT q.query_id,
+           CAST(coalesce(h.n_hit, 0) AS DOUBLE) / {TOP_K} AS recall_at_k
+    FROM (SELECT DISTINCT query_id FROM exact_r) q
+    LEFT JOIN hits h ON h.query_id = q.query_id
+    """
+
+
+@query("sim_ivf_recall", oracle=_recall_oracle(), tags=("similarity", "ivf", "eval"))
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index vs the exact brute-force top-k — the
+    quality metric an ANN deployment monitors (an index without a
+    recall probe is a silent-degradation risk: centroid drift or a
+    bad nprobe shows up ONLY here, not in query latency). Runs both
+    pipelines and semi-joins the neighbor sets per query; at scale
+    this runs on a sampled query set, exactly as here (N_QUERIES
+    probes, not the corpus)."""
+    exact = sim_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = sim_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    qids = exact.select("query_id").distinct()
+    return qids.join(hits, "query_id", "left").select(
+        "query_id",
+        (F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / TOP_K).alias(
+            "recall_at_k"
+        ),
+    )
