@@ -597,3 +597,75 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
         ).alias("corr_qty_price"),
     )
+
+
+@query(
+    "setop_all_variants",
+    oracle="""
+    WITH machinery AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'),
+         building  AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         ia AS (SELECT c_nationkey FROM machinery INTERSECT ALL
+                SELECT c_nationkey FROM building),
+         ea AS (SELECT c_nationkey FROM machinery EXCEPT ALL
+                SELECT c_nationkey FROM building)
+    SELECT 'intersect_all' AS op, count(*) AS n FROM ia
+    UNION ALL SELECT 'except_all', count(*) FROM ea
+    """,
+    tags=("setop",),
+)
+def setop_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (ALL) set operations — duplicates preserved by
+    multiplicity arithmetic (min for INTERSECT ALL, saturating
+    difference for EXCEPT ALL), unlike the set-semantics forms in
+    setop_union_intersect_except. Spark plans both as aggregate +
+    join on the value — one shuffle each, no distinct."""
+    customer = load_table(spark, sf_dir, "customer")
+    machinery = customer.where(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey")
+    building = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    ia = machinery.intersectAll(building).agg(F.count("*").alias("n")).select(
+        F.lit("intersect_all").alias("op"), "n"
+    )
+    ea = machinery.exceptAll(building).agg(F.count("*").alias("n")).select(
+        F.lit("except_all").alias("op"), "n"
+    )
+    return ia.unionByName(ea)
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (SELECT c_custkey AS k, nullif(c_mktsegment, 'BUILDING') AS seg
+               FROM customer),
+         b AS (SELECT DISTINCT nullif(c_mktsegment, 'BUILDING') AS seg
+               FROM customer)
+    SELECT CAST(count(*) AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN a.seg IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_matched
+    FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+    """,
+    tags=("join", "null"),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys match NULL keys instead of vanishing — the semantics a
+    dimension join needs when 'unknown' is itself a category
+    (ordinary equi-joins silently drop every NULL-keyed fact row).
+    NULLIF manufactures the null class deterministically from data.
+    Scale note: all NULL keys land in ONE hash bucket, so a null-safe
+    join on a mostly-null key is a planted skew case — the salting
+    pattern (operators/salting.py) or a null-split union handles it."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("k"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+    )
+    b = a.select("seg").distinct().select(F.col("seg").alias("seg_b"))
+    return (
+        a.join(F.broadcast(b), a.seg.eqNullSafe(F.col("seg_b")))
+        .agg(
+            F.count("*").cast("long").alias("n_matched"),
+            F.sum(F.when(F.col("seg").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null_matched"),
+        )
+    )
