@@ -464,3 +464,128 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_k"
         ),
     )
+
+
+KMEANS_ITERS = 2  # Lloyd refinement steps beyond the label-mean init
+
+
+def _kmeans_oracle(iters: int) -> str:
+    """CTE chain for `iters` exact Lloyd steps (DuckDB). Each step is
+    the same two relations the IVF oracle uses once: an argmin
+    assignment (row_number over vec x centroid cosine) and a
+    decimal-exact per-dimension mean."""
+    ctes = [
+        f"e AS (SELECT vec_id, label, {_VEC_SQL} AS v FROM embeddings)",
+        f"n AS (SELECT vec_id, label, v, {_L2_SQL} AS nrm FROM e)",
+        # init: label-mean centroids (cent0)
+        """expl0 AS (
+            SELECT label AS cell, unnest(range(1, len(v) + 1)) AS pos,
+                   unnest(v) AS val FROM e)""",
+        """centd0 AS (
+            SELECT cell, pos,
+                   CAST(SUM(CAST(val AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS c
+            FROM expl0 GROUP BY cell, pos)""",
+        """cent0 AS (
+            SELECT cell, list(c ORDER BY pos) AS cv,
+                   sqrt(list_reduce(list_transform(list(c ORDER BY pos), x -> x * x),
+                                    (a, x) -> a + x) + 0.0) AS cnrm
+            FROM centd0 GROUP BY cell)""",
+    ]
+    cos = _COS_SQL.format(a="n.v", b="c.cv", na="n.nrm", nb="c.cnrm")
+    for i in range(1, iters + 1):
+        ctes += [
+            f"""assign{i} AS (
+                SELECT vec_id, cell FROM (
+                    SELECT n.vec_id, c.cell,
+                           row_number() OVER (
+                               PARTITION BY n.vec_id
+                               ORDER BY {cos} DESC, c.cell) AS rn
+                    FROM n CROSS JOIN cent{i - 1} c
+                ) x WHERE rn = 1)""",
+            f"""expl{i} AS (
+                SELECT a.cell, unnest(range(1, len(n.v) + 1)) AS pos,
+                       unnest(n.v) AS val
+                FROM assign{i} a JOIN n ON n.vec_id = a.vec_id)""",
+            f"""centd{i} AS (
+                SELECT cell, pos,
+                       CAST(SUM(CAST(val AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS c
+                FROM expl{i} GROUP BY cell, pos)""",
+            f"""cent{i} AS (
+                SELECT cell, list(c ORDER BY pos) AS cv,
+                       sqrt(list_reduce(list_transform(list(c ORDER BY pos), x -> x * x),
+                                        (a, x) -> a + x) + 0.0) AS cnrm
+                FROM centd{i} GROUP BY cell)""",
+        ]
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT a.cell, CAST(count(*) AS BIGINT) AS n_members, f.c0
+    FROM assign{iters} a
+    JOIN (SELECT cell, cv[1] AS c0 FROM cent{iters}) f ON f.cell = a.cell
+    GROUP BY a.cell, f.c0
+    """
+
+
+def _centroids_df(assigned: DataFrame) -> DataFrame:
+    """Decimal-exact per-dimension means -> (cell, cv, cnrm)."""
+    return (
+        assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg((F.sum(F.col("val").cast(DEC_V)).cast("double") / F.count("*")).alias("c"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+        .select("cell", "cv", _l2(F.col("cv")).alias("cnrm"))
+    )
+
+
+@query(
+    "kmeans_lloyd_refine",
+    oracle=_kmeans_oracle(KMEANS_ITERS),
+    tags=("similarity", "kmeans", "iterative"),
+)
+def kmeans_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (Lloyd) refinement of the IVF centroids, 2 exact
+    iterations: assign every vector to its nearest centroid (argmin
+    as a min_by aggregate — no per-key sort), recompute decimal-exact
+    per-dimension means, repeat. Cross-engine bit-identical floats in
+    an ITERATIVE ML loop — every mean is an exact decimal sum, every
+    dot a sequential fold, every argmin tie-broken on cell id — so
+    the oracle can check it like any relational query.
+
+    Scale shape per iteration: centroids broadcast (k rows), the
+    corpus is scanned once for assignment (map-side partial argmin,
+    one narrow shuffle), and the mean recomputation is one
+    (cell, dim)-keyed aggregate. This is exactly how Spark MLlib's
+    KMeans iterates (minus sampling-based init); expressed
+    relationally it stays oracle-checkable."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec_dbl("embedding").alias("v")
+    )
+    n = e.select("vec_id", "v", _l2(F.col("v")).alias("nrm")).localCheckpoint(
+        eager=True
+    )
+    cent = _centroids_df(e.select(F.col("label").alias("cell"), "v"))
+    for _ in range(KMEANS_ITERS):
+        cos = _cosine(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm"))
+        assign = (
+            n.crossJoin(F.broadcast(cent))
+            .groupBy("vec_id")
+            .agg(
+                F.min_by("cell", F.struct((-cos).alias("nc"), F.col("cell"))).alias(
+                    "cell"
+                )
+            )
+        )
+        assigned = assign.join(n, "vec_id").select("vec_id", "cell", "v")
+        # materialize: `assigned` feeds both the new centroids and
+        # (on the last iteration) the membership counts
+        assigned = assigned.localCheckpoint(eager=True)
+        cent = _centroids_df(assigned)
+    counts = assigned.groupBy("cell").agg(F.count("*").cast("long").alias("n_members"))
+    first_coord = cent.select("cell", F.element_at("cv", 1).alias("c0"))
+    return counts.join(F.broadcast(first_coord), "cell").select(
+        "cell", "n_members", "c0"
+    )
