@@ -74,6 +74,7 @@ def _load_all() -> None:
         pipeline,
         timeseries,
         cdc,
+        ml,
         sql_surface,
         udf_surface,
     )
