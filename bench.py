@@ -47,6 +47,8 @@ HEADLINE = [
     "text_quality_score",
     "text_tfidf_top_terms",
     "sim_lsh_bucketed_topk",
+    "kmeans_lloyd_refine",
+    "pipeline_training_shards",
     "sim_bruteforce_topk_pandas",
     "dedup_embedding_cosine_pandas",
 ]
