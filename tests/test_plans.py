@@ -131,3 +131,13 @@ def test_store_day_query_prunes_partitions(spark, sf_dir):
     assert "PartitionFilters" in p.text
     assert "event_date" in p.text.split("PartitionFilters", 1)[1][:200], p.text
     assert p.cartesian_products == 0
+
+
+def test_topk_queries_use_take_ordered_not_global_sort(spark, sf_dir):
+    # ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-
+    # partition top-k + k-row merge), never a full range-partitioned
+    # sort — the difference between shuffling k rows and the table
+    for name in ("tpch_q3_shipping_priority", "tpch_q10_returned_items",
+                 "tpch_q18_large_orders"):
+        p = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in p.text, name
