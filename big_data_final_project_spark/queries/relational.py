@@ -669,3 +669,40 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_null_matched"),
         )
     )
+
+
+HIST_LO, HIST_W, HIST_K = 0.0, 5.0, 10  # [0,50) in 10 buckets
+
+
+@query(
+    "agg_histogram_fixed",
+    oracle=f"""
+    SELECT CAST(least(floor((l_quantity - {HIST_LO}) / {HIST_W}), {HIST_K - 1})
+                AS BIGINT) AS bucket,
+           {HIST_LO} + CAST(least(floor((l_quantity - {HIST_LO}) / {HIST_W}),
+                {HIST_K - 1}) AS BIGINT) * {HIST_W} AS bucket_lo,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY bucket, bucket_lo
+    """,
+    tags=("groupby", "histogram"),
+)
+def agg_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram by floor arithmetic (top bucket
+    saturating) — the profiling primitive, and at scale the cheap
+    alternative to exact percentiles: one scan, K groups, map-side
+    combine; no sort, no window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = F.least(
+        F.floor((F.col("l_quantity") - HIST_LO) / HIST_W), F.lit(HIST_K - 1)
+    ).cast("long")
+    return (
+        li.select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket",
+            (HIST_LO + F.col("bucket") * HIST_W).alias("bucket_lo"),
+            "n",
+        )
+    )
