@@ -288,3 +288,53 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         agg, spark, "streaming_static_enrich_sink", complete=True
     )
+
+
+@query(
+    "streaming_sliding_live",
+    oracle=f"""
+    WITH slid AS (
+        SELECT event_type, value,
+               make_timestamp(
+                   ((epoch_us(ts) // 1800000000) - s.i) * 1800000000
+               ) AS window_start
+        FROM events, (SELECT unnest([0, 1]) AS i) s
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+             AS total_value
+    FROM slid
+    GROUP BY 1, 2, 3
+    """,
+    tags=("streaming", "live", "window", "sliding"),
+)
+def streaming_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h long / 30min slide) as a REAL stream:
+    watermark + availableNow in complete mode, checked against the
+    batch answer — completes the live-window set (tumbling and
+    session live variants already exist; ST6). State per key doubles
+    vs tumbling (each event lives in length/slide windows), still
+    bounded by the watermark horizon."""
+    valid = _staged_valid(spark, sf_dir)
+    w = F.window("ts", "1 hour", "30 minutes")
+    agg = (
+        valid.withWatermark("ts", "10 minutes")
+        .groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_to_memory(
+        agg, spark, "streaming_sliding_live_sink", complete=True
+    )
