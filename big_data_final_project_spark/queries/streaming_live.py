@@ -338,3 +338,36 @@ def streaming_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         agg, spark, "streaming_sliding_live_sink", complete=True
     )
+
+
+@query(
+    "streaming_topk_live",
+    oracle="""
+    SELECT event_type, count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY n_events DESC, event_type
+    LIMIT 3
+    """,
+    tags=("streaming", "live", "topk"),
+)
+def streaming_topk_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-ranked top-k over a stream: aggregation +
+    ORDER BY + LIMIT is only legal in complete output mode (the sink
+    holds the whole ranking, recomputed per micro-batch) — the
+    streaming form of the reference's dashboard ordering
+    (app.py:413). Append mode can't rank (rows already emitted can't
+    be displaced), which is exactly why the latest-view pattern
+    (maintain_latest_view) exists for high-cardinality keys; this
+    complete-mode form is right when k and the group count are
+    dashboard-sized."""
+    valid = _staged_valid(spark, sf_dir)
+    ranked = (
+        valid.groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(F.col("n_events").desc(), "event_type")
+        .limit(3)
+    )
+    return run_to_memory(
+        ranked, spark, "streaming_topk_live_sink", complete=True
+    )
