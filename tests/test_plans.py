@@ -141,3 +141,21 @@ def test_topk_queries_use_take_ordered_not_global_sort(spark, sf_dir):
                  "tpch_q18_large_orders"):
         p = _plan(spark, sf_dir, name)
         assert "TakeOrderedAndProject" in p.text, name
+
+
+def test_new_ops_plan_shapes(spark, sf_dir):
+    # gapfill: grid cross-join broadcasts a 1-row bounds table; the
+    # dense join + agg + LOCF window are the only shuffles
+    p = _plan(spark, sf_dir, "ts_gapfill_locf")
+    assert p.broadcast_joins >= 1 and p.cartesian_products == 0
+    assert p.shuffles <= 4, p.text
+    # scd2: change batches broadcast; the dim never shuffles for the
+    # semi/anti split
+    p = _plan(spark, sf_dir, "scd2_merge")
+    assert p.broadcast_joins >= 2 and p.sortmerge_joins == 0, p.text
+    # changelog compaction: exactly one key-partitioned window shuffle
+    p = _plan(spark, sf_dir, "cdc_changelog_apply")
+    assert p.shuffles <= 1, p.text
+    # standardization: moments broadcast back, fact table unshuffled
+    p = _plan(spark, sf_dir, "ml_feature_standardize")
+    assert p.broadcast_joins >= 1 and p.shuffles <= 1, p.text
