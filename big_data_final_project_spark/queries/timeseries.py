@@ -13,6 +13,8 @@ last_value.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -158,5 +160,72 @@ def store_partition_pruned_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+def _evolved_store(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per process) a two-generation store: generation 1
+    lacks the event_type column (the schema before a migration),
+    generation 2 carries it — the layout drift every long-lived
+    store accumulates."""
+    import os
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_evo_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    marker = os.path.join(path, "_built")
+    if not os.path.exists(marker):
+        e = load_table(spark, sf_dir, "events")
+        old = e.where(F.col("event_id") % 2 == 0).select("event_id", "ts", "value")
+        new = e.where(F.col("event_id") % 2 == 1).select(
+            "event_id", "ts", "value", "event_type"
+        )
+        old.write.mode("overwrite").parquet(os.path.join(path, "gen=1"))
+        new.write.mode("overwrite").parquet(os.path.join(path, "gen=2"))
+        open(marker, "w").close()
+    return path
+
+
+@query(
+    "store_schema_evolution",
+    oracle="""
+    SELECT coalesce(CASE WHEN event_id % 2 = 1 THEN event_type END,
+                    '(pre-migration)') AS event_type,
+           count(*) AS n,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+             AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("store", "schema-evolution"),
+)
+def store_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read a store whose parquet files span two schema generations
+    (a column added mid-life) with mergeSchema: pre-migration rows
+    surface the new column as NULL, handled with an explicit
+    '(pre-migration)' class instead of silently vanishing from
+    grouped results. At 100 TB schema migrations are rolling, never
+    atomic — the reader MUST tolerate mixed generations. (Footer
+    merging costs a pass over file metadata; production pins the
+    unified schema in a catalog instead of re-inferring per query —
+    mergeSchema here demonstrates the tolerant-read semantics.)"""
+    store = _evolved_store(spark, sf_dir)
+    df = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(store, "gen=1"), os.path.join(store, "gen=2")
+    )
+    return (
+        df.groupBy(
+            F.coalesce(F.col("event_type"), F.lit("(pre-migration)")).alias(
+                "event_type"
+            )
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "total_value"
+            ),
         )
     )
