@@ -178,3 +178,73 @@ def sql_window_over(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """)
+
+
+@query(
+    "sql_filter_clause",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                FILTER (WHERE o_totalprice > 200000) AS VARCHAR) AS DOUBLE)
+             AS big_order_value
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql", "groupby"),
+)
+def sql_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI aggregate FILTER clause — per-aggregate predicates in one
+    pass (the declarative form of the CASE-WHEN conditional-sum
+    pattern used in tpch_q12/q8; Catalyst compiles both to the same
+    conditional accumulation, one scan, one shuffle)."""
+    _view(spark, sf_dir, "orders")
+    return spark.sql("""
+        SELECT o_orderpriority AS priority,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                    FILTER (WHERE o_totalprice > 200000) AS DOUBLE)
+                 AS big_order_value
+        FROM orders
+        GROUP BY o_orderpriority
+    """)
+
+
+@query(
+    "sql_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey AS custkey, t.o_orderkey AS orderkey,
+           t.o_totalprice AS price
+    FROM customer c
+    JOIN LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) t ON true
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+    tags=("sql", "lateral", "topk"),
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-2 orders per customer written
+    as a per-row dependent subquery. Catalyst decorrelates it into
+    the window top-k plan (DsubqueryAlias → rank ≤ 2 over a single
+    shuffle) — same physical work as window_topk_per_group, different
+    surface syntax; no per-customer re-execution survives planning."""
+    _view(spark, sf_dir, "customer")
+    _view(spark, sf_dir, "orders")
+    return spark.sql("""
+        SELECT c.c_custkey AS custkey, t.o_orderkey AS orderkey,
+               t.o_totalprice AS price
+        FROM customer c
+        JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+    """)
