@@ -212,3 +212,47 @@ def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("chars_sampled"),
         )
     )
+
+
+GROUP_CAP = 20  # max docs kept per language
+
+
+@query(
+    "sample_group_cap",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT lang, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+    FROM ranked WHERE rn <= {GROUP_CAP}
+    GROUP BY lang
+    """,
+    tags=("pipeline", "sample"),
+)
+def sample_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group cap: keep at most {GROUP_CAP} docs per language,
+    chosen by hash order — the class-rebalancing step that stops a
+    dominant language/source from swamping a training mix. Hash
+    order (not doc_id order) makes the kept subset unbiased w.r.t.
+    ingestion order yet fully deterministic and engine-independent;
+    one window shuffle on the group key, top-N short-circuits via
+    rank filter."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= GROUP_CAP)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("chars_kept"),
+        )
+    )

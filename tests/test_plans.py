@@ -159,3 +159,18 @@ def test_new_ops_plan_shapes(spark, sf_dir):
     # standardization: moments broadcast back, fact table unshuffled
     p = _plan(spark, sf_dir, "ml_feature_standardize")
     assert p.broadcast_joins >= 1 and p.shuffles <= 1, p.text
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    # the optimizer surface: hints must override the default strategy
+    from pyspark.sql import functions as F
+
+    from big_data_final_project_spark.data import load_table
+    from big_data_final_project_spark.plans.audit import audit
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    merged = audit(o.join(c.hint("merge"), o.o_custkey == c.c_custkey))
+    assert merged.sortmerge_joins >= 1, merged.text
+    shuffled = audit(o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey))
+    assert "ShuffledHashJoin" in shuffled.text, shuffled.text
