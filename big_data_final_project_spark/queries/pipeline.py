@@ -256,3 +256,71 @@ def sample_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("chars_kept"),
         )
     )
+
+
+MIX_ALPHA = 0.5  # temperature: <1 flattens the language distribution
+_HASH_FRAC = (
+    "CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+    "AS UBIGINT) AS DOUBLE) / 4294967296.0"
+)
+
+
+@query(
+    "sample_temperature_mix",
+    oracle=f"""
+    WITH shares AS (
+        SELECT lang, CAST(count(*) AS DOUBLE) /
+               (SELECT count(*) FROM documents) AS share
+        FROM documents GROUP BY lang
+    ),
+    rates AS (
+        SELECT lang,
+               pow(share, {MIX_ALPHA} - 1.0)
+                 / (SELECT max(pow(share, {MIX_ALPHA} - 1.0)) FROM shares)
+                 AS keep_rate
+        FROM shares
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           any_value(r.keep_rate) AS keep_rate
+    FROM documents d
+    JOIN rates r ON r.lang = d.lang
+    WHERE {_HASH_FRAC} < r.keep_rate
+    GROUP BY d.lang
+    """,
+    tags=("pipeline", "sample", "mixture"),
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed language mix (share^α reweighting, α<1
+    flattens — the multilingual-corpus rebalancing rule): each
+    language gets keep_rate ∝ share^(α-1), normalized so the rarest
+    class keeps everything, and each doc passes iff its id-hash
+    fraction clears the rate. Fully deterministic and
+    engine/partition-independent (hash gating, not RNG), so the
+    sampled corpus is reproducible forever. One count aggregate (k
+    rows, broadcast back), one narrow filter scan — mixing 100 TB
+    costs one scan plus a k-row join."""
+    d = load_table(spark, sf_dir, "documents")
+    total = d.count()
+    shares = d.groupBy("lang").agg(
+        (F.count("*").cast("double") / F.lit(float(total))).alias("share")
+    )
+    pw = F.pow(F.col("share"), MIX_ALPHA - 1.0)
+    mx = shares.agg(F.max(pw).alias("mx"))
+    rates = shares.join(F.broadcast(mx)).select(
+        "lang", (pw / F.col("mx")).alias("keep_rate")
+    )
+    hash_frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / 4294967296.0
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .where(hash_frac < F.col("keep_rate"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.any_value(F.col("keep_rate")).alias("keep_rate"),
+        )
+    )
