@@ -357,3 +357,90 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= TFIDF_TOP_K)
     )
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+
+
+@query(
+    "text_collocation_pmi",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tk FROM documents
+    ),
+    grams AS (
+        SELECT unnest(list_transform(
+                   range(1, len(tk)),
+                   i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        FROM toks
+    ),
+    uni AS (
+        SELECT unnest(tk) AS tok FROM toks
+    ),
+    cb AS (SELECT bigram, count(*) AS c_ab FROM grams GROUP BY bigram),
+    cu AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+    tot AS (SELECT (SELECT count(*) FROM uni) AS n_tok,
+                   (SELECT count(*) FROM grams) AS n_big)
+    SELECT bigram, c_ab,
+           round(ln((CAST(c_ab AS DOUBLE) * n_tok * n_tok)
+                    / (CAST(a.c AS DOUBLE) * b.c * n_big)), 6) AS pmi
+    FROM cb, tot
+    JOIN cu a ON a.tok = string_split(bigram, ' ')[1]
+    JOIN cu b ON b.tok = string_split(bigram, ' ')[2]
+    WHERE c_ab >= {PMI_MIN_COUNT}
+    ORDER BY pmi DESC, bigram
+    LIMIT {PMI_TOP_K}
+    """,
+    tags=("text", "collocation"),
+)
+def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top bigrams by pointwise mutual
+    information, PMI = ln(p(ab) / p(a)p(b)) — the corpus-statistics
+    pass that finds multiword expressions before tokenizer training.
+    All counts are exact integers and the ln argument is one double
+    ratio, so cross-engine agreement holds after rounding to 6
+    decimals (ln's last ulp differs between libm and the JVM — the
+    same guard text_tfidf_top_terms uses).
+
+    Scale shape: two count aggregates (bigrams, unigrams — both
+    map-side combined), unigram counts broadcast back twice, top-k
+    via TakeOrdered. No all-pairs anything; cost is linear in corpus
+    tokens."""
+    from ..operators.scale import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select(F.split(_norm(F.col("text")), " ").alias("tk"))
+    tk = F.col("tk")
+    grams = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(tk, 1, F.size(tk) - 1),
+                F.slice(tk, 2, F.size(tk) - 1),
+                lambda x, y: F.concat_ws(" ", x, y),
+            )
+        ).alias("bigram")
+    )
+    uni = toks.select(F.explode(tk).alias("tok"))
+    cb = grams.groupBy("bigram").agg(F.count("*").alias("c_ab"))
+    cu = uni.groupBy("tok").agg(F.count("*").alias("c"))
+    n_tok = uni.count()
+    n_big = grams.count()
+    a = cu.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    b = cu.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    parts = F.split(F.col("bigram"), " ")
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab").cast("double") * n_tok * n_tok)
+            / (F.col("c_a").cast("double") * F.col("c_b") * n_big)
+        ),
+        6,
+    )
+    return (
+        cb.where(F.col("c_ab") >= PMI_MIN_COUNT)
+        .join(F.broadcast(a), parts.getItem(0) == F.col("tok_a"))
+        .join(F.broadcast(b), parts.getItem(1) == F.col("tok_b"))
+        .select("bigram", "c_ab", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "bigram")
+        .limit(PMI_TOP_K)
+    )
