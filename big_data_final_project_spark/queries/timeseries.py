@@ -229,3 +229,70 @@ def store_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "events_funnel_steps",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id
+    )
+    SELECT 'signup' AS step, CAST(count(*) AS BIGINT) AS n_users FROM s1
+    UNION ALL SELECT 'signup>click', count(*) FROM s2
+    UNION ALL SELECT 'signup>click>purchase', count(*) FROM s3
+    """,
+    tags=("timeseries", "funnel"),
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who signed up, then clicked AFTER the
+    signup, then purchased AFTER that click — each stage is a
+    min-timestamp aggregate constrained by the previous stage's
+    anchor (the decorrelated form of MATCH_RECOGNIZE-style sequence
+    matching). Strict event-time ordering, not mere co-occurrence.
+
+    Scale shape: three (filter → join-on-user → min-aggregate)
+    rounds, all keyed on user_id — one partitioning reused end to
+    end (AQE); stage tables shrink monotonically, so each successive
+    join is cheaper and broadcast-eligible."""
+    e = load_table(spark, sf_dir, "events")
+    s1 = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    def _count(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(label).alias("step"), "n_users"
+        )
+    return (
+        _count(s1, "signup")
+        .unionByName(_count(s2, "signup>click"))
+        .unionByName(_count(s3, "signup>click>purchase"))
+    )
