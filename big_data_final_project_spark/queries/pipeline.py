@@ -268,17 +268,13 @@ _HASH_FRAC = (
 @query(
     "sample_temperature_mix",
     oracle=f"""
-    WITH shares AS (
-        SELECT lang, CAST(count(*) AS DOUBLE) /
-               (SELECT count(*) FROM documents) AS share
-        FROM documents GROUP BY lang
+    WITH counts AS (
+        SELECT lang, count(*) AS c FROM documents GROUP BY lang
     ),
     rates AS (
         SELECT lang,
-               pow(share, {MIX_ALPHA} - 1.0)
-                 / (SELECT max(pow(share, {MIX_ALPHA} - 1.0)) FROM shares)
-                 AS keep_rate
-        FROM shares
+               sqrt(CAST((SELECT min(c) FROM counts) AS DOUBLE) / c) AS keep_rate
+        FROM counts
     )
     SELECT d.lang,
            CAST(count(*) AS BIGINT) AS n_kept,
@@ -291,24 +287,30 @@ _HASH_FRAC = (
     tags=("pipeline", "sample", "mixture"),
 )
 def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-smoothed language mix (share^α reweighting, α<1
-    flattens — the multilingual-corpus rebalancing rule): each
-    language gets keep_rate ∝ share^(α-1), normalized so the rarest
-    class keeps everything, and each doc passes iff its id-hash
-    fraction clears the rate. Fully deterministic and
-    engine/partition-independent (hash gating, not RNG), so the
-    sampled corpus is reproducible forever. One count aggregate (k
-    rows, broadcast back), one narrow filter scan — mixing 100 TB
-    costs one scan plus a k-row join."""
+    """Temperature-smoothed language mix (share^α reweighting with
+    α = {MIX_ALPHA} — the multilingual-corpus rebalancing rule):
+    each language keeps rate ∝ share^(α-1), normalized so the rarest
+    class keeps everything; for α = 0.5 that reduces to
+    sqrt(cnt_min / cnt_g). Each doc passes iff its id-hash fraction
+    clears the rate — hash gating, not RNG, so the sampled corpus is
+    reproducible across engines, runs, and repartitions forever.
+
+    The rate is computed as sqrt of an exact integer ratio
+    DELIBERATELY: IEEE sqrt and division are correctly rounded in
+    both engines, while pow() is a libm-vs-JVM transcendental whose
+    last ulp differs — with 500k hash fractions, some WILL land
+    inside that ulp gap and flip the gate (caught by the sf0.001
+    differential; ln() in the TF-IDF/PMI queries needs its rounding
+    guard for the same reason).
+
+    One count aggregate (k rows, broadcast back), one narrow filter
+    scan — mixing 100 TB costs one scan plus a k-row join."""
     d = load_table(spark, sf_dir, "documents")
-    total = d.count()
-    shares = d.groupBy("lang").agg(
-        (F.count("*").cast("double") / F.lit(float(total))).alias("share")
-    )
-    pw = F.pow(F.col("share"), MIX_ALPHA - 1.0)
-    mx = shares.agg(F.max(pw).alias("mx"))
-    rates = shares.join(F.broadcast(mx)).select(
-        "lang", (pw / F.col("mx")).alias("keep_rate")
+    counts = d.groupBy("lang").agg(F.count("*").alias("c"))
+    mn = counts.agg(F.min("c").alias("mn"))
+    rates = counts.join(F.broadcast(mn)).select(
+        "lang",
+        F.sqrt(F.col("mn").cast("double") / F.col("c")).alias("keep_rate"),
     )
     hash_frac = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
