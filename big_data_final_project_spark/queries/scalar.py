@@ -405,3 +405,55 @@ def scalar_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("orderkey"),
         F.array_join(F.sort_array(entries), ",").alias("kept_entries"),
     )
+
+
+@query(
+    "scalar_bool_aggs",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_totalprice > 400000) AS any_jumbo
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("scalar", "groupby", "bool"),
+)
+def scalar_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family: count_if / bool_and / bool_or —
+    predicate summaries in the aggregate layer (all codegen'd
+    conditional accumulators, one shuffle)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count_if(F.col("o_orderstatus") == "F").cast("long").alias("n_finished"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_jumbo"),
+    )
+
+
+@query(
+    "scalar_bitwise",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           CAST(o_orderkey & 255 AS BIGINT) AS low_byte,
+           CAST(o_orderkey | 1 AS BIGINT) AS set_low,
+           CAST(xor(o_orderkey, 255) AS BIGINT) AS flipped,
+           CAST(o_orderkey << 2 AS BIGINT) AS shifted,
+           CAST(o_orderkey >> 3 AS BIGINT) AS down
+    FROM orders
+    """,
+    tags=("scalar", "bitwise"),
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: and/or/xor/shifts — the id-packing and flag
+    arithmetic layer (per-row, narrow, no shuffle)."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        k.alias("orderkey"),
+        k.bitwiseAND(F.lit(255)).cast("long").alias("low_byte"),
+        k.bitwiseOR(F.lit(1)).cast("long").alias("set_low"),
+        k.bitwiseXOR(F.lit(255)).cast("long").alias("flipped"),
+        F.shiftleft(k, 2).cast("long").alias("shifted"),
+        F.shiftright(k, 3).cast("long").alias("down"),
+    )

@@ -249,3 +249,33 @@ def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@query(
+    "window_nth_value",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           nth_value(o_totalprice, 2) OVER w AS second_price,
+           first_value(o_orderkey) OVER w AS first_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window",),
+)
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value / first_value with an explicit growing frame (both
+    engines default differently — always spell frames out; same rule
+    as the LOCF query)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+    )
