@@ -706,3 +706,75 @@ def agg_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# Overlapping value bands: a genuine range-join target (overlaps mean
+# no single-bucket arithmetic can assign rows; a join is required).
+VALUE_BANDS = (
+    ("tiny", 0.0, 20.0),
+    ("small", 10.0, 60.0),
+    ("medium", 40.0, 150.0),
+    ("large", 100.0, 500.0),
+    ("tail", 300.0, 500.0),
+)
+_BAND_STEP = 50.0  # bucketization grid for the equi-join rewrite
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT '{n}' AS band, {lo} AS lo, {hi} AS hi" for n, lo, hi in VALUE_BANDS
+)
+
+
+@query(
+    "join_range_bucketized",
+    oracle=f"""
+    WITH bands AS ({_BANDS_SQL})
+    SELECT b.band,
+           count(*) AS n,
+           CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+             AS total_value
+    FROM events e JOIN bands b
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    """,
+    tags=("join", "range", "bucketized"),
+)
+def join_range_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE range join (no equi key: overlapping value bands, so one
+    row can match several bands) rewritten as an equi-join: each band
+    explodes onto the fixed-step grid cells it covers, each event
+    maps to its one cell, the join runs on the cell id, and the
+    precise range predicate filters post-match. Naively this plans
+    as BroadcastNestedLoopJoin — O(rows x bands) compares and, with
+    a big build side, a cluster-killer at 100 TB; the grid rewrite is
+    a hash join whose per-row work is the band density per cell
+    (asserted nested-loop-free in tests/test_plans.py). Same trick
+    as-of joins and interval overlaps use; step size trades grid
+    fan-out against per-cell candidate count."""
+    e = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(n, lo, hi) for n, lo, hi in VALUE_BANDS], "band string, lo double, hi double"
+    )
+    cells = bands.select(
+        "band",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / _BAND_STEP),
+                # hi is exclusive: a band ending exactly on a grid line
+                # does not cover the next cell
+                F.floor((F.col("hi") - 1e-9) / _BAND_STEP),
+            )
+        ).alias("cell"),
+    )
+    ev = e.select("value", F.floor(F.col("value") / _BAND_STEP).alias("cell"))
+    return (
+        ev.join(F.broadcast(cells), "cell")
+        .where((F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+    )

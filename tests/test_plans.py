@@ -174,3 +174,10 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
     assert merged.sortmerge_joins >= 1, merged.text
     shuffled = audit(o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey))
     assert "ShuffledHashJoin" in shuffled.text, shuffled.text
+
+
+def test_range_join_bucketization_avoids_nested_loop(spark, sf_dir):
+    p = _plan(spark, sf_dir, "join_range_bucketized")
+    assert "BroadcastNestedLoopJoin" not in p.text, p.text
+    assert p.cartesian_products == 0
+    assert p.broadcast_joins >= 1  # cell-exploded bands are tiny
