@@ -778,3 +778,68 @@ def join_range_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "agg_weighted_avg",
+    oracle=f"""
+    SELECT l_returnflag,
+           {dsum_prod_sql("l_extendedprice", "l_quantity")}
+             / {dsum_sql("l_quantity")} AS wavg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("groupby", "weighted"),
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price: ratio of two exact decimal
+    sums — the correct aggregation when rows carry different weights
+    (a plain AVG of unit prices answers a different question). Same
+    single-shuffle cost as an unweighted aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        (
+            dsum_prod(F.col("l_extendedprice"), F.col("l_quantity"))
+            / dsum("l_quantity")
+        ).alias("wavg_price")
+    )
+
+
+@query(
+    "agg_reaggregation",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS d, o_orderpriority AS priority,
+               count(*) AS n, {dsum_sql("o_totalprice")} AS total
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT date_trunc('month', d) AS month, priority,
+           CAST(SUM(n) AS BIGINT) AS n,
+           {dsum_sql("total")} AS total,
+           {dsum_sql("total")} / CAST(SUM(n) AS DOUBLE) AS avg_price
+    FROM daily
+    GROUP BY 1, 2
+    """,
+    tags=("groupby", "reaggregation"),
+)
+def agg_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly rollup computed FROM the daily pre-aggregate — the
+    pre-aggregated-table pattern every OLAP serving layer lives on:
+    sums and counts compose across levels, so the monthly query
+    reads |days| x |priorities| rows instead of the fact table;
+    averages must be re-derived sum/count at the outer level (an
+    AVG of daily averages would be wrong whenever day sizes differ).
+    The outer decimal re-sum keeps the two-level result bit-equal to
+    a direct monthly aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("d"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total"))
+    return daily.groupBy(
+        F.date_trunc("month", "d").alias("month"), "priority"
+    ).agg(
+        F.sum("n").cast("long").alias("n"),
+        dsum("total").alias("total"),
+        (dsum("total") / F.sum("n").cast("double")).alias("avg_price"),
+    )
