@@ -665,3 +665,55 @@ def dedup_entity_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_b",
         )
     )
+
+
+@query(
+    "dedup_survivor_stats",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs AS (
+        SELECT doc_a, doc_b FROM cand WHERE est_jaccard >= {MIN_EST_JACCARD}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT src AS node, src AS r FROM edges
+        UNION
+        SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    clusters AS (
+        SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+    ),
+    survivors AS (
+        SELECT d.doc_id, d.lang, d.n_chars
+        FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+        WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_survivors,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+    FROM survivors GROUP BY lang
+    """,
+    tags=("dedup", "minhash", "clusters", "pipeline"),
+)
+def dedup_survivor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end FUZZY dedup: near-dup pairs → connected-component
+    clusters → keep each cluster's min doc_id → per-language survivor
+    budget. The composition a corpus curation actually ships (the
+    exact-hash counterpart is pipeline_training_shards); docs outside
+    any cluster survive by default via the anti-join side of the
+    left join. Cost = dedup_clusters + one broadcast join against
+    the (tiny) cluster map + one aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(spark, sf_dir)
+    labeled = d.join(F.broadcast(clusters), "doc_id", "left")
+    survivors = labeled.where(
+        F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
+    )
+    return survivors.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_survivors"),
+        F.sum("n_chars").cast("long").alias("chars_kept"),
+    )
