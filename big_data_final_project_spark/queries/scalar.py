@@ -457,3 +457,39 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(k, 2).cast("long").alias("shifted"),
         F.shiftright(k, 3).cast("long").alias("down"),
     )
+
+
+@query(
+    "agg_by_json_field",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           count(*) AS n,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+             AS total_value
+    FROM events
+    GROUP BY k_mod
+    """,
+    tags=("scalar", "json", "groupby"),
+)
+def agg_by_json_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate keyed by a field EXTRACTED from a JSON column — the
+    semi-structured analytics pattern (grouping on event properties
+    that were never promoted to columns). The per-row parse happens
+    once in the projection before the shuffle; at 100 TB the right
+    move is still to promote hot JSON fields to real columns at
+    ingest (parse cost scales with the scan), which is exactly what
+    the reference's producer did by flattening upstream
+    (producer.py:90-101) — this query is the fallback for the cold
+    fields."""
+    e = load_table(spark, sf_dir, "events")
+    k_mod = (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_mod")
+    return (
+        e.select(k_mod, "value")
+        .groupBy("k_mod")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+    )
