@@ -843,3 +843,56 @@ def agg_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("total").alias("total"),
         (dsum("total") / F.sum("n").cast("double")).alias("avg_price"),
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle=f"""
+    WITH skewed AS (
+        SELECT CASE WHEN user_id < 30 THEN CAST(0 AS BIGINT)
+                    ELSE user_id END AS k,
+               value
+        FROM events
+    ),
+    dim AS (
+        SELECT DISTINCT user_id AS k,
+               CAST(user_id % 7 AS BIGINT) AS grp
+        FROM events
+    )
+    SELECT d.grp,
+           count(*) AS n,
+           {dsum_sql("s.value")} AS total_value
+    FROM skewed s JOIN dim d ON s.k = d.k
+    GROUP BY d.grp
+    """,
+    tags=("join", "skew", "salted"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed-key join through the explicit salting operator: ~20% of
+    the fact rows collapse onto key 0 (synthesized hot key), which a
+    plain hash join sends to ONE reducer; salting fans the hot key
+    across 8 sub-keys and replicates the dim side per bucket
+    (operators/salting.py). Same answer as the plain join — the
+    oracle IS the unsalted SQL — with the hot partition split 8 ways.
+    AQE's skew-join covers sort-merge cases adaptively; the explicit
+    form covers skew AQE can't see and is the documented pattern for
+    it."""
+    from ..operators.salting import salted_inner_join
+
+    e = load_table(spark, sf_dir, "events")
+    skewed = e.select(
+        F.when(F.col("user_id") < 30, F.lit(0).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        "value",
+    )
+    dim = (
+        e.select(F.col("user_id").alias("k"))
+        .distinct()
+        .withColumn("grp", (F.col("k") % 7).cast("long"))
+    )
+    return (
+        salted_inner_join(skewed, dim, "k")
+        .groupBy("grp")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+    )
