@@ -105,3 +105,51 @@ def ml_feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((x - mean) / std).alias("qty_z"),
         )
     )
+
+
+N_BINS = 4
+
+
+@query(
+    "ml_quantile_binning",
+    oracle=f"""
+    WITH binned AS (
+        SELECT l_returnflag,
+               ntile({N_BINS}) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_quantity, l_orderkey, l_linenumber) AS bin,
+               l_extendedprice
+        FROM lineitem
+    )
+    SELECT l_returnflag, CAST(bin AS BIGINT) AS bin,
+           count(*) AS n,
+           {dsum_sql("l_extendedprice")} / count(*) AS avg_price
+    FROM binned
+    GROUP BY l_returnflag, bin
+    """,
+    tags=("ml", "feature", "binning"),
+)
+def ml_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (quantile) binning of a feature per group,
+    then per-bin target statistics — the discretization + target-
+    encoding prep step. ntile over a TOTAL order (value + unique-key
+    tiebreak) makes bin membership deterministic even on heavily
+    tied values; one window shuffle + one aggregate."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.select(
+            "l_returnflag",
+            F.ntile(N_BINS).over(w).cast("long").alias("bin"),
+            "l_extendedprice",
+        )
+        .groupBy("l_returnflag", "bin")
+        .agg(
+            F.count("*").alias("n"),
+            (dsum("l_extendedprice") / F.count("*")).alias("avg_price"),
+        )
+    )
