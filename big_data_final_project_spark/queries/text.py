@@ -444,3 +444,66 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "bigram")
         .limit(PMI_TOP_K)
     )
+
+
+NGRAM_N = 3
+NGRAM_TOP = 5
+
+
+@query(
+    "text_char_ngram_profile",
+    oracle=f"""
+    WITH t AS (SELECT lang, {_NORM_SQL} AS norm FROM documents),
+    grams AS (
+        SELECT lang,
+               unnest(list_transform(
+                   range(1, len(norm) - {NGRAM_N - 2}),
+                   i -> substring(norm, i, {NGRAM_N}))) AS gram
+        FROM t
+    ),
+    counted AS (
+        SELECT lang, gram, count(*) AS c FROM grams GROUP BY lang, gram
+    )
+    SELECT lang, gram, c, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY lang ORDER BY c DESC, gram) AS rnk
+        FROM counted
+    ) r WHERE rnk <= {NGRAM_TOP}
+    """,
+    tags=("text", "ngram", "langid"),
+)
+def text_char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-trigram profile (top-{NGRAM_TOP} by
+    frequency): the feature table a statistical language identifier
+    trains on — text_language_id consumes a hand-written profile;
+    this query DERIVES one from the corpus. Counts are exact ints,
+    ranking tie-breaks on the gram, so the profile is deterministic.
+
+    Scale shape: chars explode ~n_chars rows per doc, but the
+    (lang, gram) aggregate gets map-side combine, so the shuffle
+    carries only the distinct-gram table per partition; top-k is a
+    tiny per-lang window. The normalized text is materialized before
+    the transform lambda (the HOF re-evaluation trap)."""
+    from ..operators.scale import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    t = d.select("lang", _norm(F.col("text")).alias("norm"))
+    nc = F.col("norm")
+    grams = t.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(nc) - (NGRAM_N - 1)),
+                lambda i: nc.substr(i, F.lit(NGRAM_N)),
+            )
+        ).alias("gram"),
+    )
+    counted = grams.groupBy("lang", "gram").agg(F.count("*").alias("c"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("c").desc(), "gram")
+    return (
+        counted.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= NGRAM_TOP)
+    )
