@@ -326,3 +326,59 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value(F.col("keep_rate")).alias("keep_rate"),
         )
     )
+
+
+@query(
+    "audit_referential_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS relationship,
+           (SELECT count(*) FROM lineitem) AS n_child,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    """,
+    tags=("pipeline", "audit", "join"),
+)
+def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts per foreign-key
+    relationship (anti-join cardinalities) — the data-quality gate a
+    pipeline runs after every load, because at 100 TB with
+    at-least-once ingest, partial loads WILL produce dangling
+    references (the reference's unchecked insert path, app.py:220,
+    is exactly how they arise). Each check is one anti-join with a
+    count; dims broadcast, the fact table is scanned once per
+    relationship (or once total if checks are fused into one pass
+    with conditional counts — done here for the two lineitem
+    checks... kept separate for clarity; the audit runs off-peak)."""
+
+    def orphans(child: DataFrame, ck: str, parent: DataFrame, pk: str, label: str) -> DataFrame:
+        n_child = child.count()
+        n_orph = child.join(
+            F.broadcast(parent.select(pk)), F.col(ck) == F.col(pk), "left_anti"
+        ).count()
+        return spark.createDataFrame(
+            [(label, n_child, n_orph)],
+            "relationship string, n_child long, n_orphans long",
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        orphans(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+        .unionByName(orphans(o, "o_custkey", c, "c_custkey", "orders->customer"))
+        .unionByName(orphans(li, "l_partkey", p, "p_partkey", "lineitem->part"))
+    )
