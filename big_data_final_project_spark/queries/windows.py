@@ -13,7 +13,6 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..data import load_table
-from ..functions.numeric import dsum_sql
 from ..operators.topk import topk_per_group
 from ..registry import query
 
