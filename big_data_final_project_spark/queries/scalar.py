@@ -493,3 +493,46 @@ def agg_by_json_field(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "scalar_inline_structs",
+    oracle="""
+    WITH nested AS (
+        SELECT l_orderkey AS orderkey,
+               list_sort(list({'ln': l_linenumber, 'qty': l_quantity}))
+                 AS lines
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT orderkey,
+           CAST(u.ln AS INTEGER) AS linenumber,
+           u.qty AS quantity
+    FROM (SELECT orderkey, unnest(lines) AS u FROM nested)
+    """,
+    tags=("scalar", "struct", "generator"),
+)
+def scalar_inline_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct-array round trip: nest each order's line items into a
+    sorted array<struct>, then INLINE the structs back to rows — the
+    generator for nested-document shapes (posexplode handles scalar
+    arrays; inline spreads struct fields into columns). Sorting the
+    collected array is what makes the nested form deterministic —
+    same rule as every collect_list here."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = li.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").alias("ln"),
+                    F.col("l_quantity").alias("qty"),
+                )
+            )
+        ).alias("lines")
+    )
+    return nested.select(
+        "orderkey", F.inline("lines")
+    ).select(
+        "orderkey",
+        F.col("ln").alias("linenumber"),
+        F.col("qty").alias("quantity"),
+    )
