@@ -248,3 +248,70 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         WHERE c.c_mktsegment = 'BUILDING'
     """)
+
+
+CC_DEPTH = 4  # recursion bound; near-dup cluster diameter is 1-2
+
+
+def _recursive_components_oracle() -> str:
+    from .dedup import _MINHASH_CTES, MIN_EST_JACCARD
+
+    return f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs AS (
+        SELECT doc_a, doc_b FROM cand WHERE est_jaccard >= {MIN_EST_JACCARD}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT src AS node, src AS r, 0 AS depth FROM edges
+        UNION ALL
+        SELECT e.dst, reach.r, reach.depth + 1
+        FROM reach JOIN edges e ON e.src = reach.node
+        WHERE reach.depth < {CC_DEPTH}
+    )
+    SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+    """
+
+
+@query(
+    "sql_recursive_components",
+    oracle=_recursive_components_oracle(),
+    tags=("sql", "recursive", "dedup"),
+)
+def sql_recursive_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components through Spark 4's WITH RECURSIVE — the
+    same clusters dedup_clusters computes with an explicit DataFrame
+    loop, here as one declarative statement the engine iterates
+    (bounded UNION ALL recursion; Spark doesn't yet support the
+    UNION-dedup fixpoint form, so the walk carries a depth column
+    capped at {CC_DEPTH} — sound because near-dup components are
+    unions of tiny cliques, diameter 1-2). Three routes to one
+    answer (DataFrame loop / Spark recursive SQL / DuckDB recursive
+    oracle) — the strongest cross-check an iterative operator can
+    get. Depth-bounded UNION ALL enumerates paths, not nodes, so at
+    web scale prefer the loop form (dedup_clusters) whose per-round
+    state is one row per node; this surface is for moderate graphs
+    and parity."""
+    from .dedup import dedup_minhash_pairs
+
+    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs.createOrReplaceTempView("nd_pairs")
+    return spark.sql(f"""
+        WITH RECURSIVE edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM nd_pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM nd_pairs
+        ),
+        reach AS (
+            SELECT src AS node, src AS r, 0 AS depth FROM edges
+            UNION ALL
+            SELECT e.dst, reach.r, reach.depth + 1
+            FROM reach JOIN edges e ON e.src = reach.node
+            WHERE reach.depth < {CC_DEPTH}
+        )
+        SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+    """)
