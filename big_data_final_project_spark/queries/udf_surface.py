@@ -168,3 +168,61 @@ def udf_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, t.token_idx, t.token
         FROM documents d, LATERAL tokenize_udtf(d.text) t
     """)
+
+
+@query(
+    "udf_cogroup_asof",
+    oracle="""
+    WITH clicks AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+         errors AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+    SELECT e.event_id AS event_id, e.user_id AS user_id, e.ts AS ts,
+           c.value AS value_asof
+    FROM errors e ASOF LEFT JOIN clicks c
+      ON e.user_id = c.user_id AND c.ts <= e.ts
+    """,
+    tags=("udf", "pandas", "cogroup", "asof"),
+)
+def udf_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via cogrouped pandas: the two keyed DataFrames are
+    co-partitioned per user and handed to pd.merge_asof — the THIRD
+    route to the same answer as operators/joins.asof_join (union-
+    merge composition) and the DuckDB ASOF oracle. cogroup +
+    applyInPandas is the escape hatch for per-key algorithms that
+    need BOTH sides as materialized frames (interval accounting,
+    order-book replay); the shuffle is one co-partitioning of each
+    side by the key, and each group must fit in worker memory —
+    which is the documented contract of the API, not a hidden
+    assumption."""
+    from ..data import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    errors = e.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+
+    out_schema = (
+        "event_id long, user_id long, ts timestamp, value_asof double"
+    )
+
+    def merge(key, err_pdf, clk_pdf):
+        import pandas as pd
+
+        err_pdf = err_pdf.sort_values("ts")
+        clk_pdf = clk_pdf.sort_values("ts")
+        merged = pd.merge_asof(
+            err_pdf,
+            clk_pdf[["ts", "value"]],
+            on="ts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return merged.rename(columns={"value": "value_asof"})[
+            ["event_id", "user_id", "ts", "value_asof"]
+        ]
+
+    return (
+        errors.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(merge, schema=out_schema)
+    )
