@@ -896,3 +896,57 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("grp")
         .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
     )
+
+
+@query(
+    "null_hygiene",
+    oracle="""
+    WITH dirty AS (
+        SELECT c_custkey,
+               nullif(c_mktsegment, 'BUILDING') AS seg,
+               CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+        FROM customer
+    )
+    SELECT
+        (SELECT count(*) FROM dirty WHERE seg IS NULL OR bal IS NULL)
+          AS n_any_null,
+        (SELECT count(*) FROM dirty WHERE seg IS NOT NULL AND bal IS NOT NULL)
+          AS n_complete,
+        (SELECT CAST(CAST(SUM(CAST(coalesce(bal, 0.0) AS DECIMAL(18,6)))
+                     AS VARCHAR) AS DOUBLE) FROM dirty)
+          AS filled_bal_total,
+        (SELECT count(*) FROM dirty
+         WHERE coalesce(seg, 'UNKNOWN') = 'UNKNOWN') AS n_filled_seg
+    """,
+    tags=("null", "hygiene"),
+)
+def null_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DataFrameNaFunctions surface in one audit row: na.drop
+    (complete-case count), na.fill on both a numeric and a string
+    column, and any-null counting — the null-hygiene pass every
+    ingest runs. Nulls are manufactured deterministically with
+    nullif/when so the query is self-contained; all four statistics
+    come from ONE cached projection scanned four times (at scale:
+    one pass with conditional aggregates — written as separate
+    subqueries here to exercise the na.* API surface itself)."""
+    c = load_table(spark, sf_dir, "customer")
+    dirty = c.select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+        F.when(F.col("c_acctbal") < 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    n_any_null = dirty.where(
+        F.col("seg").isNull() | F.col("bal").isNull()
+    ).count()
+    n_complete = dirty.na.drop(subset=["seg", "bal"]).count()
+    filled = dirty.na.fill({"bal": 0.0, "seg": "UNKNOWN"})
+    filled_bal_total = filled.agg(
+        F.sum(F.col("bal").cast("decimal(18,6)")).cast("double").alias("t")
+    ).collect()[0]["t"]
+    n_filled_seg = filled.where(F.col("seg") == "UNKNOWN").count()
+    return spark.createDataFrame(
+        [(n_any_null, n_complete, float(filled_bal_total), n_filled_seg)],
+        "n_any_null long, n_complete long, filled_bal_total double, n_filled_seg long",
+    )
