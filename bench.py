@@ -49,8 +49,9 @@ HEADLINE = [
     "sim_lsh_bucketed_topk",
     "kmeans_lloyd_refine",
     "pipeline_training_shards",
-    "sim_bruteforce_topk_pandas",
-    "dedup_embedding_cosine_pandas",
+    # fixed-point numpy fast paths (round 2: these ARE the oracle paths)
+    "sim_bruteforce_topk",
+    "dedup_embedding_cosine",
 ]
 
 
@@ -104,17 +105,31 @@ def main() -> None:
         times[name] = round(min(runs), 4)
 
     total = round(sum(times.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf_val,
-            }
-        )
-    )
+
+    # Full-registry sweep (every registered query, one timed run each):
+    # regressions outside the headline set stay visible. Single-run
+    # timings — the same sporadic-stall caveat applies per query, so
+    # judge the DISTRIBUTION, not one outlier. SPARK_GRAFT_BENCH_SWEEP=0
+    # skips it while iterating locally.
+    sweep: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_SWEEP", "1") != "0":
+        for name in sorted(cat):
+            t0 = time.perf_counter()
+            _run(cat[name].fn(spark, sf_dir))
+            sweep[name] = round(time.perf_counter() - t0, 4)
+
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+    }
+    if sweep:
+        out["sweep_total"] = round(sum(sweep.values()), 4)
+        out["sweep_n_queries"] = len(sweep)
+        out["sweep_queries"] = sweep
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -406,62 +406,51 @@ def _l2(col: Column) -> Column:
 _VEC_SQL = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 _L2_SQL = "sqrt(list_reduce(list_transform(v, x -> x * x), (a, x) -> a + x) + 0.0)"
 
-
-@query(
-    "dedup_embedding_cosine",
-    oracle=f"""
-    WITH e AS (
-        SELECT vec_id, label, {_VEC_SQL} AS v FROM embeddings
-    ),
-    n AS (SELECT vec_id, label, v, {_L2_SQL} AS nrm FROM e)
-    SELECT * FROM (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-               list_reduce(
-                   list_transform(range(1, len(a.v) + 1),
-                                  i -> a.v[i] * b.v[i]),
-                   (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cosine
-        FROM n a JOIN n b
-          ON a.label = b.label AND a.vec_id < b.vec_id
-    ) p WHERE cosine >= {COSINE_THRESHOLD}
-    """,
-    tags=("dedup", "embedding"),
+# Fixed-point vector arithmetic (shared with queries/similarity.py).
+#
+# Embedding floats are quantized to integers q = round_half_away(x * 2^23)
+# before any dot product. With |x| < 1 (corpus range is (-0.53, 0.46)):
+# |q| < 2^23, q*q < 2^46, and a 64-dim sum < 2^52 — every product and
+# every partial sum is an integer below 2^53, i.e. EXACTLY representable
+# in float64. numpy's BLAS matmul over such values is therefore bit-exact
+# and order-independent (no rounding ever happens), and DuckDB's int64
+# list_reduce computes the identical integers — so the SIMD fast path IS
+# the oracle path. (Round 1 kept a ~200s interpreted zip_with fold as the
+# oracle and a rows-only numpy twin; this replaces both.)
+#
+# Rounding parity: x*2^23 is exact (power-of-two scale of a float32-
+# derived double), and adding 0.5 to a 24-bit-mantissa double below 2^52
+# is exact, so sign(x)*floor(|x*S| + 0.5) == DuckDB round() (half away
+# from zero) bit-for-bit.
+FXP_SCALE = 8388608.0  # 2^23
+_QVEC_SQL = (
+    "list_transform(embedding,"
+    f" x -> CAST(round(CAST(x AS DOUBLE) * {FXP_SCALE}) AS BIGINT))"
 )
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: pairs above a cosine threshold,
-    blocked by label (the coarse-quantization cell) so the self-join
-    is per-cell, not corpus-wide. Dot product and norms are explicit
-    sequential folds — bit-identical across engines and across
-    partitionings (per-row map, order-free)."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _vec_dbl("embedding").alias("v")
-    )
-    n = e.select("vec_id", "label", "v", _l2(F.col("v")).alias("nrm"))
-    a, b = n.alias("a"), n.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
-            (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"),
-        )
-        .where(F.col("cosine") >= COSINE_THRESHOLD)
-    )
+_QL2_SQL = (
+    "sqrt(CAST(list_reduce(list_transform(qv, x -> x * x),"
+    " (a, x) -> a + x) AS DOUBLE))"
+)
+_QDOT_SQL = """
+    CAST(list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]),
+                     (acc, x) -> acc + x) AS DOUBLE) / ({na} * {nb})
+"""
+
+
+def quantize_fxp(mat):
+    """float32/64 matrix -> exact fixed-point integers held in float64
+    (half-away-from-zero, matching DuckDB/Spark round())."""
+    import numpy as np
+
+    xs = mat.astype("float64") * FXP_SCALE
+    return np.sign(xs) * np.floor(np.abs(xs) + 0.5)
 
 
 def _blocked_cosine_scorer(threshold):
     """applyInPandas stage: one label block in, its above-threshold
     pairs out — a single numpy gram matrix per block instead of an
-    interpreted fold per pair."""
+    interpreted fold per pair. Fixed-point quantized, so the matmul is
+    exact integer arithmetic and bit-comparable to the DuckDB oracle."""
 
     def score(pdf):
         import numpy as np
@@ -475,9 +464,10 @@ def _blocked_cosine_scorer(threshold):
         ids = pdf["vec_id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
-        mat = np.stack(pdf["v"].to_numpy())[order]
-        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = unit @ unit.T
+        q = quantize_fxp(np.stack(pdf["embedding"].to_numpy())[order])
+        gram = q @ q.T  # exact: all partials are integers < 2^53
+        nrm = np.sqrt(np.diagonal(gram))
+        sims = gram / (nrm[:, None] * nrm[None, :])
         ia, ib = np.triu_indices(len(ids), k=1)
         mask = sims[ia, ib] >= threshold
         return pd.DataFrame(
@@ -492,22 +482,34 @@ def _blocked_cosine_scorer(threshold):
     return score
 
 
-@query("dedup_embedding_cosine_pandas", oracle=None, tags=("dedup", "embedding", "pandas", "bench"))
-def dedup_embedding_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Throughput twin of dedup_embedding_cosine: per label block,
-    one numpy gram matrix (unit-normalized rows, upper triangle,
-    threshold) via applyInPandas — SIMD replaces ~1e6 interpreted
-    folds. Rows-only (numpy's pairwise summation shifts the last
-    ulp); tests/test_similarity.py pins its pair set to the
-    exact-fold oracle twin. At 100 TB this is the shape: one shuffle
-    by block key, block-local O(b^2 d) matmul, only survivors leave
-    the executor."""
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, label, {_QVEC_SQL} AS qv FROM embeddings),
+    n AS (SELECT vec_id, label, qv, {_QL2_SQL} AS nrm FROM q)
+    SELECT * FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+               {_QDOT_SQL.format(a="a.qv", b="b.qv", na="a.nrm", nb="b.nrm")} AS cosine
+        FROM n a JOIN n b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+    ) p WHERE cosine >= {COSINE_THRESHOLD}
+    """,
+    tags=("dedup", "embedding", "pandas", "bench"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: pairs above a cosine threshold,
+    blocked by label (the coarse-quantization cell) so the pair work
+    is per-cell, not corpus-wide. One shuffle by block key, then a
+    block-local numpy gram matrix over fixed-point-quantized vectors
+    (see FXP_SCALE: exact integer arithmetic, so the SIMD matmul is
+    bit-identical to the DuckDB integer oracle) — only survivors
+    leave the executor. This is the 100 TB shape AND the oracle path;
+    quantization at 2^-23 relative error is far inside any near-dup
+    threshold's tolerance."""
     from pyspark.sql import types as T
 
     e = spread(
-        load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", "label", _vec_dbl("embedding").alias("v")
-        )
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     )
     out_schema = T.StructType(
         [

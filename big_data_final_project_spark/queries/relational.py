@@ -457,12 +457,17 @@ def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("agg_percentiles_approx", oracle=None, tags=("groupby", "percentile", "approx"))
 def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (KLL-sketch-style): mergeable partial state,
-    no per-group sort — the scale path for quantiles (rows-only
-    check: sketch internals are engine-specific)."""
+    """approx_percentile (GK-sketch): mergeable partial state, no
+    per-group sort — the scale path for quantiles (rows-only check:
+    sketch internals are engine-specific). The three quantiles are
+    emitted as scalar double columns — a top-level ArrayType is not
+    hashable by the differential comparator."""
     li = load_table(spark, sf_dir, "lineitem")
+    aq = F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10000)
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10000).alias("approx_q"),
+        F.element_at(aq, 1).alias("q25"),
+        F.element_at(aq, 2).alias("q50"),
+        F.element_at(aq, 3).alias("q75"),
         F.count("*").alias("n"),
     )
 

@@ -246,7 +246,7 @@ def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT orderkey,
            CAST(cardinality(props) AS BIGINT) AS n_keys,
-           list_sort(map_keys(props)) AS keys_sorted,
+           array_to_string(list_sort(map_keys(props)), ',') AS keys_sorted,
            props['status'][1] AS status_val,
            props['priority'][1] AS priority_val,
            props['missing'][1] IS NULL AS missing_is_null
@@ -257,7 +257,9 @@ def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map family: construction from entries, size, sorted key list,
     element lookup, absent-key null — the typed-dictionary column
-    shape (per-row, narrow; maps never shuffle here)."""
+    shape (per-row, narrow; maps never shuffle here). The key list is
+    joined to one CSV string: the differential comparator hashes
+    scalar cells only (a top-level ArrayType cell is unhashable)."""
     o = load_table(spark, sf_dir, "orders")
     props = F.create_map(
         F.lit("status"), F.col("o_orderstatus"),
@@ -266,7 +268,7 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         F.col("o_orderkey").alias("orderkey"),
         F.size(props).cast("long").alias("n_keys"),
-        F.sort_array(F.map_keys(props)).alias("keys_sorted"),
+        F.array_join(F.sort_array(F.map_keys(props)), ",").alias("keys_sorted"),
         F.element_at(props, "status").alias("status_val"),
         F.element_at(props, "priority").alias("priority_val"),
         F.element_at(props, "missing").isNull().alias("missing_is_null"),
@@ -283,14 +285,15 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_orderkey
     )
     SELECT orderkey,
-           lines,
-           flags,
+           array_to_string(lines, ',') AS lines,
+           array_to_string(flags, ',') AS flags,
            CAST(len(lines) AS BIGINT) AS n_lines,
            lines[1] AS first_line,
            lines[len(lines)] AS last_line,
            CAST(list_position(lines, 3) AS BIGINT) AS pos_of_3,
-           lines[2:3] AS middle_slice,
-           flatten([lines, lines]) AS doubled,
+           -- DuckDB slice past the end is NULL; Spark's is [] -> ''
+           coalesce(array_to_string(lines[2:3], ','), '') AS middle_slice,
+           array_to_string(flatten([lines, lines]), ',') AS doubled,
            3 IN (SELECT unnest(lines)) AS has_line3
     FROM t
     """,
@@ -302,23 +305,28 @@ def scalar_array_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexing from both ends, position, slice, flatten, membership.
     collect_list order is partition-dependent, so every collected
     array is sorted before leaving the aggregation — the same rule
-    the oracle applies."""
+    the oracle applies. Array-valued outputs are CSV-joined at the
+    edge: the differential comparator hashes scalar cells only."""
     li = load_table(spark, sf_dir, "lineitem")
     t = li.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
         F.sort_array(F.collect_list("l_linenumber")).alias("lines"),
         F.sort_array(F.collect_set("l_returnflag")).alias("flags"),
     )
     lines = F.col("lines")
+
+    def csv(arr):
+        return F.array_join(F.transform(arr, lambda x: x.cast("string")), ",")
+
     return t.select(
         "orderkey",
-        "lines",
-        "flags",
+        csv(lines).alias("lines"),
+        F.array_join(F.col("flags"), ",").alias("flags"),
         F.size(lines).cast("long").alias("n_lines"),
         F.element_at(lines, 1).alias("first_line"),
         F.element_at(lines, -1).alias("last_line"),
         F.array_position(lines, 3).cast("long").alias("pos_of_3"),
-        F.slice(lines, 2, 2).alias("middle_slice"),
-        F.flatten(F.array(lines, lines)).alias("doubled"),
+        csv(F.slice(lines, 2, 2)).alias("middle_slice"),
+        csv(F.flatten(F.array(lines, lines))).alias("doubled"),
         F.array_contains(lines, 3).alias("has_line3"),
     )
 

@@ -29,7 +29,16 @@ from pyspark.sql import types as T
 from ..data import load_table
 from ..operators.scale import spread
 from ..registry import query
-from .dedup import _L2_SQL, _VEC_SQL, _l2, _vec_dbl
+from .dedup import (
+    _L2_SQL,
+    _QDOT_SQL,
+    _QL2_SQL,
+    _QVEC_SQL,
+    _VEC_SQL,
+    _l2,
+    _vec_dbl,
+    quantize_fxp,
+)
 
 N_QUERIES = 5  # vec_id < 5 are the query vectors
 TOP_K = 10
@@ -47,16 +56,54 @@ def _cosine(va: Column, vb: Column, na: Column, nb: Column) -> Column:
     return dot / (na * nb)
 
 
+def _topk_partition_scorer(qids, qmat_q, qnorms, k):
+    """Per-partition numpy scorer: corpus batch in, that batch's
+    per-query top-k out. The query matrix is pre-quantized fixed-point
+    (see dedup.FXP_SCALE), so the matmul is exact integer arithmetic —
+    bit-identical to the DuckDB integer oracle, in any batch order."""
+    import numpy as np
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            labels = pdf["label"].to_numpy()[order]
+            q = quantize_fxp(np.stack(pdf["embedding"].to_numpy())[order])
+            nrm = np.sqrt((q * q).sum(axis=1))  # exact integer sums
+            sims = (qmat_q @ q.T) / (qnorms[:, None] * nrm[None, :])
+            for qi, qid in enumerate(qids):
+                row = sims[qi]
+                cand = np.flatnonzero(ids != qid)
+                # total order (-cosine, neighbor_id): exact doubles, so
+                # local top-k merges into the correct global top-k
+                sel = cand[np.lexsort((ids[cand], -row[cand]))[:k]]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": ids[sel],
+                        "neighbor_label": labels[sel],
+                        "cosine": row[sel],
+                    }
+                )
+
+    return score
+
+
 @query(
     "sim_bruteforce_topk",
     oracle=f"""
-    WITH e AS (SELECT vec_id, label, {_VEC_SQL} AS v FROM embeddings),
-    n AS (SELECT vec_id, label, v, {_L2_SQL} AS nrm FROM e),
+    WITH q0 AS (SELECT vec_id, label, {_QVEC_SQL} AS qv FROM embeddings),
+    n AS (SELECT vec_id, label, qv, {_QL2_SQL} AS nrm FROM q0),
     q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}),
     scored AS (
         SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
                n.label AS neighbor_label,
-               {_COS_SQL.format(a="q.v", b="n.v", na="q.nrm", nb="n.nrm")} AS cosine
+               {_QDOT_SQL.format(a="q.qv", b="n.qv", na="q.nrm", nb="n.nrm")} AS cosine
         FROM q JOIN n ON q.vec_id <> n.vec_id
     )
     SELECT query_id, neighbor_id, neighbor_label, cosine,
@@ -67,37 +114,43 @@ def _cosine(va: Column, vb: Column, na: Column, nb: Column) -> Column:
         FROM scored
     ) r WHERE rnk <= {TOP_K}
     """,
-    tags=("similarity", "bruteforce"),
+    tags=("similarity", "bruteforce", "pandas", "bench"),
 )
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact ANN baseline: broadcast the query vectors against the
-    full corpus, cosine per pair, top-k per query. The corpus side
-    stays partition-local until the final per-query top-k."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _vec_dbl("embedding").alias("v")
+    """Exact ANN baseline, 100 TB shape: the tiny query block is
+    collected and broadcast as a pre-quantized numpy matrix; each
+    corpus partition computes one (queries x batch) matmul and emits
+    its local top-k; a final per-query top-k merges partitions — only
+    nq*k rows per partition ever shuffle. Fixed-point quantization
+    (dedup.FXP_SCALE) makes every dot product exact integer math, so
+    this SIMD path is ALSO the oracle path (round 1 needed a ~200s
+    interpreted-fold twin to carry the oracle; retired)."""
+    import numpy as np
+
+    e = spread(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     )
-    n = e.select("vec_id", "label", "v", _l2(F.col("v")).alias("nrm"))
-    q = n.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"),
+    qrows = e.where(F.col("vec_id") < N_QUERIES).collect()
+    qids = [r["vec_id"] for r in qrows]
+    qmat_q = quantize_fxp(np.stack([np.asarray(r["embedding"]) for r in qrows]))
+    qnorms = np.sqrt((qmat_q * qmat_q).sum(axis=1))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("neighbor_label", T.IntegerType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    scored = (
-        n.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("label").alias("neighbor_label"),
-            _cosine(
-                F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")
-            ).alias("cosine"),
-        )
+    local = e.mapInPandas(
+        _topk_partition_scorer(qids, qmat_q, qnorms, TOP_K), schema=out_schema
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        local.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= TOP_K)
     )
 
@@ -339,80 +392,6 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= TOP_K)
-    )
-
-
-def _topk_partition_scorer(qids, qmat, qnorms, k):
-    """Per-partition numpy scorer for the pandas brute-force variant:
-    corpus batch in, that batch's per-query top-k out."""
-    import numpy as np
-
-    def score(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            mat = np.stack(pdf["v"].to_numpy())  # (b, d)
-            norms = np.linalg.norm(mat, axis=1)
-            sims = (qmat @ mat.T) / (qnorms[:, None] * norms[None, :])
-            ids = pdf["vec_id"].to_numpy()
-            for qi, qid in enumerate(qids):
-                row = sims[qi]
-                mask = ids != qid
-                order = np.argsort(-row[mask], kind="stable")[:k]
-                cand_ids = ids[mask][order]
-                yield pd.DataFrame(
-                    {
-                        "query_id": qid,
-                        "neighbor_id": cand_ids,
-                        "cosine": row[mask][order],
-                    }
-                )
-
-    return score
-
-
-@query("sim_bruteforce_topk_pandas", oracle=None, tags=("similarity", "pandas", "bench"))
-def sim_bruteforce_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Throughput variant of sim_bruteforce_topk: the query block is
-    collected (tiny) and broadcast as a numpy matrix; each corpus
-    partition computes a (queries x batch) matmul and emits its local
-    top-k; a final per-query top-k merges partitions. This is the
-    100 TB shape — all-pairs work stays partition-local and
-    SIMD-vectorized, only nq*k rows per partition ever shuffle.
-
-    numpy's pairwise summation differs from a sequential fold in the
-    low bits, so this variant is rows-only (no bit-exact oracle); the
-    exact-fold twin sim_bruteforce_topk carries the oracle, and the
-    test suite asserts both agree on the neighbor SETS."""
-    import numpy as np
-
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _vec_dbl("embedding").alias("v")
-    )
-    e = spread(e)
-    qrows = e.where(F.col("vec_id") < N_QUERIES).collect()
-    qids = [r["vec_id"] for r in qrows]
-    qmat = np.stack([np.asarray(r["v"]) for r in qrows])
-    qnorms = np.linalg.norm(qmat, axis=1)
-
-    out_schema = T.StructType(
-        [
-            T.StructField("query_id", T.LongType()),
-            T.StructField("neighbor_id", T.LongType()),
-            T.StructField("cosine", T.DoubleType()),
-        ]
-    )
-    local = e.mapInPandas(
-        _topk_partition_scorer(qids, qmat, qnorms, TOP_K), schema=out_schema
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        local.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= TOP_K)
     )
 

@@ -32,9 +32,17 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(s):
             df[c] = pd.to_datetime(s).dt.tz_localize(None)
         elif s.dtype == object:
-            df[c] = s.map(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) or hasattr(v, "tolist") and not isinstance(v, str) else v
-            )
+
+            def _cell(v):
+                if isinstance(v, dict):
+                    return tuple(sorted(v.items()))
+                if isinstance(v, (list, tuple)) or (
+                    hasattr(v, "tolist") and not isinstance(v, (str, bytes))
+                ):
+                    return tuple(v)
+                return v
+
+            df[c] = s.map(_cell)
         elif pd.api.types.is_float_dtype(s):
             df[c] = s.astype("float64")
         elif pd.api.types.is_integer_dtype(s):
