@@ -67,6 +67,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        # Session-wide conf, also set (documented) in session.get_spark's
+        # builder; re-asserted here so load_table works on any session.
+        # Scope note: this types EVERY nanos-timestamp parquet column in
+        # the session as long — fine here because `events` is the only
+        # nanos table and the repo always wants the raw-long + explicit
+        # µs-conversion read path below.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 

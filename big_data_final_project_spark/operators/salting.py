@@ -31,15 +31,27 @@ def salted_inner_join(
 ) -> DataFrame:
     """Inner equi-join on ``on`` with left-side salting.
 
-    left gets a deterministic salt in [0, salt_buckets) derived by
-    hashing its whole row identity (xxhash64 — cheap, uniform, no
-    rand() so replays/retries stay deterministic); right is
-    replicated once per bucket via a literal-array explode (narrow,
-    no shuffle of its own).
+    left gets a salt in [0, salt_buckets) derived by hashing its row
+    identity (xxhash64 — cheap, uniform, no rand()) MIXED with the
+    physical row position (partition id + per-partition counter):
+    identity alone would send fully-identical duplicate rows of a hot
+    key to one bucket, preserving exactly the skew salting exists to
+    break. The positional mix keeps bucket routing deterministic for
+    a deterministic input partitioning (replays recompute the same
+    lineage, so retries agree); the JOIN RESULT is salt-independent
+    either way — salt only routes rows, and tests/test_salting.py
+    pins result-equivalence to the unsalted twin.
     """
     left_s = left.withColumn(
         SALT_COL,
-        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)),
+        F.pmod(
+            F.xxhash64(
+                *[F.col(c) for c in left.columns],
+                F.spark_partition_id(),
+                F.monotonically_increasing_id(),
+            ),
+            F.lit(salt_buckets),
+        ),
     )
     buckets = F.array(*[F.lit(i) for i in range(salt_buckets)])
     right_s = right.withColumn(SALT_COL, F.explode(buckets)).withColumnRenamed(

@@ -503,19 +503,86 @@ def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_stats_moments", oracle=None, tags=("groupby", "stats", "approx"))
+@query(
+    "agg_stats_moments",
+    oracle="""
+    WITH s AS (
+        SELECT l_linestatus,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(27,8))) AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(SUM(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(32,8))) AS VARCHAR) AS DOUBLE) AS sxxx,
+               CAST(CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sxxxx
+        FROM lineitem GROUP BY l_linestatus
+    ),
+    r AS (
+        SELECT l_linestatus, n, sx, sxx,
+               sx / n AS mu, sxx / n AS sxx_n,
+               sxxx / n AS sxxx_n, sxxxx / n AS sxxxx_n
+        FROM s
+    ),
+    m AS (
+        SELECT l_linestatus, n, sx, sxx, mu,
+               sxx_n - mu * mu AS m2,
+               sxxx_n - 3.0 * mu * sxx_n + 2.0 * mu * mu * mu AS m3,
+               sxxxx_n - 4.0 * mu * sxxx_n + 6.0 * (mu * mu) * sxx_n
+                       - 3.0 * (mu * mu) * (mu * mu) AS m4
+        FROM r
+    )
+    SELECT l_linestatus, CAST(n AS BIGINT) AS n,
+           sqrt((sxx - sx * sx / n) / (n - 1.0)) AS sd_qty,
+           (sxx - sx * sx / n) / (n - 1.0) AS var_qty,
+           m3 / (m2 * sqrt(m2)) AS skew_qty,
+           m4 / (m2 * m2) - 3.0 AS kurt_qty
+    FROM m
+    """,
+    tags=("groupby", "stats"),
+)
 def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Built-in single-pass moment aggregates (stddev/var/skewness/
-    kurtosis/corr): mergeable partial state, one shuffle — rows-only
-    because their partition-order float drift is engine-specific
-    (the deterministic variance twin above carries the oracle)."""
+    """Deterministic higher moments (stddev/var/skewness/kurtosis) via
+    the raw-power-sum identity with decimal-exact sums: Σx..Σx⁴ are
+    exact decimals (order-independent, mergeable — one shuffle, same
+    partial-agg shape as the built-ins), and the double arithmetic on
+    top uses an op tree mirrored verbatim in the oracle, so results
+    are bit-identical across engines. The built-in single-pass
+    skewness/kurtosis are partition-order-sensitive in the low bits;
+    tests/test_properties.py pins these deterministic forms to the
+    built-ins within float tolerance."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_linestatus").agg(
-        F.stddev_samp("l_quantity").alias("sd_qty"),
-        F.var_samp("l_quantity").alias("var_qty"),
-        F.skewness("l_quantity").alias("skew_qty"),
-        F.kurtosis("l_quantity").alias("kurt_qty"),
-        F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
+    x = F.col("l_quantity")
+    agg = li.groupBy("l_linestatus").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x.cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum((x * x).cast("decimal(27,8)")).cast("double").alias("sxx"),
+        F.sum((x * x * x).cast("decimal(32,8)")).cast("double").alias("sxxx"),
+        F.sum((x * x * x * x).cast("decimal(38,8)")).cast("double").alias("sxxxx"),
+    )
+    r = agg.select(
+        "l_linestatus", "n", "sx", "sxx",
+        (F.col("sx") / F.col("n")).alias("mu"),
+        (F.col("sxx") / F.col("n")).alias("sxx_n"),
+        (F.col("sxxx") / F.col("n")).alias("sxxx_n"),
+        (F.col("sxxxx") / F.col("n")).alias("sxxxx_n"),
+    )
+    mu, sxx_n = F.col("mu"), F.col("sxx_n")
+    m = r.select(
+        "l_linestatus", "n", "sx", "sxx", "mu",
+        (sxx_n - mu * mu).alias("m2"),
+        (F.col("sxxx_n") - F.lit(3.0) * mu * sxx_n
+         + F.lit(2.0) * mu * mu * mu).alias("m3"),
+        (F.col("sxxxx_n") - F.lit(4.0) * mu * F.col("sxxx_n")
+         + F.lit(6.0) * (mu * mu) * sxx_n
+         - F.lit(3.0) * (mu * mu) * (mu * mu)).alias("m4"),
+    )
+    n, sx, sxx, m2 = F.col("n"), F.col("sx"), F.col("sxx"), F.col("m2")
+    var = (sxx - sx * sx / n) / (n - F.lit(1.0))
+    return m.select(
+        "l_linestatus",
+        n.cast("long").alias("n"),
+        F.sqrt(var).alias("sd_qty"),
+        var.alias("var_qty"),
+        (F.col("m3") / (m2 * F.sqrt(m2))).alias("skew_qty"),
+        (F.col("m4") / (m2 * m2) - F.lit(3.0)).alias("kurt_qty"),
     )
 
 
@@ -913,27 +980,27 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer
     )
     SELECT
-        (SELECT count(*) FROM dirty WHERE seg IS NULL OR bal IS NULL)
-          AS n_any_null,
-        (SELECT count(*) FROM dirty WHERE seg IS NOT NULL AND bal IS NOT NULL)
+        count(CASE WHEN seg IS NULL OR bal IS NULL THEN 1 END) AS n_any_null,
+        count(CASE WHEN seg IS NOT NULL AND bal IS NOT NULL THEN 1 END)
           AS n_complete,
-        (SELECT CAST(CAST(SUM(CAST(coalesce(bal, 0.0) AS DECIMAL(18,6)))
-                     AS VARCHAR) AS DOUBLE) FROM dirty)
-          AS filled_bal_total,
-        (SELECT count(*) FROM dirty
-         WHERE coalesce(seg, 'UNKNOWN') = 'UNKNOWN') AS n_filled_seg
+        CAST(CAST(SUM(CAST(coalesce(bal, 0.0) AS DECIMAL(18,6)))
+             AS VARCHAR) AS DOUBLE) AS filled_bal_total,
+        count(CASE WHEN coalesce(seg, 'UNKNOWN') = 'UNKNOWN' THEN 1 END)
+          AS n_filled_seg
+    FROM dirty
     """,
     tags=("null", "hygiene"),
 )
 def null_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The DataFrameNaFunctions surface in one audit row: na.drop
-    (complete-case count), na.fill on both a numeric and a string
-    column, and any-null counting — the null-hygiene pass every
-    ingest runs. Nulls are manufactured deterministically with
-    nullif/when so the query is self-contained; all four statistics
-    come from ONE cached projection scanned four times (at scale:
-    one pass with conditional aggregates — written as separate
-    subqueries here to exercise the na.* API surface itself)."""
+    """The null-hygiene audit every ingest runs — any-null count,
+    complete-case (na.drop semantics) count, na.fill on a numeric and
+    a string column — in ONE conditional-aggregate pass: a single
+    scan, a single job (round 1 ran 4 actions = 4 scans; fused per
+    the same rewrite ref_time_range_counts uses). Nulls are
+    manufactured deterministically with nullif/when so the query is
+    self-contained. na.fill IS the exercised API (the null flags are
+    captured before the fill); na.drop's plan surface is covered by
+    tests/test_properties.py."""
     c = load_table(spark, sf_dir, "customer")
     dirty = c.select(
         "c_custkey",
@@ -942,16 +1009,16 @@ def null_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("c_acctbal"))
         .alias("bal"),
     )
-    n_any_null = dirty.where(
-        F.col("seg").isNull() | F.col("bal").isNull()
-    ).count()
-    n_complete = dirty.na.drop(subset=["seg", "bal"]).count()
-    filled = dirty.na.fill({"bal": 0.0, "seg": "UNKNOWN"})
-    filled_bal_total = filled.agg(
-        F.sum(F.col("bal").cast("decimal(18,6)")).cast("double").alias("t")
-    ).collect()[0]["t"]
-    n_filled_seg = filled.where(F.col("seg") == "UNKNOWN").count()
-    return spark.createDataFrame(
-        [(n_any_null, n_complete, float(filled_bal_total), n_filled_seg)],
-        "n_any_null long, n_complete long, filled_bal_total double, n_filled_seg long",
+    flagged = dirty.select(
+        "*",
+        (F.col("seg").isNull() | F.col("bal").isNull()).alias("any_null"),
+    )
+    filled = flagged.na.fill({"bal": 0.0, "seg": "UNKNOWN"})
+    return filled.agg(
+        F.count(F.when(F.col("any_null"), 1)).alias("n_any_null"),
+        F.count(F.when(~F.col("any_null"), 1)).alias("n_complete"),
+        F.sum(F.col("bal").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("filled_bal_total"),
+        F.count(F.when(F.col("seg") == "UNKNOWN", 1)).alias("n_filled_seg"),
     )

@@ -39,6 +39,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # events.parquet is TIMESTAMP(NANOS), which Spark's reader
+        # rejects; read nanos as long session-wide and convert in
+        # data.load_table. Declared here (not toggled per-read) so the
+        # session's parquet typing is consistent for its whole life.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )

@@ -85,11 +85,66 @@ def stage_events_as_json(spark: SparkSession, sf_dir: str, staging_dir: str) -> 
     return staging_dir
 
 
-def read_event_stream(spark: SparkSession, staging_dir: str) -> DataFrame:
-    """File-source stream of raw values → parsed struct. Mirrors the
-    Kafka consumer's json deserializer (app.py:156) with Spark's
-    null-on-corrupt from_json."""
-    raw = spark.readStream.text(staging_dir)
+# Config gate for the real Kafka bus (the reference's actual transport:
+# producer.py:156-158 send/ack, app.py:147-163,245 consumer/poll). When a
+# broker URL is configured the pipeline reads/writes format("kafka");
+# otherwise the file source stands in for the topic with identical
+# value-bytes semantics. The sandbox has no broker, so the kafka branch
+# is exercised as option-building assertions (tests/test_streaming.py),
+# not a live connection.
+KAFKA_BROKERS_ENV = "SPARK_GRAFT_KAFKA_BROKERS"
+EVENT_TOPIC = "events"
+
+
+def stream_source_descriptor(
+    staging_dir: str, brokers: str | None = None, topic: str = EVENT_TOPIC
+) -> tuple[str, dict[str, str]]:
+    """(format, options) for the event-value stream — pure, so both
+    branches are unit-testable without a broker. Kafka options mirror
+    the reference consumer: earliest offsets on a fresh group
+    (app.py:152 auto_offset_reset='earliest'), no silent data loss."""
+    brokers = brokers if brokers is not None else os.environ.get(KAFKA_BROKERS_ENV)
+    if brokers:
+        return "kafka", {
+            "kafka.bootstrap.servers": brokers,
+            "subscribe": topic,
+            "startingOffsets": "earliest",
+            "failOnDataLoss": "true",
+        }
+    return "text", {"path": staging_dir}
+
+
+def kafka_sink_options(
+    brokers: str, checkpoint_dir: str, topic: str = EVENT_TOPIC
+) -> dict[str, str]:
+    """Options for a format('kafka') writeStream publishing JSON values
+    (producer.py:122 value_serializer semantics). Checkpointed like
+    every sink here, so redeliveries are replay-idempotent on the
+    consumer's keyed dedup rather than producer-side."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "topic": topic,
+        "checkpointLocation": checkpoint_dir,
+    }
+
+
+def read_event_stream(
+    spark: SparkSession, staging_dir: str, brokers: str | None = None
+) -> DataFrame:
+    """Event-value stream → parsed struct. format('kafka') when a
+    broker is configured (value bytes cast to string — the consumer's
+    deserializer, app.py:156), file source otherwise; both feed the
+    same null-on-corrupt from_json."""
+    fmt, opts = stream_source_descriptor(staging_dir, brokers)
+    if fmt == "kafka":
+        raw = (
+            spark.readStream.format("kafka")
+            .options(**opts)
+            .load()
+            .select(F.col("value").cast("string").alias("value"))
+        )
+    else:
+        raw = spark.readStream.text(opts["path"])
     return raw.select(
         F.col("value").alias("raw"),
         F.from_json("value", EVENT_SCHEMA, {"timestampFormat": TS_FORMAT}).alias(
@@ -132,12 +187,19 @@ def split_valid(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def persist_stream(
-    valid: DataFrame, store_dir: str, checkpoint_dir: str
+    valid: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    brokers: str | None = None,
 ) -> None:
     """Exactly-once persistence: checkpointed offsets + idempotent
     batch-id-keyed appends. Replacing the reference's per-record
     at-least-once insert_one (app.py:220) — a redelivered batch
-    overwrites its own directory instead of duplicating rows."""
+    overwrites its own directory instead of duplicating rows.
+
+    With a broker configured (KAFKA_BROKERS_ENV or `brokers`), the
+    stream is ALSO published to the events topic as JSON values —
+    the reference producer's bus leg (producer.py:156)."""
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         (
@@ -147,14 +209,30 @@ def persist_stream(
             .parquet(os.path.join(store_dir, f"batch_id={batch_id}"))
         )
 
+    brokers = brokers if brokers is not None else os.environ.get(KAFKA_BROKERS_ENV)
     with _stream_partitions(valid.sparkSession):
-        (
+        writers = [
             valid.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
-        )
+        ]
+        if brokers:
+            payload = valid.select(
+                F.col("event_id").cast("string").alias("key"),
+                F.to_json(
+                    F.struct(*valid.columns), {"timestampFormat": TS_FORMAT}
+                ).alias("value"),
+            )
+            writers.append(
+                payload.writeStream.format("kafka")
+                .options(
+                    **kafka_sink_options(brokers, checkpoint_dir + "_kafka")
+                )
+                .trigger(availableNow=True)
+            )
+        queries = [w.start() for w in writers]
+        for q in queries:
+            q.awaitTermination()
 
 
 def read_store(spark: SparkSession, store_dir: str) -> DataFrame:

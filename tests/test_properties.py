@@ -117,3 +117,65 @@ def test_cluster_invariants(spark, sf_dir):
         members[c].add(n)
     for c, ms in members.items():
         assert c == min(ms), (c, ms)
+
+
+def test_moments_match_builtin_aggregates(spark, sf_dir):
+    """agg_stats_moments computes skew/kurtosis/stddev via exact
+    decimal power sums (oracle-paired, order-independent). The
+    built-in single-pass aggregates must agree within float tolerance
+    — this pins the deterministic identity to Spark's implementation
+    without importing its partition-order low-bit drift."""
+    from pyspark.sql import functions as F
+
+    from big_data_final_project_spark.data import load_table
+    from big_data_final_project_spark.registry import catalog
+
+    det = {
+        r["l_linestatus"]: r
+        for r in catalog()["agg_stats_moments"].fn(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    builtin = {
+        r["l_linestatus"]: r
+        for r in li.groupBy("l_linestatus")
+        .agg(
+            F.stddev_samp("l_quantity").alias("sd_qty"),
+            F.var_samp("l_quantity").alias("var_qty"),
+            F.skewness("l_quantity").alias("skew_qty"),
+            F.kurtosis("l_quantity").alias("kurt_qty"),
+        )
+        .collect()
+    }
+    assert det.keys() == builtin.keys()
+    for k in det:
+        for col in ("sd_qty", "var_qty", "skew_qty", "kurt_qty"):
+            a, b = det[k][col], builtin[k][col]
+            assert abs(a - b) <= 1e-8 * max(1.0, abs(b)), (k, col, a, b)
+
+
+def test_na_drop_agrees_with_fused_audit(spark, sf_dir):
+    """null_hygiene fused its four scans into one conditional
+    aggregate; the na.drop / na.replace API surface itself is pinned
+    here: complete-case count via na.drop equals the fused query's
+    n_complete, and na.replace rewrites match the when/otherwise
+    form."""
+    from pyspark.sql import functions as F
+
+    from big_data_final_project_spark.data import load_table
+    from big_data_final_project_spark.registry import catalog
+
+    audit = catalog()["null_hygiene"].fn(spark, sf_dir).collect()[0]
+    c = load_table(spark, sf_dir, "customer")
+    dirty = c.select(
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+        F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal")).alias("bal"),
+    )
+    assert dirty.na.drop(subset=["seg", "bal"]).count() == audit["n_complete"]
+    assert (
+        dirty.na.drop(how="all", subset=["seg", "bal"]).count()
+        >= audit["n_complete"]
+    )
+    replaced = dirty.na.replace("AUTOMOBILE", "CAR", subset=["seg"])
+    n_car = replaced.where(F.col("seg") == "CAR").count()
+    n_auto = dirty.where(F.col("seg") == "AUTOMOBILE").count()
+    assert n_car == n_auto

@@ -139,3 +139,39 @@ def test_stateful_running_counts_across_batches(spark, sf_dir, staging):
     }
     assert final == want
     assert n_updates > len(final), "expected >1 update per key (multi-batch)"
+
+
+def test_kafka_gate_option_building(monkeypatch, staging):
+    """The config-gated Kafka branch: with a broker URL the source
+    descriptor is format('kafka') with the reference consumer's
+    offset semantics; without one it is the file stand-in. Asserted
+    on the pure option builders (no broker exists in the sandbox)."""
+    from big_data_final_project_spark.streaming.pipeline import (
+        EVENT_TOPIC,
+        KAFKA_BROKERS_ENV,
+        kafka_sink_options,
+        stream_source_descriptor,
+    )
+
+    monkeypatch.delenv(KAFKA_BROKERS_ENV, raising=False)
+    fmt, opts = stream_source_descriptor(staging)
+    assert fmt == "text" and opts == {"path": staging}
+
+    fmt, opts = stream_source_descriptor(staging, brokers="broker1:9092")
+    assert fmt == "kafka"
+    assert opts["kafka.bootstrap.servers"] == "broker1:9092"
+    assert opts["subscribe"] == EVENT_TOPIC
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["failOnDataLoss"] == "true"
+
+    monkeypatch.setenv(KAFKA_BROKERS_ENV, "broker2:9092")
+    fmt, opts = stream_source_descriptor(staging)
+    assert fmt == "kafka"
+    assert opts["kafka.bootstrap.servers"] == "broker2:9092"
+
+    sink = kafka_sink_options("broker1:9092", "/tmp/ckpt")
+    assert sink == {
+        "kafka.bootstrap.servers": "broker1:9092",
+        "topic": EVENT_TOPIC,
+        "checkpointLocation": "/tmp/ckpt",
+    }
