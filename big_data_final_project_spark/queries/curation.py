@@ -1,0 +1,380 @@
+"""Corpus-curation operators over ``documents`` (north-star
+extension; SURVEY.md §2.6): benchmark decontamination, PII redaction,
+repetition-based quality filtering, and domain-mixture rebalancing —
+the four screening passes a large-scale training-data pipeline runs
+between raw crawl and tokenizer (the same family as the published
+C4 / Gopher / Dolma cleaning recipes).
+
+The reference has no text processing (its strings are weather labels,
+app.py:450); these extend the text/dedup/pipeline modules with the
+remaining curation stages.
+
+Scale posture:
+ * decontamination is an inverted-index join on n-gram hashes with the
+   BENCHMARK side broadcast — eval suites are tiny relative to a crawl,
+   so the corpus never shuffles, it streams past a broadcast hash set;
+ * PII redaction is a pure per-row regexp map (JVM codegen, zero
+   shuffles);
+ * repetition stats shuffle on (doc_id, gram) — md5-uniform keys, and
+   the per-doc reduction is a two-level partial aggregate;
+ * domain mixture computes per-source budgets (a tiny aggregate),
+   broadcasts the rate table, and gates rows with a deterministic
+   content hash — reproducible across engines, runs, and repartitions
+   (same rationale as sample_hash_stratified).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..registry import query
+from .text import _NORM_SQL, _TOKS_SQL, _norm, _toks
+
+K_GRAM = 8  # decontamination n-gram width (word-level)
+BENCH_SOURCE = "src0"  # held-out "benchmark" slice of the corpus
+
+# Token-level n-grams as strings; guard short docs (sequence() would
+# count DOWN for size < K). The `toks` column is materialized before
+# the lambda references it (SCALE.md: inlined array exprs re-evaluate
+# per element — quadratic).
+_GRAMS_EXPR = (
+    f"CASE WHEN size(toks) >= {K_GRAM} THEN "
+    f"transform(sequence(1, size(toks) - {K_GRAM} + 1), "
+    f"i -> concat_ws(' ', slice(toks, i, {K_GRAM}))) "
+    "ELSE CAST(array() AS array<string>) END"
+)
+_GRAMS_SQL = (
+    f"CASE WHEN len(toks) >= {K_GRAM} THEN "
+    f"list_transform(range(1, len(toks) - {K_GRAM} + 2), "
+    f"i -> array_to_string(toks[i:i+{K_GRAM - 1}], ' ')) "
+    "ELSE [] END"
+)
+
+
+@query(
+    "curation_decontaminate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id, source, {_GRAMS_SQL} AS grams FROM t),
+    bench AS (
+        SELECT DISTINCT unnest(grams) AS gram FROM g WHERE source = '{BENCH_SOURCE}'
+    ),
+    cand AS (
+        SELECT doc_id, len(grams) AS n_grams,
+               unnest(CASE WHEN len(grams) = 0 THEN [NULL] ELSE grams END) AS gram
+        FROM g WHERE source <> '{BENCH_SOURCE}'
+    )
+    SELECT c.doc_id,
+           CAST(max(c.n_grams) AS BIGINT) AS n_grams,
+           CAST(count(b.gram) AS BIGINT) AS n_contaminated_grams,
+           count(b.gram) > 0 AS is_contaminated
+    FROM cand c LEFT JOIN bench b ON b.gram = c.gram
+    GROUP BY c.doc_id
+    """,
+    tags=("curation", "decontaminate", "ngram"),
+)
+def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any
+    word-{K_GRAM}-gram with the held-out benchmark slice — the
+    standard eval-leak screen (the GPT-3/PaLM papers' 13-gram
+    collision check; 8 here because the synthetic docs are short).
+
+    Plan: benchmark grams become a DISTINCT xxhash64 set (eval suites
+    are small → broadcast); candidate grams stream past it with a
+    broadcast left join — the corpus side never shuffles until the
+    per-doc count, which is a narrow (doc_id)-keyed aggregate. The
+    oracle joins the gram STRINGS, so a 64-bit hash collision
+    (P ~ 1e-16 per pair) would surface as a hash mismatch — the hash
+    join is verified, not trusted."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", _toks(F.col("text")).alias("toks")
+    )
+    g = d.select("doc_id", "source", F.expr(_GRAMS_EXPR).alias("grams"))
+    bench = (
+        g.where(F.col("source") == BENCH_SOURCE)
+        .select(F.explode("grams").alias("gram"))
+        .select(F.xxhash64("gram").alias("gh"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    cand = g.where(F.col("source") != BENCH_SOURCE).select(
+        "doc_id",
+        F.size("grams").alias("n_grams"),
+        F.explode_outer("grams").alias("gram"),
+    )
+    joined = cand.withColumn("gh", F.xxhash64("gram")).join(
+        F.broadcast(bench), "gh", "left"
+    )
+    return joined.groupBy("doc_id").agg(
+        F.max("n_grams").cast("long").alias("n_grams"),
+        F.count("hit").cast("long").alias("n_contaminated_grams"),
+        (F.count("hit") > 0).alias("is_contaminated"),
+    )
+
+
+# PII patterns, written in the common subset of Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repeats, \b, alternation.
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"
+PII_PHONE = r"[0-9][0-9][0-9][- ][0-9][0-9][0-9][- ]?[0-9][0-9][0-9][0-9]"
+# The synthetic corpus contains no digits/emails (the patterns above
+# exercise the machinery and match zero rows — asserted by the oracle,
+# not assumed); the term list is the live redaction path.
+PII_TERMS = r"\b(key|user|hash)\b"
+
+
+@query(
+    "curation_pii_redact",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, {_NORM_SQL} AS txt FROM documents),
+    r AS (
+        SELECT doc_id, txt,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(txt, '{PII_EMAIL}', '[EMAIL]', 'g'),
+                       '{PII_PHONE}', '[PHONE]', 'g'),
+                   '{PII_TERMS}', '[TERM]', 'g') AS redacted
+        FROM n
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(txt, '{PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(txt, '{PII_PHONE}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(txt, '{PII_TERMS}')) AS BIGINT) AS n_term,
+           CAST(length(redacted) AS BIGINT) AS redacted_len,
+           md5(redacted) AS redacted_hash
+    FROM r
+    """,
+    tags=("curation", "pii"),
+)
+def curation_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regex redaction of emails / phone numbers / a
+    custom sensitive-term list, with per-doc match counts and the md5
+    of the redacted text (so the redacted corpus itself is verified
+    byte-for-byte, not just the counts). Pure per-row regexp map —
+    codegen'd, zero shuffles, scans at parquet speed at any scale."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _norm(F.col("text")).alias("txt")
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("txt"), PII_EMAIL, "[EMAIL]"),
+            PII_PHONE,
+            "[PHONE]",
+        ),
+        PII_TERMS,
+        "[TERM]",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count("txt", F.lit(PII_EMAIL)).cast("long").alias("n_email"),
+        F.regexp_count("txt", F.lit(PII_PHONE)).cast("long").alias("n_phone"),
+        F.regexp_count("txt", F.lit(PII_TERMS)).cast("long").alias("n_term"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+        F.md5(redacted).alias("redacted_hash"),
+    )
+
+
+# Gopher-style repetition gates (tuned to the synthetic corpus's
+# ~50-word vocabulary so both outcomes are exercised).
+REP_TOP_TOKEN_MAX = 0.10  # most frequent token may cover <=10% of doc
+REP_TOP_BIGRAM_MAX = 0.06
+
+
+@query(
+    "curation_repetition_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tok AS (
+        SELECT doc_id, unnest(toks) AS tok FROM t
+    ),
+    tok_top AS (
+        SELECT doc_id, max(c) AS top_tok FROM (
+            SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok
+        ) x GROUP BY doc_id
+    ),
+    big AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS gram
+        FROM t WHERE len(toks) >= 2
+    ),
+    big_top AS (
+        SELECT doc_id, max(c) AS top_big FROM (
+            SELECT doc_id, gram, count(*) AS c FROM big GROUP BY doc_id, gram
+        ) x GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(tok_top.top_tok AS DOUBLE) / len(t.toks) AS top_token_ratio,
+           CAST(big_top.top_big AS DOUBLE) / (len(t.toks) - 1) AS top_bigram_ratio,
+           (CAST(tok_top.top_tok AS DOUBLE) / len(t.toks) <= {REP_TOP_TOKEN_MAX}
+            AND CAST(big_top.top_big AS DOUBLE) / (len(t.toks) - 1)
+                <= {REP_TOP_BIGRAM_MAX}) AS passes_repetition
+    FROM t
+    JOIN tok_top ON tok_top.doc_id = t.doc_id
+    JOIN big_top ON big_top.doc_id = t.doc_id
+    """,
+    tags=("curation", "quality", "repetition"),
+)
+def curation_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality gate (the Gopher rules' shape): a doc
+    fails when its most frequent token or bigram covers too much of
+    it — the cheap detector for boilerplate / keyword-stuffed /
+    looping text. Two (doc_id, gram)-keyed counts (md5-uniform, no
+    skew) reduced to per-doc maxima — two narrow shuffles, partials
+    map-side; ratios are exact BIGINT/BIGINT divisions in double."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _toks(F.col("text")).alias("toks")
+    )
+    base = d.select("doc_id", F.size("toks").alias("n_toks"), "toks")
+
+    tok_top = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_tok"))
+    )
+    bigrams = F.expr("transform(sequence(1, size(toks) - 1), i -> concat(toks[i - 1], ' ', toks[i]))")
+    big_top = (
+        base.where(F.size("toks") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_big"))
+    )
+    t_ratio = F.col("top_tok").cast("double") / F.col("n_toks")
+    b_ratio = F.col("top_big").cast("double") / (F.col("n_toks") - 1)
+    return (
+        base.select("doc_id", "n_toks")
+        .join(tok_top, "doc_id")
+        .join(big_top, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_toks").cast("long").alias("n_tokens"),
+            t_ratio.alias("top_token_ratio"),
+            b_ratio.alias("top_bigram_ratio"),
+            (
+                (t_ratio <= REP_TOP_TOKEN_MAX) & (b_ratio <= REP_TOP_BIGRAM_MAX)
+            ).alias("passes_repetition"),
+        )
+    )
+
+
+MIX_TARGET_FRACTION = 0.8  # per-source token budget = 0.8 * mean share
+MIX_GATE_BUCKETS = 1000
+
+
+@query(
+    "curation_domain_mixture",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    per_src AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM d GROUP BY source
+    ),
+    rates AS (
+        SELECT source, n_docs, total_tokens,
+               least(1.0, {MIX_TARGET_FRACTION} *
+                     (CAST(SUM(total_tokens) OVER () AS DOUBLE)
+                      / COUNT(*) OVER ())
+                     / CAST(total_tokens AS DOUBLE)) AS keep_rate
+        FROM per_src
+    ),
+    gated AS (
+        SELECT d.source, d.n_tokens, r.keep_rate
+        FROM d JOIN rates r ON r.source = d.source
+        WHERE CAST(('0x' || substring(
+                  md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) % {MIX_GATE_BUCKETS}
+              < CAST(floor(r.keep_rate * {MIX_GATE_BUCKETS}) AS BIGINT)
+    )
+    SELECT r.source, r.n_docs, r.total_tokens, r.keep_rate,
+           CAST(coalesce(g.n_docs_sampled, 0) AS BIGINT) AS n_docs_sampled,
+           CAST(coalesce(g.tokens_sampled, 0) AS BIGINT) AS tokens_sampled
+    FROM rates r
+    LEFT JOIN (
+        SELECT source, count(*) AS n_docs_sampled,
+               SUM(n_tokens) AS tokens_sampled
+        FROM gated GROUP BY source
+    ) g ON g.source = r.source
+    """,
+    tags=("curation", "mixture", "sample"),
+)
+def curation_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: per-source token accounting, a
+    token budget per source (a fraction of the uniform share —
+    over-represented domains get downsampled, small ones keep
+    everything), and the materialized sample via a deterministic
+    content-hash gate — in-or-out is stable across engines, runs,
+    and repartitions, unlike seeded RNG (sample_hash_stratified
+    rationale). Plan: one per-source aggregate (tiny), the rate
+    table broadcast back onto the corpus, a narrow gate predicate,
+    one final per-source aggregate."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(_toks(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    per_src = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    # Global totals via a 1-row broadcast cross join (not a window: no
+    # need to sort/shuffle the per-source table for a grand total).
+    totals = per_src.agg(
+        F.sum("total_tokens").cast("double").alias("grand_tokens"),
+        F.count("*").cast("double").alias("n_sources"),
+    )
+    rates = per_src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.least(
+            F.lit(1.0),
+            F.lit(MIX_TARGET_FRACTION)
+            * (F.col("grand_tokens") / F.col("n_sources"))
+            / F.col("total_tokens").cast("double"),
+        ).alias("keep_rate"),
+    )
+    gate_bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("source"), F.col("doc_id"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % MIX_GATE_BUCKETS
+    )
+    gated = (
+        d.join(F.broadcast(rates.select("source", "keep_rate")), "source")
+        .where(
+            gate_bucket
+            < F.floor(F.col("keep_rate") * MIX_GATE_BUCKETS).cast("long")
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs_sampled"),
+            F.sum("n_tokens").cast("long").alias("tokens_sampled"),
+        )
+    )
+    return rates.join(gated, "source", "left").select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "keep_rate",
+        F.coalesce(F.col("n_docs_sampled"), F.lit(0)).cast("long").alias(
+            "n_docs_sampled"
+        ),
+        F.coalesce(F.col("tokens_sampled"), F.lit(0)).cast("long").alias(
+            "tokens_sampled"
+        ),
+    )

@@ -77,6 +77,7 @@ def _load_all() -> None:
         ml,
         sql_surface,
         udf_surface,
+        curation,
     )
 
 
