@@ -76,6 +76,80 @@ def stub_fetch(location: str) -> dict[str, Any]:
     }
 
 
+def http_fetch(
+    base_url: str,
+    api_key: str,
+    *,
+    timeout_s: float = 10.0,
+    retries: int = 2,
+    opener: Callable[..., Any] | None = None,
+) -> Callable[[str], dict[str, Any] | None]:
+    """The LIVE fetch path (producer.py:85-88: requests.get + .json),
+    on stdlib urllib so it needs no extra packages. Returns a
+    ``fetch_fn`` for :func:`fetch_weather_batch` / :func:`poll_weather_loop`.
+
+    Error envelope mirrors the producer (producer.py:105-113): any
+    HTTP/parse failure after `retries` attempts yields None (the
+    caller logs-and-skips), never an exception into the poll loop.
+    ``opener`` injects the transport for tests (the sandbox has no
+    network); by default it is ``urllib.request.urlopen``.
+    """
+    import json as _json
+    import urllib.parse
+    import urllib.request
+
+    open_fn = opener or urllib.request.urlopen
+
+    def fetch(location: str) -> dict[str, Any] | None:
+        qs = urllib.parse.urlencode({"key": api_key, "q": location})
+        url = f"{base_url}?{qs}"
+        for _ in range(retries + 1):
+            try:
+                with open_fn(url, timeout=timeout_s) as resp:
+                    return _json.loads(resp.read().decode("utf-8"))
+            except Exception:
+                continue
+        return None
+
+    return fetch
+
+
+def poll_weather_loop(
+    spark: SparkSession,
+    locations: Iterable[str],
+    *,
+    n_polls: int,
+    interval_s: float,
+    fetch_fn: Callable[[str], dict[str, Any] | None] = stub_fetch,
+    sleep_fn: Callable[[float], None] | None = None,
+    sink: Callable[[DataFrame, int], None] | None = None,
+) -> DataFrame:
+    """The producer's timer loop (producer.py:169-210: poll every
+    interval, emit a batch per tick), bounded to ``n_polls`` so it is
+    testable. Each tick fetches every location once and hands the
+    typed batch to ``sink`` (e.g. a parquet append or Kafka publish);
+    the final batch is returned. ``sleep_fn`` injects the clock —
+    tests pass a no-op and assert cadence; the default is
+    ``time.sleep``, the real rate limiter.
+
+    At scale this loop is superseded by :func:`weather_rate_stream`
+    (backpressure, checkpointing); it exists for fidelity with the
+    reference's hand-rolled producer."""
+    import time as _time
+
+    sleep = sleep_fn or _time.sleep
+    locs = list(locations)
+    batch: DataFrame | None = None
+    for tick in range(n_polls):
+        if tick:
+            sleep(interval_s)
+        batch = fetch_weather_batch(spark, locs, fetch_fn)
+        if sink is not None:
+            sink(batch, tick)
+    assert batch is not None, "n_polls must be >= 1"
+    return batch
+
+
 def fetch_weather_batch(
     spark: SparkSession,
     locations: Iterable[str],

@@ -54,3 +54,71 @@ def test_rate_stream_schema_matches_canonical(spark):
     assert [f.name for f in stream.schema.fields] == [
         f.name for f in WEATHER_SCHEMA.fields
     ]
+
+
+def test_http_fetch_url_building_and_retry():
+    """The live HTTP path (injected transport — no network in the
+    sandbox): URL carries key+location, a flaky opener is retried,
+    and persistent failure yields None (log-and-skip envelope), never
+    an exception."""
+    import io
+    from contextlib import contextmanager
+
+    from big_data_final_project_spark.sources.weather import http_fetch
+
+    seen = []
+
+    @contextmanager
+    def ok_opener(url, timeout):
+        seen.append((url, timeout))
+        yield io.BytesIO(b'{"location": {"name": "Manila"}}')
+
+    fetch = http_fetch("https://api.example.com/v1/current.json", "K123",
+                       opener=ok_opener)
+    resp = fetch("Manila")
+    assert resp == {"location": {"name": "Manila"}}
+    url, timeout = seen[0]
+    assert url.startswith("https://api.example.com/v1/current.json?")
+    assert "key=K123" in url and "q=Manila" in url
+    assert timeout == 10.0
+
+    calls = {"n": 0}
+
+    @contextmanager
+    def flaky_opener(url, timeout):
+        calls["n"] += 1
+        if calls["n"] < 2:
+            raise OSError("connection reset")
+        yield io.BytesIO(b'{"current": {"temp_c": 30}}')
+
+    fetch = http_fetch("https://api.example.com", "K", opener=flaky_opener)
+    assert fetch("Cebu") == {"current": {"temp_c": 30}}
+    assert calls["n"] == 2
+
+    @contextmanager
+    def dead_opener(url, timeout):
+        raise OSError("no route to host")
+        yield
+
+    fetch = http_fetch("https://api.example.com", "K", retries=1,
+                       opener=dead_opener)
+    assert fetch("Davao") is None
+
+
+def test_poll_loop_cadence_and_sink(spark):
+    """The bounded producer loop: one batch per tick, sleep between
+    ticks only (not before the first), every batch reaches the sink."""
+    from big_data_final_project_spark.sources.weather import poll_weather_loop
+
+    sleeps, batches = [], []
+    final = poll_weather_loop(
+        spark,
+        ["Manila", "Cebu"],
+        n_polls=3,
+        interval_s=0.5,
+        sleep_fn=sleeps.append,
+        sink=lambda df, tick: batches.append((tick, df.count())),
+    )
+    assert sleeps == [0.5, 0.5]
+    assert batches == [(0, 2), (1, 2), (2, 2)]
+    assert final.count() == 2
