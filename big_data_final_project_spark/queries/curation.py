@@ -378,3 +378,164 @@ def curation_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_sampled"
         ),
     )
+
+
+SEQ_LEN = 512  # fixed training-sequence length (tokens)
+PACK_SHARDS = 8  # packing parallelism unit (content-hash shards)
+
+_PACK_SHARD_SQL = (
+    "CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+    f"AS UBIGINT) % {PACK_SHARDS} AS BIGINT)"
+)
+
+
+@query(
+    "curation_pack_sequences",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_PACK_SHARD_SQL} AS shard,
+               CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    off AS (
+        SELECT doc_id, shard, n_tokens,
+               CAST(coalesce(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS token_start
+        FROM d
+    )
+    SELECT doc_id, shard, n_tokens, token_start,
+           CAST(token_start // {SEQ_LEN} AS BIGINT) AS seq_first,
+           CAST((token_start + n_tokens - 1) // {SEQ_LEN} AS BIGINT) AS seq_last,
+           (token_start // {SEQ_LEN})
+             <> ((token_start + n_tokens - 1) // {SEQ_LEN}) AS spans_boundary
+    FROM off
+    """,
+    tags=("curation", "packing"),
+)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing manifest: docs are concatenated in
+    deterministic (shard, doc_id) order and chunked into fixed
+    SEQ_LEN-token sequences; each doc gets its token offset, its
+    first/last sequence index, and a boundary-crossing flag — the
+    manifest a dataloader needs to slice packed sequences without
+    re-tokenizing.
+
+    Scale shape: packing is per-SHARD (content-hash, uniform), so the
+    running-offset window parallelizes across {PACK_SHARDS} (at 100 TB:
+    thousands of) independent partitions instead of one global ordered
+    cumsum — a deliberately shard-local order, which is exactly how
+    real packers work (global document order carries no meaning)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % PACK_SHARDS
+        ).alias("shard"),
+        F.size(_toks(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = d.withColumn(
+        "token_start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    seq_first = F.floor(F.col("token_start") / SEQ_LEN).cast("long")
+    seq_last = F.floor(
+        (F.col("token_start") + F.col("n_tokens") - 1) / SEQ_LEN
+    ).cast("long")
+    return off.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "token_start",
+        seq_first.alias("seq_first"),
+        seq_last.alias("seq_last"),
+        (seq_first != seq_last).alias("spans_boundary"),
+    )
+
+
+INT8_LEVELS = 255  # symmetric-range affine int8 quantization
+
+# Binary fixed-point scale for the MSE sum: err^2 * 2^68 is an EXACT
+# power-of-two rescale of the double, round() of it is exact decimal
+# rounding on both engines, the per-element integers (< 2^53) sum
+# exactly in int64, and int64 -> double is correctly rounded — so the
+# mean is bit-identical cross-engine. (A decimal(28,20) cast is NOT:
+# DuckDB converts double->decimal via an fp multiply by 10^scale,
+# which drifts 1 ulp vs Spark's exact BigDecimal cast — found by the
+# differential.)
+MSE_FXP = float(2**68)
+
+
+@query(
+    "sim_quantize_int8",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS val, vec_id
+        FROM e
+    ),
+    rng AS (
+        SELECT pos, min(val) AS lo, max(val) AS hi FROM dims GROUP BY pos
+    ),
+    q AS (
+        SELECT d.vec_id,
+               abs((r.lo + round((d.val - r.lo) / ((r.hi - r.lo) / {INT8_LEVELS}))
+                    * ((r.hi - r.lo) / {INT8_LEVELS})) - d.val) AS err
+        FROM dims d JOIN rng r ON r.pos = d.pos
+    )
+    SELECT vec_id,
+           max(err) AS max_abs_err,
+           CAST(SUM(CAST(round(err * err * {MSE_FXP}) AS BIGINT)) AS DOUBLE)
+             / {MSE_FXP} / count(*) AS mse
+    FROM q GROUP BY vec_id
+    """,
+    tags=("similarity", "quantization"),
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 affine quantization audit for the vector store: per-
+    DIMENSION [min,max] ranges over the corpus (64 tiny groups), an
+    8-bit affine code per element, and per-vector reconstruction
+    error (max abs + MSE) — the compression-quality monitor a vector
+    store runs before switching its ANN index to int8.
+
+    Determinism: ranges are exact min/max; scale/round/reconstruct is
+    an identical double op tree both engines; round() is half-away on
+    both; the MSE sum routes through binary fixed-point int64 (see
+    MSE_FXP) so partition order can't drift low bits. Plan: one
+    explode + 64-group aggregate, ranges broadcast back, per-row map,
+    per-vector aggregate."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    dims = e.select("vec_id", F.posexplode("v").alias("pos", "val")).withColumn(
+        "pos", F.col("pos") + 1
+    )
+    rng = dims.groupBy("pos").agg(
+        F.min("val").alias("lo"), F.max("val").alias("hi")
+    )
+    scale = (F.col("hi") - F.col("lo")) / INT8_LEVELS
+    recon = F.col("lo") + F.round((F.col("val") - F.col("lo")) / scale) * scale
+    q = dims.join(F.broadcast(rng), "pos").select(
+        "vec_id", F.abs(recon - F.col("val")).alias("err")
+    )
+    return q.groupBy("vec_id").agg(
+        F.max("err").alias("max_abs_err"),
+        (
+            F.sum(
+                F.round(F.col("err") * F.col("err") * MSE_FXP).cast("long")
+            ).cast("double")
+            / MSE_FXP
+            / F.count("*")
+        ).alias("mse"),
+    )

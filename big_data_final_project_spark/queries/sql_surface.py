@@ -300,18 +300,30 @@ def sql_recursive_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     pairs.createOrReplaceTempView("nd_pairs")
-    return spark.sql(f"""
-        WITH RECURSIVE edges AS (
-            SELECT doc_a AS src, doc_b AS dst FROM nd_pairs
-            UNION ALL
-            SELECT doc_b, doc_a FROM nd_pairs
-        ),
-        reach AS (
-            SELECT src AS node, src AS r, 0 AS depth FROM edges
-            UNION ALL
-            SELECT e.dst, reach.r, reach.depth + 1
-            FROM reach JOIN edges e ON e.src = reach.node
-            WHERE reach.depth < {CC_DEPTH}
-        )
-        SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
-    """)
+    # DISTINCT in the recursive member collapses path multiplicity to
+    # one row per (node, reached-label, depth) — without it the walk
+    # enumerates PATHS and blows Spark's recursion row limit at sf0.1+
+    # (found by the full-registry bench sweep). The limit is raised as
+    # belt-and-braces for denser graphs, then restored.
+    key = "spark.sql.cteRecursionRowLimit"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, str(50_000_000))
+    try:
+        return spark.sql(f"""
+            WITH RECURSIVE edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM nd_pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM nd_pairs
+            ),
+            reach AS (
+                SELECT src AS node, src AS r, 0 AS depth FROM edges
+                UNION ALL
+                SELECT DISTINCT e.dst, reach.r, reach.depth + 1
+                FROM reach JOIN edges e ON e.src = reach.node
+                WHERE reach.depth < {CC_DEPTH}
+            )
+            SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+        """)
+    finally:
+        if old is not None:
+            spark.conf.set(key, old)
