@@ -366,7 +366,7 @@ def curation_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("tokens_sampled"),
         )
     )
-    return rates.join(gated, "source", "left").select(
+    return rates.join(F.broadcast(gated), "source", "left").select(
         "source",
         "n_docs",
         "total_tokens",

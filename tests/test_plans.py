@@ -181,3 +181,26 @@ def test_range_join_bucketization_avoids_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p.text, p.text
     assert p.cartesian_products == 0
     assert p.broadcast_joins >= 1  # cell-exploded bands are tiny
+
+
+def test_curation_ops_plan_shapes(spark, sf_dir):
+    # decontamination: benchmark gram set broadcast; the corpus side
+    # must never sort-merge against it
+    p = _plan(spark, sf_dir, "curation_decontaminate")
+    assert p.broadcast_joins >= 1, p.text
+    assert p.sortmerge_joins == 0, p.text
+    assert p.cartesian_products == 0
+    # PII redaction: pure per-row map — ZERO shuffles
+    p = _plan(spark, sf_dir, "curation_pii_redact")
+    assert p.shuffles == 0, p.text
+    # domain mixture: rate table broadcast back onto the corpus
+    p = _plan(spark, sf_dir, "curation_domain_mixture")
+    assert p.broadcast_joins >= 2, p.text
+    assert p.cartesian_products == 0
+    # packing: one shard-partitioned window shuffle, nothing else
+    p = _plan(spark, sf_dir, "curation_pack_sequences")
+    assert p.shuffles <= 1, p.text
+    # int8 audit: 64-group range table broadcast back onto dims
+    p = _plan(spark, sf_dir, "sim_quantize_int8")
+    assert p.broadcast_joins >= 1, p.text
+    assert p.cartesian_products == 0
