@@ -446,6 +446,29 @@ def quantize_fxp(mat):
     return np.sign(xs) * np.floor(np.abs(xs) + 0.5)
 
 
+def qvec_sql(col: str) -> str:
+    """Oracle-side quantization of a DOUBLE list, in the exact
+    floor(|x*S| + 0.5) form quantize_fxp computes. For 24-bit
+    (float32-derived) values this equals round(x*S) bit-for-bit (the
+    +0.5 add is exact — see FXP_SCALE notes); for full 53-bit doubles
+    (e.g. centroid means) std::round and the floor form can disagree
+    when the fp add crosses a half — so the oracle mirrors the
+    floor-form ARITHMETIC, not a rounding function."""
+    s = f"CAST(x AS DOUBLE) * {FXP_SCALE}"
+    return (
+        f"list_transform({col}, x -> CAST(CASE WHEN x >= 0 "
+        f"THEN floor({s} + 0.5) ELSE -floor(-({s}) + 0.5) END AS BIGINT))"
+    )
+
+
+def ql2_sql(qcol: str) -> str:
+    """sqrt of the exact int64 sum of squares of a quantized list."""
+    return (
+        f"sqrt(CAST(list_reduce(list_transform({qcol}, x -> x * x),"
+        " (a, x) -> a + x) AS DOUBLE))"
+    )
+
+
 def _blocked_cosine_scorer(threshold):
     """applyInPandas stage: one label block in, its above-threshold
     pairs out — a single numpy gram matrix per block instead of an

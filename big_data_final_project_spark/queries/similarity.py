@@ -14,15 +14,17 @@ Scale posture (100 TB of vectors):
    broadcast table, assignment is a narrow map, probing visits
    nprobe cells.
 
-Determinism: all dots/norms are explicit sequential folds (see
-dedup.py); centroid means route through decimal sums
-(functions/numeric.py rationale) so they don't depend on partition
-order; every ranking breaks float ties on vec_id.
+Determinism (round 2): every dot product is fixed-point integer math
+(dedup.FXP_SCALE) — numpy matmuls over 2^23-scaled integers are exact
+(all partials < 2^53), so the SIMD fast paths ARE the oracle paths;
+centroid means route through decimal sums (functions/numeric.py
+rationale) so they don't depend on partition order; every ranking
+breaks float ties on vec_id / cell.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -30,30 +32,65 @@ from ..data import load_table
 from ..operators.scale import spread
 from ..registry import query
 from .dedup import (
-    _L2_SQL,
     _QDOT_SQL,
     _QL2_SQL,
     _QVEC_SQL,
     _VEC_SQL,
-    _l2,
     _vec_dbl,
+    ql2_sql,
     quantize_fxp,
+    qvec_sql,
 )
 
 N_QUERIES = 5  # vec_id < 5 are the query vectors
 TOP_K = 10
 
-_COS_SQL = """
-    list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]),
-                (acc, x) -> acc + x) / ({na} * {nb})
-"""
+def _quantize_rows(rows, col):
+    """Collected rows -> (ids, quantized matrix, quantized norms),
+    sorted by vec_id so first-max numpy ties resolve to the lowest id."""
+    import numpy as np
+
+    rows = sorted(rows, key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows], dtype="int64")
+    q = quantize_fxp(np.stack([np.asarray(r[col], dtype="float64") for r in rows]))
+    return ids, q, np.sqrt((q * q).sum(axis=1))
 
 
-def _cosine(va: Column, vb: Column, na: Column, nb: Column) -> Column:
-    dot = F.aggregate(
-        F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    return dot / (na * nb)
+def _collect_centroids(cent: DataFrame):
+    """(cells asc, quantized centroid matrix, quantized norms) — the
+    k-row broadcast every assignment pass uses."""
+    import numpy as np
+
+    rows = sorted(cent.select("cell", "cv").collect(), key=lambda r: r["cell"])
+    cells = np.array([r["cell"] for r in rows])
+    qc = quantize_fxp(np.stack([np.asarray(r["cv"], dtype="float64") for r in rows]))
+    return cells, qc, np.sqrt((qc * qc).sum(axis=1))
+
+
+def _assign_cells(vec_df: DataFrame, cells, qc, qcn) -> DataFrame:
+    """Nearest-centroid assignment as one vectorized corpus scan:
+    per Arrow batch, one exact fixed-point matmul against the k
+    quantized centroids, argmax per row (numpy's first-max == the
+    oracle's tie-to-lowest-cell because `cells` is ascending). The
+    round-1 relational form (crossJoin + min_by) paid an interpreted
+    ~0.17ms zip_with fold per (vector, centroid) — linear in corpus
+    and the dominant cost at scale."""
+    import numpy as np
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qv = quantize_fxp(np.stack(pdf["v"].to_numpy()))
+            qn = np.sqrt((qv * qv).sum(axis=1))
+            cos = (qv @ qc.T) / (qn[:, None] * qcn[None, :])
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": cells[np.argmax(cos, axis=1)]}
+            )
+
+    return vec_df.mapInPandas(fn, schema="vec_id long, cell int")
 
 
 def _topk_partition_scorer(qids, qmat_q, qnorms, k):
@@ -165,26 +202,32 @@ def _bucket_expr_sql(v: str) -> str:
     )
 
 
-def _bucket_expr(v: Column) -> Column:
-    out = None
+def _np_buckets(mat):
+    """Sign-bit bucket ids from the RAW (unquantized) vectors — the
+    same v[d] >= 0 test the oracle applies (quantization could flip
+    the sign of a -epsilon coordinate, so buckets never look at the
+    quantized values)."""
+    import numpy as np
+
+    out = np.zeros(len(mat), dtype="int64")
     for i, d in enumerate(LSH_DIMS):
-        term = F.when(F.element_at(v, d) >= 0, F.lit(1 << i)).otherwise(0)
-        out = term if out is None else out + term
-    return out.cast("long")
+        out += (mat[:, d - 1] >= 0).astype("int64") << i
+    return out
 
 
 @query(
     "sim_lsh_bucketed_topk",
     oracle=f"""
     WITH e AS (SELECT vec_id, label, {_VEC_SQL} AS v FROM embeddings),
-    n AS (SELECT vec_id, label, v, {_L2_SQL} AS nrm,
+    n AS (SELECT vec_id, {qvec_sql("v")} AS qv,
                  CAST({_bucket_expr_sql("v")} AS BIGINT) AS bucket
           FROM e),
-    q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}),
+    nn AS (SELECT vec_id, qv, bucket, {ql2_sql("qv")} AS nrm FROM n),
+    q AS (SELECT * FROM nn WHERE vec_id < {N_QUERIES}),
     scored AS (
-        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, n.bucket AS bucket,
-               {_COS_SQL.format(a="q.v", b="n.v", na="q.nrm", nb="n.nrm")} AS cosine
-        FROM q JOIN n ON q.bucket = n.bucket AND q.vec_id <> n.vec_id
+        SELECT q.vec_id AS query_id, nn.vec_id AS neighbor_id, nn.bucket AS bucket,
+               {_QDOT_SQL.format(a="q.qv", b="nn.qv", na="q.nrm", nb="nn.nrm")} AS cosine
+        FROM q JOIN nn ON q.bucket = nn.bucket AND q.vec_id <> nn.vec_id
     )
     SELECT query_id, neighbor_id, bucket, cosine, CAST(rnk AS BIGINT) AS rnk
     FROM (
@@ -193,56 +236,81 @@ def _bucket_expr(v: Column) -> Column:
         FROM scored
     ) r WHERE rnk <= {TOP_K}
     """,
-    tags=("similarity", "lsh"),
+    tags=("similarity", "lsh", "pandas", "bench"),
 )
 def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via sign-bit LSH: an 8-bit bucket from the sign
     of 8 fixed dimensions (axis-aligned random-hyperplane LSH — the
     hyperplane set is a deterministic constant here, a seeded random
-    matrix in production). Search touches only the query's bucket:
-    the corpus shuffles once on bucket id and each probe is a
-    bucket-local scan, ~1/256 of brute force."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _vec_dbl("embedding").alias("v")
+    matrix in production). Search touches only the query's bucket;
+    scoring is one fixed-point matmul per corpus partition restricted
+    to bucket matches (round 2: the per-pair interpreted fold became
+    the same exact-integer numpy path as brute force, so this is
+    oracle-paired AND vectorized), and only local top-k rows shuffle
+    to the final merge."""
+    import numpy as np
+
+    e = spread(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     )
-    n = e.select(
-        "vec_id",
-        "v",
-        _l2(F.col("v")).alias("nrm"),
-        _bucket_expr(F.col("v")).alias("bucket"),
+    qrows = e.where(F.col("vec_id") < N_QUERIES).collect()
+    qids, qq, qqn = _quantize_rows(qrows, "embedding")
+    qbuckets = _np_buckets(
+        np.stack([np.asarray(r["embedding"], dtype="float64") for r in
+                  sorted(qrows, key=lambda r: r["vec_id"])])
     )
-    q = n.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"),
-        F.col("bucket").alias("qbucket"),
-    )
-    scored = (
-        n.join(
-            F.broadcast(q),
-            (F.col("qbucket") == F.col("bucket"))
-            & (F.col("query_id") != F.col("vec_id")),
-        )
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            "bucket",
-            _cosine(F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")).alias(
-                "cosine"
-            ),
-        )
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            raw = np.stack(pdf["embedding"].to_numpy())[order].astype("float64")
+            buckets = _np_buckets(raw)
+            qv = quantize_fxp(raw)
+            nrm = np.sqrt((qv * qv).sum(axis=1))
+            sims = (qq @ qv.T) / (qqn[:, None] * nrm[None, :])
+            for qi, qid in enumerate(qids):
+                cand = np.flatnonzero((buckets == qbuckets[qi]) & (ids != qid))
+                if not len(cand):
+                    continue
+                row = sims[qi]
+                sel = cand[np.lexsort((ids[cand], -row[cand]))[:TOP_K]]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": ids[sel],
+                        "bucket": int(qbuckets[qi]),
+                        "cosine": row[sel],
+                    }
+                )
+
+    local = e.mapInPandas(
+        score,
+        schema="query_id long, neighbor_id long, bucket long, cosine double",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        local.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= TOP_K)
     )
 
 
 DEC_V = "decimal(27,12)"  # exact-sum type for centroid means
 N_PROBE = 2
+
+
+_IVF_QDOT_ASSIGN = _QDOT_SQL.format(
+    a="n.qv", b="c.qcv", na="n.qnrm", nb="c.qcnrm"
+)
+_IVF_QDOT_PROBE = _QDOT_SQL.format(a="q.qv", b="c.qcv", na="q.qnrm", nb="c.qcnrm")
+_IVF_QDOT_SCORE = _QDOT_SQL.format(a="q.qv", b="n.qv", na="q.qnrm", nb="n.qnrm")
 
 
 @query(
@@ -262,43 +330,42 @@ N_PROBE = 2
         FROM expl GROUP BY label, pos
     ),
     cent AS (
-        SELECT label AS cell, list(c ORDER BY pos) AS cv,
-               sqrt(list_reduce(list_transform(list(c ORDER BY pos), x -> x * x),
-                                (a, x) -> a + x) + 0.0) AS cnrm
+        SELECT label AS cell, list(c ORDER BY pos) AS cv
         FROM cent_dim GROUP BY label
     ),
-    n AS (SELECT vec_id, label, v, {_L2_SQL} AS nrm FROM e),
-    -- assign every vector to its nearest centroid by cosine
+    qcent AS (SELECT cell, {qvec_sql("cv")} AS qcv FROM cent),
+    qcentn AS (SELECT cell, qcv, {ql2_sql("qcv")} AS qcnrm FROM qcent),
+    nq AS (SELECT vec_id, {qvec_sql("v")} AS qv FROM e),
+    nqn AS (SELECT vec_id, qv, {ql2_sql("qv")} AS qnrm FROM nq),
+    -- assign every vector to its nearest centroid by quantized cosine
     assign AS (
         SELECT vec_id, cell FROM (
-            SELECT n.vec_id, cent.cell,
+            SELECT n.vec_id, c.cell,
                    row_number() OVER (
                        PARTITION BY n.vec_id
-                       ORDER BY {_COS_SQL.format(a="n.v", b="cent.cv", na="n.nrm", nb="cent.cnrm")} DESC,
-                                cent.cell) AS rn
-            FROM n CROSS JOIN cent
+                       ORDER BY {_IVF_QDOT_ASSIGN} DESC, c.cell) AS rn
+            FROM nqn n CROSS JOIN qcentn c
         ) x WHERE rn = 1
     ),
-    q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}),
+    q AS (SELECT * FROM nqn WHERE vec_id < {N_QUERIES}),
     -- each query probes its nprobe nearest cells
     probes AS (
         SELECT query_id, cell FROM (
-            SELECT q.vec_id AS query_id, cent.cell,
+            SELECT q.vec_id AS query_id, c.cell,
                    row_number() OVER (
                        PARTITION BY q.vec_id
-                       ORDER BY {_COS_SQL.format(a="q.v", b="cent.cv", na="q.nrm", nb="cent.cnrm")} DESC,
-                                cent.cell) AS rn
-            FROM q CROSS JOIN cent
+                       ORDER BY {_IVF_QDOT_PROBE} DESC, c.cell) AS rn
+            FROM q CROSS JOIN qcentn c
         ) x WHERE rn <= {N_PROBE}
     ),
     scored AS (
         SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
                a.cell AS cell,
-               {_COS_SQL.format(a="q.v", b="n.v", na="q.nrm", nb="n.nrm")} AS cosine
+               {_IVF_QDOT_SCORE} AS cosine
         FROM q
         JOIN probes p ON p.query_id = q.vec_id
         JOIN assign a ON a.cell = p.cell
-        JOIN n ON n.vec_id = a.vec_id AND n.vec_id <> q.vec_id
+        JOIN nqn n ON n.vec_id = a.vec_id AND n.vec_id <> q.vec_id
     )
     SELECT query_id, neighbor_id, cell, cosine, CAST(rnk AS BIGINT) AS rnk
     FROM (
@@ -307,22 +374,33 @@ N_PROBE = 2
         FROM scored
     ) r WHERE rnk <= {TOP_K}
     """,
-    tags=("similarity", "ivf"),
+    tags=("similarity", "ivf", "pandas", "bench"),
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: per-label mean centroids (a one-shot
     k-means step — production would iterate, the dataflow is
     identical), every vector assigned to its nearest centroid cell,
     queries probe the nprobe=2 nearest cells and brute-force only
-    those. Centroids are a tiny broadcast table; the corpus is
-    scanned once for assignment and only probed cells are rescored."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    those.
+
+    Round 2 shape: assignment AND scoring happen in ONE fused
+    fixed-point mapInPandas scan — each partition matmuls its batch
+    against the k quantized centroids (assignment) and against the
+    quantized query block (scoring), emitting only rows whose cell a
+    query probes. The round-1 relational form paid an interpreted
+    zip_with fold per (vector, centroid) AND per scored pair — both
+    linear in corpus; now the corpus is scanned once with exact
+    integer SIMD, and only per-partition top-k rows shuffle."""
+    import numpy as np
+
+    ed = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _vec_dbl("embedding").alias("v")
     )
     # Centroids: decimal-exact per-dimension means, reassembled in
-    # position order.
+    # position order (bit-identical cross-engine, so quantizing them
+    # driver-side matches the oracle's quantization of its own means).
     cent = (
-        e.select("label", F.posexplode("v").alias("pos", "val"))
+        ed.select("label", F.posexplode("v").alias("pos", "val"))
         .groupBy("label", "pos")
         .agg(
             (F.sum(F.col("val").cast(DEC_V)).cast("double") / F.count("*")).alias("c")
@@ -333,65 +411,56 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
             ).alias("cv")
         )
-        .select(
-            F.col("label").alias("cell"), "cv", _l2(F.col("cv")).alias("cnrm")
-        )
+        .select(F.col("label").alias("cell"), "cv")
     )
-    n = e.select("vec_id", "label", "v", _l2(F.col("v")).alias("nrm"))
+    cells, qc, qcn = _collect_centroids(cent)
 
-    cent_b = F.broadcast(cent)
-    cos_to_cent = _cosine(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm"))
-    # nearest-centroid assignment as a min_by aggregate (argmin over
-    # a (-cosine, cell) struct, ties to the lowest cell — the same
-    # deterministic order the oracle's row_number uses) instead of a
-    # per-key window: no sort, map-side partial argmin, one narrow
-    # shuffle of one struct per vec per partition
-    assign = (
-        n.crossJoin(cent_b)
-        .groupBy("vec_id")
-        .agg(
-            F.min_by(
-                "cell", F.struct((-cos_to_cent).alias("nc"), F.col("cell"))
-            ).alias("cell")
-        )
-    )
+    qrows = ed.where(F.col("vec_id") < N_QUERIES).select("vec_id", "v").collect()
+    qids, qq, qqn = _quantize_rows(qrows, "v")
+    qcos = (qq @ qc.T) / (qqn[:, None] * qcn[None, :])
+    probe_cells = {}
+    for qi, qid in enumerate(qids):
+        sel = np.lexsort((cells, -qcos[qi]))[:N_PROBE]
+        probe_cells[int(qid)] = set(int(cells[j]) for j in sel)
 
-    q = n.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"),
-    )
-    cos_q_cent = _cosine(F.col("qv"), F.col("cv"), F.col("qnrm"), F.col("cnrm"))
-    w_probe = Window.partitionBy("query_id").orderBy(
-        cos_q_cent.desc(), F.col("cell")
-    )
-    probes = (
-        q.crossJoin(cent_b)
-        .withColumn("rn", F.row_number().over(w_probe))
-        .where(F.col("rn") <= N_PROBE)
-        .select("query_id", "cell")
-    )
+    def score(batches):
+        import pandas as pd
 
-    scored = (
-        F.broadcast(q)
-        .join(F.broadcast(probes), "query_id")
-        .join(assign, "cell")
-        .join(n, "vec_id")
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            "cell",
-            _cosine(F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")).alias(
-                "cosine"
-            ),
-        )
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            qv = quantize_fxp(np.stack(pdf["v"].to_numpy())[order])
+            qn = np.sqrt((qv * qv).sum(axis=1))
+            cellcos = (qv @ qc.T) / (qn[:, None] * qcn[None, :])
+            rowcells = cells[np.argmax(cellcos, axis=1)]
+            sims = (qq @ qv.T) / (qqn[:, None] * qn[None, :])
+            for qi, qid in enumerate(qids):
+                probed = np.isin(rowcells, list(probe_cells[int(qid)]))
+                cand = np.flatnonzero(probed & (ids != qid))
+                if not len(cand):
+                    continue
+                row = sims[qi]
+                sel = cand[np.lexsort((ids[cand], -row[cand]))[:TOP_K]]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": ids[sel],
+                        "cell": rowcells[sel].astype("int32"),
+                        "cosine": row[sel],
+                    }
+                )
+
+    local = spread(ed.select("vec_id", "v")).mapInPandas(
+        score, schema="query_id long, neighbor_id long, cell int, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        local.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= TOP_K)
     )
 
@@ -451,11 +520,13 @@ KMEANS_ITERS = 2  # Lloyd refinement steps beyond the label-mean init
 def _kmeans_oracle(iters: int) -> str:
     """CTE chain for `iters` exact Lloyd steps (DuckDB). Each step is
     the same two relations the IVF oracle uses once: an argmin
-    assignment (row_number over vec x centroid cosine) and a
-    decimal-exact per-dimension mean."""
+    assignment (row_number over the QUANTIZED vec x centroid cosine —
+    matching the Spark side's fixed-point matmul) and a decimal-exact
+    per-dimension mean over the raw doubles."""
     ctes = [
         f"e AS (SELECT vec_id, label, {_VEC_SQL} AS v FROM embeddings)",
-        f"n AS (SELECT vec_id, label, v, {_L2_SQL} AS nrm FROM e)",
+        f"nq0 AS (SELECT vec_id, {qvec_sql('v')} AS qv FROM e)",
+        f"nq AS (SELECT vec_id, qv, {ql2_sql('qv')} AS qnrm FROM nq0)",
         # init: label-mean centroids (cent0)
         """expl0 AS (
             SELECT label AS cell, unnest(range(1, len(v) + 1)) AS pos,
@@ -465,34 +536,34 @@ def _kmeans_oracle(iters: int) -> str:
                    CAST(SUM(CAST(val AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS c
             FROM expl0 GROUP BY cell, pos)""",
         """cent0 AS (
-            SELECT cell, list(c ORDER BY pos) AS cv,
-                   sqrt(list_reduce(list_transform(list(c ORDER BY pos), x -> x * x),
-                                    (a, x) -> a + x) + 0.0) AS cnrm
+            SELECT cell, list(c ORDER BY pos) AS cv
             FROM centd0 GROUP BY cell)""",
     ]
-    cos = _COS_SQL.format(a="n.v", b="c.cv", na="n.nrm", nb="c.cnrm")
+    cos = _QDOT_SQL.format(a="n.qv", b="c.qcv", na="n.qnrm", nb="c.qcnrm")
     for i in range(1, iters + 1):
         ctes += [
+            f"""qcent{i - 1} AS (
+                SELECT cell, {qvec_sql("cv")} AS qcv FROM cent{i - 1})""",
+            f"""qcentn{i - 1} AS (
+                SELECT cell, qcv, {ql2_sql("qcv")} AS qcnrm FROM qcent{i - 1})""",
             f"""assign{i} AS (
                 SELECT vec_id, cell FROM (
                     SELECT n.vec_id, c.cell,
                            row_number() OVER (
                                PARTITION BY n.vec_id
                                ORDER BY {cos} DESC, c.cell) AS rn
-                    FROM n CROSS JOIN cent{i - 1} c
+                    FROM nq n CROSS JOIN qcentn{i - 1} c
                 ) x WHERE rn = 1)""",
             f"""expl{i} AS (
-                SELECT a.cell, unnest(range(1, len(n.v) + 1)) AS pos,
-                       unnest(n.v) AS val
-                FROM assign{i} a JOIN n ON n.vec_id = a.vec_id)""",
+                SELECT a.cell, unnest(range(1, len(e.v) + 1)) AS pos,
+                       unnest(e.v) AS val
+                FROM assign{i} a JOIN e ON e.vec_id = a.vec_id)""",
             f"""centd{i} AS (
                 SELECT cell, pos,
                        CAST(SUM(CAST(val AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS c
                 FROM expl{i} GROUP BY cell, pos)""",
             f"""cent{i} AS (
-                SELECT cell, list(c ORDER BY pos) AS cv,
-                       sqrt(list_reduce(list_transform(list(c ORDER BY pos), x -> x * x),
-                                        (a, x) -> a + x) + 0.0) AS cnrm
+                SELECT cell, list(c ORDER BY pos) AS cv
                 FROM centd{i} GROUP BY cell)""",
         ]
     return f"""
@@ -505,7 +576,7 @@ def _kmeans_oracle(iters: int) -> str:
 
 
 def _centroids_df(assigned: DataFrame) -> DataFrame:
-    """Decimal-exact per-dimension means -> (cell, cv, cnrm)."""
+    """Decimal-exact per-dimension means -> (cell, cv)."""
     return (
         assigned.select("cell", F.posexplode("v").alias("pos", "val"))
         .groupBy("cell", "pos")
@@ -516,7 +587,7 @@ def _centroids_df(assigned: DataFrame) -> DataFrame:
                 F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
             ).alias("cv")
         )
-        .select("cell", "cv", _l2(F.col("cv")).alias("cnrm"))
+        .select("cell", "cv")
     )
 
 
@@ -527,37 +598,32 @@ def _centroids_df(assigned: DataFrame) -> DataFrame:
 )
 def kmeans_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means (Lloyd) refinement of the IVF centroids, 2 exact
-    iterations: assign every vector to its nearest centroid (argmin
-    as a min_by aggregate — no per-key sort), recompute decimal-exact
-    per-dimension means, repeat. Cross-engine bit-identical floats in
-    an ITERATIVE ML loop — every mean is an exact decimal sum, every
-    dot a sequential fold, every argmin tie-broken on cell id — so
-    the oracle can check it like any relational query.
+    iterations: assign every vector to its nearest centroid, recompute
+    decimal-exact per-dimension means, repeat. Cross-engine
+    bit-identical floats in an ITERATIVE ML loop — every mean is an
+    exact decimal sum, every dot an exact fixed-point integer matmul
+    (round 2: the vectorized _assign_cells scan replaced a crossJoin
+    with an interpreted fold per vec x centroid), every argmin
+    tie-broken on cell id — so the oracle can check it like any
+    relational query.
 
-    Scale shape per iteration: centroids broadcast (k rows), the
-    corpus is scanned once for assignment (map-side partial argmin,
-    one narrow shuffle), and the mean recomputation is one
-    (cell, dim)-keyed aggregate. This is exactly how Spark MLlib's
-    KMeans iterates (minus sampling-based init); expressed
-    relationally it stays oracle-checkable."""
+    Scale shape per iteration: centroids broadcast (k rows,
+    quantized), the corpus is scanned once with one SIMD matmul per
+    Arrow batch, and the mean recomputation is one (cell, dim)-keyed
+    aggregate. This is exactly how Spark MLlib's KMeans iterates
+    (minus sampling-based init); expressed this way it stays
+    oracle-checkable."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _vec_dbl("embedding").alias("v")
     )
-    n = e.select("vec_id", "v", _l2(F.col("v")).alias("nrm")).localCheckpoint(
-        eager=True
-    )
+    n = e.select("vec_id", "v").localCheckpoint(eager=True)
     cent = _centroids_df(e.select(F.col("label").alias("cell"), "v"))
     for _ in range(KMEANS_ITERS):
-        cos = _cosine(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm"))
-        assign = (
-            n.crossJoin(F.broadcast(cent))
-            .groupBy("vec_id")
-            .agg(
-                F.min_by("cell", F.struct((-cos).alias("nc"), F.col("cell"))).alias(
-                    "cell"
-                )
-            )
-        )
+        # assignment: one vectorized fixed-point scan against the
+        # k-row quantized centroid broadcast (was: crossJoin + an
+        # interpreted fold per vec x centroid)
+        cells, qc, qcn = _collect_centroids(cent)
+        assign = _assign_cells(n, cells, qc, qcn)
         assigned = assign.join(n, "vec_id").select("vec_id", "cell", "v")
         # materialize: `assigned` feeds both the new centroids and
         # (on the last iteration) the membership counts

@@ -52,10 +52,25 @@ def test_grouped_summary_single_aggregation_shuffle(spark, sf_dir):
     assert p.cartesian_products == 0
 
 
-def test_lsh_topk_broadcasts_queries_not_corpus(spark, sf_dir):
+def test_lsh_topk_scans_corpus_once_no_joins(spark, sf_dir):
+    # round 2: the query block lives inside the mapInPandas scorer —
+    # the corpus is scanned once, never joined, and only local top-k
+    # rows reach the final per-query window
     p = _plan(spark, sf_dir, "sim_lsh_bucketed_topk")
-    assert p.broadcast_joins >= 1
     assert p.sortmerge_joins == 0, "corpus must not sort-merge against 5 queries"
+    assert p.cartesian_products == 0
+    assert "MapInPandas" in p.text, p.text
+    # spread() repartition (byte-small input fan-out) + top-k window
+    assert p.shuffles <= 2, p.text
+
+
+def test_ivf_topk_fused_scan_no_corpus_join(spark, sf_dir):
+    # assignment + scoring fused into one corpus scan; no self-join
+    p = _plan(spark, sf_dir, "sim_ivf_topk")
+    assert p.sortmerge_joins == 0, p.text
+    assert p.cartesian_products == 0
+    assert "MapInPandas" in p.text, p.text
+    assert p.shuffles <= 2, p.text
 
 
 def test_q9_dimensions_broadcast_one_fact_shuffle(spark, sf_dir):
