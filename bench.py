@@ -52,6 +52,10 @@ HEADLINE = [
     # fixed-point numpy fast paths (round 2: these ARE the oracle paths)
     "sim_bruteforce_topk",
     "dedup_embedding_cosine",
+    "sim_ivf_topk",
+    # round-2 corpus screening
+    "curation_decontaminate",
+    "curation_repetition_stats",
 ]
 
 

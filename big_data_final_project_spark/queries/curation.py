@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..data import load_table
+from ..operators.scale import spread
 from ..registry import query
 from .text import _NORM_SQL, _TOKS_SQL, _norm, _toks
 
@@ -538,4 +539,90 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             / MSE_FXP
             / F.count("*")
         ).alias("mse"),
+    )
+
+
+SEM_BENCH_N = 50  # vec_id < 50 = the held-out benchmark split
+SEM_LEAK_THRESHOLD = 0.35
+
+
+def _sem_decon_oracle() -> str:
+    from .dedup import _QDOT_SQL, _QVEC_SQL, _QL2_SQL
+
+    qdot = _QDOT_SQL.format(a="c.qv", b="b.qv", na="c.nrm", nb="b.nrm")
+    return f"""
+    WITH q0 AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
+    n AS (SELECT vec_id, qv, {_QL2_SQL} AS nrm FROM q0),
+    bench AS (SELECT * FROM n WHERE vec_id < {SEM_BENCH_N}),
+    cand AS (SELECT * FROM n WHERE vec_id >= {SEM_BENCH_N}),
+    scored AS (
+        SELECT c.vec_id, b.vec_id AS bench_id, {qdot} AS cos
+        FROM cand c CROSS JOIN bench b
+    ),
+    best AS (
+        SELECT vec_id, bench_id, cos, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cos DESC, bench_id) AS rn
+        FROM scored
+    )
+    SELECT vec_id, cos AS max_benchmark_cosine,
+           bench_id AS nearest_benchmark_id,
+           cos >= {SEM_LEAK_THRESHOLD} AS is_semantic_leak
+    FROM best WHERE rn = 1
+    """
+
+
+@query(
+    "curation_semantic_decontaminate",
+    oracle=_sem_decon_oracle(),
+    tags=("curation", "decontaminate", "embedding", "pandas"),
+)
+def curation_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) decontamination: for every training
+    vector, its maximum cosine to the held-out benchmark split and the
+    nearest benchmark id — the screen that catches paraphrased eval
+    leakage n-gram matching misses (benchmark items reworded in the
+    crawl). Complements curation_decontaminate the way fuzzy dedup
+    complements exact dedup.
+
+    Plan: the benchmark block (eval suites are small) is collected,
+    quantized, and broadcast into a mapInPandas scorer; each corpus
+    partition computes one exact fixed-point matmul and emits ONE row
+    per vector — the corpus never joins or shuffles (argmax ties
+    resolve to the lowest benchmark id on both engines)."""
+    import numpy as np
+
+    from .dedup import quantize_fxp
+    from .similarity import _quantize_rows
+
+    e = spread(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    brows = e.where(F.col("vec_id") < SEM_BENCH_N).collect()
+    bids, bq, bqn = _quantize_rows(brows, "embedding")
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pdf = pdf[pdf["vec_id"] >= SEM_BENCH_N]
+            if not len(pdf):
+                continue
+            qv = quantize_fxp(np.stack(pdf["embedding"].to_numpy()))
+            qn = np.sqrt((qv * qv).sum(axis=1))
+            sims = (qv @ bq.T) / (qn[:, None] * bqn[None, :])
+            best = np.argmax(sims, axis=1)  # first max == lowest bench id
+            mx = sims[np.arange(len(sims)), best]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "max_benchmark_cosine": mx,
+                    "nearest_benchmark_id": bids[best],
+                    "is_semantic_leak": mx >= SEM_LEAK_THRESHOLD,
+                }
+            )
+
+    return e.mapInPandas(
+        score,
+        schema=(
+            "vec_id long, max_benchmark_cosine double, "
+            "nearest_benchmark_id long, is_semantic_leak boolean"
+        ),
     )
