@@ -200,3 +200,66 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("asset_id"), F.encode("text", "utf-8").alias("payload")
     )
     return assets.mapInPandas(_sample_frames, schema=FRAME_SCHEMA)
+
+
+N_BINARY_FILES = 16  # staged asset files for the binaryFile source
+
+
+def stage_binary_assets(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the first N document payloads as real files on
+    disk — the stand-in for an object-store asset bucket — so the
+    binaryFile source reads actual file bytes. Idempotent per sf."""
+    import os
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    staging = f"/tmp/spark_graft_assets_{sf_name}"
+    marker = os.path.join(staging, "_STAGED")
+    if os.path.exists(marker):
+        return staging
+    os.makedirs(staging, exist_ok=True)
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < N_BINARY_FILES)
+        .select("doc_id", "text")
+        .collect()
+    )
+    for r in rows:
+        with open(os.path.join(staging, f"doc_{r['doc_id']}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return staging
+
+
+@query(
+    "mm_binaryfile_source",
+    oracle=f"""
+    -- the staged files are byte-for-byte the utf-8 document texts,
+    -- so the oracle derives the same (name, size, md5) from the table
+    SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.bin' AS file_name,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < {N_BINARY_FILES}
+    """,
+    tags=("multimodal", "source", "binary"),
+)
+def mm_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's ``binaryFile`` source (S-family coverage): whole-file
+    ingestion of opaque assets — path, length, and raw content bytes
+    per file — the standard entry point for image/audio corpora.
+    Emits (file name, byte count, payload md5); modification time is
+    excluded (wall-clock, not content-derived). At scale the path is
+    an object-store glob and `pathGlobFilter`/`recursiveFileLookup`
+    shard the listing; content bytes stay partition-local exactly as
+    in mm_binary_ingest."""
+    staging = stage_binary_assets(spark, sf_dir)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(staging)
+    )
+    return files.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )

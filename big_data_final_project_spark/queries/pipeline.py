@@ -353,24 +353,29 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit: orphan counts per foreign-key
-    relationship (anti-join cardinalities) — the data-quality gate a
-    pipeline runs after every load, because at 100 TB with
-    at-least-once ingest, partial loads WILL produce dangling
-    references (the reference's unchecked insert path, app.py:220,
-    is exactly how they arise). Each check is one anti-join with a
-    count; dims broadcast, the fact table is scanned once per
-    relationship (or once total if checks are fused into one pass
-    with conditional counts — done here for the two lineitem
-    checks... kept separate for clarity; the audit runs off-peak)."""
+    relationship — the data-quality gate a pipeline runs after every
+    load, because at 100 TB with at-least-once ingest, partial loads
+    WILL produce dangling references (the reference's unchecked
+    insert path, app.py:220, is exactly how they arise). Each check
+    is one broadcast LEFT join + conditional count fused into a
+    single lazy plan (round 1 ran 6 driver-side .count() actions —
+    6 scans + 6 job submissions for 3 one-row results); dims
+    broadcast, each fact table is scanned once per relationship,
+    ONE job total."""
 
     def orphans(child: DataFrame, ck: str, parent: DataFrame, pk: str, label: str) -> DataFrame:
-        n_child = child.count()
-        n_orph = child.join(
-            F.broadcast(parent.select(pk)), F.col(ck) == F.col(pk), "left_anti"
-        ).count()
-        return spark.createDataFrame(
-            [(label, n_child, n_orph)],
-            "relationship string, n_child long, n_orphans long",
+        j = child.select(ck).join(
+            F.broadcast(parent.select(pk).withColumn("__hit", F.lit(1))),
+            F.col(ck) == F.col(pk),
+            "left",
+        )
+        return j.agg(
+            F.count("*").cast("long").alias("n_child"),
+            F.count(F.when(F.col("__hit").isNull(), 1))
+            .cast("long")
+            .alias("n_orphans"),
+        ).select(
+            F.lit(label).alias("relationship"), "n_child", "n_orphans"
         )
 
     li = load_table(spark, sf_dir, "lineitem")
