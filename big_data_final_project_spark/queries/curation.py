@@ -626,3 +626,61 @@ def curation_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFra
             "nearest_benchmark_id long, is_semantic_leak boolean"
         ),
     )
+
+
+# Binary fixed-point scale for rarity sums: 2^40 / freq is rounded to
+# an integer (round() on a correctly-rounded double quotient —
+# identical both engines), summed exactly in int64, converted once.
+RARITY_FXP = float(2**40)
+
+
+@query(
+    "text_rarity_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    scored AS (
+        SELECT doc_id, CAST(round({RARITY_FXP} / c) AS BIGINT) AS r
+        FROM tok JOIN freq USING (tok)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(r) AS BIGINT) AS sum_rarity_fxp,
+           CAST(SUM(r) AS DOUBLE) / {RARITY_FXP} / count(*) AS avg_token_rarity
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("curation", "text", "quality"),
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality proxy: score each document by
+    the mean rarity (1/corpus-frequency) of its tokens — the cheap
+    stand-in for perplexity filtering where the "LM" is the corpus
+    unigram table itself. High scores flag gibberish/rare-token
+    documents; low scores flag boilerplate. (True log-prob scoring is
+    avoided deliberately: ln() differs between libm and the JVM in
+    the last ulp — SCALE.md cross-engine traps — while 1/f uses only
+    correctly-rounded division.)
+
+    Plan: one token explode feeds BOTH the corpus-wide frequency
+    aggregate (the "LM table" — vocabulary-sized, broadcast back) and
+    the per-doc rarity sum; rarity is binary fixed-point int64
+    (RARITY_FXP) so partition order cannot drift low bits. Two narrow
+    shuffles total; the LM-table broadcast is the same shape a real
+    perplexity filter uses with a pretrained table."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _toks(F.col("text")).alias("toks")
+    )
+    tok = d.select("doc_id", F.explode("toks").alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    scored = tok.join(F.broadcast(freq), "tok").select(
+        "doc_id",
+        F.round(F.lit(RARITY_FXP) / F.col("c")).cast("long").alias("r"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("r").cast("long").alias("sum_rarity_fxp"),
+        (
+            F.sum("r").cast("double") / RARITY_FXP / F.count("*")
+        ).alias("avg_token_rarity"),
+    )
