@@ -1022,3 +1022,45 @@ def null_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("filled_bal_total"),
         F.count(F.when(F.col("seg") == "UNKNOWN", 1)).alias("n_filled_seg"),
     )
+
+
+@query(
+    "observe_scan_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+             AS qty_sum,
+           CAST(count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT)
+             AS n_returned
+    FROM lineitem
+    """,
+    tags=("observe", "metrics"),
+)
+def observe_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's Observation/observe() surface — named metrics collected
+    DURING a pass at zero extra cost (no second scan, no separate
+    aggregation job): the production pattern for row-count /
+    checksum / data-quality telemetry on every pipeline stage, where
+    a separate audit query would double the IO. The observed pass
+    here is a noop-sink write of the scan; the metrics come back on
+    the driver and are emitted as a 1-row relation (decimal-routed
+    sum, so the observed value is order-independent and
+    oracle-exact)."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("scan_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias(
+            "qty_sum"
+        ),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], float(m["qty_sum"]), m["n_returned"])],
+        "n_rows long, qty_sum double, n_returned long",
+    )
