@@ -395,16 +395,7 @@ def _vec_dbl(col: str) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def _l2(col: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(
-            F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
-        )
-    )
-
-
 _VEC_SQL = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
-_L2_SQL = "sqrt(list_reduce(list_transform(v, x -> x * x), (a, x) -> a + x) + 0.0)"
 
 # Fixed-point vector arithmetic (shared with queries/similarity.py).
 #
