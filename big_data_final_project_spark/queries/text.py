@@ -337,15 +337,18 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # scalar; one job at plan-build, fine for a constant
+    # corpus size as a broadcast 1-row aggregate, not a driver action:
+    # the whole query stays one lazy plan / one job
+    n = d.agg(F.count("*").cast("double").alias("n_docs"))
     scored = (
         tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
             "term",
             F.round(
                 F.col("tf").cast("double")
-                * F.log(1.0 + F.lit(float(n_docs)) / F.col("df")),
+                * F.log(1.0 + F.col("n_docs") / F.col("df")),
                 6,
             ).alias("tfidf"),
         )
@@ -424,20 +427,24 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = toks.select(F.explode(tk).alias("tok"))
     cb = grams.groupBy("bigram").agg(F.count("*").alias("c_ab"))
     cu = uni.groupBy("tok").agg(F.count("*").alias("c"))
-    n_tok = uni.count()
-    n_big = grams.count()
+    # corpus totals as a broadcast 1-row cross join, not driver
+    # actions — the whole query is one lazy plan / one job
+    tot = uni.agg(F.count("*").alias("n_tok")).crossJoin(
+        grams.agg(F.count("*").alias("n_big"))
+    )
     a = cu.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
     b = cu.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
     parts = F.split(F.col("bigram"), " ")
     pmi = F.round(
         F.log(
-            (F.col("c_ab").cast("double") * n_tok * n_tok)
-            / (F.col("c_a").cast("double") * F.col("c_b") * n_big)
+            (F.col("c_ab").cast("double") * F.col("n_tok") * F.col("n_tok"))
+            / (F.col("c_a").cast("double") * F.col("c_b") * F.col("n_big"))
         ),
         6,
     )
     return (
         cb.where(F.col("c_ab") >= PMI_MIN_COUNT)
+        .crossJoin(F.broadcast(tot))
         .join(F.broadcast(a), parts.getItem(0) == F.col("tok_a"))
         .join(F.broadcast(b), parts.getItem(1) == F.col("tok_b"))
         .select("bigram", "c_ab", pmi.alias("pmi"))
