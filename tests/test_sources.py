@@ -122,3 +122,44 @@ def test_poll_loop_cadence_and_sink(spark):
     assert sleeps == [0.5, 0.5]
     assert batches == [(0, 2), (1, 2), (2, 2)]
     assert final.count() == 2
+
+
+def test_weather_api_datasource(spark):
+    """The weather_api custom Spark source (Spark 4 Python DataSource
+    API): executor-side reads partitioned by location chunk, rows
+    identical to the driver-side batch helper with the same stub
+    fetch and pinned timestamp."""
+    from big_data_final_project_spark.sources.weather import (
+        fetch_weather_batch,
+        stub_fetch,
+    )
+    from big_data_final_project_spark.sources.weather_datasource import (
+        WeatherAPIDataSource,
+    )
+    from datetime import datetime, timezone
+
+    spark.dataSource.register(WeatherAPIDataSource)
+    now = "2026-01-01T00:00:00+00:00"
+    df = (
+        spark.read.format("weather_api")
+        .option("locations", "Manila,Cebu,Davao,Baguio,Iloilo")
+        .option("locations_per_partition", "2")
+        .option("fixed_now", now)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3  # ceil(5/2) location chunks
+    got = {r["location_name"]: r for r in df.collect()}
+    ref = {
+        r["location_name"]: r
+        for r in fetch_weather_batch(
+            spark,
+            ["Manila", "Cebu", "Davao", "Baguio", "Iloilo"],
+            stub_fetch,
+            now=datetime.fromisoformat(now).astimezone(timezone.utc),
+        ).collect()
+    }
+    assert got.keys() == ref.keys()
+    for loc in got:
+        for f in ("region", "country", "temp_c", "humidity", "wind_kph",
+                  "condition_text", "is_day", "api_time"):
+            assert got[loc][f] == ref[loc][f], (loc, f)
