@@ -26,7 +26,12 @@ deterministic tests; unset, it is the real poll time.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 # Column order must match sources/weather.flatten_weather_response.
 _SCHEMA_DDL = (
@@ -94,6 +99,76 @@ class WeatherAPIReader(DataSourceReader):
             )
 
 
+class WeatherAPIStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form: each micro-batch is one poll of every location
+    (the reference producer's timer loop, producer.py:169-210, as a
+    checkpointable source — offsets are the poll counter, so restarts
+    resume at the right poll and ``readBetweenOffsets`` replays any
+    batch IDENTICALLY, which a hand-rolled sleep loop cannot do).
+
+    Rows are a deterministic function of (location, poll), so replay
+    determinism is by construction; a live deployment swaps the stub
+    for http_fetch exactly as in the batch reader, accepting that a
+    replayed poll re-fetches (at-least-once at the source, made
+    exactly-once downstream by the keyed dedup — streaming/pipeline).
+    The Simple reader API buffers a batch on the driver — correct for
+    a low-rate API poll (3-1000 locations), not a firehose; a
+    partition-planned DataSourceStreamReader is the firehose shape."""
+
+    def __init__(self, options: dict):
+        self.locations = [
+            s.strip()
+            for s in options.get("locations", DEFAULT_LOCATIONS).split(",")
+            if s.strip()
+        ]
+        self.fixed_now = options.get("fixed_now")
+
+    def initialOffset(self):
+        return {"poll": 0}
+
+    def _rows_for_poll(self, poll: int):
+        from datetime import datetime
+
+        from .weather import flatten_weather_response, stub_fetch
+
+        now = (
+            datetime.fromisoformat(self.fixed_now) if self.fixed_now else None
+        )
+        out = []
+        for loc in self.locations:
+            # deterministic per-(location, poll) variation: the stub
+            # response shifted by the poll counter
+            resp = stub_fetch(loc)
+            resp["current"]["temp_c"] += poll * 0.1
+            resp["current"]["last_updated_epoch"] += poll * 60
+            rec = flatten_weather_response(resp, now=now)
+            out.append(
+                (
+                    rec["producer_timestamp"],
+                    rec["location_name"],
+                    rec["region"],
+                    rec["country"],
+                    rec["temp_c"],
+                    rec["humidity"],
+                    rec["wind_kph"],
+                    rec["condition_text"],
+                    rec["is_day"],
+                    rec["api_time"],
+                )
+            )
+        return out
+
+    def read(self, start: dict):
+        poll = start["poll"]
+        return iter(self._rows_for_poll(poll)), {"poll": poll + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows = []
+        for poll in range(start["poll"], end["poll"]):
+            rows.extend(self._rows_for_poll(poll))
+        return iter(rows)
+
+
 class WeatherAPIDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -104,3 +179,6 @@ class WeatherAPIDataSource(DataSource):
 
     def reader(self, schema) -> WeatherAPIReader:
         return WeatherAPIReader(self.options)
+
+    def simpleStreamReader(self, schema) -> WeatherAPIStreamReader:
+        return WeatherAPIStreamReader(self.options)

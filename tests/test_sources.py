@@ -163,3 +163,56 @@ def test_weather_api_datasource(spark):
         for f in ("region", "country", "temp_c", "humidity", "wind_kph",
                   "condition_text", "is_day", "api_time"):
             assert got[loc][f] == ref[loc][f], (loc, f)
+
+
+def test_weather_api_stream_source(spark, tmp_path_factory):
+    """The weather_api STREAMING source: poll-counter offsets survive
+    a checkpointed restart (batch 2 resumes where batch 1 stopped),
+    and each poll's rows are the deterministic (location, poll)
+    function — the reference's producer loop as a replayable source."""
+    from big_data_final_project_spark.sources.weather_datasource import (
+        WeatherAPIDataSource,
+    )
+
+    spark.dataSource.register(WeatherAPIDataSource)
+    ckpt = str(tmp_path_factory.mktemp("weather_stream_ckpt"))
+
+    def drain(name):
+        rows = []
+        df = (
+            spark.readStream.format("weather_api")
+            .option("locations", "Manila,Cebu")
+            .option("fixed_now", "2026-01-01T00:00:00+00:00")
+            .load()
+        )
+        (
+            df.writeStream.foreachBatch(
+                lambda batch, bid: rows.extend(batch.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return rows
+
+    first = drain("weather_poll_1")
+    assert len(first) >= 2  # at least one poll of both locations
+    temps_first = {
+        (r["location_name"], r["api_time"]): r["temp_c"] for r in first
+    }
+
+    second = drain("weather_poll_2")
+    # restart resumed from the checkpointed offset: new polls only,
+    # no replay of poll 0
+    temps_second = {
+        (r["location_name"], r["api_time"]): r["temp_c"] for r in second
+    }
+    assert set(temps_second).isdisjoint(set(temps_first))
+    # deterministic (location, poll) content: Manila's poll-0 temp is
+    # the stub value exactly
+    from big_data_final_project_spark.sources.weather import stub_fetch
+
+    base = stub_fetch("Manila")["current"]["temp_c"]
+    manila_first = [r for r in first if r["location_name"] == "Manila"]
+    assert any(abs(r["temp_c"] - base) < 1e-9 for r in manila_first)
