@@ -544,3 +544,40 @@ def scalar_inline_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ln").alias("linenumber"),
         F.col("qty").alias("quantity"),
     )
+
+
+@query(
+    "scalar_variant_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 7 AS k_mod7,
+           json_extract(props, '$.missing') IS NULL AS missing_is_null,
+           CAST(json_valid(props) AS BOOLEAN) AS is_valid_json
+    FROM events
+    """,
+    tags=("scalar", "variant", "json"),
+)
+def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT — the engine-native semi-structured type that
+    replaces string-JSON reparsing: ``parse_json`` decodes once into
+    a binary-encoded variant, ``variant_get`` extracts typed paths
+    without re-tokenizing, ``try_parse_json`` yields NULL (not an
+    error) on malformed input. At 100 TB this is the difference
+    between parsing each JSON blob once versus once per extraction —
+    the per-row map stays codegen'd and shuffle-free. The DuckDB
+    oracle reads the same paths with its JSON type; the variant
+    column itself never leaves the plan (comparator-safe scalars
+    out)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'long')").alias("k_val"),
+        (
+            F.expr("variant_get(parse_json(props), '$.k', 'long')") % 7
+        ).alias("k_mod7"),
+        F.expr("variant_get(parse_json(props), '$.missing', 'string')")
+        .isNull()
+        .alias("missing_is_null"),
+        F.expr("try_parse_json(props)").isNotNull().alias("is_valid_json"),
+    )
