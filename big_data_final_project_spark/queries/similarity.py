@@ -465,14 +465,14 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Self-evaluation: recall@k of the IVF index against the exact
-# brute-force answer. Composes the two already-verified oracle
-# queries as subqueries (DuckDB allows WITH inside FROM (...)).
-def _recall_oracle() -> str:
+# Self-evaluation: recall@k of an approximate index against the exact
+# brute-force answer. Composes two already-verified oracle queries as
+# subqueries (DuckDB allows WITH inside FROM (...)).
+def _recall_oracle(approx_name: str = "sim_ivf_topk") -> str:
     from ..registry import REGISTRY
 
     exact_sql = REGISTRY["sim_bruteforce_topk"].oracle
-    ivf_sql = REGISTRY["sim_ivf_topk"].oracle
+    ivf_sql = REGISTRY[approx_name].oracle
     return f"""
     WITH exact_r AS (SELECT query_id, neighbor_id FROM ({exact_sql}) x),
     approx_r AS (SELECT query_id, neighbor_id FROM ({ivf_sql}) y),
@@ -500,6 +500,34 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes, not the corpus)."""
     exact = sim_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
     approx = sim_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    qids = exact.select("query_id").distinct()
+    return qids.join(hits, "query_id", "left").select(
+        "query_id",
+        (F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / TOP_K).alias(
+            "recall_at_k"
+        ),
+    )
+
+
+@query(
+    "sim_lsh_recall",
+    oracle=_recall_oracle("sim_lsh_bucketed_topk"),
+    tags=("similarity", "lsh", "eval"),
+)
+def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH index vs exact brute force — the same
+    quality monitor sim_ivf_recall runs for IVF, here watching the
+    OTHER degradation mode: bucket-collision quality (too-few shared
+    buckets → recall collapses even though latency looks great).
+    Monitoring both indexes against one exact anchor is how an ANN
+    deployment picks its operating point."""
+    exact = sim_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = sim_lsh_bucketed_topk(spark, sf_dir).select("query_id", "neighbor_id")
     hits = (
         exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
         .groupBy("query_id")
