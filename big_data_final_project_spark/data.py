@@ -71,15 +71,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # builder; re-asserted here so load_table works on any session.
         # Scope note: this types EVERY nanos-timestamp parquet column in
         # the session as long — fine here because `events` is the only
-        # nanos table and the repo always wants the raw-long + explicit
-        # µs-conversion read path below.
+        # table that has ever shipped nanos and the repo always wants the
+        # raw-long + explicit µs-conversion read path below.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        return (
-            spark.read.parquet(path)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        df = spark.read.parquet(path)
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # TIMESTAMP(NANOS) parquet read as raw nanos: truncate to µs
+            # with exact integer division — same truncation DuckDB applies.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # TIMESTAMP(MICROS, no tz) parquet: reinterpret in the session
+            # tz (UTC) so downstream tz-aware ops behave identically to the
+            # nanos path. Values are bit-identical under UTC.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 
