@@ -1,0 +1,301 @@
+"""Graph analytics over the lineitem co-purchase network (engine
+addition; the reference has no joins at all — SURVEY §2.6).
+
+The graph: parts are nodes; two parts are connected when they appear
+in the same order (market-basket co-purchase). The raw pair set is
+dense (|E| grows ~quadratically with basket count: 1.2M pairs over
+20k parts at sf0.1), so every graph operator here first SPARSIFIES to
+each node's top-k neighbors by co-purchase support — the standard
+web-scale practice (kNN similarity graphs): it bounds degree by k,
+keeps |E| <= k*|V| (linear in nodes), and makes downstream
+wedge/triangle joins O(k^2 * |V|) instead of O(avg_deg^2 * |V|).
+
+Determinism: support ties broken by neighbor id; PageRank runs in
+int64 fixed-point (integer division — associative, order-independent,
+bit-identical to the DuckDB oracle; SCALE.md round-2 fixed-point
+design), never float.
+
+Reference parity: none to mirror — cite app.py:311-313 (the nearest
+thing the reference has to multi-record analysis is a Mongo find());
+these operators are north-star additions per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..registry import query
+
+# kNN sparsification fan-out. 8 keeps the sf0.1 graph at ~151k edges
+# over 20k nodes (measured); at 100 TB |E| stays k*|V|.
+K_NEIGHBORS = 8
+
+# PageRank fixed point: ranks are integers scaled by 1e9; damping
+# 0.85 = 17/20 in exact integer arithmetic. Sum(ranks) stays ~|V|*1e9
+# < 2^63 up to ~9e9 nodes.
+PR_SCALE = 1_000_000_000
+PR_BASE = PR_SCALE * 3 // 20  # (1 - d) * SCALE
+
+
+# Three graph queries share the same pair/edge construction; rebuild
+# it once per (session, sf_dir) and hand out the materialized result
+# (same once-per-process pattern as timeseries._evolved_store). The
+# cache holds localCheckpoint'ed frames, which die with the session —
+# hence the applicationId in the key.
+_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _cached(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    if key not in _CACHE:
+        _CACHE[key] = build().localCheckpoint(eager=True)
+    return _CACHE[key]
+
+
+def _copurchase_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (pa < pb) co-purchase pairs with their support
+    (number of orders containing both parts).
+
+    Scale shape: TWO shuffles, no join — baskets are collected per
+    order (one map-side-combinable collect_set shuffle; dedup and
+    pair generation happen inside the basket array with JVM-side
+    higher-order functions, avoiding the classic distinct + self-join
+    which costs three shuffles), then pair counts aggregate (second
+    shuffle). Baskets are small (~4 lines/order) so per-order pair
+    fan-out is C(4,2)~6 — no skew; a pathological mega-basket would
+    be capped upstream in a real pipeline."""
+
+    def build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        baskets = li.groupBy("l_orderkey").agg(
+            F.sort_array(F.collect_set("l_partkey")).alias("ps")
+        )
+        # All (i < j) pairs of the sorted basket: the array is sorted,
+        # so pa < pb holds canonically. The lambda references only the
+        # materialized `ps` attribute (HOF re-evaluation gotcha).
+        pairs = baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ps"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ps"), i + F.lit(2), F.size(F.col("ps"))
+                            ),
+                            lambda y: F.struct(
+                                x.alias("pa"), y.alias("pb")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        return pairs.groupBy(
+            F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb")
+        ).agg(F.count("*").alias("support"))
+
+    return _cached(spark, sf_dir, "pairs", build)
+
+
+def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparsified undirected edge list (a < b): keep an edge when
+    EITHER endpoint ranks it in its top-K_NEIGHBORS by (support desc,
+    neighbor asc) — the union-kNN graph.
+
+    Scale shape: symmetrize (narrow union), one window per node
+    (single shuffle on u), then a (a, b) dedup shuffle. Degrees are
+    bounded by construction, so every downstream join is skew-free."""
+    def build() -> DataFrame:
+        pairs = _copurchase_support(spark, sf_dir)
+        directed = pairs.select(
+            F.col("pa").alias("u"), F.col("pb").alias("v"), "support"
+        ).unionByName(
+            pairs.select(
+                F.col("pb").alias("u"), F.col("pa").alias("v"), "support"
+            )
+        )
+        w = Window.partitionBy("u").orderBy(F.desc("support"), F.asc("v"))
+        knn = directed.withColumn("rn", F.row_number().over(w)).where(
+            F.col("rn") <= K_NEIGHBORS
+        )
+        return knn.select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        ).distinct()
+
+    return _cached(spark, sf_dir, "knn", build)
+
+
+# Oracle-side rendering of the same sparsified graph (DuckDB).
+_KNN_EDGES_SQL = f"""
+    op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS support
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    directed AS (
+      SELECT pa AS u, pb AS v, support FROM pairs
+      UNION ALL
+      SELECT pb AS u, pa AS v, support FROM pairs),
+    knn AS (
+      SELECT u, v FROM (
+        SELECT u, v,
+               row_number() OVER (PARTITION BY u
+                                  ORDER BY support DESC, v ASC) AS rn
+        FROM directed) t
+      WHERE rn <= {K_NEIGHBORS}),
+    e AS (
+      SELECT least(u, v) AS a, greatest(u, v) AS b FROM knn GROUP BY 1, 2)
+"""
+
+
+@query(
+    "graph_copurchase_topk",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+           CAST(count(*) AS BIGINT) AS support
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY support DESC, pa ASC, pb ASC
+    LIMIT 20
+    """,
+    tags=("graph", "market-basket", "topk"),
+)
+def graph_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 co-purchased part pairs by support — the market-basket
+    headline ("frequently bought together").
+
+    Scale shape: the global top-20 over the pair aggregate compiles
+    to TakeOrderedAndProject (per-partition heaps + single 20-row
+    merge on the driver), never a full sort. Deterministic tie-break
+    by (pa, pb)."""
+    return _copurchase_support(spark, sf_dir).orderBy(
+        F.desc("support"), F.asc("pa"), F.asc("pb")
+    ).limit(20)
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_KNN_EDGES_SQL}
+    SELECT
+      CAST((SELECT count(*) FROM (SELECT a FROM e UNION SELECT b FROM e) n)
+           AS BIGINT) AS n_nodes,
+      CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+      CAST((SELECT count(*)
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS BIGINT)
+        AS n_triangles
+    """,
+    tags=("graph", "triangle", "join"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count on the kNN co-purchase graph, plus node
+    and edge counts — the clustering-coefficient numerator.
+
+    Algorithm: with canonical edges (a < b), every triangle
+    {x < y < z} is counted exactly once by joining (x,y)-(y,z) into a
+    wedge and closing it against (x,z). Because the graph is kNN-
+    sparsified, per-node degree <= 2*K, so the wedge join produces at
+    most 4*K^2 rows per node — linear in |V|, not quadratic in degree
+    (the reason web-scale triangle counting always degree-bounds or
+    degree-orients first). Three self-joins = three shuffles on edge
+    keys; the count is a 1-row reduce."""
+    e = _knn_edges(spark, sf_dir)  # materialized by the shared cache
+    nodes = (
+        e.select(F.col("a").alias("n"))
+        .unionByName(e.select(F.col("b").alias("n")))
+        .distinct()
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+    )
+    n_edges = e.agg(F.count("*").cast("bigint").alias("n_edges"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    wedges = e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+    tri = (
+        wedges.join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    # Three 1-row aggregates cross-joined: ONE job for the whole
+    # result instead of three collect() round-trips.
+    return nodes.crossJoin(n_edges).crossJoin(tri)
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    """One oracle-side PageRank iteration (int64 fixed-point)."""
+    return f"""
+    {out} AS (
+      SELECT adj.v AS node,
+             {PR_BASE} + sum(({prev}.r * 17) // (20 * deg.d)) AS r
+      FROM {prev}
+      JOIN adj ON adj.u = {prev}.node
+      JOIN deg ON deg.node = {prev}.node
+      GROUP BY adj.v)
+    """
+
+
+@query(
+    "graph_pagerank",
+    oracle=f"""
+    WITH {_KNN_EDGES_SQL},
+    adj AS (
+      SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT u AS node, count(*) AS d FROM adj GROUP BY 1),
+    r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM deg),
+    {_pr_iter_sql("r0", "r1")},
+    {_pr_iter_sql("r1", "r2")},
+    {_pr_iter_sql("r2", "r3")}
+    SELECT node AS part, CAST(r AS BIGINT) AS rank_fp
+    FROM r3
+    ORDER BY r DESC, node ASC
+    LIMIT 20
+    """,
+    tags=("graph", "pagerank", "iterative", "fixed-point"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three exact PageRank iterations (damping 0.85) on the kNN
+    co-purchase graph; top-20 parts by rank.
+
+    Fixed-point contract: ranks are int64 scaled by 1e9; each
+    contribution is (r * 17) div (20 * deg) — integer division, so
+    partial sums are associative and the result is bit-identical
+    across partitionings and engines (no float PageRank drift).
+
+    Scale shape per iteration: one hash join of ranks against the
+    degree-bounded adjacency (broadcast of the rank side is wrong at
+    scale — ranks are |V|-sized; this is a shuffle join on node id)
+    and one sum shuffle on destination. The iteration count is fixed
+    and small, and each round's lineage is cut by the eager
+    materialization of the edge list, so the plan does not grow
+    superlinearly (the recursive-CTE blowup lesson from round 2)."""
+    e = _knn_edges(spark, sf_dir)  # materialized by the shared cache
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+    ranks = deg.select("node", F.lit(PR_SCALE).cast("bigint").alias("r"))
+    adj_deg = adj.join(
+        deg.withColumnRenamed("node", "u2"), F.col("u") == F.col("u2")
+    ).select("u", "v", "d")
+    adj_deg = adj_deg.localCheckpoint(eager=True)
+    for _ in range(3):
+        contrib = adj_deg.join(ranks, adj_deg["u"] == ranks["node"]).select(
+            F.col("v"),
+            F.expr(f"(r * 17) div (20 * d)").alias("c"),
+        )
+        ranks = contrib.groupBy(F.col("v").alias("node")).agg(
+            (F.lit(PR_BASE) + F.sum("c")).alias("r")
+        )
+    return (
+        ranks.select(F.col("node").alias("part"), F.col("r").alias("rank_fp"))
+        .orderBy(F.desc("rank_fp"), F.asc("part"))
+        .limit(20)
+    )

@@ -78,6 +78,8 @@ def _load_all() -> None:
         sql_surface,
         udf_surface,
         curation,
+        graph,
+        sketches,
     )
 
 
