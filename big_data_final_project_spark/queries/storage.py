@@ -1,0 +1,173 @@
+"""Storage-layout operators: bucketed (pre-shuffled) tables and
+Z-order (space-filling-curve) clustering.
+
+At 100 TB the dominant cost of a fact-fact join is the shuffle, and
+the dominant cost of a selective scan is reading row groups the
+predicate can't touch. Both are LAYOUT problems, solved at write
+time:
+
+- **Bucketing** hash-pre-shuffles a table on its join key into a
+  fixed number of buckets at write time; two tables bucketed the same
+  way join with ZERO exchange (the sort-merge join reads co-located
+  buckets). ``tests/test_plans.py`` asserts the no-Exchange plan.
+- **Z-ordering** interleaves the bits of two filter columns into one
+  clustering key and sorts files by it, so a 2-D predicate touches
+  few files and parquet min/max row-group stats prune the rest.
+  ``tests/test_storage.py`` measures the bounding-box tightness.
+
+Reference parity: the reference's store is an unindexed Mongo
+collection (app.py:311-313 full-scan find); these are the columnar
+replacements for its implicit "Mongo will index it" assumption.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..functions.numeric import dsum, dsum_sql
+from ..registry import query
+
+N_BUCKETS = 8
+
+# Z-order bit budget: user_id mod 256 (8 bits) x hour-of-day (5 bits).
+U_BITS = 8
+H_BITS = 5
+
+
+def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write (once per process) lineitem + orders bucketed by the
+    join key into N_BUCKETS, registered in the session catalog.
+    Returns the two table names."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    li_name = f"sg_li_bucketed_{sf_tag}"
+    o_name = f"sg_o_bucketed_{sf_tag}"
+    if not spark.catalog.tableExists(li_name):
+        base = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_bucketed_{sf_tag}_{os.getpid()}"
+        )
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .write.bucketBy(N_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", os.path.join(base, "lineitem"))
+            .mode("overwrite")
+            .saveAsTable(li_name)
+        )
+        (
+            load_table(spark, sf_dir, "orders")
+            .write.bucketBy(N_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", os.path.join(base, "orders"))
+            .mode("overwrite")
+            .saveAsTable(o_name)
+        )
+    return li_name, o_name
+
+
+@query(
+    "store_bucketed_join",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           {dsum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+    tags=("store", "bucketing", "join"),
+)
+def store_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join (lineitem x orders on orderkey) read from
+    tables bucketed on the join key: the join consumes the write-time
+    hash layout instead of shuffling either side.
+
+    Scale shape: this is THE pattern for repeated 100 TB fact-fact
+    joins — pay the shuffle once at ingest, then every downstream
+    join on that key is exchange-free (plan asserted in
+    tests/test_plans.py with broadcast disabled: SortMergeJoin with
+    no Exchange on either side). Bucket pruning also applies to
+    point-lookups on the bucket key. The aggregate afterwards is the
+    only shuffle in the query."""
+    li_name, o_name = _bucketed_pair(spark, sf_dir)
+    li = spark.table(li_name)
+    o = spark.table(o_name)
+    joined = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    return joined.groupBy(F.col("o_orderpriority")).agg(
+        F.count("*").alias("n_lines"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+    )
+
+
+def _z_expr(u: str, h: str) -> str:
+    """Bit-interleave SQL text (valid in both Spark SQL and DuckDB):
+    u contributes U_BITS, h contributes H_BITS; low bits alternate
+    u0 h0 u1 h1 ... so nearby (u, h) points share z prefixes."""
+    terms = []
+    for i in range(U_BITS):
+        terms.append(f"((({u} >> {i}) & 1) << {2 * i})")
+    for i in range(H_BITS):
+        terms.append(f"((({h} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "store_zorder_layout",
+    oracle=f"""
+    WITH pts AS (
+        SELECT CAST(user_id % 256 AS BIGINT) AS u,
+               CAST(hour(ts) AS BIGINT) AS h,
+               value
+        FROM events
+    ),
+    z AS (
+        SELECT u, h, value, CAST({_z_expr("u", "h")} AS BIGINT) AS zval
+        FROM pts
+    )
+    SELECT zval // 64 AS z_cell,
+           CAST(count(*) AS BIGINT) AS n,
+           min(u) AS u_min, max(u) AS u_max,
+           min(h) AS h_min, max(h) AS h_max,
+           {dsum_sql("value")} AS total_value
+    FROM z
+    GROUP BY 1
+    """,
+    tags=("store", "zorder", "clustering"),
+)
+def store_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster events by the Z-order (Morton) key over
+    (user_id mod 256, hour-of-day) and summarize each 64-key z-cell:
+    row count, the bounding box of both dimensions, and the value
+    total. The bounding boxes are the point: every cell spans at most
+    8 users x 4 hours (a 2^3 x 2^2 tile), which is why a predicate on
+    EITHER dimension prunes most cells — the property file-level
+    min/max skipping exploits when files are written in z order
+    (measured in tests/test_storage.py).
+
+    Scale shape: the z key is pure bit arithmetic inside codegen
+    (zero UDF, zero shuffle to compute); the per-cell aggregate is
+    one map-side-combined shuffle on a key with uniform fan-out. At
+    100 TB this query is the OPTIMIZE/CLUSTER BY maintenance pass
+    that reorders files; here it doubles as its own audit."""
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        (F.col("user_id") % 256).cast("bigint").alias("u"),
+        F.hour("ts").cast("bigint").alias("h"),
+        "value",
+    )
+    z = pts.withColumn("zval", F.expr(_z_expr("u", "h")).cast("bigint"))
+    return z.groupBy(
+        F.expr("zval div 64").alias("z_cell")
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("u").alias("u_min"),
+        F.max("u").alias("u_max"),
+        F.min("h").alias("h_min"),
+        F.max("h").alias("h_max"),
+        dsum("value").alias("total_value"),
+    )

@@ -296,3 +296,129 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_count(s2, "signup>click"))
         .unionByName(_count(s3, "signup>click>purchase"))
     )
+
+
+@query(
+    "ts_gapfill_interpolate",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo,
+               date_trunc('hour', max(ts)) AS hi
+        FROM events
+    ),
+    grid AS (
+        SELECT t.event_type, h.h AS bucket
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+                    FROM bounds) h
+    ),
+    actual AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               {davg_sql("value")} AS avg_value
+        FROM events GROUP BY 1, 2
+    ),
+    dense AS (
+        SELECT g.event_type, g.bucket,
+               CAST(epoch(g.bucket) AS BIGINT) // 3600 AS h,
+               a.n, a.avg_value
+        FROM grid g LEFT JOIN actual a
+          ON a.event_type = g.event_type AND a.bucket = g.bucket
+    ),
+    ctx AS (
+        SELECT event_type, bucket, h, n, avg_value,
+               last_value(avg_value IGNORE NULLS) OVER w_prev AS prev_v,
+               last_value(CASE WHEN avg_value IS NOT NULL THEN h END
+                          IGNORE NULLS) OVER w_prev AS prev_h,
+               first_value(avg_value IGNORE NULLS) OVER w_next AS next_v,
+               first_value(CASE WHEN avg_value IS NOT NULL THEN h END
+                           IGNORE NULLS) OVER w_next AS next_h
+        FROM dense
+        WINDOW
+          w_prev AS (PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          w_next AS (PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, bucket,
+           coalesce(n, 0) AS n_events,
+           coalesce(avg_value,
+                    prev_v + (next_v - prev_v)
+                           * (CAST(h - prev_h AS DOUBLE)
+                              / CAST(next_h - prev_h AS DOUBLE)))
+             AS value_interp
+    FROM ctx
+    """,
+    tags=("timeseries", "gapfill", "interpolation", "window"),
+)
+def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densify the per-type hourly series and LINEARLY interpolate
+    interior gaps between the surrounding observed hourly means
+    (boundaries stay null — there is nothing to anchor to; observed
+    hours pass through untouched). The numeric contract: bucket
+    distances are exact integers (epoch-hours), and the interpolation
+    expression tree is written identically on both engines, so each
+    IEEE operation is deterministic and the hash matches.
+
+    Scale shape: same as LOCF — the events aggregate is the only
+    data-sized shuffle; the dense grid is |types| x |hours|; the two
+    direction windows are one ordered pass per type each. At 100 TB
+    the window partitions are per-type series, bounded by the time
+    range, never by event count."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .join(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket"),
+        )
+    )
+    actual = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        davg("value").alias("avg_value"),
+    )
+    dense = grid.join(actual, ["event_type", "bucket"], "left").withColumn(
+        "h", F.expr("CAST(unix_timestamp(bucket) AS BIGINT) div 3600")
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    h_obs = F.when(F.col("avg_value").isNotNull(), F.col("h"))
+    ctx = dense.select(
+        "event_type",
+        "bucket",
+        "h",
+        "n",
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(h_obs, ignorenulls=True).over(w_prev).alias("prev_h"),
+        F.first("avg_value", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(h_obs, ignorenulls=True).over(w_next).alias("next_h"),
+    )
+    frac = (F.col("h") - F.col("prev_h")).cast("double") / (
+        F.col("next_h") - F.col("prev_h")
+    ).cast("double")
+    interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac
+    return ctx.select(
+        "event_type",
+        "bucket",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.coalesce(F.col("avg_value"), interp).alias("value_interp"),
+    )

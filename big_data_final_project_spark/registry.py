@@ -80,6 +80,7 @@ def _load_all() -> None:
         curation,
         graph,
         sketches,
+        storage,
     )
 
 

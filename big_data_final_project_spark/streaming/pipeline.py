@@ -402,3 +402,91 @@ def running_counts_stateful(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def has_transform_with_state() -> bool:
+    """Spark 4's transformWithStateInPandas ships its Python driver
+    worker on protobuf; without the protobuf wheel the runner crashes
+    at init (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE). Gate the
+    operator on the import so environments without it fall back to
+    applyInPandasWithState (running_counts_stateful above)."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def running_totals_tws(spark: SparkSession, staging_dir: str) -> DataFrame:
+    """Per-user running totals via Spark 4's transformWithState API
+    (StatefulProcessor + typed ValueState) — the successor to
+    applyInPandasWithState: named state variables, composite state
+    types, timers, and state schema evolution. Requires the RocksDB
+    state-store provider (caller sets
+    spark.sql.streaming.stateStore.providerClass = ROCKSDB_PROVIDER)
+    and protobuf (see has_transform_with_state).
+
+    The numeric contract matches the rest of the engine: the value
+    total accumulates as floor(value * 1e6) int64 — associative, so
+    the final state is independent of micro-batch boundaries, and a
+    batch GROUP BY with the same fixed-point expression is an exact
+    oracle for it.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    raw = spark.readStream.option("maxFilesPerTrigger", "1").text(staging_dir)
+    parsed = (
+        raw.select(
+            F.from_json(
+                "value", EVENT_SCHEMA, {"timestampFormat": TS_FORMAT}
+            ).alias("rec")
+        )
+        .select("rec.*")
+        .where(F.col("event_id").isNotNull())
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("value_sum_fp", T.LongType()),
+        ]
+    )
+
+    class Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n BIGINT, s BIGINT")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, s = self._agg.get() if self._agg.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                s += int(
+                    np.floor(pdf["value"].to_numpy() * 1e6)
+                    .astype("int64")
+                    .sum()
+                )
+            self._agg.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "value_sum_fp": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return parsed.groupBy("user_id").transformWithStateInPandas(
+        Totals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -219,3 +219,48 @@ def test_curation_ops_plan_shapes(spark, sf_dir):
     p = _plan(spark, sf_dir, "sim_quantize_int8")
     assert p.broadcast_joins >= 1, p.text
     assert p.cartesian_products == 0
+
+
+def test_graph_ops_plan_shapes(spark, sf_dir):
+    # market-basket top-20: per-partition heaps, never a global sort
+    p = _plan(spark, sf_dir, "graph_copurchase_topk")
+    assert "TakeOrderedAndProject" in p.text, p.text
+    # triangle closing join + pagerank iterations: equi-joins only
+    p = _plan(spark, sf_dir, "graph_triangle_count")
+    assert p.cartesian_products == 0, p.text
+    p = _plan(spark, sf_dir, "graph_pagerank")
+    assert p.cartesian_products == 0, p.text
+
+
+def test_bitmap_distinct_is_pure_aggregation(spark, sf_dir):
+    # three agg levels (day partials -> OR merge -> counts), no joins
+    p = _plan(spark, sf_dir, "agg_bitmap_distinct")
+    assert p.shuffles <= 3, p.text
+    assert p.broadcast_joins == 0 and p.sortmerge_joins == 0
+    assert p.cartesian_products == 0
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    # the whole point of bucketing: with broadcast off, the fact-fact
+    # join must consume the write-time layout — SortMergeJoin with no
+    # shuffle on either input; the post-join aggregate is the only
+    # exchange in the plan
+    from big_data_final_project_spark.queries.storage import _bucketed_pair
+
+    li_name, o_name = _bucketed_pair(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = _plan(spark, sf_dir, "store_bucketed_join")
+        assert p.sortmerge_joins >= 1, p.text
+        assert p.shuffles <= 1, p.text
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_zorder_key_is_codegen_only(spark, sf_dir):
+    # the z key is bit arithmetic inside codegen: the per-cell agg is
+    # the plan's ONLY shuffle, and there are no joins at all
+    p = _plan(spark, sf_dir, "store_zorder_layout")
+    assert p.shuffles <= 1, p.text
+    assert p.broadcast_joins == 0 and p.sortmerge_joins == 0

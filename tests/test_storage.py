@@ -1,0 +1,74 @@
+"""Storage-layout evidence: z-order clustering actually tightens
+per-file min/max statistics (the thing row-group skipping prunes on),
+and bucketed tables round-trip the join correctly (the no-Exchange
+plan shape is asserted in test_plans.py)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from big_data_final_project_spark.data import load_table
+from big_data_final_project_spark.queries.storage import _z_expr
+
+
+def _file_bbox_area_sum(path: str) -> float:
+    """Sum over files of (u span) * (h span) from parquet footers —
+    the total search area a 2-D predicate must touch."""
+    total = 0.0
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        meta = pq.read_metadata(f)
+        schema_names = meta.schema.to_arrow_schema().names
+        iu, ih = schema_names.index("u"), schema_names.index("h")
+        u_lo = min(meta.row_group(g).column(iu).statistics.min for g in range(meta.num_row_groups))
+        u_hi = max(meta.row_group(g).column(iu).statistics.max for g in range(meta.num_row_groups))
+        h_lo = min(meta.row_group(g).column(ih).statistics.min for g in range(meta.num_row_groups))
+        h_hi = max(meta.row_group(g).column(ih).statistics.max for g in range(meta.num_row_groups))
+        total += (u_hi - u_lo + 1) * (h_hi - h_lo + 1)
+    return total
+
+
+def test_zorder_files_have_tight_bounding_boxes(spark, sf_dir, tmp_path):
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        (F.col("user_id") % 256).cast("bigint").alias("u"),
+        F.hour("ts").cast("bigint").alias("h"),
+        "value",
+    ).withColumn("zval", F.expr(_z_expr("u", "h")).cast("bigint"))
+
+    n_files = 8
+    plain = str(tmp_path / "plain")
+    zsorted = str(tmp_path / "zsorted")
+    # layout A: arbitrary (hash) distribution across files
+    pts.repartition(n_files).write.mode("overwrite").parquet(plain)
+    # layout B: files span disjoint z ranges, rows z-sorted inside
+    (
+        pts.repartitionByRange(n_files, "zval")
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .parquet(zsorted)
+    )
+
+    area_plain = _file_bbox_area_sum(plain)
+    area_z = _file_bbox_area_sum(zsorted)
+    # hash layout: every file spans ~the whole (u, h) plane; z layout
+    # tiles it. Require a decisive (not marginal) improvement.
+    assert area_z < 0.5 * area_plain, (area_z, area_plain)
+
+
+def test_bucketed_tables_join_matches_plain_join(spark, sf_dir):
+    from big_data_final_project_spark.queries.storage import _bucketed_pair
+
+    li_name, o_name = _bucketed_pair(spark, sf_dir)
+    got = (
+        spark.table(li_name)
+        .join(spark.table(o_name), F.col("l_orderkey") == F.col("o_orderkey"))
+        .count()
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    want = li.join(o, li["l_orderkey"] == o["o_orderkey"]).count()
+    assert got == want

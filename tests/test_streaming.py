@@ -175,3 +175,57 @@ def test_kafka_gate_option_building(monkeypatch, staging):
         "topic": EVENT_TOPIC,
         "checkpointLocation": "/tmp/ckpt",
     }
+
+
+def test_transform_with_state_running_totals(spark, sf_dir, staging):
+    """transformWithState (Spark 4 StatefulProcessor): final per-user
+    totals must equal the batch fixed-point aggregation. Skipped where
+    the protobuf-based TWS Python runner can't start."""
+    import pytest
+
+    from big_data_final_project_spark.streaming.pipeline import (
+        ROCKSDB_PROVIDER,
+        has_transform_with_state,
+        running_totals_tws,
+    )
+
+    if not has_transform_with_state():
+        pytest.skip("protobuf unavailable: TWS python runner cannot start")
+    import pyspark.sql.functions as F
+
+    from big_data_final_project_spark.data import load_table
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        stream = running_totals_tws(spark, staging)
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("tws_sink")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = {
+            r["user_id"]: (r["n_events"], r["value_sum_fp"])
+            for r in spark.table("tws_sink")
+            .groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"),
+                 F.max("value_sum_fp").alias("value_sum_fp"))
+            .collect()
+        }
+        want = {
+            r["user_id"]: (r["n"], r["s"])
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.floor(F.col("value") * 1e6).cast("bigint")).alias("s"),
+            )
+            .collect()
+        }
+        assert final == want
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
