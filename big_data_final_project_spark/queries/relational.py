@@ -455,15 +455,30 @@ def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_percentiles_approx", oracle=None, tags=("groupby", "percentile", "approx"))
+@query(
+    "agg_percentiles_approx",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_quantity, 0.25) AS q25,
+           quantile_disc(l_quantity, 0.5) AS q50,
+           quantile_disc(l_quantity, 0.75) AS q75,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("groupby", "percentile", "approx"),
+)
 def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (GK-sketch): mergeable partial state, no
-    per-group sort — the scale path for quantiles (rows-only check:
-    sketch internals are engine-specific). The three quantiles are
-    emitted as scalar double columns — a top-level ArrayType is not
-    hashable by the differential comparator."""
+    per-group sort — the scale path for quantiles. Oracle-pairable
+    because the GK guarantee is a RANK error <= n/accuracy: with
+    accuracy 1e6 and n <= 600k per group at test scales the bound is
+    < 1 rank, i.e. the sketch is in its exact regime and must return
+    the exact discrete quantile (DuckDB quantile_disc). At 100 TB the
+    same query runs with the accuracy the memory budget affords and
+    degrades to bounded-rank-error answers — the operator and plan
+    shape don't change, only the guarantee."""
     li = load_table(spark, sf_dir, "lineitem")
-    aq = F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10000)
+    aq = F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 1000000)
     return li.groupBy("l_returnflag").agg(
         F.element_at(aq, 1).alias("q25"),
         F.element_at(aq, 2).alias("q50"),

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..data import load_table
-from ..functions.numeric import davg, davg_sql
+from ..functions.numeric import davg, davg_sql, dsum
 from ..registry import query
 
 
@@ -421,4 +421,70 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
         F.coalesce(F.col("avg_value"), interp).alias("value_interp"),
+    )
+
+
+@query(
+    "ts_sessionize_batch",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts, event_id, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM x
+    )
+    SELECT user_id,
+           CAST(session_no AS BIGINT) AS session_no,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM s
+    GROUP BY 1, 2
+    """,
+    tags=("timeseries", "sessionization", "window"),
+)
+def ts_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): per-user sessions cut
+    at >30-minute inactivity gaps, one summary row per session — the
+    batch twin of the streaming session_window queries, and the shape
+    every clickstream warehouse materializes nightly.
+
+    Determinism: the per-user ordering ties on (ts, event_id) so
+    duplicate timestamps can't reorder; the gap test compares exact
+    epoch microseconds. Scale shape: both windows and the final
+    aggregate partition on user_id — ONE shuffle total (the windows
+    and the groupBy share the hash partitioning; asserted in
+    tests/test_plans.py). Per-user partitions are event counts per
+    user, bounded and uniform — no skew."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        prev_us.isNull()
+        | ((F.unix_micros(F.col("ts")) - prev_us) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = e.select(
+        "user_id", "ts", "event_id", "value", is_new.alias("is_new")
+    ).withColumn("session_no", F.sum("is_new").over(wc).cast("bigint"))
+    return s.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        dsum("value").alias("total_value"),
     )

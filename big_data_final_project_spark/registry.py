@@ -81,6 +81,7 @@ def _load_all() -> None:
         graph,
         sketches,
         storage,
+        profiling,
     )
 
 

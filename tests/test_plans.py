@@ -264,3 +264,20 @@ def test_zorder_key_is_codegen_only(spark, sf_dir):
     p = _plan(spark, sf_dir, "store_zorder_layout")
     assert p.shuffles <= 1, p.text
     assert p.broadcast_joins == 0 and p.sortmerge_joins == 0
+
+
+def test_sessionize_single_user_shuffle(spark, sf_dir):
+    # lag window, cumsum window, and the session aggregate all
+    # partition on user_id — the plan must reuse ONE hash exchange
+    p = _plan(spark, sf_dir, "ts_sessionize_batch")
+    assert p.shuffles <= 1, p.text
+    assert p.cartesian_products == 0
+
+
+def test_table_profile_is_joinless_single_scan(spark, sf_dir):
+    # one wide aggregate + stack(): scans the table once, joins never
+    p = _plan(spark, sf_dir, "audit_table_profile")
+    assert p.broadcast_joins == 0 and p.sortmerge_joins == 0
+    # one file-scan node in the whole plan (each scan prints exactly
+    # one Location: line in the formatted details)
+    assert p.text.count("Location: InMemoryFileIndex") == 1, p.text
