@@ -488,3 +488,97 @@ def ts_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         dsum("value").alias("total_value"),
     )
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH firstday AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT f.cohort_day,
+           CAST(datediff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM activity a JOIN firstday f ON f.user_id = a.user_id
+    WHERE datediff('day', f.cohort_day, a.day) BETWEEN 0 AND 7
+    GROUP BY 1, 2
+    """,
+    tags=("timeseries", "cohort", "retention"),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day,
+    counted on each of their first 8 active day-offsets — the
+    activation/retention table every growth dashboard starts from.
+
+    Scale shape: both the first-seen aggregate and the distinct
+    activity set key on user_id, so the join is co-partitioned (one
+    shuffle reused); the retention cells are |cohorts| x 8 — tiny.
+    The distinct-before-join keeps the join input at one row per
+    (user, day), not per event."""
+    e = load_table(spark, sf_dir, "events")
+    firstday = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    activity = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    k = F.datediff(F.col("day"), F.col("cohort_day"))
+    return (
+        activity.join(firstday, "user_id")
+        .where(k.between(0, 7))
+        .groupBy("cohort_day", k.cast("bigint").alias("day_offset"))
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+    )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    counts AS (
+        SELECT prev_type, event_type AS curr_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT prev_type, curr_type, n,
+           CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+    FROM counts
+    """,
+    tags=("timeseries", "markov", "window"),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior:
+    count and conditional probability of each event_type -> event_type
+    step in per-user event-time order (ties broken by event_id).
+
+    Scale shape: ONE shuffle on user_id for the lag window; the
+    transition counts then aggregate a |types|^2-sized key space
+    (map-side combined), and the row-normalizing window runs over the
+    tiny counts table. The probability is a single int/int division —
+    the same IEEE op on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("curr_type")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "curr_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wp).cast("double")).alias(
+            "p"
+        ),
+    )
