@@ -733,3 +733,74 @@ def dedup_survivor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_survivors"),
         F.sum("n_chars").cast("long").alias("chars_kept"),
     )
+
+
+@query(
+    "dedup_substring_windows",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, t,
+               unnest(generate_series(1, CASE WHEN len(t) >= 8
+                                              THEN len(t) - 7 ELSE 0 END)) AS i
+        FROM toks
+    ),
+    w AS (
+        SELECT doc_id, array_to_string(t[i:i + 7], ' ') AS win FROM pos
+    ),
+    cnt AS (
+        SELECT doc_id, count(*) OVER (PARTITION BY win) AS c FROM w
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
+           CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS dup_frac
+    FROM cnt
+    GROUP BY doc_id
+    """,
+    tags=("dedup", "substring", "span"),
+)
+def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-duplication measure: slide an 8-token window
+    (stride 1) over every document, count how many of a document's
+    windows occur anywhere else in the corpus (including repeats
+    within the document), and report the duplicated fraction — the
+    signal used to strip boilerplate/templated spans that whole-doc
+    and shingle-set dedup both miss (doc-level Jaccard is blind to a
+    10% repeated footer).
+
+    Engine/oracle bridge: Spark counts window OCCURRENCES via
+    xxhash64 of the window text (cheap fixed-width shuffle key); the
+    oracle counts the raw window strings — identical counts unless
+    xxhash64 collides (2^-64-scale odds, and the differential would
+    catch it).
+
+    Scale shape: explode to one row per window position (bounded by
+    total token count), ONE window-count shuffle on the hash, one
+    per-doc aggregate. No joins, no index build. At 100 TB the window
+    count shuffle dominates; stride >1 and a Bloom pre-filter of
+    singleton hashes are the standard knobs, both layout-compatible
+    with this plan."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    win_hashes = F.when(
+        F.size("t") >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 7),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("t"), i, 8))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    w = toks.select("doc_id", F.explode(win_hashes).alias("wh"))
+    from pyspark.sql import Window
+
+    c = w.withColumn("c", F.count("*").over(Window.partitionBy("wh")))
+    dup = F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+    return c.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_windows"),
+        dup.cast("bigint").alias("n_dup_windows"),
+        (dup.cast("double") / F.count("*").cast("double")).alias("dup_frac"),
+    )
