@@ -85,3 +85,65 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users_high"
         ),
     )
+
+
+@query(
+    "agg_rolling_distinct_users",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM act)
+    SELECT days.d AS day,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active_7d
+    FROM days JOIN act a ON a.d BETWEEN days.d - 6 AND days.d
+    GROUP BY 1
+    """,
+    tags=("sketch", "bitmap", "window", "distinct"),
+)
+def agg_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the DAU/WAU
+    family — computed WITHOUT re-scanning raw ids per window: per-day
+    partial bitmaps are OR-merged by a RANGE-framed window (6
+    preceding days), then counted. The oracle does it the quadratic
+    way (day-grid join + COUNT DISTINCT) and must agree exactly.
+
+    Scale shape: events collapse to one bitmap per (day, id-bucket) —
+    the window then slides over |days| x |buckets| KILOBYTE-sized rows
+    regardless of event volume; this is why mergeable summaries, not
+    raw distincts, are the rolling-metric currency at 100 TB. The
+    (day x bucket) grid is densified first: a bucket silent on day d
+    must still surface the users it saw on days d-6..d-1."""
+    e = load_table(spark, sf_dir, "events")
+    partials = (
+        e.select(
+            F.to_date("ts").alias("day"),
+            F.expr("bitmap_bucket_number(user_id)").alias("bk"),
+            F.expr("bitmap_bit_position(user_id)").alias("bp"),
+        )
+        .groupBy("day", "bk")
+        .agg(F.expr("bitmap_construct_agg(bp)").alias("bm"))
+    )
+    grid = (
+        partials.select("day")
+        .distinct()
+        .crossJoin(partials.select("bk").distinct())
+    )
+    dense = grid.join(partials, ["day", "bk"], "left").withColumn(
+        "di", F.unix_date("day")
+    )
+    dense.createOrReplaceTempView("sg_rolling_dense")
+    return spark.sql(
+        """
+        SELECT day,
+               CAST(sum(coalesce(bitmap_count(bm7), 0)) AS BIGINT)
+                 AS n_active_7d
+        FROM (
+          SELECT day, bk,
+                 bitmap_or_agg(bm) OVER (PARTITION BY bk ORDER BY di
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS bm7
+          FROM sg_rolling_dense
+        )
+        GROUP BY day
+        """
+    )

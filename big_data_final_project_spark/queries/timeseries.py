@@ -582,3 +582,103 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p"
         ),
     )
+
+
+@query(
+    "ts_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        FROM events GROUP BY 1, 2
+    ),
+    ctx AS (
+        SELECT event_type, day, n, total,
+               SUM(n) OVER w AS n_prev,
+               CAST(SUM(CAST(total AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s,
+               CAST(CAST(SUM(CAST(total AS DECIMAL(19,6))
+                             * CAST(total AS DECIMAL(19,6))) OVER w
+                         AS VARCHAR) AS DOUBLE) AS ss,
+               COUNT(*) OVER w AS d_prev
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type
+                     ORDER BY datediff('day', DATE '1970-01-01', day)
+                     RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day, n, total,
+           CASE WHEN d_prev >= 3
+                THEN (total - s / d_prev)
+                     / sqrt((ss - s * s / d_prev) / (d_prev - 1))
+           END AS z
+    FROM ctx
+    """,
+    tags=("timeseries", "anomaly", "window"),
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-total anomaly score per event type: each day's value
+    total scored against the trailing week's mean and sample standard
+    deviation (z-score; null until 3 trailing days exist) — the
+    alert-threshold query a metrics pipeline runs after every daily
+    load.
+
+    Numeric contract: daily totals and BOTH window sums route through
+    exact decimals (a double window-sum would be frame-order
+    dependent); the z formula itself is a single identical IEEE tree
+    on both engines. The squared-total window sum exceeds 2^53
+    unscaled, so the ORACLE casts it to double via VARCHAR (DuckDB's
+    int128-decimal cast double-rounds; SCALE.md trap (c)).
+
+    Scale shape: the daily aggregate is the only data-sized shuffle;
+    the trailing window slides over |types| x |days| rows. RANGE
+    framing on the day index keeps calendar gaps honest (a silent
+    day is absent from the frame, not zero-filled)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        dsum("value").alias("total"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_date("day"))
+        .rangeBetween(-7, -1)
+    )
+    s = F.sum(F.col("total").cast("decimal(18,6)")).over(w).cast("double")
+    # Square in DECIMAL, not double: daily totals carry <=6 decimals,
+    # so the per-factor cast is exact and the product sum is exact —
+    # a double total*total cast to decimal rounds engine-differently
+    # and the variance cancellation amplifies that ulp into ~1e-14 z
+    # drift (measured). Same construction as functions.numeric.dsum_prod.
+    ss = (
+        F.sum(
+            F.col("total").cast("decimal(18,6)")
+            * F.col("total").cast("decimal(18,6)")
+        )
+        .over(w)
+        .cast("double")
+    )
+    d_prev = F.count("*").over(w)
+    ctx = daily.select(
+        "event_type",
+        "day",
+        "n",
+        "total",
+        s.alias("s"),
+        ss.alias("ss"),
+        d_prev.alias("d_prev"),
+    )
+    mean = F.col("s") / F.col("d_prev")
+    var = (
+        F.col("ss") - F.col("s") * F.col("s") / F.col("d_prev")
+    ) / (F.col("d_prev") - 1)
+    return ctx.select(
+        "event_type",
+        "day",
+        "n",
+        "total",
+        F.when(F.col("d_prev") >= 3, (F.col("total") - mean) / F.sqrt(var)).alias(
+            "z"
+        ),
+    )
