@@ -56,6 +56,12 @@ HEADLINE = [
     # round-2 corpus screening
     "curation_decontaminate",
     "curation_repetition_stats",
+    # round-3 families: graph analytics, mergeable distinct,
+    # sessionization, span-level dedup
+    "graph_pagerank",
+    "agg_bitmap_distinct",
+    "ts_sessionize_batch",
+    "dedup_substring_windows",
 ]
 
 
