@@ -682,3 +682,66 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z"
         ),
     )
+
+
+@query(
+    "events_pattern_match",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+                 AS s
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(s) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(s, 'vc*p')) AS BIGINT)
+             AS n_view_to_purchase,
+           CAST(len(regexp_extract_all(s, 'ee+')) AS BIGINT)
+             AS n_error_bursts
+    FROM seq
+    """,
+    tags=("timeseries", "cep", "regex"),
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching (CEP-lite / MATCH_RECOGNIZE-shaped):
+    each user's event history becomes an ordered initial-string
+    (s/c/p/v/e), and behavioral patterns are counted with regular
+    expressions — view→(clicks)→purchase conversions and error bursts
+    (2+ consecutive errors). Greedy leftmost non-overlapping counting
+    behaves identically in Java regex and RE2 for these patterns, so
+    the oracle pairs exactly.
+
+    Scale shape: one user_id aggregate builds the per-user string
+    (collect_list sorted in-array — bounded by the user's own event
+    count, the same invariant sessionization relies on); the regex
+    runs once per USER, not per event. A 100 TB run caps or windows
+    per-user history upstream — pattern semantics unchanged."""
+    e = load_table(spark, sf_dir, "events")
+    seq = e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("ts"),
+                            F.col("event_id"),
+                            F.substring("event_type", 1, 1).alias("ini"),
+                        )
+                    )
+                ),
+                lambda s: s["ini"],
+            ),
+            "",
+        ).alias("s")
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").cast("bigint").alias("seq_len"),
+        F.regexp_count("s", F.lit("vc*p")).cast("bigint").alias(
+            "n_view_to_purchase"
+        ),
+        F.regexp_count("s", F.lit("ee+")).cast("bigint").alias(
+            "n_error_bursts"
+        ),
+    )

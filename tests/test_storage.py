@@ -72,3 +72,28 @@ def test_bucketed_tables_join_matches_plain_join(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     want = li.join(o, li["l_orderkey"] == o["o_orderkey"]).count()
     assert got == want
+
+
+def test_ingest_mirror_rechunks_big_tables(spark):
+    """The compaction mirror: sub-threshold tables read the source
+    file directly; above-threshold tables read a multi-file mirror
+    with identical rows (sf0.1 lineitem ships as ONE row group)."""
+    from big_data_final_project_spark.data import (
+        _MIRROR_MIN_ROWS,
+        _source_layout,
+        load_table,
+    )
+
+    big_dir = "/root/testdata/sf0.1"
+    rows, groups = _source_layout(big_dir, "lineitem")
+    if rows < _MIRROR_MIN_ROWS or groups > 1:
+        import pytest
+
+        pytest.skip("driver testdata no longer single-group/over-threshold")
+    df = load_table(spark, big_dir, "lineitem")
+    assert df.rdd.getNumPartitions() > 1
+    assert df.count() == rows
+    # small table: no mirror, reads the source path
+    small = load_table(spark, big_dir, "region")
+    files = small.inputFiles()
+    assert any("/testdata/" in f for f in files), files
