@@ -236,3 +236,70 @@ def udf_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(clicks.groupBy("bucket"))
         .applyInPandas(merge, schema=out_schema)
     )
+
+
+@query(
+    "udf_arrow_map_norms",
+    oracle=f"""
+    SELECT vec_id, label,
+           CAST(len(embedding) AS INT) AS n_dims,
+           CAST(list_reduce(
+                 list_transform(
+                   list_transform(embedding, x ->
+                     CAST(CASE WHEN x >= 0
+                          THEN floor(CAST(x AS DOUBLE) * 8388608.0 + 0.5)
+                          ELSE -floor(-(CAST(x AS DOUBLE) * 8388608.0) + 0.5)
+                          END AS BIGINT)),
+                   q -> q * q),
+                 (a, x) -> a + x) AS BIGINT) AS norm_sq_fp
+    FROM embeddings
+    """,
+    tags=("udf", "arrow", "vector"),
+)
+def udf_arrow_map_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the zero-copy sibling of mapInPandas: batches
+    arrive as pyarrow RecordBatches, the embedding matrix is viewed
+    as one contiguous numpy array (no per-row Python, no pandas
+    boxing), quantized to 2^23 fixed point, and squared-summed in
+    int64 — so the norm is EXACT and the DuckDB list-fold oracle
+    matches bit-for-bit (same FXP contract as the ANN operators,
+    dedup.quantize_fxp).
+
+    Scale shape: embarrassingly parallel single pass, zero shuffles;
+    Arrow record batches bound memory per task. This is the template
+    for any vectorized feature kernel (norms, quantization, hashing)
+    on a 100 TB embedding store."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .dedup import FXP_SCALE
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def norms(batches):
+        for batch in batches:
+            vec_id = batch.column("vec_id")
+            label = batch.column("label")
+            lists = batch.column("embedding")
+            n = len(batch)
+            if n == 0:
+                continue
+            dim = len(lists[0].as_py()) if n else 0
+            flat = lists.flatten().to_numpy(zero_copy_only=False)
+            mat = flat.reshape(n, dim).astype("float64") * FXP_SCALE
+            q = (np.sign(mat) * np.floor(np.abs(mat) + 0.5)).astype("int64")
+            norm_sq = (q * q).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    vec_id,
+                    label,
+                    pa.array([dim] * n, type=pa.int32()),
+                    pa.array(norm_sq, type=pa.int64()),
+                ],
+                names=["vec_id", "label", "n_dims", "norm_sq_fp"],
+            )
+
+    return emb.mapInArrow(
+        norms,
+        schema="vec_id bigint, label int, n_dims int, norm_sq_fp bigint",
+    )

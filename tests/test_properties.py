@@ -179,3 +179,27 @@ def test_na_drop_agrees_with_fused_audit(spark, sf_dir):
     n_car = replaced.where(F.col("seg") == "CAR").count()
     n_auto = dirty.where(F.col("seg") == "AUTOMOBILE").count()
     assert n_car == n_auto
+
+
+def test_pagerank_fixed_point_invariant_to_parallelism(spark, sf_dir):
+    """int64 fixed-point PageRank must be BIT-identical regardless of
+    shuffle partitioning — the property float PageRank cannot give."""
+    from big_data_final_project_spark.queries import graph
+
+    def run():
+        graph._CACHE.clear()
+        return [
+            tuple(r)
+            for r in graph.graph_pagerank(spark, sf_dir).collect()
+        ]
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = run()
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        graph._CACHE.clear()
+    assert a == b
