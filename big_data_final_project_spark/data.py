@@ -103,11 +103,22 @@ def _raw_load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def sf_dir_tag(sf_dir: str) -> str:
+    """Collision-safe tag for per-sf_dir scratch paths: basename for
+    readability + a short hash of the FULL path, so two directories
+    that share a basename (e.g. an override dir also called sf0.1)
+    can never alias each other's cache."""
+    import hashlib
+
+    full = os.path.abspath(sf_dir.rstrip("/"))
+    h = hashlib.md5(full.encode()).hexdigest()[:8]
+    return f"{os.path.basename(full)}_{h}"
+
+
 def _mirror_path(sf_dir: str, name: str) -> str:
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
     return os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_mirror_{sf_tag}_{os.getpid()}",
+        f"spark_graft_mirror_{sf_dir_tag(sf_dir)}_{os.getpid()}",
         name,
     )
 

@@ -43,10 +43,16 @@ def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Write (once per process) lineitem + orders bucketed by the
     join key into N_BUCKETS, registered in the session catalog.
     Returns the two table names."""
-    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    from ..data import sf_dir_tag
+
+    sf_tag = sf_dir_tag(sf_dir).replace(".", "_")
     li_name = f"sg_li_bucketed_{sf_tag}"
     o_name = f"sg_o_bucketed_{sf_tag}"
-    if not spark.catalog.tableExists(li_name):
+    # Gate on BOTH tables: a failure between the two writes must not
+    # leave the pair half-created for the rest of the process.
+    if not (
+        spark.catalog.tableExists(li_name) and spark.catalog.tableExists(o_name)
+    ):
         base = os.path.join(
             tempfile.gettempdir(), f"spark_graft_bucketed_{sf_tag}_{os.getpid()}"
         )
@@ -143,9 +149,10 @@ def store_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster events by the Z-order (Morton) key over
     (user_id mod 256, hour-of-day) and summarize each 64-key z-cell:
     row count, the bounding box of both dimensions, and the value
-    total. The bounding boxes are the point: every cell spans at most
-    8 users x 4 hours (a 2^3 x 2^2 tile), which is why a predicate on
-    EITHER dimension prunes most cells — the property file-level
+    total. The bounding boxes are the point: with the u0 h0 u1 h1...
+    interleave, the 6 low bits freed by div 64 are 3 u-bits + 3
+    h-bits, so every cell spans at most 8 users x 8 hours, which is
+    why a predicate on EITHER dimension prunes most cells — the property file-level
     min/max skipping exploits when files are written in z order
     (measured in tests/test_storage.py).
 

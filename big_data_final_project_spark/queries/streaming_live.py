@@ -18,6 +18,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..data import sf_dir_tag
 from ..registry import query
 from ..streaming.pipeline import (
     N_MALFORMED,
@@ -35,7 +36,7 @@ from ..streaming.pipeline import (
 def _work_dir(sf_dir: str, leaf: str) -> str:
     base = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_stream_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+        f"spark_graft_stream_{sf_dir_tag(sf_dir)}_{os.getpid()}",
     )
     path = os.path.join(base, leaf)
     os.makedirs(path, exist_ok=True)

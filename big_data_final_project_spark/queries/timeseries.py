@@ -18,7 +18,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..data import load_table
+from ..data import load_table, sf_dir_tag
 from ..functions.numeric import davg, davg_sql, dsum
 from ..registry import query
 
@@ -115,7 +115,7 @@ def _partitioned_store(spark: SparkSession, sf_dir: str) -> str:
 
     path = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_store_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+        f"spark_graft_store_{sf_dir_tag(sf_dir)}_{os.getpid()}",
     )
     marker = os.path.join(path, "_built")
     if not os.path.exists(marker):
@@ -174,7 +174,7 @@ def _evolved_store(spark: SparkSession, sf_dir: str) -> str:
 
     path = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_evo_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+        f"spark_graft_evo_{sf_dir_tag(sf_dir)}_{os.getpid()}",
     )
     marker = os.path.join(path, "_built")
     if not os.path.exists(marker):
@@ -595,7 +595,6 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ctx AS (
         SELECT event_type, day, n, total,
-               SUM(n) OVER w AS n_prev,
                CAST(SUM(CAST(total AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s,
                CAST(CAST(SUM(CAST(total AS DECIMAL(19,6))
                              * CAST(total AS DECIMAL(19,6))) OVER w

@@ -229,3 +229,5 @@ def test_transform_with_state_running_totals(spark, sf_dir, staging):
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
