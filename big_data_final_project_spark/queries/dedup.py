@@ -152,6 +152,10 @@ _MINHASH_CTES = f"""
     )
 """
 
+# Banded-signature table per (session, sf_dir): pairs, clusters, and
+# survivor stats all start from it — build it once.
+_SIG_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
 
 @query(
     "dedup_minhash_pairs",
@@ -208,11 +212,20 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole shingle→md5→min-agg pipeline runs twice (measured 2x
     # wall). At 100 TB this materialization is a written parquet
     # signature table — same dataflow, durable instead of cached.
-    hashed = (
-        sig_row.select("doc_id", sig.alias("sig"))
-        .select("doc_id", "sig", F.posexplode(band_hashes).alias("band_idx", "band_hash"))
-        .localCheckpoint(eager=True)
-    )
+    # Cached per (session, sf_dir): three registry queries (pairs,
+    # clusters, survivor stats) all start from this table.
+    cache_key = (spark.sparkContext.applicationId, sf_dir, "banded_sigs")
+    if cache_key not in _SIG_CACHE:
+        _SIG_CACHE[cache_key] = (
+            sig_row.select("doc_id", sig.alias("sig"))
+            .select(
+                "doc_id",
+                "sig",
+                F.posexplode(band_hashes).alias("band_idx", "band_hash"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    hashed = _SIG_CACHE[cache_key]
     a, b = hashed.alias("a"), hashed.alias("b")
     est = (
         F.aggregate(
