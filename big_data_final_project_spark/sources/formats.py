@@ -18,6 +18,9 @@ from pyspark.sql import DataFrame, SparkSession
 from ..streaming.pipeline import EVENT_SCHEMA, TS_FORMAT
 
 _TEXT_OPTS = {"timestampFormat": TS_FORMAT}
+# XML (built-in since Spark 4) is row-tagged; avro needs the external
+# spark-avro jar — test_formats skips it when the jar is absent.
+_XML_OPTS = {"rowTag": "event", "timestampFormat": TS_FORMAT}
 
 
 def write_events(df: DataFrame, path: str, fmt: str) -> None:
@@ -26,6 +29,8 @@ def write_events(df: DataFrame, path: str, fmt: str) -> None:
         w = w.options(**_TEXT_OPTS)
         if fmt == "csv":
             w = w.option("header", "true")
+    elif fmt == "xml":
+        w = w.options(rootTag="events", **_XML_OPTS)
     w.format(fmt).save(path)
 
 
@@ -35,7 +40,19 @@ def read_events(spark: SparkSession, path: str, fmt: str) -> DataFrame:
         r = r.options(**_TEXT_OPTS)
         if fmt == "csv":
             r = r.option("header", "true")
+    elif fmt == "xml":
+        r = r.options(**_XML_OPTS)
     return r.format(fmt).load(path)
+
+
+def format_available(spark: SparkSession, fmt: str) -> bool:
+    """True when the session can resolve the format's data source
+    (avro/xml ship outside core in some distributions)."""
+    try:
+        spark.read.format(fmt).schema(EVENT_SCHEMA).load("/nonexistent")
+    except Exception as ex:  # noqa: BLE001
+        return "Failed to find data source" not in str(ex)
+    return True
 
 
 def roundtrip(spark: SparkSession, df: DataFrame, base_dir: str, fmt: str) -> DataFrame:
