@@ -744,3 +744,83 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_error_bursts"
         ),
     )
+
+
+M4_BUCKETS = 256
+
+
+@query(
+    "ts_m4_downsample",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi FROM events
+    ),
+    pts AS (
+        SELECT e.event_type,
+               (epoch_us(e.ts) - b.lo) * {M4_BUCKETS} // (b.hi - b.lo + 1)
+                 AS bucket,
+               struct_pack(tsu := epoch_us(e.ts), eid := e.event_id,
+                           v := e.value) AS s,
+               e.value
+        FROM events e CROSS JOIN bounds b
+    )
+    SELECT event_type,
+           CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(value) AS v_min,
+           max(value) AS v_max,
+           make_timestamp((min(s)).tsu) AS first_ts,
+           (min(s)).v AS first_v,
+           make_timestamp((max(s)).tsu) AS last_ts,
+           (max(s)).v AS last_v
+    FROM pts
+    GROUP BY 1, 2
+    """,
+    tags=("timeseries", "downsample", "m4"),
+)
+def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling — the standard error-free reduction for
+    time-series charting: per (series, pixel-bucket), keep min, max,
+    first, and last, which is exactly the set a line renderer needs
+    to draw the pixel column correctly. 100 TB of points become
+    |series| x {M4_BUCKETS} rows at the visualization edge (the
+    reference ships raw points to Streamlit, app.py:465-475 — this
+    is that edge done scalably).
+
+    Determinism: first/last are min/max over a (epoch-micros,
+    event_id, value) struct — lexicographic on an exact integer key
+    with a total tie-break, identical in both engines; the bucket
+    index is pure integer arithmetic anchored on the data's own
+    bounds. Scale shape: one 1-row bounds aggregate broadcast to the
+    scan, then ONE map-side-combinable aggregate — no window, no
+    sort, no second pass."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.unix_micros(F.min("ts")).alias("lo"),
+        F.unix_micros(F.max("ts")).alias("hi"),
+    )
+    pts = e.join(F.broadcast(bounds)).select(
+        "event_type",
+        # integer division, not `/`: float division + engine-specific
+        # double->int casts disagree at bucket edges
+        F.expr(
+            f"(unix_micros(ts) - lo) * {M4_BUCKETS} div (hi - lo + 1)"
+        ).alias("bucket"),
+        F.struct(
+            F.unix_micros(F.col("ts")).alias("tsu"),
+            F.col("event_id").alias("eid"),
+            F.col("value").alias("v"),
+        ).alias("s"),
+        "value",
+    )
+    first = F.min("s")
+    last = F.max("s")
+    return pts.groupBy("event_type", "bucket").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+        F.timestamp_micros(first["tsu"]).alias("first_ts"),
+        first["v"].alias("first_v"),
+        F.timestamp_micros(last["tsu"]).alias("last_ts"),
+        last["v"].alias("last_v"),
+    )
