@@ -824,3 +824,64 @@ def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros(last["tsu"]).alias("last_ts"),
         last["v"].alias("last_v"),
     )
+
+
+@query(
+    "ts_time_weighted_avg",
+    oracle="""
+    WITH seg AS (
+        SELECT event_type,
+               value,
+               lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id)
+                 - epoch_us(ts) AS dur_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(dur_us) AS BIGINT) AS n_segments,
+           CAST(sum(dur_us) AS BIGINT) AS total_dur_us,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(19,6))
+                         * CAST(dur_us AS DECIMAL(19,0))) AS VARCHAR)
+                AS DOUBLE)
+             / CAST(sum(dur_us) AS DOUBLE) AS twa
+    FROM seg
+    WHERE dur_us IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=("timeseries", "twa", "window"),
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per series — the TSDB aggregate for
+    IRREGULARLY sampled values (a plain AVG over-weights bursts):
+    each sample holds until the next one, so its weight is the exact
+    microsecond duration to the successor (step interpolation; the
+    last point carries no segment).
+
+    Numeric contract: weights are exact integer micros; the weighted
+    sum multiplies DECIMAL(19,6) values by DECIMAL(19,0) durations —
+    exact at (38,6) — with the oracle's final cast routed through
+    VARCHAR (the unscaled sum passes 2^53; SCALE.md trap (c)). The
+    closing division is one identical IEEE op.
+
+    Scale shape: one user-invisible window shuffle on event_type for
+    the lead(), then a map-side-combinable aggregate on the same key
+    — the partitioning is reused. At 100 TB the window partitions by
+    (series, day) instead, and per-day edge segments are closed with
+    the day boundary — same dataflow."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    tsu = F.unix_micros(F.col("ts"))
+    seg = e.select(
+        "event_type",
+        "value",
+        (F.lead(tsu).over(w) - tsu).alias("dur_us"),
+    ).where(F.col("dur_us").isNotNull())
+    weighted = F.sum(
+        F.col("value").cast("decimal(19,6)")
+        * F.col("dur_us").cast("decimal(19,0)")
+    ).cast("double")
+    return seg.groupBy("event_type").agg(
+        F.count("dur_us").cast("bigint").alias("n_segments"),
+        F.sum("dur_us").cast("bigint").alias("total_dur_us"),
+        (weighted / F.sum("dur_us").cast("double")).alias("twa"),
+    )
