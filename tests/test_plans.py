@@ -281,3 +281,26 @@ def test_table_profile_is_joinless_single_scan(spark, sf_dir):
     # one file-scan node in the whole plan (each scan prints exactly
     # one Location: line in the formatted details)
     assert p.text.count("Location: InMemoryFileIndex") == 1, p.text
+
+
+def test_round3_timeseries_plan_shapes(spark, sf_dir):
+    # M4: 1-row bounds broadcast into the scan (a condition-less
+    # cross join plans as BroadcastNestedLoopJoin — correct for a
+    # 1-row build side), then ONE map-side-combinable aggregate —
+    # no window, no sort
+    p = _plan(spark, sf_dir, "ts_m4_downsample")
+    assert "BroadcastNestedLoopJoin" in p.text or p.broadcast_joins >= 1, p.text
+    assert p.shuffles <= 2, p.text
+    assert "Window" not in p.text, p.text
+    # TWA: the lead() window and the final aggregate share one
+    # event_type partitioning
+    p = _plan(spark, sf_dir, "ts_time_weighted_avg")
+    assert p.shuffles <= 1, p.text
+    # transition matrix: one user window shuffle + tiny-key aggs
+    p = _plan(spark, sf_dir, "events_transition_matrix")
+    assert p.shuffles <= 3, p.text
+    assert p.cartesian_products == 0
+    # cohort: first-seen agg and activity distinct co-partition on
+    # user_id; no cartesian anywhere
+    p = _plan(spark, sf_dir, "events_cohort_retention")
+    assert p.cartesian_products == 0
