@@ -299,3 +299,94 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_fp"), F.asc("part"))
         .limit(20)
     )
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH {_KNN_EDGES_SQL},
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tri_per_node AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS t
+        FROM (SELECT x AS node FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri) u
+        GROUP BY node
+    ),
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) u
+        GROUP BY node
+    )
+    SELECT d.node AS part, d.d AS degree,
+           coalesce(t.t, 0) AS n_triangles,
+           CAST(2 * coalesce(t.t, 0) AS DOUBLE)
+             / CAST(d.d * (d.d - 1) AS DOUBLE) AS clustering_coeff
+    FROM deg d LEFT JOIN tri_per_node t ON t.node = d.node
+    WHERE d.d >= 2
+    ORDER BY clustering_coeff DESC, n_triangles DESC, part ASC
+    LIMIT 20
+    """,
+    tags=("graph", "triangle", "clustering"),
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient — how clique-like each node's
+    neighborhood is (2T_v / d_v(d_v-1)); top-20 by coefficient. The
+    community-structure signal recommendation systems read off the
+    co-purchase graph.
+
+    Scale shape: the same degree-bounded wedge join as the global
+    triangle count, then each closed triangle credits its three
+    corners (narrow union + one count shuffle); degrees are one more
+    count shuffle; the final top-20 is TakeOrderedAndProject. The
+    coefficient division is a single identical IEEE op on exact
+    integer operands."""
+    e = _knn_edges(spark, sf_dir)  # materialized by the shared cache
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    tri_nodes = (
+        tri.select(F.col("x").alias("node"))
+        .unionByName(tri.select(F.col("y").alias("node")))
+        .unionByName(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("t"))
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    cc = (
+        deg.join(tri_nodes, "node", "left")
+        .where(F.col("d") >= 2)
+        .select(
+            F.col("node").alias("part"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("bigint").alias("n_triangles"),
+            (
+                (2 * F.coalesce(F.col("t"), F.lit(0))).cast("double")
+                / (F.col("d") * (F.col("d") - 1)).cast("double")
+            ).alias("clustering_coeff"),
+        )
+    )
+    return cc.orderBy(
+        F.desc("clustering_coeff"), F.desc("n_triangles"), F.asc("part")
+    ).limit(20)

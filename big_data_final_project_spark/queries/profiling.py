@@ -182,3 +182,53 @@ def agg_chi_square_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         expected.alias("expected"),
         (dev * dev / expected).alias("chi2_contrib"),
     )
+
+
+@query(
+    "audit_key_skew",
+    oracle="""
+    WITH sizes AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS group_size
+        FROM orders GROUP BY o_custkey
+    ),
+    hist AS (
+        SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups
+        FROM sizes GROUP BY group_size
+    )
+    SELECT group_size, n_groups,
+           CAST(max(group_size) OVER () AS DOUBLE)
+             / (CAST(SUM(group_size * n_groups) OVER () AS DOUBLE)
+                / CAST(SUM(n_groups) OVER () AS DOUBLE)) AS skew_ratio
+    FROM hist
+    """,
+    tags=("audit", "skew", "profile"),
+)
+def audit_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/aggregation-key skew audit: the distribution of group
+    sizes for orders-per-customer, plus the max/mean skew ratio — the
+    number that decides whether a key needs salting or AQE skew
+    handling BEFORE the 100 TB job runs (operators/salting.py is the
+    treatment; this is the diagnosis).
+
+    Scale shape: one count shuffle on the key, then a histogram
+    aggregate over group-size (tiny domain) and window totals over
+    the histogram — the raw table is touched once. The skew ratio is
+    exact-integer arithmetic until two final IEEE divisions."""
+    o = load_table(spark, sf_dir, "orders")
+    sizes = o.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("group_size")
+    )
+    hist = sizes.groupBy("group_size").agg(
+        F.count("*").cast("bigint").alias("n_groups")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    mean = F.sum(F.col("group_size") * F.col("n_groups")).over(w).cast(
+        "double"
+    ) / F.sum("n_groups").over(w).cast("double")
+    return hist.select(
+        "group_size",
+        "n_groups",
+        (F.max("group_size").over(w).cast("double") / mean).alias("skew_ratio"),
+    )
