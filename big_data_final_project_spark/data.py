@@ -13,8 +13,11 @@ work) runs on ONE core no matter how many the session has — measured
 2-4x on the sf0.1 bench. A real lakehouse never serves analytics off
 a raw single-blob drop; it compacts/re-chunks at ingest. load_table
 does the same: tables above a row threshold are rewritten ONCE per
-process into a multi-file mirror under /tmp (a few seconds, amortized
-across every subsequent query), and all queries read the mirror.
+source version (content-keyed on path+mtime+size, shared across
+processes, atomically published) into a multi-file mirror under /tmp
+(a few seconds, amortized across every subsequent query), and all
+queries read the mirror. Superseded mirrors and dead-pid write
+scratch are swept on first load.
 Same rows, same types, same pushdown/pruning — only the split count
 changes. Disable with SPARK_GRAFT_MIRROR=0. At 100 TB the threshold
 is never hit per-file because real ingest already writes right-sized
@@ -115,12 +118,79 @@ def sf_dir_tag(sf_dir: str) -> str:
     return f"{os.path.basename(full)}_{h}"
 
 
-def _mirror_path(sf_dir: str, name: str) -> str:
+def source_key(sf_dir: str, name: str) -> str:
+    """Short content key for one source table: full path + mtime + size.
+    Regenerated testdata (same path, new bytes) gets a new key, so a
+    shared cache can never serve a stale mirror."""
+    import hashlib
+
+    path = os.path.join(os.path.abspath(sf_dir.rstrip("/")), f"{name}.parquet")
+    st = os.stat(path)
+    raw = f"{path}|{st.st_mtime_ns}|{st.st_size}"
+    return hashlib.md5(raw.encode()).hexdigest()[:10]
+
+
+def _mirror_root(sf_dir: str, name: str) -> str:
+    # Content-keyed (NOT pid-keyed): every process that sees the same
+    # source bytes shares one mirror, built once, atomically published.
+    # The content key is PER TABLE, so the key lives on the leaf dir
+    # (one shared parent per sf_dir) — cleanup of one table's stale
+    # versions can never touch a sibling table's live mirror.
     return os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_mirror_{sf_dir_tag(sf_dir)}_{os.getpid()}",
-        name,
+        f"spark_graft_mirror_{sf_dir_tag(sf_dir)}",
+        f"{name}_{source_key(sf_dir, name)}",
     )
+
+
+def _clean_stale_mirrors(sf_dir: str, name: str) -> None:
+    """Drop THIS table's mirrors built from superseded source bytes."""
+    import glob
+    import shutil
+
+    keep = _mirror_root(sf_dir, name)
+    pattern = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_mirror_{sf_dir_tag(sf_dir)}",
+        f"{name}_*",
+    )
+    for d in glob.glob(pattern):
+        if d != keep:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def clean_dead_pid_scratch() -> None:
+    """Remove spark_graft_* scratch dirs whose trailing _<pid> points at
+    a process that no longer exists (write-side scratch — bucketed /
+    stream / store / evo — stays pid-keyed for writer isolation, so
+    dead runs would otherwise accumulate under /tmp unboundedly)."""
+    import glob
+    import shutil
+
+    pid_keyed = ("bucketed", "stream", "store", "evo")
+    dirs = [
+        d
+        for kind in pid_keyed
+        for d in glob.glob(
+            os.path.join(tempfile.gettempdir(), f"spark_graft_{kind}_*_*")
+        )
+    ]
+    for d in dirs:
+        tail = d.rsplit("_", 1)[-1]
+        if not tail.isdigit():
+            continue
+        pid = int(tail)
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(d, ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another uid: leave it
+
+
+_SCRATCH_CLEANED = False
 
 
 def _source_layout(sf_dir: str, name: str) -> tuple[int, int]:
@@ -140,24 +210,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TIMESTAMP(MICROS, ntz) (round 3+); ``_raw_load`` branches on the
     physical type so both read identically.
     """
+    global _SCRATCH_CLEANED
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if not _SCRATCH_CLEANED:
+        _SCRATCH_CLEANED = True
+        clean_dead_pid_scratch()
     if os.environ.get("SPARK_GRAFT_MIRROR", "1") == "0":
         return _raw_load(spark, sf_dir, name)
     rows, groups = _source_layout(sf_dir, name)
     want_files = min(_MIRROR_MAX_FILES, max(1, rows // _MIRROR_ROWS_PER_FILE))
     if rows < _MIRROR_MIN_ROWS or groups >= want_files:
         return _raw_load(spark, sf_dir, name)
-    mirror = _mirror_path(sf_dir, name)
-    marker = os.path.join(mirror, "_built")
-    if not os.path.exists(marker):
+    mirror = _mirror_root(sf_dir, name)
+    if not os.path.exists(mirror):
+        _clean_stale_mirrors(sf_dir, name)
+        # Build under a pid-private staging path, then publish with one
+        # atomic rename: concurrent processes race harmlessly (loser
+        # discards its staging copy), and readers only ever see a
+        # complete mirror — no marker file needed.
+        staging = f"{mirror}.build{os.getpid()}"
         (
             _raw_load(spark, sf_dir, name)
             .repartition(want_files)
             .write.mode("overwrite")
-            .parquet(mirror)
+            .parquet(staging)
         )
-        open(marker, "w").close()
+        os.makedirs(os.path.dirname(mirror), exist_ok=True)
+        try:
+            os.rename(staging, mirror)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
     return spark.read.parquet(mirror)
 
 

@@ -476,9 +476,20 @@ def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact discrete quantile (DuckDB quantile_disc). At 100 TB the
     same query runs with the accuracy the memory budget affords and
     degrades to bounded-rank-error answers — the operator and plan
-    shape don't change, only the guarantee."""
+    shape don't change, only the guarantee.
+
+    Scale guard (round 4, per ADVICE): accuracy derives from the
+    actual table size (parquet footer read, no scan) so a larger
+    sf_dir stays in the exact regime instead of silently leaving it
+    and failing the differential. Capped at 2^26 (~67M) as the
+    sketch's memory ceiling; above that per-group n the answer is
+    bounded-rank-error (<= n / 2^26) by construction."""
+    from ..data import _source_layout
+
+    total_rows, _ = _source_layout(sf_dir, "lineitem")
+    accuracy = max(1_000_000, min(total_rows + 1, 1 << 26))
     li = load_table(spark, sf_dir, "lineitem")
-    aq = F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 1000000)
+    aq = F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], accuracy)
     return li.groupBy("l_returnflag").agg(
         F.element_at(aq, 1).alias("q25"),
         F.element_at(aq, 2).alias("q50"),

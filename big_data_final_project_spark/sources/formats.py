@@ -48,9 +48,30 @@ def read_events(spark: SparkSession, path: str, fmt: str) -> DataFrame:
 def format_available(spark: SparkSession, fmt: str) -> bool:
     """True when the session can resolve the format's data source
     (avro/xml ship outside core in some distributions)."""
+    # DATA_SOURCE_NOT_FOUND: the current structured class;
+    # _LEGACY_ERROR_TEMP_1139: Spark 4's actual class for "Failed to
+    # find data source: avro" (still a legacy template); the others
+    # cover neighboring versions.
+    missing_classes = {
+        "DATA_SOURCE_NOT_FOUND",
+        "CLASS_NOT_FOUND",
+        "CANNOT_FIND_DATA_SOURCE",
+        "_LEGACY_ERROR_TEMP_1139",
+    }
     try:
         spark.read.format(fmt).schema(EVENT_SCHEMA).load("/nonexistent")
     except Exception as ex:  # noqa: BLE001
+        # Classify by the structured error class (stable across Spark
+        # versions/locales), falling back to the message only when the
+        # exception carries no class (non-AnalysisException wrappers).
+        cond = getattr(ex, "getCondition", None) or getattr(ex, "getErrorClass", None)
+        if cond is not None:
+            try:
+                klass = cond()
+            except Exception:  # noqa: BLE001
+                klass = None
+            if klass:
+                return klass not in missing_classes
         return "Failed to find data source" not in str(ex)
     return True
 

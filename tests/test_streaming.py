@@ -207,12 +207,19 @@ def test_transform_with_state_running_totals(spark, sf_dir, staging):
             .start()
         )
         q.awaitTermination()
+        # Final state per user = the LAST update-mode row (row with the
+        # highest n_events — event count is strictly increasing per
+        # update, unlike value_sum_fp which may decrease with negative
+        # values; two independent maxes would silently pair maxima from
+        # different updates).
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
         final = {
             r["user_id"]: (r["n_events"], r["value_sum_fp"])
             for r in spark.table("tws_sink")
-            .groupBy("user_id")
-            .agg(F.max("n_events").alias("n_events"),
-                 F.max("value_sum_fp").alias("value_sum_fp"))
+            .withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
             .collect()
         }
         want = {
