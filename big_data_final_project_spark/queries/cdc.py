@@ -143,3 +143,88 @@ def cdc_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("rn") == 1) & (F.col("op") == "U"))
         .select("user_id", F.col("ts").alias("last_ts"), F.col("value").alias("last_value"))
     )
+
+
+@query(
+    "store_snapshot_diff",
+    oracle=f"""
+    WITH old AS (
+        SELECT c_custkey AS custkey, c_mktsegment AS segment FROM customer
+    ),
+    new AS (
+        -- next snapshot: delinquents re-segmented, near-zero balances
+        -- dropped, high-balance customers cloned into a new key range
+        -- (the insert batch) — all derived deterministically.
+        SELECT c_custkey AS custkey,
+               CASE WHEN c_acctbal < 0 THEN '{NEW_SEGMENT}'
+                    ELSE c_mktsegment END AS segment
+        FROM customer
+        WHERE NOT (c_acctbal >= 0 AND c_acctbal < 10)
+        UNION ALL
+        SELECT c_custkey + 10000000 AS custkey, 'ONBOARDING' AS segment
+        FROM customer WHERE c_acctbal > 9900
+    )
+    SELECT coalesce(o.custkey, n.custkey) AS custkey,
+           CASE WHEN o.custkey IS NULL THEN 'I'
+                WHEN n.custkey IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           o.segment AS old_segment,
+           n.segment AS new_segment
+    FROM old o FULL OUTER JOIN new n ON o.custkey = n.custkey
+    WHERE o.custkey IS NULL OR n.custkey IS NULL
+       OR o.segment IS DISTINCT FROM n.segment
+    """,
+    tags=("cdc", "snapshot-diff", "change-data-feed"),
+)
+def store_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot differencing — the change-data-feed a lakehouse emits
+    between two table versions, recovered from the snapshots
+    themselves when the store has no transaction log: full outer join
+    on the key, classify Insert / Update / Delete, suppress no-ops
+    (null-safe value comparison so NULL segments diff correctly).
+
+    The 'new' snapshot is derived deterministically from the old one
+    (delinquents re-segmented, near-zero balances deleted,
+    high-balance customers cloned into a disjoint key range as the
+    insert batch) — no wall clock, no RNG (registry contract).
+
+    Scale shape: ONE shuffle on the join key for both sides (the
+    same partitioning a keyed dim table already has — with bucketed
+    snapshots the exchange vanishes, see store_bucketed_join), then a
+    narrow classify+filter. Row-level hashes (md5 of the value
+    columns) swap in for wide tables so the compare stays one column;
+    here the value is a single column already."""
+    c = load_table(spark, sf_dir, "customer")
+    old = c.select(
+        F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    new = (
+        c.where(~((F.col("c_acctbal") >= 0) & (F.col("c_acctbal") < 10)))
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.when(F.col("c_acctbal") < 0, NEW_SEGMENT)
+            .otherwise(F.col("c_mktsegment"))
+            .alias("segment"),
+        )
+        .unionByName(
+            c.where(F.col("c_acctbal") > 9900).select(
+                (F.col("c_custkey") + 10000000).alias("custkey"),
+                F.lit("ONBOARDING").alias("segment"),
+            )
+        )
+    )
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(n, F.col("o.custkey") == F.col("n.custkey"), "full_outer")
+    return joined.where(
+        F.col("o.custkey").isNull()
+        | F.col("n.custkey").isNull()
+        | ~F.col("o.segment").eqNullSafe(F.col("n.segment"))
+    ).select(
+        F.coalesce(F.col("o.custkey"), F.col("n.custkey")).alias("custkey"),
+        F.when(F.col("o.custkey").isNull(), "I")
+        .when(F.col("n.custkey").isNull(), "D")
+        .otherwise("U")
+        .alias("op"),
+        F.col("o.segment").alias("old_segment"),
+        F.col("n.segment").alias("new_segment"),
+    )

@@ -232,3 +232,123 @@ def audit_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_groups",
         (F.max("group_size").over(w).cast("double") / mean).alias("skew_ratio"),
     )
+
+
+@query(
+    "ab_welch_ttest",
+    oracle="""
+    WITH s AS (
+        SELECT
+            CAST(count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT) AS n_a,
+            CAST(count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_b,
+            CAST(SUM(CASE WHEN user_id % 2 = 0
+                     THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sx_a,
+            CAST(SUM(CASE WHEN user_id % 2 = 1
+                     THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sx_b,
+            CAST(SUM(CASE WHEN user_id % 2 = 0
+                     THEN CAST(value * value AS DECIMAL(27,8)) END) AS DOUBLE) AS sxx_a,
+            CAST(SUM(CASE WHEN user_id % 2 = 1
+                     THEN CAST(value * value AS DECIMAL(27,8)) END) AS DOUBLE) AS sxx_b
+        FROM events
+    ),
+    d AS (
+        SELECT n_a, n_b,
+               sx_a / CAST(n_a AS DOUBLE) AS mean_a,
+               sx_b / CAST(n_b AS DOUBLE) AS mean_b,
+               (sxx_a - sx_a * sx_a / CAST(n_a AS DOUBLE))
+                 / CAST(n_a - 1 AS DOUBLE) AS var_a,
+               (sxx_b - sx_b * sx_b / CAST(n_b AS DOUBLE))
+                 / CAST(n_b - 1 AS DOUBLE) AS var_b
+        FROM s
+    ),
+    se AS (
+        SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+               var_a / CAST(n_a AS DOUBLE) AS sea,
+               var_b / CAST(n_b AS DOUBLE) AS seb
+        FROM d
+    )
+    SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+           (mean_a - mean_b) / sqrt(sea + seb) AS t_stat,
+           (sea + seb) * (sea + seb)
+             / (sea * sea / CAST(n_a - 1 AS DOUBLE)
+                + seb * seb / CAST(n_b - 1 AS DOUBLE)) AS welch_df
+    FROM se
+    """,
+    tags=("statistics", "experiment", "ab-test"),
+)
+def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test over a deterministic 50/50
+    user split (user_id parity stands in for the assignment hash) —
+    the A/B experiment readout every platform computes: arm sizes,
+    means, variances, t statistic, and Welch-Satterthwaite degrees
+    of freedom.
+
+    Determinism: both arms' n / Σx / Σx² come from ONE conditional
+    aggregate pass in exact decimal (order-independent), and every
+    downstream float op (means, variances, t, df) is an identical
+    IEEE expression tree on both engines — staged through the same
+    intermediate columns so evaluation order cannot diverge.
+
+    Scale shape: one scan, one 2-phase global aggregate, six numbers
+    on the driver-side row; the statistic itself is O(1). This is
+    the mergeable-summary form — per-partition partials OR-combine,
+    so the same query incrementally extends to per-day experiment
+    monitoring."""
+    e = load_table(spark, sf_dir, "events")
+    arm_a = F.col("user_id") % 2 == 0
+    arm_b = F.col("user_id") % 2 == 1
+    dec_x = F.col("value").cast("decimal(18,6)")
+    dec_xx = (F.col("value") * F.col("value")).cast("decimal(27,8)")
+    s = e.agg(
+        F.count(F.when(arm_a, 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(arm_b, 1)).cast("bigint").alias("n_b"),
+        F.sum(F.when(arm_a, dec_x)).cast("double").alias("sx_a"),
+        F.sum(F.when(arm_b, dec_x)).cast("double").alias("sx_b"),
+        F.sum(F.when(arm_a, dec_xx)).cast("double").alias("sxx_a"),
+        F.sum(F.when(arm_b, dec_xx)).cast("double").alias("sxx_b"),
+    )
+    na_d = F.col("n_a").cast("double")
+    nb_d = F.col("n_b").cast("double")
+    d = s.select(
+        "n_a",
+        "n_b",
+        (F.col("sx_a") / na_d).alias("mean_a"),
+        (F.col("sx_b") / nb_d).alias("mean_b"),
+        (
+            (F.col("sxx_a") - F.col("sx_a") * F.col("sx_a") / na_d)
+            / (F.col("n_a") - 1).cast("double")
+        ).alias("var_a"),
+        (
+            (F.col("sxx_b") - F.col("sx_b") * F.col("sx_b") / nb_d)
+            / (F.col("n_b") - 1).cast("double")
+        ).alias("var_b"),
+    )
+    se = d.select(
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        "var_a",
+        "var_b",
+        (F.col("var_a") / F.col("n_a").cast("double")).alias("sea"),
+        (F.col("var_b") / F.col("n_b").cast("double")).alias("seb"),
+    )
+    return se.select(
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        "var_a",
+        "var_b",
+        (
+            (F.col("mean_a") - F.col("mean_b"))
+            / F.sqrt(F.col("sea") + F.col("seb"))
+        ).alias("t_stat"),
+        (
+            (F.col("sea") + F.col("seb")) * (F.col("sea") + F.col("seb"))
+            / (
+                F.col("sea") * F.col("sea") / (F.col("n_a") - 1).cast("double")
+                + F.col("seb") * F.col("seb") / (F.col("n_b") - 1).cast("double")
+            )
+        ).alias("welch_df"),
+    )

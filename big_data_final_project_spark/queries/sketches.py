@@ -147,3 +147,111 @@ def agg_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY day
         """
     )
+
+
+@query(
+    "store_incremental_agg",
+    oracle="""
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY 1
+    """,
+    tags=("incremental", "mergeable", "materialized-view"),
+)
+def store_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the daily revenue
+    rollup is maintained as BASE partials (history, days before a
+    cutoff anchored at max(day)-7) merged with DELTA partials (the
+    last week's arrivals) — merge(partial, partial) on the group key,
+    never a recompute over history. The oracle IS the full recompute,
+    so the differential proves merge ≡ recompute exactly.
+
+    Exactness: count partials add associatively; revenue partials are
+    DECIMAL sums (exact, order/merge-independent) and only the merged
+    total is cast to double — the same discipline every mergeable
+    summary in this engine follows (sketches above, dsum elsewhere).
+
+    Scale shape: the delta scan reads ONLY the new partition(s) when
+    the store is day-partitioned (partition pruning); the merge
+    shuffles |days| rows of partial state, not the 100 TB of history
+    — that is the entire point of incremental view maintenance. Here
+    both sides come from one table, split by a data-derived cutoff
+    (no wall clock)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day"),
+        F.col("o_totalprice").cast("decimal(18,6)").alias("price"),
+    )
+    cutoff = o.agg(F.date_sub(F.max("day"), 7).alias("cutoff"))
+    o = o.crossJoin(F.broadcast(cutoff))
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("day").agg(
+            F.count("*").cast("bigint").alias("pn"),
+            F.sum("price").alias("prev"),
+        )
+
+    base = partial(o.where(F.col("day") < F.col("cutoff")))
+    delta = partial(o.where(F.col("day") >= F.col("cutoff")))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("day")
+        .agg(F.sum("pn").cast("bigint").alias("n_orders"), F.sum("prev").alias("rev"))
+    )
+    return merged.select(
+        "day", "n_orders", F.col("rev").cast("double").alias("revenue")
+    )
+
+
+@query(
+    "agg_heavy_hitters",
+    oracle="""
+    WITH k AS (
+        SELECT CAST(floor(sqrt(o_custkey)) AS BIGINT) AS merchant_id FROM orders
+    ),
+    c AS (
+        SELECT merchant_id, CAST(count(*) AS BIGINT) AS cnt FROM k GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c)
+    SELECT merchant_id, cnt,
+           CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) AS support
+    FROM c, t
+    WHERE cnt * 100 > n
+    ORDER BY cnt DESC, merchant_id ASC
+    """,
+    tags=("heavy-hitters", "frequency", "skew"),
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """phi-frequent items (heavy hitters): every key with support
+    above 1% of all rows, with its exact support fraction. The key is
+    a derived merchant id (floor(sqrt(custkey))) whose group sizes
+    grow linearly — a deterministic stand-in for the power-law keys
+    (hot users, hot domains, hot SKUs) heavy-hitter queries exist
+    for. The threshold compare is pure integer math (cnt*100 > n), so
+    membership is exact on both engines; sqrt is IEEE
+    correctly-rounded, identical cross-engine.
+
+    Scale shape: one count shuffle on the key (2-phase, map-side
+    partial), a 1-row total broadcast back, narrow filter. This exact
+    form is already 100 TB-shaped because the intermediate is |keys|
+    rows, not |rows|; when |keys| itself explodes (unbounded key
+    domains), the bounded-memory swap is a Misra-Gries / SpaceSaving
+    summary with the same > phi·n contract, merged per-partition like
+    the sketches above."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = (
+        o.select(F.floor(F.sqrt(F.col("o_custkey"))).cast("bigint").alias("merchant_id"))
+        .groupBy("merchant_id")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").cast("bigint").alias("n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * 100 > F.col("n"))
+        .select(
+            "merchant_id",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("n").cast("double")).alias("support"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("merchant_id"))
+    )

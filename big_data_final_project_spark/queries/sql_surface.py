@@ -327,3 +327,58 @@ def sql_recursive_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         if old is not None:
             spark.conf.set(key, old)
+
+
+@query(
+    "sql_not_in_null_semantics",
+    oracle="""
+    WITH probe AS (
+        SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                    ELSE o_custkey END AS k
+        FROM orders WHERE o_totalprice > 150000
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM customer
+        WHERE c_custkey NOT IN (SELECT k FROM probe)) AS n_not_in,
+      (SELECT CAST(count(*) AS BIGINT) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM probe p
+                          WHERE p.k = c.c_custkey)) AS n_not_exists,
+      (SELECT CAST(count(*) AS BIGINT) FROM probe WHERE k IS NULL) AS n_null_keys
+    """,
+    tags=("sql", "subquery", "null-semantics", "anti-join"),
+)
+def sql_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN vs NOT EXISTS under NULLs — SQL's classic three-valued
+    logic trap, reproduced exactly: the probe list contains NULL keys
+    (pending orders), so `NOT IN` is NULL-infected and returns ZERO
+    rows, while `NOT EXISTS` ignores the NULLs and returns the true
+    anti-join count. Both counts plus the NULL-key count in one row —
+    an engine that gets any of the three wrong fails the hash.
+
+    Plan note: Spark compiles the NOT IN branch to a
+    null-aware anti join (NAAJ — broadcast-only by design: the
+    null-check needs the whole build side visible) and the NOT
+    EXISTS branch to a plain left-anti hash join; this query pins
+    BOTH semantics against DuckDB's independently-implemented
+    subquery engine.
+
+    Scale warning (docstring is the contract): NAAJ cannot shuffle —
+    a 100 TB NOT IN probe side must be pre-aggregated (it's one
+    DISTINCT set) or rewritten to NOT EXISTS, which is exactly why
+    both forms are pinned here."""
+    _view(spark, sf_dir, "orders")
+    _view(spark, sf_dir, "customer")
+    return spark.sql("""
+        WITH probe AS (
+            SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                        ELSE o_custkey END AS k
+            FROM orders WHERE o_totalprice > 150000
+        )
+        SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM customer
+            WHERE c_custkey NOT IN (SELECT k FROM probe)) AS n_not_in,
+          (SELECT CAST(count(*) AS BIGINT) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM probe p
+                              WHERE p.k = c.c_custkey)) AS n_not_exists,
+          (SELECT CAST(count(*) AS BIGINT) FROM probe WHERE k IS NULL) AS n_null_keys
+    """)

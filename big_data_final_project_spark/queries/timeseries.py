@@ -885,3 +885,69 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dur_us").cast("bigint").alias("total_dur_us"),
         (weighted / F.sum("dur_us").cast("double")).alias("twa"),
     )
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH ordered AS (
+        SELECT event_id, user_id, ts, event_type, value,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                               THEN ts END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS touch_ts,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                               THEN event_type END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS touch_channel
+        FROM events
+    )
+    SELECT event_id, user_id, ts, touch_ts, touch_channel,
+           CAST(epoch_us(ts) - epoch_us(touch_ts) AS BIGINT) AS gap_us
+    FROM ordered
+    WHERE event_type = 'purchase' AND touch_ts IS NOT NULL
+    """,
+    tags=("attribution", "window", "behavior"),
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: for every purchase, the most
+    recent preceding view/click by the same user (channel + timestamp
+    + exact µs gap). The two IGNORE NULLS window reads are guaranteed
+    consistent — both are non-null on exactly the marketing rows, so
+    they resolve to the SAME preceding row.
+
+    Scale shape: ONE shuffle on user_id serves both window columns
+    (same partition + order spec), then a narrow filter to purchases
+    — the asof-join-shaped problem solved without a join, because
+    the touch candidates and the conversions live in the same
+    stream. Cross-engine exactness: timestamps and the µs gap are
+    integer microseconds end-to-end."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    ordered = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True).over(w).alias("touch_ts"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_channel"),
+    )
+    return ordered.where(
+        (F.col("event_type") == "purchase") & F.col("touch_ts").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "touch_ts",
+        "touch_channel",
+        (F.unix_micros("ts") - F.unix_micros("touch_ts")).cast("bigint").alias("gap_us"),
+    )

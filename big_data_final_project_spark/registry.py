@@ -82,6 +82,7 @@ def _load_all() -> None:
         sketches,
         storage,
         profiling,
+        geo,
     )
 
 
