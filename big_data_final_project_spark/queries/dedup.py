@@ -601,7 +601,25 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is a recursive CTE computing min-reachable-id per node
     over the same edge set — DuckDB's fixpoint semantics (UNION
     dedup) terminates on the cyclic doubled-edge graph.
+
+    The converged cluster map is materialized once per (session,
+    sf_dir) and shared with dedup_survivor_stats — the
+    materialized-intermediate every curation pipeline ships (same
+    pattern as the banded signature table above and graph._cached).
     """
+    return _cluster_map(spark, sf_dir)
+
+
+# Session cache: the converged cluster map is an intermediate TABLE
+# (like the banded signature table), not per-query state; keyed by
+# applicationId because localCheckpoints die with the session.
+_CC_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _CC_CACHE:
+        return _CC_CACHE[key]
     pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -632,7 +650,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = merged.select("node", F.col("new_label").alias("label"))
         if n_changed == 0:
             break
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    out = labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    _CC_CACHE[key] = out
+    return out
 
 
 FUZZY_MAX_DIST = 3  # edit-distance threshold for entity matching
