@@ -514,3 +514,205 @@ def text_char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= NGRAM_TOP)
     )
+
+
+# Chunking geometry: window/stride in whitespace tokens. Stride < window
+# gives the overlap every pretraining / retrieval pipeline keeps so no
+# span is split across a boundary without context.
+CHUNK_W = 32
+CHUNK_S = 24
+
+
+@query(
+    "text_chunk_documents",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, t, len(t) AS n,
+               1 + CAST(greatest(len(t) - {CHUNK_W} + {CHUNK_S} - 1, 0)
+                        // {CHUNK_S} AS BIGINT) AS nc
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(t, i * {CHUNK_S} + 1,
+                               i * {CHUNK_S} + {CHUNK_W})) AS BIGINT)
+             AS n_chunk_tokens,
+           md5(array_to_string(list_slice(t, i * {CHUNK_S} + 1,
+                                          i * {CHUNK_S} + {CHUNK_W}), ' '))
+             AS chunk_hash
+    FROM sized, UNNEST(generate_series(0, nc - 1)) AS u(i)
+    """,
+    tags=("text", "chunking", "generator"),
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the prep step every
+    pretraining / retrieval corpus runs: window of 32 tokens, stride
+    24 (8-token overlap), per-chunk token count and content hash.
+    Chunk count is pure integer math (1 + ceil(max(n-W,0)/S)), so
+    every doc yields >= 1 chunk and the last partial window is kept.
+
+    Scale shape: narrow generator — sequence + explode fans each doc
+    out to its chunks with NO shuffle at all; the chunk id is
+    (doc_id, chunk_idx), reproducible across retries, and the chunk
+    hash (not the text) is what downstream dedup/shard stages key
+    on. At 100 TB this is the map-only stage before the shard
+    write."""
+    d = load_table(spark, sf_dir, "documents")
+    t = _toks(F.col("text"))
+    sized = d.select(
+        "doc_id",
+        t.alias("t"),
+    ).select(
+        "doc_id",
+        "t",
+        F.floor(
+            1 + F.greatest(F.size("t") - CHUNK_W + CHUNK_S - 1, F.lit(0)) / CHUNK_S
+        ).cast("long").alias("nc"),
+    )
+    chunks = sized.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("chunk_idx"),
+    )
+    sl = F.slice(F.col("t"), F.col("chunk_idx") * CHUNK_S + 1, CHUNK_W)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(sl).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join(sl, " ").cast("binary")).alias("chunk_hash"),
+    )
+
+
+@query(
+    "text_bpe_merge_candidates",
+    oracle=f"""
+    WITH norm AS (SELECT {_NORM_SQL} AS t FROM documents),
+    pairs AS (
+        SELECT substr(t, i, 2) AS pair
+        FROM norm, UNNEST(range(1, length(t))) AS u(i)
+        WHERE length(t) >= 2
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+    FROM pairs
+    WHERE pair NOT LIKE '% %'
+    GROUP BY pair
+    ORDER BY cnt DESC, pair ASC
+    LIMIT 20
+    """,
+    tags=("text", "tokenizer", "bpe"),
+)
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer induction, round one: the 20 most frequent adjacent
+    character pairs over the normalized corpus — exactly the
+    candidate set the first BPE merge selects from (pairs spanning a
+    word boundary are excluded, as BPE operates within words).
+    Counts are exact integers, so the cross-engine differential is
+    exact; iterating the merge loop re-runs this same dataflow on
+    the re-tokenized corpus.
+
+    Scale shape: per-row transform + explode (narrow, no shuffle),
+    one count shuffle on a bounded key domain (|charset|^2), then
+    TakeOrderedAndProject — the canonical high-cardinality-input /
+    low-cardinality-key aggregation, fully map-side combinable."""
+    d = load_table(spark, sf_dir, "documents")
+    t = _norm(F.col("text"))
+    pairs = (
+        d.select(t.alias("t"))
+        .where(F.length("t") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))")
+            ).alias("pair")
+        )
+        .where(~F.col("pair").contains(" "))
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+@query(
+    "text_inverted_postings",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    clean AS (SELECT term, doc_id FROM tok WHERE term <> ''),
+    stats AS (
+        SELECT term,
+               CAST(count(*) AS BIGINT) AS tf,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM clean GROUP BY term
+    ),
+    ranked AS (
+        SELECT term, doc_id,
+               row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        FROM (SELECT DISTINCT term, doc_id FROM clean)
+    ),
+    postings AS (
+        SELECT term,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                 AS first_docs
+        FROM ranked WHERE rn <= 10 GROUP BY term
+    )
+    SELECT s.term, s.df, s.tf, p.first_docs
+    FROM stats s JOIN postings p ON p.term = s.term
+    WHERE s.df >= 5
+    ORDER BY s.df DESC, s.tf DESC, s.term ASC
+    LIMIT 50
+    """,
+    tags=("text", "inverted-index", "search"),
+)
+def text_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — the search-engine / RAG-retrieval
+    building block: per term, document frequency, total term
+    frequency, and the first 10 postings (doc ids, ascending,
+    comma-joined so the schema stays comparator-safe). Terms below
+    df=5 are dropped; top-50 by df.
+
+    Scale shape: the posting-list head is bounded BEFORE any
+    collect_list runs — a row_number window per term keeps 10 rows,
+    so no executor ever materializes a hot term's full posting list
+    (the classic inverted-index skew trap; "the" at 100 TB is a
+    multi-GB posting list). Stats and head-lists are two aggregates
+    over the same exploded (term, doc_id) stream, joined on the tiny
+    term table; TakeOrderedAndProject caps the output."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(_toks(F.col("text"))).alias("term"))
+        .where(F.col("term") != "")
+    )
+    stats = tok.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("tf"),
+        F.countDistinct("doc_id").cast("bigint").alias("df"),
+    )
+    from pyspark.sql import Window
+
+    pairs = tok.select("term", "doc_id").distinct()
+    w = Window.partitionBy("term").orderBy("doc_id")
+    head = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .groupBy("term")
+        .agg(
+            # sort NUMERICALLY, then render — string sort would put
+            # doc 10 before doc 2 and break the differential
+            F.expr(
+                "concat_ws(',', transform(sort_array(collect_list(doc_id)),"
+                " x -> cast(x AS string)))"
+            ).alias("first_docs")
+        )
+    )
+    return (
+        stats.join(head, "term")
+        .where(F.col("df") >= 5)
+        .select("term", "df", "tf", "first_docs")
+        .orderBy(F.desc("df"), F.desc("tf"), F.asc("term"))
+        .limit(50)
+    )
