@@ -387,3 +387,61 @@ def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(orphans(o, "o_custkey", c, "c_custkey", "orders->customer"))
         .unionByName(orphans(li, "l_partkey", p, "p_partkey", "lineitem->part"))
     )
+
+
+@query(
+    "pipeline_global_rank",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, n_chars,
+               row_number() OVER (ORDER BY n_chars DESC, doc_id ASC)
+                 AS rank
+        FROM documents
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ranked)
+    SELECT doc_id, n_chars, CAST(rank AS BIGINT) AS rank,
+           CAST((rank - 1) * {N_SHARDS} // n AS BIGINT) AS curriculum_shard
+    FROM ranked, tot
+    """,
+    tags=("pipeline", "global-sort", "ranking", "curriculum"),
+)
+def pipeline_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed global ranking — curriculum ordering for training
+    (longest documents first here; plug in any score): every doc gets
+    its exact global rank and an equal-size curriculum shard, WITHOUT
+    the single-partition window a naive `row_number() OVER (ORDER BY
+    ...)` plans.
+
+    Scale shape: Spark's two-pass total order — repartitionByRange
+    (samples the key distribution, assigns contiguous key ranges to
+    partitions) + sortWithinPartitions, then zipWithIndex assigns
+    contiguous global indexes from per-partition counts (one tiny
+    count job + a narrow map; the canonical distributed ranking, and
+    one of the few places an RDD primitive is the honest tool — no
+    DataFrame operator exposes partition-offset indexing). Every
+    partition ranks in parallel; nothing ever funnels through one
+    task, which is exactly what the oracle's window does and why
+    this operator exists. The rank→shard map is integer math, so
+    the differential is exact."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    total = d.count()
+    parts = min(32, max(1, total // 500))
+    ordered = d.repartitionByRange(
+        parts, F.desc("n_chars"), F.asc("doc_id")
+    ).sortWithinPartitions(F.desc("n_chars"), F.asc("doc_id"))
+    with_idx = ordered.rdd.zipWithIndex().map(
+        lambda t: (t[0]["doc_id"], t[0]["n_chars"], t[1] + 1)
+    )
+    ranked = spark.createDataFrame(
+        with_idx, schema="doc_id long, n_chars long, rank long"
+    )
+    return ranked.select(
+        "doc_id",
+        "n_chars",
+        "rank",
+        # integer division on BOTH engines: double-div + cast would
+        # truncate in Spark but round in DuckDB
+        F.expr(f"(rank - 1) * {N_SHARDS} div {total}").cast("bigint").alias(
+            "curriculum_shard"
+        ),
+    )
