@@ -951,3 +951,163 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         "touch_channel",
         (F.unix_micros("ts") - F.unix_micros("touch_ts")).cast("bigint").alias("gap_us"),
     )
+
+
+def _lifecycle_store(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    """A PRIVATE date-partitioned copy of events for destructive
+    lifecycle ops (vacuum / erase) — never the shared store, so the
+    pruning/evolution queries keep reading stable data. pid-keyed
+    (writer isolation); dead-pid copies are swept by data.py."""
+    import os
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_store_{kind}_{sf_dir_tag(sf_dir)}_{os.getpid()}",
+    )
+    marker = os.path.join(path, "_built")
+    if not os.path.exists(marker):
+        e = load_table(spark, sf_dir, "events")
+        (
+            e.withColumn("event_date", F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(path)
+        )
+        open(marker, "w").close()
+    return path
+
+
+@query(
+    "store_vacuum_retention",
+    oracle="""
+    WITH mx AS (SELECT max(CAST(ts AS DATE)) AS m FROM events)
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM events, mx
+    WHERE CAST(ts AS DATE) >= m - INTERVAL 14 DAY
+    GROUP BY 1
+    """,
+    tags=("store", "lifecycle", "retention"),
+)
+def store_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention vacuum — the lifecycle job every partitioned store
+    runs: partitions older than the retention window (14 days behind
+    the data's own max day; no wall clock) are DELETED at the
+    directory level, then the result is read back and reported
+    per day. The oracle recomputes the kept window from the raw
+    table, so a vacuum that deleted too much or too little fails the
+    hash — the post-delete store must contain exactly the retained
+    days.
+
+    Scale shape: retention on a date-partitioned store is a METADATA
+    operation — list directories, drop whole ones behind the cutoff;
+    zero data is read or rewritten (this is Delta/Iceberg
+    drop-partition compiled to plain parquet dirs). The report read
+    prunes to the kept directories."""
+    import shutil
+
+    store = _lifecycle_store(spark, sf_dir, "vacuum")
+    mx = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max(F.to_date("ts")).alias("m"))
+        .collect()[0]["m"]
+    )
+    import datetime
+
+    cutoff = mx - datetime.timedelta(days=14)
+    import os
+
+    for entry in os.listdir(store):
+        if entry.startswith("event_date="):
+            day = datetime.date.fromisoformat(entry.split("=", 1)[1])
+            if day < cutoff:
+                shutil.rmtree(os.path.join(store, entry), ignore_errors=True)
+    return (
+        spark.read.parquet(store)
+        .groupBy(F.col("event_date").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+    )
+
+
+@query(
+    "store_gdpr_erase",
+    oracle="""
+    WITH targets AS (SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0),
+    affected AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+        WHERE user_id % 97 = 0
+    )
+    SELECT CAST(e.ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           (CAST(e.ts AS DATE) IN (SELECT day FROM affected)) AS rewritten
+    FROM events e
+    WHERE e.user_id % 97 <> 0
+    GROUP BY 1, 3
+    """,
+    tags=("store", "lifecycle", "gdpr", "partition-overwrite"),
+)
+def store_gdpr_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level erasure (right-to-be-forgotten) on a partitioned
+    store, done the way 100 TB stores do it: find the partitions the
+    target users actually touch, rewrite ONLY those partitions
+    without the targets' rows (dynamic partition overwrite), leave
+    every other partition's files untouched. The report reads the
+    post-erase store per day with a rewritten flag; the oracle
+    recomputes both from the raw table, so a leftover target row or
+    an over-rewritten partition fails the hash.
+
+    Scale shape: erasure cost is proportional to the AFFECTED
+    partitions, not the table — the deterministic target set
+    (user_id % 97 = 0) touches most days here, but the dataflow is
+    the same when 50 users touch 3 of 3650 days. Dynamic overwrite
+    only replaces partitions present in the written frame; a
+    partition whose every row is a target (nothing left to write) is
+    dropped explicitly so no target survives by omission."""
+    import os
+    import shutil
+
+    store = _lifecycle_store(spark, sf_dir, "gdpr")
+    df = spark.read.parquet(store)
+    is_target = F.col("user_id") % 97 == 0
+    # affected partitions derive from the RAW table (the erasure
+    # request list lives outside the store), which also makes the op
+    # idempotent: re-running rewrites the same already-clean
+    # partitions to identical bytes instead of deciding "nothing is
+    # affected" and flipping the rewritten flags.
+    affected_days = [
+        r["day"]
+        for r in load_table(spark, sf_dir, "events")
+        .where(is_target)
+        .select(F.to_date("ts").alias("day"))
+        .distinct()
+        .collect()
+    ]
+    # materialize BEFORE the overwrite: the frame reads the same path
+    # it is about to rewrite, and a lazy plan would find its input
+    # files deleted mid-scan
+    keep = df.where(
+        F.col("event_date").isin(affected_days) & ~is_target
+    ).localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        keep.write.mode("overwrite").partitionBy("event_date").parquet(store)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        else:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    # partitions that lost every row: nothing was written, drop the dir
+    written_days = {r["event_date"] for r in keep.select("event_date").distinct().collect()}
+    for day in set(affected_days) - written_days:
+        shutil.rmtree(
+            os.path.join(store, f"event_date={day.isoformat()}"), ignore_errors=True
+        )
+    affected_set = set(affected_days)
+    out = spark.read.parquet(store)
+    return out.groupBy(F.col("event_date").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_rows")
+    ).withColumn(
+        "rewritten", F.col("day").isin(list(affected_set))
+    )

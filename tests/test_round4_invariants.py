@@ -161,3 +161,44 @@ def test_heavy_hitters_total_broadcasts_back(spark, sf_dir):
 def test_snapshot_diff_single_key_shuffle_per_side(spark, sf_dir):
     p = audit(catalog()["store_snapshot_diff"].fn(spark, sf_dir))
     assert p.cartesian_products == 0
+
+
+def test_lifecycle_ops_are_idempotent_and_selective(spark, sf_dir):
+    """vacuum/erase re-run must produce identical results (the erase
+    request list lives outside the store), and erase must leave
+    unaffected partitions' FILES untouched (partition-selective
+    rewrite, not a table rewrite)."""
+    import glob
+    import os
+
+    first = {
+        (r["day"], r["n_rows"], r["rewritten"])
+        for r in _run(spark, sf_dir, "store_gdpr_erase").collect()
+    }
+    # untouched-partition file inventory after first erase
+    from big_data_final_project_spark.queries.timeseries import _lifecycle_store
+
+    store = _lifecycle_store(spark, sf_dir, "gdpr")
+    untouched_days = [d for d, _, rw in first if not rw]
+    inventory = {
+        d: sorted(glob.glob(os.path.join(store, f"event_date={d.isoformat()}", "*")))
+        for d in untouched_days
+    }
+    second = {
+        (r["day"], r["n_rows"], r["rewritten"])
+        for r in _run(spark, sf_dir, "store_gdpr_erase").collect()
+    }
+    assert first == second
+    for d, files in inventory.items():
+        now = sorted(glob.glob(os.path.join(store, f"event_date={d.isoformat()}", "*")))
+        assert now == files, f"unaffected partition {d} was rewritten"
+    # no target row survives
+    out = spark.read.parquet(store)
+    from pyspark.sql import functions as F2
+
+    assert out.where(F2.col("user_id") % 97 == 0).count() == 0
+
+    v1 = {(r["day"], r["n_rows"]) for r in _run(spark, sf_dir, "store_vacuum_retention").collect()}
+    v2 = {(r["day"], r["n_rows"]) for r in _run(spark, sf_dir, "store_vacuum_retention").collect()}
+    assert v1 == v2
+    assert len(v1) <= 15  # 14-day window + boundary day
