@@ -352,3 +352,64 @@ def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("welch_df"),
     )
+
+
+# Declarative data-quality rules over orders — evaluated in ONE scan.
+# (rule_name, violation predicate SQL) — shared by engine and oracle.
+_CONSTRAINTS = [
+    ("pk_not_null", "o_orderkey IS NULL"),
+    ("status_accepted_values", "o_orderstatus NOT IN ('O', 'F', 'P')"),
+    ("price_positive", "o_totalprice <= 0"),
+    ("date_in_range", "o_orderdate < TIMESTAMP '2020-01-01 00:00:00'"),
+    ("priority_not_null", "o_orderpriority IS NULL"),
+]
+
+
+def _constraint_oracle() -> str:
+    rules = ", ".join(
+        f"SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS v_{i}"
+        for i, (_, pred) in enumerate(_CONSTRAINTS)
+    )
+    rows = " UNION ALL ".join(
+        f"""SELECT '{name}' AS rule, CAST(v_{i} AS BIGINT) AS n_violations,
+                   (v_{i} = 0) AS passed FROM one"""
+        for i, (name, _) in enumerate(_CONSTRAINTS)
+    )
+    return f"WITH one AS (SELECT {rules} FROM orders) {rows}"
+
+
+@query(
+    "audit_constraint_suite",
+    oracle=_constraint_oracle(),
+    tags=("audit", "data-quality", "constraints"),
+)
+def audit_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint suite — the data-quality gate an ingest
+    contract runs before accepting a batch (not-null keys, accepted
+    values, range checks): one row per rule with its violation count
+    and pass flag, ALL rules evaluated in a single scan (one wide
+    conditional aggregate, then a stack unpivot — the same
+    one-pass-many-rules shape as audit_table_profile; the oracle's
+    UNION ALL over a shared CTE is the semantic spec).
+
+    Scale shape: one pass, one 2-phase global aggregate, |rules|
+    output rows. Adding a rule adds a column to the partial
+    aggregate, not a scan — at 100 TB the rule count is free, the
+    scan is the cost, and this is why quality gates must never be
+    one-query-per-rule."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [
+        F.sum(F.when(F.expr(pred), 1).otherwise(0)).alias(f"v_{i}")
+        for i, (_, pred) in enumerate(_CONSTRAINTS)
+    ]
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', v_{i}" for i, (name, _) in enumerate(_CONSTRAINTS)
+    )
+    return one.select(
+        F.expr(f"stack({len(_CONSTRAINTS)}, {stack_args}) AS (rule, n_violations)")
+    ).select(
+        "rule",
+        F.col("n_violations").cast("bigint").alias("n_violations"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )

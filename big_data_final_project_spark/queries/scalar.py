@@ -581,3 +581,50 @@ def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("missing_is_null"),
         F.expr("try_parse_json(props)").isNotNull().alias("is_valid_json"),
     )
+
+
+@query(
+    "scalar_try_funcs",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           TRY_CAST(event_type AS BIGINT) AS bad_int,
+           CAST(TRY_CAST(CASE WHEN event_type = 'error' THEN 'not-a-date'
+                              ELSE '2024-03-0' || CAST(1 + event_id % 9 AS VARCHAR)
+                         END AS DATE) AS VARCHAR) AS maybe_date,
+           CASE WHEN (event_id % 5) = 0 THEN NULL
+                ELSE CAST(value AS DOUBLE) / CAST(event_id % 5 AS DOUBLE) END
+             AS safe_div
+    FROM events
+    """,
+    tags=("scalar", "error-handling", "ansi"),
+)
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fault-tolerant scalar surface — the TRY_* family that keeps a
+    100 TB batch alive when a few rows are malformed (ANSI mode
+    would kill the job on the first bad cast): try_cast on a JSON
+    field, on a guaranteed-bad string, on a data-dependent date
+    string, and try_divide (NULL on zero divisor — rendered as the
+    equivalent CASE on the DuckDB side, which has TRY_CAST but no
+    TRY division). Error handling IS an operator contract:
+    malformed input → NULL → flows through aggregates by SQL null
+    semantics, never an exception.
+
+    Scale shape: narrow map, no shuffle; pushdown/pruning untouched
+    (plan-checked family-wide in test_plans)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").alias("k_int"),
+        F.expr("try_cast(event_type AS BIGINT)").alias("bad_int"),
+        F.expr(
+            "cast(try_cast(CASE WHEN event_type = 'error' THEN 'not-a-date' "
+            "ELSE concat('2024-03-0', cast(1 + event_id % 9 AS STRING)) END "
+            "AS DATE) AS STRING)"
+        ).alias("maybe_date"),
+        # rendered as STRING / DOUBLE so null-on-error survives the
+        # comparator (object-None vs NaT / Decimal-None vs NaN traps)
+        F.expr(
+            "try_divide(cast(value AS DOUBLE), cast(event_id % 5 AS DOUBLE))"
+        ).alias("safe_div"),
+    )
