@@ -360,7 +360,8 @@ _CONSTRAINTS = [
     ("pk_not_null", "o_orderkey IS NULL"),
     ("status_accepted_values", "o_orderstatus NOT IN ('O', 'F', 'P')"),
     ("price_positive", "o_totalprice <= 0"),
-    ("date_in_range", "o_orderdate < TIMESTAMP '2020-01-01 00:00:00'"),
+    ("date_in_range", "o_orderdate < TIMESTAMP '1990-01-01 00:00:00'"),
+    ("price_below_cap", "o_totalprice > 400000"),
     ("priority_not_null", "o_orderpriority IS NULL"),
 ]
 

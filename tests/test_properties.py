@@ -203,3 +203,30 @@ def test_pagerank_fixed_point_invariant_to_parallelism(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         graph._CACHE.clear()
     assert a == b
+
+
+def test_chunk_geometry_covers_every_token():
+    """Pure-formula property of text_chunk_documents' geometry: for
+    any token count, the 1 + ceil(max(n-W,0)/S) chunks cover every
+    token index, consecutive chunks overlap by exactly W-S (except a
+    shorter final chunk), and no chunk is empty."""
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    from big_data_final_project_spark.queries.text import CHUNK_S, CHUNK_W
+
+    @given(st.integers(min_value=1, max_value=5000))
+    def check(n):
+        nc = 1 + max(0, (n - CHUNK_W + CHUNK_S - 1)) // CHUNK_S
+        covered = set()
+        for i in range(nc):
+            start = i * CHUNK_S  # 0-based
+            chunk = range(start, min(start + CHUNK_W, n))
+            assert len(chunk) > 0, (n, i, nc)
+            covered.update(chunk)
+        assert covered == set(range(n)), n
+        # one more chunk would be redundant (fully inside the last)
+        extra_start = nc * CHUNK_S
+        assert extra_start >= n or set(range(extra_start, n)) <= covered
+
+    check()
