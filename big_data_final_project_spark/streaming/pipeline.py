@@ -422,21 +422,11 @@ ROCKSDB_PROVIDER = (
 )
 
 
-def running_totals_tws(spark: SparkSession, staging_dir: str) -> DataFrame:
-    """Per-user running totals via Spark 4's transformWithState API
-    (StatefulProcessor + typed ValueState) — the successor to
-    applyInPandasWithState: named state variables, composite state
-    types, timers, and state schema evolution. Requires the RocksDB
-    state-store provider (caller sets
-    spark.sql.streaming.stateStore.providerClass = ROCKSDB_PROVIDER)
-    and protobuf (see has_transform_with_state).
-
-    The numeric contract matches the rest of the engine: the value
-    total accumulates as floor(value * 1e6) int64 — associative, so
-    the final state is independent of micro-batch boundaries, and a
-    batch GROUP BY with the same fixed-point expression is an exact
-    oracle for it.
-    """
+def make_running_totals_processor():
+    """Build the RunningTotals StatefulProcessor CLASS (module-level
+    factory so the per-batch accumulation logic is unit-testable with
+    a fake handle even where the TWS runtime can't start — the
+    protobuf gate only blocks the runner, not the logic)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
@@ -444,26 +434,7 @@ def running_totals_tws(spark: SparkSession, staging_dir: str) -> DataFrame:
         StatefulProcessorHandle,
     )
 
-    raw = spark.readStream.option("maxFilesPerTrigger", "1").text(staging_dir)
-    parsed = (
-        raw.select(
-            F.from_json(
-                "value", EVENT_SCHEMA, {"timestampFormat": TS_FORMAT}
-            ).alias("rec")
-        )
-        .select("rec.*")
-        .where(F.col("event_id").isNotNull())
-    )
-
-    out_schema = T.StructType(
-        [
-            T.StructField("user_id", T.LongType()),
-            T.StructField("n_events", T.LongType()),
-            T.StructField("value_sum_fp", T.LongType()),
-        ]
-    )
-
-    class Totals(StatefulProcessor):
+    class RunningTotals(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._agg = handle.getValueState("agg", "n BIGINT, s BIGINT")
 
@@ -484,8 +455,45 @@ def running_totals_tws(spark: SparkSession, staging_dir: str) -> DataFrame:
         def close(self) -> None:
             pass
 
+    return RunningTotals
+
+
+def running_totals_tws(spark: SparkSession, staging_dir: str) -> DataFrame:
+    """Per-user running totals via Spark 4's transformWithState API
+    (StatefulProcessor + typed ValueState) — the successor to
+    applyInPandasWithState: named state variables, composite state
+    types, timers, and state schema evolution. Requires the RocksDB
+    state-store provider (caller sets
+    spark.sql.streaming.stateStore.providerClass = ROCKSDB_PROVIDER)
+    and protobuf (see has_transform_with_state).
+
+    The numeric contract matches the rest of the engine: the value
+    total accumulates as floor(value * 1e6) int64 — associative, so
+    the final state is independent of micro-batch boundaries, and a
+    batch GROUP BY with the same fixed-point expression is an exact
+    oracle for it.
+    """
+    raw = spark.readStream.option("maxFilesPerTrigger", "1").text(staging_dir)
+    parsed = (
+        raw.select(
+            F.from_json(
+                "value", EVENT_SCHEMA, {"timestampFormat": TS_FORMAT}
+            ).alias("rec")
+        )
+        .select("rec.*")
+        .where(F.col("event_id").isNotNull())
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("value_sum_fp", T.LongType()),
+        ]
+    )
+
     return parsed.groupBy("user_id").transformWithStateInPandas(
-        Totals(),
+        make_running_totals_processor()(),
         outputStructType=out_schema,
         outputMode="Update",
         timeMode="None",

@@ -238,3 +238,66 @@ def test_transform_with_state_running_totals(spark, sf_dir, staging):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_tws_processor_logic_without_runtime(spark, sf_dir):
+    """Drive the RunningTotals StatefulProcessor directly with a fake
+    handle: the per-batch accumulation must be independent of
+    micro-batch boundaries and must equal the batch fixed-point
+    aggregation — verified even where protobuf blocks the TWS runner
+    (ADVICE r3: the runtime test skips here, so the logic gets its
+    own harness)."""
+    import numpy as np
+    import pandas as pd
+
+    from big_data_final_project_spark.data import load_table
+    from big_data_final_project_spark.streaming.pipeline import (
+        make_running_totals_processor,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeState()
+
+        def getValueState(self, name, schema):
+            return self.state
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "value")
+        .toPandas()
+    )
+    want = {
+        uid: (len(g), int(np.floor(g["value"].to_numpy() * 1e6).astype("int64").sum()))
+        for uid, g in events.groupby("user_id")
+    }
+
+    cls = make_running_totals_processor()
+    for uid, g in list(events.groupby("user_id"))[:20]:
+        for n_splits in (1, 3):
+            proc = cls()
+            proc.init(FakeHandle())
+            chunks = np.array_split(g, n_splits)
+            last = None
+            for chunk in chunks:
+                # each chunk delivered as its own micro-batch, itself
+                # split into multiple pandas frames
+                frames = [f for f in np.array_split(chunk, 2) if len(f)]
+                last = list(proc.handleInputRows((uid,), iter(frames), None))[-1]
+            assert (
+                int(last["n_events"].iloc[0]),
+                int(last["value_sum_fp"].iloc[0]),
+            ) == want[uid], (uid, n_splits)
