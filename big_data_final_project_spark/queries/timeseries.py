@@ -1111,3 +1111,56 @@ def store_gdpr_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "rewritten", F.col("day").isin(list(affected_set))
     )
+
+
+@query(
+    "events_user_paths_topk",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS t1,
+               lead(event_type, 2) OVER w AS t2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || t1 || '>' || t2 AS path,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM seq
+    WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n_occurrences DESC, path ASC
+    LIMIT 20
+    """,
+    tags=("behavior", "paths", "window", "topk"),
+)
+def events_user_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step behavior paths ("view>click>purchase") with
+    occurrence and distinct-user counts — the product-analytics path
+    report (the n-gram generalization of events_transition_matrix's
+    first-order Markov view).
+
+    Scale shape: ONE user_id shuffle serves both lead() columns
+    (shared window spec), the n-gram key domain is |event_types|^3 =
+    tiny, so the count aggregate is map-side combinable into almost
+    nothing, and count(DISTINCT user_id) rides the same grouping via
+    Spark's expand. TakeOrderedAndProject caps the output."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    ).where(F.col("t1").isNotNull() & F.col("t2").isNotNull())
+    return (
+        seq.groupBy(
+            F.concat_ws(">", "event_type", "t1", "t2").alias("path")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("path"))
+        .limit(20)
+    )
