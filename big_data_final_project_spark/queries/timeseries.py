@@ -1074,15 +1074,22 @@ def store_gdpr_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # request list lives outside the store), which also makes the op
     # idempotent: re-running rewrites the same already-clean
     # partitions to identical bytes instead of deciding "nothing is
-    # affected" and flipping the rewritten flags.
-    affected_days = [
-        r["day"]
-        for r in load_table(spark, sf_dir, "events")
-        .where(is_target)
-        .select(F.to_date("ts").alias("day"))
-        .distinct()
+    # affected" and flipping the rewritten flags. ONE aggregate scan
+    # yields both facts the driver needs: which days have target rows
+    # (affected) and which of those keep no rows at all (must be
+    # dropped rather than overwritten).
+    day_facts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.when(is_target, 1).otherwise(0)).alias("n_target"),
+            F.sum(F.when(is_target, 0).otherwise(1)).alias("n_keep"),
+        )
+        .where(F.col("n_target") > 0)
         .collect()
-    ]
+    )
+    affected_days = [r["day"] for r in day_facts]
+    emptied_days = {r["day"] for r in day_facts if r["n_keep"] == 0}
     # materialize BEFORE the overwrite: the frame reads the same path
     # it is about to rewrite, and a lazy plan would find its input
     # files deleted mid-scan
@@ -1099,8 +1106,7 @@ def store_gdpr_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     # partitions that lost every row: nothing was written, drop the dir
-    written_days = {r["event_date"] for r in keep.select("event_date").distinct().collect()}
-    for day in set(affected_days) - written_days:
+    for day in emptied_days:
         shutil.rmtree(
             os.path.join(store, f"event_date={day.isoformat()}"), ignore_errors=True
         )
