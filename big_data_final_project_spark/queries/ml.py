@@ -9,7 +9,7 @@ oracle-checkable).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..data import load_table
@@ -152,4 +152,283 @@ def ml_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             (dsum("l_extendedprice") / F.count("*")).alias("avg_price"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Model evaluation at corpus scale (round 4): the metrics a training
+# pipeline computes over billions of scored rows — AUC, thresholded
+# confusion metrics, and distribution-drift (PSI) monitoring. All
+# integer-exact up to one final double division per output column, so
+# every query pairs with a DuckDB oracle bit-for-bit.
+# ---------------------------------------------------------------------------
+
+# Range partitions for the distributed prefix sum inside ml_auc_exact.
+# Local test scale needs few; the pattern is what scales (each
+# partition covers a contiguous score range, so per-partition window
+# sums + a P-value driver-side offset cumsum replace the
+# single-partition global window a naive rank() would plan).
+AUC_RANGE_PARTITIONS = 8
+
+
+@query(
+    "ml_auc_exact",
+    oracle="""
+    WITH s AS (
+        SELECT o_totalprice AS score,
+               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS npos,
+               sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS nneg
+        FROM orders GROUP BY o_totalprice
+    ),
+    c AS (
+        SELECT npos, nneg,
+               COALESCE(sum(nneg) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cumneg_below
+        FROM s
+    ),
+    t AS (
+        SELECT CAST(sum(npos) AS BIGINT) AS n_pos,
+               CAST(sum(nneg) AS BIGINT) AS n_neg,
+               CAST(sum(npos * (2 * cumneg_below + nneg)) AS BIGINT) AS u2
+        FROM c
+    )
+    SELECT n_pos, n_neg, u2,
+           CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg) AS auc
+    FROM t
+    """,
+    tags=("ml", "evaluation", "auc", "prefix-sum"),
+)
+def ml_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC via the Mann-Whitney U statistic, tie-aware,
+    with NO single-partition global window.
+
+    AUC = P(score_pos > score_neg) + P(=)/2. Working on the
+    distinct-score table (one shuffle): for each score s,
+    U += npos(s) * (negs_below(s) + nneg(s)/2). Everything is kept in
+    integers by tracking 2U, so ties cost no precision; the only
+    float op is the final division.
+
+    Scale shape — distributed prefix sum: the cumulative
+    negatives-below-each-score that DuckDB computes with one global
+    window is computed here as repartitionByRange(score) →
+    per-partition window sum (parallel: each range partition scans
+    only its slice) + a P-value per-partition-total offset, cumsummed
+    on the driver (P integers, not data). This is the same two-pass
+    total-order trick as pipeline_global_rank, expressed for prefix
+    AGGREGATES rather than ranks; at 100 TB the sorted-range window
+    never funnels through one task."""
+    o = load_table(spark, sf_dir, "orders")
+    pos = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    s = (
+        o.groupBy(F.col("o_totalprice").alias("score"))
+        .agg(
+            F.sum(pos).alias("npos"),
+            F.sum(1 - pos).alias("nneg"),
+        )
+        .repartitionByRange(AUC_RANGE_PARTITIONS, "score")
+        .withColumn("pid", F.spark_partition_id())
+        # Pin the (score -> pid) assignment: the table is read twice
+        # (offsets + main pass) and must see identical partitioning.
+        .localCheckpoint(eager=True)
+    )
+    per_part = {
+        r["pid"]: r["t"]
+        for r in s.groupBy("pid").agg(F.sum("nneg").alias("t")).collect()
+    }
+    offsets, running = [], 0
+    for pid in range(AUC_RANGE_PARTITIONS):
+        offsets.append((pid, running))
+        running += int(per_part.get(pid, 0))
+    off = spark.createDataFrame(offsets, "pid int, off long")
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = s.join(F.broadcast(off), "pid").withColumn(
+        "cumneg_below",
+        F.coalesce(F.sum("nneg").over(w), F.lit(0)) + F.col("off"),
+    )
+    t = c.agg(
+        F.sum("npos").cast("bigint").alias("n_pos"),
+        F.sum("nneg").cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("npos") * (2 * F.col("cumneg_below") + F.col("nneg"))
+        )
+        .cast("bigint")
+        .alias("u2"),
+    )
+    return t.select(
+        "n_pos",
+        "n_neg",
+        "u2",
+        (
+            F.col("u2").cast("double")
+            / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg"))
+        ).alias("auc"),
+    )
+
+
+CONFUSION_THRESHOLDS = (100000.0, 250000.0, 400000.0)
+
+
+@query(
+    "ml_confusion_metrics",
+    oracle=f"""
+    WITH t AS (
+        SELECT * FROM (VALUES {", ".join(f"({v})" for v in CONFUSION_THRESHOLDS)})
+          AS v(thr)
+    ),
+    c AS (
+        SELECT thr,
+          sum(CASE WHEN o_totalprice >= thr AND o_orderstatus = 'F'
+              THEN 1 ELSE 0 END) AS tp,
+          sum(CASE WHEN o_totalprice >= thr AND o_orderstatus <> 'F'
+              THEN 1 ELSE 0 END) AS fp,
+          sum(CASE WHEN o_totalprice < thr AND o_orderstatus = 'F'
+              THEN 1 ELSE 0 END) AS fn,
+          sum(CASE WHEN o_totalprice < thr AND o_orderstatus <> 'F'
+              THEN 1 ELSE 0 END) AS tn
+        FROM orders CROSS JOIN t GROUP BY thr
+    )
+    SELECT CAST(thr AS DOUBLE) AS thr,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           CAST(tp AS DOUBLE) / (tp + fp) AS prec,
+           CAST(tp AS DOUBLE) / (tp + fn) AS rec,
+           2.0 * tp / (2.0 * tp + fp + fn) AS f1
+    FROM c
+    """,
+    tags=("ml", "evaluation", "confusion"),
+)
+def ml_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded classifier evaluation: confusion-matrix counts and
+    precision / recall / F1 at each operating point, in ONE
+    aggregation pass per threshold (score = o_totalprice as the
+    stand-in model output, label = status 'F').
+
+    The threshold list broadcasts against the fact scan (k-row
+    crossJoin — the scan cost dominates; with many thresholds this
+    becomes the same conditional-aggregate Expand the constraint
+    suite uses). Counts are integers; each metric is ONE double
+    division over integer-exact operands — F1 is computed directly as
+    2tp/(2tp+fp+fn), never by composing the already-rounded precision
+    and recall — so both engines emit identical doubles."""
+    o = load_table(spark, sf_dir, "orders")
+    thr = spark.createDataFrame(
+        [(v,) for v in CONFUSION_THRESHOLDS], "thr double"
+    )
+    pred_pos = F.col("o_totalprice") >= F.col("thr")
+    is_pos = F.col("o_orderstatus") == "F"
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    c = (
+        o.crossJoin(F.broadcast(thr))
+        .groupBy("thr")
+        .agg(
+            cnt(pred_pos & is_pos).alias("tp"),
+            cnt(pred_pos & ~is_pos).alias("fp"),
+            cnt(~pred_pos & is_pos).alias("fn"),
+            cnt(~pred_pos & ~is_pos).alias("tn"),
+        )
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return c.select(
+        F.col("thr").cast("double"),
+        tp.cast("bigint").alias("tp"),
+        fp.cast("bigint").alias("fp"),
+        fn.cast("bigint").alias("fn"),
+        F.col("tn").cast("bigint").alias("tn"),
+        (tp.cast("double") / (tp + fp)).alias("prec"),
+        (tp.cast("double") / (tp + fn)).alias("rec"),
+        (F.lit(2.0) * tp / (F.lit(2.0) * tp + fp + fn)).alias("f1"),
+    )
+
+
+PSI_BUCKET_WIDTH = 50000
+PSI_N_BUCKETS = 10
+PSI_CUTOFF = "1998-01-01"
+
+
+@query(
+    "ml_psi_drift",
+    oracle=f"""
+    WITH b AS (
+        SELECT least({PSI_N_BUCKETS - 1},
+                     CAST(floor(o_totalprice / {PSI_BUCKET_WIDTH}) AS BIGINT))
+                 AS bucket,
+               CASE WHEN o_orderdate < TIMESTAMP '{PSI_CUTOFF}'
+                    THEN 1 ELSE 0 END AS in_base
+        FROM orders
+    ),
+    c AS (
+        SELECT bucket,
+               sum(in_base) AS n_base,
+               sum(1 - in_base) AS n_curr
+        FROM b GROUP BY bucket
+    ),
+    t AS (SELECT sum(n_base) AS tot_base, sum(n_curr) AS tot_curr FROM c)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(n_base AS BIGINT) AS n_base,
+           CAST(n_curr AS BIGINT) AS n_curr,
+           CAST(n_base AS DOUBLE) / tot_base AS share_base,
+           CAST(n_curr AS DOUBLE) / tot_curr AS share_curr,
+           CASE WHEN n_base > 0 AND n_curr > 0 THEN
+               round((CAST(n_base AS DOUBLE) / tot_base
+                      - CAST(n_curr AS DOUBLE) / tot_curr)
+                     * ln(CAST(n_base * tot_curr AS DOUBLE)
+                          / (n_curr * tot_base)), 6)
+           END AS psi_term
+    FROM c, t
+    """,
+    tags=("ml", "evaluation", "drift", "psi"),
+)
+def ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between a base and a current cohort
+    (orders before/after {cutoff}) over fixed-width score buckets —
+    the drift monitor a scoring pipeline runs before trusting a model
+    on new data. PSI = Σ (p_base - p_curr)·ln(p_base/p_curr).
+
+    Emitted per-bucket and UNSUMMED (the chi-square precedent): the
+    differential stays order-exact, and the per-bucket terms are what
+    a monitor actually alerts on. The log's ratio argument is built
+    as ONE division of exact integer products (n_base·tot_curr /
+    n_curr·tot_base), not a quotient of quotients, and ln() output is
+    rounded to 6 decimals — Java's and C's ln() differ below that
+    (the TF-IDF precedent). One scan, one bucket-key shuffle, a 1-row
+    totals broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.lit(PSI_N_BUCKETS - 1),
+        F.floor(F.col("o_totalprice") / PSI_BUCKET_WIDTH),
+    ).cast("bigint")
+    in_base = F.when(
+        F.col("o_orderdate") < F.lit(PSI_CUTOFF).cast("timestamp"), 1
+    ).otherwise(0)
+    c = (
+        o.select(bucket.alias("bucket"), in_base.alias("in_base"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("in_base").alias("n_base"),
+            F.sum(1 - F.col("in_base")).alias("n_curr"),
+        )
+    )
+    t = c.agg(
+        F.sum("n_base").alias("tot_base"), F.sum("n_curr").alias("tot_curr")
+    )
+    nb, nc = F.col("n_base"), F.col("n_curr")
+    tb, tc = F.col("tot_base"), F.col("tot_curr")
+    share_base = nb.cast("double") / tb
+    share_curr = nc.cast("double") / tc
+    ratio = (nb * tc).cast("double") / (nc * tb)
+    return c.crossJoin(F.broadcast(t)).select(
+        "bucket",
+        nb.cast("bigint").alias("n_base"),
+        nc.cast("bigint").alias("n_curr"),
+        share_base.alias("share_base"),
+        share_curr.alias("share_curr"),
+        F.when(
+            (nb > 0) & (nc > 0),
+            F.round((share_base - share_curr) * F.log(ratio), 6),
+        ).alias("psi_term"),
     )
