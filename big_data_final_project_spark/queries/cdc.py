@@ -228,3 +228,90 @@ def store_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o.segment").alias("old_segment"),
         F.col("n.segment").alias("new_segment"),
     )
+
+
+@query(
+    "join_point_in_time",
+    oracle="""
+    WITH versions AS (
+        SELECT user_id,
+               value AS profile_value,
+               ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS valid_to,
+               CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS BIGINT)
+                 AS version_no
+        FROM events WHERE event_type = 'signup'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           p.value AS purchase_value,
+           v.profile_value, v.version_no, v.valid_from
+    FROM events p
+    JOIN versions v
+      ON p.user_id = v.user_id
+     AND p.ts >= v.valid_from
+     AND (v.valid_to IS NULL OR p.ts < v.valid_to)
+    WHERE p.event_type = 'purchase'
+    """,
+    tags=("cdc", "scd2", "point-in-time", "feature-store"),
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join — the feature-store correctness
+    primitive: enrich each fact (purchase) with the dimension version
+    that was valid AT the fact's event time, never a later one. This
+    is how training pipelines avoid feature leakage: joining on the
+    current dimension row would let future attribute values into
+    past examples.
+
+    The versioned dimension is built from the stream itself: each
+    'signup' event opens a new profile version ([valid_from,
+    valid_to) via lead() over (user_id, ts)), facts land in exactly
+    one half-open interval. Dataflow: window and join share the
+    user_id shuffle (AQE co-locates them), and the interval predicate
+    is evaluated after the per-user equi-match — per-key version
+    chains are dimension-change-rate sized, so the per-user interval
+    scan is bounded; at 100 TB this is one fact shuffle + one
+    version-table shuffle, no range explosion. Timestamps stay
+    integer microseconds end-to-end, so the differential is exact.
+    Purchases before a user's first version are dropped (inner) —
+    the leakage-safe default."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    versions = (
+        e.where(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("value").alias("profile_value"),
+            F.col("ts").alias("valid_from"),
+            "event_id",
+        )
+        .select(
+            "user_id",
+            "profile_value",
+            "valid_from",
+            F.lead("valid_from").over(
+                Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+            ).alias("valid_to"),
+            F.row_number()
+            .over(Window.partitionBy("user_id").orderBy("valid_from", "event_id"))
+            .cast("bigint")
+            .alias("version_no"),
+        )
+    )
+    p = e.where(F.col("event_type") == "purchase")
+    cond = (
+        (p["user_id"] == versions["user_id"])
+        & (p["ts"] >= versions["valid_from"])
+        & (versions["valid_to"].isNull() | (p["ts"] < versions["valid_to"]))
+    )
+    return p.join(versions, cond).select(
+        p["event_id"],
+        p["user_id"],
+        p["ts"],
+        p["value"].alias("purchase_value"),
+        versions["profile_value"],
+        versions["version_no"],
+        versions["valid_from"],
+    )

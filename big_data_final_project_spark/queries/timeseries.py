@@ -1170,3 +1170,149 @@ def events_user_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("path"))
         .limit(20)
     )
+
+
+# Dyadic decay weights: 2^-k is a FINITE decimal with k fractional
+# digits (2^-k = 5^k/10^k), so DECIMAL(18,6) holds every weight for
+# k <= 6 exactly and the per-channel credit sum is an exact decimal —
+# order-independent, bit-identical across engines. A half-life decay
+# with irrational base would force the float-sum problem; day-bucketed
+# dyadic decay is the attribution model that stays oracle-exact.
+# (2**-k for k<=6 round-trips exactly through repr: dyadic doubles.)
+DECAY_CASE_SQL = "CASE k " + " ".join(
+    f"WHEN {k} THEN CAST({2 ** -k} AS DECIMAL(18,6))" for k in range(7)
+) + " END"
+
+
+@query(
+    "events_attribution_time_decay",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT t.event_type AS channel,
+               (epoch_us(p.ts) - epoch_us(t.ts)) // 86400000000 AS k
+        FROM events p
+        JOIN events t
+          ON p.user_id = t.user_id
+         AND t.ts < p.ts
+         AND t.ts >= p.ts - INTERVAL 7 DAY
+        WHERE p.event_type = 'purchase'
+          AND t.event_type IN ('view', 'click')
+    )
+    SELECT channel, CAST(k AS BIGINT) AS k_days,
+           count(*) AS n_touches,
+           CAST(CAST(SUM({DECAY_CASE_SQL}) AS VARCHAR) AS DOUBLE) AS credit
+    FROM pairs
+    GROUP BY channel, k
+    """,
+    tags=("attribution", "time-decay", "behavior"),
+)
+def events_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: every view/click in the 7
+    days before a purchase by the same user earns credit 2^-k, where
+    k is the whole days elapsed — recent touches weigh exponentially
+    more. Reported per (channel, day-offset) so the decay curve
+    itself is the output.
+
+    Scale shape: a time-bounded per-user self-join (purchases x
+    touches share the user_id shuffle; the 7-day predicate bounds the
+    per-key pair fan-out to touch-rate x window, never all-pairs),
+    then one small-domain aggregate (channels x 7 offsets).
+    Exactness: day offsets are integer µs division; dyadic weights
+    are exact decimals (see DECAY_CASE_SQL), so the credit sum is
+    order-independent and the final cast is the only float op."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    t = e.where(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    pairs = p.join(
+        t,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    ).select(
+        "channel",
+        F.expr("(unix_micros(p_ts) - unix_micros(t_ts)) div 86400000000").alias("k"),
+    )
+    weight = F.expr(DECAY_CASE_SQL)
+    return (
+        pairs.groupBy("channel", "k")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.sum(weight).cast("double").alias("credit"),
+        )
+        .select(
+            "channel",
+            F.col("k").cast("bigint").alias("k_days"),
+            "n_touches",
+            "credit",
+        )
+    )
+
+
+@query(
+    "ts_ewma_taps",
+    oracle="""
+    WITH lagged AS (
+        SELECT user_id, event_id, ts,
+               CAST(value AS DECIMAL(18,6)) AS v0,
+               lag(CAST(value AS DECIMAL(18,6)), 1)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v1,
+               lag(CAST(value AS DECIMAL(18,6)), 2)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v2,
+               lag(CAST(value AS DECIMAL(18,6)), 3)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v3
+        FROM events
+    )
+    SELECT user_id, event_id, ts,
+           CAST(CAST(v0 AS VARCHAR) AS DOUBLE) AS value,
+           CAST(CAST(8 * v0 + 4 * v1 + 2 * v2 + 1 * v3 AS VARCHAR) AS DOUBLE)
+             / 15.0 AS ewma
+    FROM lagged
+    WHERE v3 IS NOT NULL
+    """,
+    tags=("timeseries", "smoothing", "window"),
+)
+def ts_ewma_taps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finite-tap exponential smoothing (4-tap EWMA, ratio 1/2): the
+    trend signal a metrics pipeline computes per entity, expressed so
+    it stays cross-engine bit-exact. True infinite-history EWMA is a
+    sequential recurrence (every output depends on every prior float
+    op — unverifiable across engines and unstable across
+    partitionings); the 4-tap truncation (8v0+4v1+2v2+v3)/15 keeps
+    >93% of the mass with dyadic weights, so the numerator is EXACT
+    decimal arithmetic over the 2-dp values and the single /15.0
+    double division is the only rounding step.
+
+    Scale shape: one user_id shuffle serves all three lag() columns
+    (identical window spec); no join, no global order. Rows without 3
+    predecessors are warm-up and dropped."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = F.col("value").cast("decimal(18,6)")
+    lagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        v.alias("v0"),
+        F.lag(v, 1).over(w).alias("v1"),
+        F.lag(v, 2).over(w).alias("v2"),
+        F.lag(v, 3).over(w).alias("v3"),
+    )
+    num = (
+        F.lit(8) * F.col("v0")
+        + F.lit(4) * F.col("v1")
+        + F.lit(2) * F.col("v2")
+        + F.lit(1) * F.col("v3")
+    )
+    return lagged.where(F.col("v3").isNotNull()).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("v0").cast("double").alias("value"),
+        (num.cast("double") / F.lit(15.0)).alias("ewma"),
+    )
