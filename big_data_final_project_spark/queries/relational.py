@@ -1090,3 +1090,104 @@ def observe_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], float(m["qty_sum"]), m["n_returned"])],
         "n_rows long, qty_sum double, n_returned long",
     )
+
+
+@query(
+    "agg_listagg_sorted",
+    oracle="""
+    WITH ranked AS (
+        SELECT c_mktsegment, c_name, c_acctbal,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey)
+                 AS rn
+        FROM customer
+    )
+    SELECT c_mktsegment,
+           string_agg(c_name, ',' ORDER BY rn) AS top_names,
+           count(*) AS n
+    FROM ranked WHERE rn <= 5
+    GROUP BY c_mktsegment
+    """,
+    tags=("agg", "listagg", "string-agg"),
+)
+def agg_listagg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG / STRING_AGG with a deterministic order — the report
+    column every BI tool asks for. Spark has no ordered string_agg,
+    so the engine composes it: top-k filter first (row_number ≤ 5 —
+    the list is BOUNDED before any collection, the same discipline as
+    the inverted-index postings), then sort_array(collect_list(
+    struct(rank, name))) → transform → array_join. The struct sort
+    makes the concatenation order explicit rather than
+    partition-dependent — unordered collect_list would hash-mismatch
+    against ANY engine, including a second Spark run.
+
+    Scale: one window shuffle on the group key; the collected list is
+    ≤ k per group by construction, so no group ever materializes an
+    unbounded string."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    ranked = c.select(
+        "c_mktsegment", "c_name", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= 5)
+    return ranked.groupBy("c_mktsegment").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rn", "c_name"))),
+                lambda s: s["c_name"],
+            ),
+            ",",
+        ).alias("top_names"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "setop_union_by_name",
+    oracle="""
+    SELECT o_orderkey AS key, o_totalprice AS price,
+           CAST(NULL AS VARCHAR) AS flag, 'orders' AS src
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT l_orderkey AS key, CAST(NULL AS DOUBLE) AS price,
+           l_returnflag AS flag, 'lineitem' AS src
+    FROM lineitem WHERE l_linenumber = 1 AND l_returnflag = 'R'
+    """,
+    tags=("setop", "union-by-name", "schema-evolution"),
+)
+def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-independent union across heterogeneous schemas —
+    unionByName(allowMissingColumns=True) — the operator that glues
+    mixed-generation feeds together when one side has columns the
+    other lacks (missing columns null-fill instead of silently
+    misaligning by position, which is what plain UNION does when
+    column orders drift). The batch twin of what the schema-evolution
+    store read does at the file level.
+
+    Scale: a union is a no-shuffle plan concatenation; both branches
+    keep their own pushed filters (plan-visible), so each side scans
+    only its slice."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select(
+            F.col("o_orderkey").alias("key"),
+            F.col("o_totalprice").alias("price"),
+            F.lit("orders").alias("src"),
+        )
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where((F.col("l_linenumber") == 1) & (F.col("l_returnflag") == "R"))
+        .select(
+            F.col("l_orderkey").alias("key"),
+            F.col("l_returnflag").alias("flag"),
+            F.lit("lineitem").alias("src"),
+        )
+    )
+    return o.unionByName(li, allowMissingColumns=True).select(
+        "key", "price", "flag", "src"
+    )

@@ -628,3 +628,53 @@ def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "try_divide(cast(value AS DOUBLE), cast(event_id % 5 AS DOUBLE))"
         ).alias("safe_div"),
     )
+
+
+@query(
+    "scalar_url_funcs",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'https://www.' || source || '.example.com/docs/'
+                 || CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&v=2'
+                 AS url
+        FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param,
+           regexp_extract(url, '^([a-z]+)://', 1) AS protocol
+    FROM u
+    """,
+    tags=("scalar", "url", "string"),
+)
+def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing — parse_url(HOST/PATH/QUERY key/PROTOCOL) over a
+    synthesized-from-data URL column (the per-document web address a
+    crawl pipeline carries). Spark's parse_url is a JVM-side
+    expression (java.net.URI under the hood — no UDF); the oracle
+    re-derives each component with anchored regexes, so agreement
+    checks BOTH that parse_url splits where the RFC says and that the
+    synthesis round-trips. Domain extraction is the first step of
+    per-domain crawl caps and URL dedup at corpus scale; all per-row,
+    codegen'd, zero shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v=2"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+    )
