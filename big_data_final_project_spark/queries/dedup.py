@@ -152,9 +152,56 @@ _MINHASH_CTES = f"""
     )
 """
 
-# Banded-signature table per (session, sf_dir): pairs, clusters, and
-# survivor stats all start from it — build it once.
+# Banded-signature table per (session, sf_dir): pairs, clusters,
+# survivor stats, and the incremental screen all start from it —
+# build it once.
 _SIG_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _banded_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig array, band_idx, band_hash) — one row per doc per
+    band. Materialized EAGERLY before any self-join: a lazy
+    .persist() doesn't help because both join sides compute
+    concurrently against the still-empty cache and the whole
+    shingle→md5→min-agg pipeline runs twice (measured 2x wall). At
+    100 TB this materialization is a written parquet signature table
+    — same dataflow, durable instead of cached."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir, "banded_sigs")
+    if cache_key in _SIG_CACHE:
+        return _SIG_CACHE[cache_key]
+    d = load_table(spark, sf_dir, "documents")
+    sh_rows = _shingled(d, "doc_id").select("doc_id", F.explode("sh").alias("x"))
+    sig_row = sh_rows.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(s), F.lit("#"), F.col("x")))).alias(f"h{i}")
+            for i, s in enumerate(SEEDS)
+        ]
+    )
+    sig = F.array(*[F.col(f"h{i}") for i in range(N_PERM)])
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.element_at("sig", ROWS_PER_BAND * j + r + 1)
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                )
+            )
+            for j in range(N_BANDS)
+        ]
+    )
+    _SIG_CACHE[cache_key] = (
+        sig_row.select("doc_id", sig.alias("sig"))
+        .select(
+            "doc_id",
+            "sig",
+            F.posexplode(band_hashes).alias("band_idx", "band_hash"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return _SIG_CACHE[cache_key]
 
 
 @query(
@@ -183,49 +230,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shingle set once per seed (quadratic per doc; measured 40s vs
     2s at sf0.001). The explode/agg gets map-side partial mins, so
     the shuffle carries one partial signature per doc per partition."""
-    d = load_table(spark, sf_dir, "documents")
-    sh_rows = _shingled(d, "doc_id").select("doc_id", F.explode("sh").alias("x"))
-    sig_row = sh_rows.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(s), F.lit("#"), F.col("x")))).alias(f"h{i}")
-            for i, s in enumerate(SEEDS)
-        ]
-    )
-    sig = F.array(*[F.col(f"h{i}") for i in range(N_PERM)])
-    band_hashes = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.element_at("sig", ROWS_PER_BAND * j + r + 1)
-                        for r in range(ROWS_PER_BAND)
-                    ],
-                )
-            )
-            for j in range(N_BANDS)
-        ]
-    )
-    # Materialize the signature table EAGERLY before the self-join:
-    # a lazy .persist() doesn't help here because both join sides
-    # compute concurrently against the still-empty cache and the
-    # whole shingle→md5→min-agg pipeline runs twice (measured 2x
-    # wall). At 100 TB this materialization is a written parquet
-    # signature table — same dataflow, durable instead of cached.
-    # Cached per (session, sf_dir): three registry queries (pairs,
-    # clusters, survivor stats) all start from this table.
-    cache_key = (spark.sparkContext.applicationId, sf_dir, "banded_sigs")
-    if cache_key not in _SIG_CACHE:
-        _SIG_CACHE[cache_key] = (
-            sig_row.select("doc_id", sig.alias("sig"))
-            .select(
-                "doc_id",
-                "sig",
-                F.posexplode(band_hashes).alias("band_idx", "band_hash"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    hashed = _SIG_CACHE[cache_key]
+    hashed = _banded_sig_table(spark, sf_dir)
     a, b = hashed.alias("a"), hashed.alias("b")
     est = (
         F.aggregate(
@@ -838,4 +843,93 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_windows"),
         dup.cast("bigint").alias("n_dup_windows"),
         (dup.cast("double") / F.count("*").cast("double")).alias("dup_frac"),
+    )
+
+
+@query(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH {_MINHASH_CTES},
+    m AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(list_reduce(
+                   list_transform(range(1, {N_PERM} + 1),
+                       i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END),
+                   (acc, x) -> acc + x) AS DOUBLE) / {N_PERM} AS est_jaccard
+        FROM hashed a JOIN hashed b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+    ),
+    hits AS (SELECT * FROM m WHERE est_jaccard >= {MIN_EST_JACCARD})
+    SELECT d.doc_id,
+           count(h.doc_b) AS n_dups,
+           min(h.doc_b) AS first_match_id,
+           max(h.est_jaccard) AS max_est_jaccard,
+           count(h.doc_b) = 0 AS is_new
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_a
+    WHERE d.doc_id % 10 = 0
+    GROUP BY d.doc_id
+    """,
+    tags=("dedup", "minhash", "incremental", "broadcast"),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental fuzzy dedup — screen a NEW ingest batch (docs with
+    doc_id % 10 == 0 stand in for today's crawl) against the EXISTING
+    corpus without recomputing or reshuffling the corpus: per batch
+    doc, how many established near-dups it collides with, the lowest
+    matching corpus doc_id, the best signature agreement, and the
+    is_new verdict a pipeline gates ingestion on.
+
+    This is the steady-state shape of corpus dedup at 100 TB: the
+    banded signature table is a PERSISTED artifact (here the shared
+    session-cached table every dedup query reuses); a daily batch is
+    corpus-growth-rate sized, so its banded signatures BROADCAST to
+    the corpus side and the screen is an exchange-free broadcast join
+    — the corpus is read, never shuffled, and nothing quadratic ever
+    forms. Estimated Jaccard is k/8 (exact dyadic doubles), so max()
+    is order-independent and the differential exact."""
+    hashed = _banded_sig_table(spark, sf_dir)
+    batch = hashed.where(F.col("doc_id") % 10 == 0)
+    corpus = hashed.where(F.col("doc_id") % 10 != 0)
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("a.sig"),
+                F.col("b.sig"),
+                lambda x, y: F.when(x == y, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / N_PERM
+    )
+    hits = (
+        F.broadcast(batch.alias("a"))
+        .join(
+            corpus.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            est.alias("est_jaccard"),
+        )
+        .distinct()
+        .where(F.col("est_jaccard") >= MIN_EST_JACCARD)
+    )
+    spine = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+    )
+    return (
+        spine.join(hits, spine.doc_id == hits.doc_a, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("doc_b").alias("n_dups"),
+            F.min("doc_b").alias("first_match_id"),
+            F.max("est_jaccard").alias("max_est_jaccard"),
+            (F.count("doc_b") == 0).alias("is_new"),
+        )
     )
