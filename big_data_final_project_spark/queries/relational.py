@@ -1191,3 +1191,56 @@ def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.unionByName(li, allowMissingColumns=True).select(
         "key", "price", "flag", "src"
     )
+
+
+@query(
+    "agg_concentration_hhi",
+    oracle="""
+    WITH c AS (
+        SELECT c_mktsegment, c_nationkey, count(*) AS n
+        FROM customer GROUP BY c_mktsegment, c_nationkey
+    ),
+    t AS (
+        SELECT c_mktsegment,
+               CAST(sum(n) AS BIGINT) AS total,
+               CAST(sum(n * n) AS BIGINT) AS sum_sq,
+               CAST(count(*) AS BIGINT) AS n_nations,
+               CAST(max(n) AS BIGINT) AS top_share_n
+        FROM c GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, total, n_nations,
+           CAST(sum_sq AS DOUBLE) / (total * total) AS hhi,
+           CAST(top_share_n AS DOUBLE) / total AS top_share
+    FROM t
+    """,
+    tags=("agg", "concentration", "hhi"),
+)
+def agg_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration metrics per segment: the
+    Herfindahl-Hirschman index (Σ shareᵢ²) and the largest single
+    share — the skew/diversity monitor a corpus pipeline runs per
+    source or per language before training (one dominant source =
+    one dominant bias).
+
+    Exactness trick: HHI = Σ(nᵢ/N)² is algebraically Σnᵢ²/N², so the
+    whole statistic reduces to two integer sums and ONE double
+    division — no per-key float shares are ever summed (which would
+    be order-dependent). Two shuffles (key count, then group
+    reduce), both map-side combinable."""
+    c = load_table(spark, sf_dir, "customer")
+    counts = c.groupBy("c_mktsegment", "c_nationkey").agg(F.count("*").alias("n"))
+    t = counts.groupBy("c_mktsegment").agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sum_sq"),
+        F.count("*").cast("bigint").alias("n_nations"),
+        F.max("n").cast("bigint").alias("top_share_n"),
+    )
+    return t.select(
+        "c_mktsegment",
+        "total",
+        "n_nations",
+        (F.col("sum_sq").cast("double") / (F.col("total") * F.col("total"))).alias(
+            "hhi"
+        ),
+        (F.col("top_share_n").cast("double") / F.col("total")).alias("top_share"),
+    )

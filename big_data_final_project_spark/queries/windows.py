@@ -278,3 +278,42 @@ def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
         F.first("o_orderkey").over(w).alias("first_order"),
     )
+
+
+@query(
+    "window_ratio_to_report",
+    oracle="""
+    WITH g AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                         OVER (PARTITION BY o_custkey) AS VARCHAR) AS DOUBLE)
+                 AS cust_total
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey, o_totalprice, cust_total,
+           o_totalprice / cust_total AS share_of_customer
+    FROM g
+    """,
+    tags=("window", "ratio-to-report"),
+)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each order's share of its customer's total
+    spend — the unframed-window share computation every revenue
+    report needs (RATIO_TO_REPORT in Oracle terms). The per-partition
+    total is an exact decimal window sum (order-independent — an
+    unframed double SUM OVER would differ run-to-run at scale), the
+    share is one double division. One shuffle on the partition key,
+    no join: the window form beats aggregate-then-rejoin by reading
+    the fact table once."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey")
+    total = (
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        total.alias("cust_total"),
+        (F.col("o_totalprice") / total).alias("share_of_customer"),
+    )
