@@ -372,3 +372,138 @@ def streaming_topk_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         ranked, spark, "streaming_topk_live_sink", complete=True
     )
+
+
+@query(
+    "streaming_late_data_audit",
+    oracle="""
+    WITH wm AS (
+        SELECT max(ts) - INTERVAL 10 MINUTE AS wm
+        FROM events WHERE extract(day FROM ts) <> 10
+    ),
+    b AS (
+        SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+                 AS window_start,
+               count(*) AS n_batch
+        FROM events GROUP BY 1
+    )
+    SELECT b.window_start,
+           b.n_batch,
+           CASE WHEN extract(day FROM b.window_start) = 10
+                  OR b.window_start + INTERVAL 1 HOUR > wm.wm
+                THEN 0 ELSE b.n_batch END AS n_stream,
+           CASE WHEN extract(day FROM b.window_start) = 10
+                THEN 'late_dropped'
+                WHEN b.window_start + INTERVAL 1 HOUR > wm.wm
+                THEN 'unfinalized'
+                ELSE 'ok' END AS status
+    FROM b, wm
+    """,
+    tags=("streaming", "live", "watermark", "late-data"),
+)
+def streaming_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data accounting under a watermark (ST3 made visible): the
+    day-10 slice of the stream arrives only in a SECOND checkpointed
+    run, after the first run has committed a watermark at the end of
+    the month — so an append-mode hourly aggregate must (a) drop
+    every late row on restart (the durable-watermark restart
+    contract), (b) never emit the still-open tail windows past the
+    watermark, and (c) emit every other window with its full batch
+    count. The audit joins the streamed parquet sink against the
+    batch ground truth and labels each window ok / late_dropped /
+    unfinalized with its streamed-vs-batch count.
+
+    The ORACLE is the watermark CONTRACT itself, computed in pure SQL
+    (wm = max on-time ts - delay); the differential therefore proves
+    Spark's incremental execution implements the contract — which
+    windows are emitted, which rows are dropped — not merely that two
+    batch plans agree. (Within ONE availableNow run the watermark
+    gate does not fire between file-batches — measured: the late
+    batch is planned before the first batch's event-time stats become
+    the active watermark — which is WHY the scenario is staged across
+    two runs over one checkpoint: exactly the shape of a daily
+    restart against yesterday's state.) At scale this audit is the
+    completeness monitor run next to any streaming sink: it bounds
+    silent data loss to the quantified late/unfinalized windows."""
+    import shutil
+
+    from ..data import load_table
+    from ..streaming.pipeline import (
+        EVENT_SCHEMA,
+        TS_FORMAT,
+        stage_two_phase_events,
+    )
+
+    work = _work_dir(sf_dir, "late_audit")
+    allphases = os.path.join(work, "all")
+    os.makedirs(allphases, exist_ok=True)
+    stage_two_phase_events(spark, sf_dir, allphases)
+    staging = os.path.join(work, "staging")
+    sink = os.path.join(work, "sink")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(staging, exist_ok=True)
+
+    def _run_available_now() -> None:
+        raw = spark.readStream.option("maxFilesPerTrigger", "1").text(staging)
+        parsed = (
+            raw.select(
+                F.from_json(
+                    "value", EVENT_SCHEMA, {"timestampFormat": TS_FORMAT}
+                ).alias("rec")
+            )
+            .select("rec.*")
+            .where(F.col("event_id").isNotNull())
+        )
+        agg = (
+            parsed.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n_stream"))
+            .select(F.col("w.start").alias("window_start"), "n_stream")
+        )
+        (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    # Run 1: on-time data only -> commits wm = max(on-time) - delay
+    # and flushes every closed window to the sink. copy2 preserves
+    # mtimes, so the file source's oldest-first order is stable.
+    p1 = os.path.join(staging, "phase1.txt")
+    if not os.path.exists(p1):
+        shutil.copy2(os.path.join(allphases, "phase1.txt"), p1)
+    _run_available_now()
+    # Run 2 (restart over the same checkpoint): the late slice
+    # arrives; the restored watermark drops all of it.
+    p2 = os.path.join(staging, "phase2.txt")
+    if not os.path.exists(p2):
+        shutil.copy2(os.path.join(allphases, "phase2.txt"), p2)
+    _run_available_now()
+
+    streamed = spark.read.parquet(sink)
+    ev = load_table(spark, sf_dir, "events")
+    batch = ev.groupBy(
+        F.window("ts", "1 hour").start.alias("window_start")
+    ).agg(F.count("*").alias("n_batch"))
+    wm = ev.where(F.dayofmonth("ts") != 10).agg(
+        (F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("wm")
+    )
+    j = batch.join(streamed, "window_start", "left").crossJoin(F.broadcast(wm))
+    status = (
+        F.when(F.dayofmonth("window_start") == 10, "late_dropped")
+        .when(
+            F.col("window_start") + F.expr("INTERVAL 1 HOUR") > F.col("wm"),
+            "unfinalized",
+        )
+        .otherwise("ok")
+    )
+    return j.select(
+        "window_start",
+        "n_batch",
+        F.coalesce("n_stream", F.lit(0)).cast("bigint").alias("n_stream"),
+        status.alias("status"),
+    )

@@ -498,3 +498,63 @@ def running_totals_tws(spark: SparkSession, staging_dir: str) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# Day of month whose events arrive LATE (after the watermark has
+# passed them) in the two-phase staging below. Chosen mid-month so the
+# late windows are closed long before the watermark when they arrive.
+LATE_DAY = 10
+
+
+def stage_two_phase_events(
+    spark: SparkSession, sf_dir: str, staging_dir: str
+) -> str:
+    """Stage events as TWO ordered files: phase1 = every event NOT on
+    day LATE_DAY (older mtime), phase2 = the day-LATE_DAY events
+    (newer mtime). With maxFilesPerTrigger=1 and the file source's
+    oldest-first ordering, a watermarked stream processes phase1
+    first — advancing the watermark to (max phase-1 ts - delay) —
+    and only then sees phase2, whose events are days below the
+    watermark: the deterministic late-arrival scenario ST3 is about.
+    Idempotent per staging_dir."""
+    import glob
+    import shutil
+    import time
+
+    marker = os.path.join(staging_dir, "_STAGED2")
+    if os.path.exists(marker):
+        return staging_dir
+    ev = load_table(spark, sf_dir, "events")
+    is_late = F.dayofmonth("ts") == LATE_DAY
+
+    def _write_phase(df: DataFrame, leaf: str) -> str:
+        tmp = os.path.join(staging_dir, f"_tmp_{leaf}")
+        (
+            df.select(
+                F.to_json(
+                    F.struct(
+                        "event_id", "ts", "user_id", "event_type", "value", "props"
+                    ),
+                    {"timestampFormat": TS_FORMAT},
+                ).alias("value")
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .text(tmp)
+        )
+        dest = os.path.join(staging_dir, leaf)
+        shutil.move(glob.glob(os.path.join(tmp, "part-*"))[0], dest)
+        shutil.rmtree(tmp)
+        return dest
+
+    p1 = _write_phase(ev.where(~is_late), "phase1.txt")
+    p2 = _write_phase(ev.where(is_late), "phase2.txt")
+    # mtime drives the file source's processing order (path order
+    # agrees as a tiebreak); only RELATIVE order matters, so wall
+    # clock here cannot reach any query result.
+    now = time.time()
+    os.utime(p1, (now - 100, now - 100))
+    os.utime(p2, (now, now))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return staging_dir
