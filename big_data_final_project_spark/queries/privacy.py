@@ -1,0 +1,249 @@
+"""Privacy auditing: k-anonymity, l-diversity, generalization ladder
+(engine addition; SURVEY.md §2.6).
+
+A 100 TB training-data platform ships data OUT — to labelers, eval
+vendors, open releases — and the pre-flight every release runs is a
+re-identification risk audit: group the table by its quasi-identifier
+(QI) columns and measure how small the equivalence classes get
+(k-anonymity, Sweeney 2002) and how uniform the sensitive attribute is
+within each class (l-diversity, Machanavajjhala 2007). Both are plain
+grouped aggregates — one shuffle on the QI key — so they scale exactly
+like any other groupBy; the interesting part is keeping the RISK
+ARITHMETIC integer-exact (per-million rates via integer division, never
+float percentages) so the DuckDB differential is bit-identical.
+
+Reference parity: the reference (Aero-Kent/Big-Data-Final-Project) has
+no privacy surface at all — app.py stops at dashboard aggregates — so
+this family is a pure engine addition for the release-pipeline use
+case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..registry import query
+
+# Quasi-identifier: nation + market segment + coarse balance band.
+# Balance bands use integer floor-division on the CENT value so the
+# banding is exact (acctbal has <= 2 decimals; double->cents via
+# round() is exact for these magnitudes in both engines).
+_BAND = 100_000  # cents => $1000-wide bands
+
+
+def _qi_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    return c.select(
+        F.col("c_nationkey").alias("qi_nation"),
+        F.col("c_mktsegment").alias("qi_segment"),
+        F.floor(cents / _BAND).cast("bigint").alias("qi_band"),
+    )
+
+
+_QI_SQL = f"""
+    qi AS (
+        SELECT c_nationkey AS qi_nation,
+               c_mktsegment AS qi_segment,
+               CAST(FLOOR(CAST(ROUND(c_acctbal * 100) AS BIGINT) / {_BAND}.0)
+                    AS BIGINT) AS qi_band
+        FROM customer
+    )
+"""
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle=f"""
+    WITH {_QI_SQL},
+    classes AS (
+        SELECT qi_nation, qi_segment, qi_band, COUNT(*) AS k
+        FROM qi GROUP BY 1, 2, 3
+    )
+    SELECT COUNT(*) AS n_classes,
+           CAST(SUM(k) AS BIGINT) AS n_rows,
+           MIN(k) AS min_k,
+           CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS singleton_classes,
+           CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+               AS rows_below_k5,
+           CAST(FLOOR(SUM(CASE WHEN k = 1 THEN k ELSE 0 END) * 1000000
+                / SUM(k)) AS BIGINT) AS singleton_ppm
+    FROM classes
+    """,
+    tags=("privacy", "k-anonymity", "audit", "engine-addition"),
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, segment, $1000-balance-band)
+    quasi-identifier: equivalence-class sizes, the minimum k, and the
+    re-identification exposure (singleton classes, rows in classes
+    below k=5, singleton rate in exact parts-per-million).
+
+    Scale shape: one shuffle on the QI key to size the classes, then a
+    single-row global aggregate over the (much smaller) class table —
+    the same two-level partial-agg shape as agg_reaggregation. Risk
+    rates are integer-division ppm, never float percentages, so the
+    cross-engine differential is exact."""
+    classes = (
+        _qi_classes(spark, sf_dir)
+        .groupBy("qi_nation", "qi_segment", "qi_band")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    k = F.col("k")
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(k).alias("n_rows"),
+        F.min(k).alias("min_k"),
+        F.sum(F.when(k == 1, 1).otherwise(0)).alias("singleton_classes"),
+        F.sum(F.when(k < 5, k).otherwise(0)).alias("rows_below_k5"),
+        F.floor(
+            F.sum(F.when(k == 1, k).otherwise(0))
+            * F.lit(1_000_000)
+            / F.sum(k)
+        )
+        .cast("bigint")
+        .alias("singleton_ppm"),
+    )
+
+
+@query(
+    "privacy_l_diversity",
+    oracle=f"""
+    WITH qi AS (
+        SELECT c_nationkey AS qi_nation,
+               CAST(FLOOR(CAST(ROUND(c_acctbal * 100) AS BIGINT) / {_BAND}.0)
+                    AS BIGINT) AS qi_band,
+               c_mktsegment AS sensitive
+        FROM customer
+    ),
+    classes AS (
+        SELECT qi_nation, qi_band,
+               COUNT(*) AS class_rows,
+               COUNT(DISTINCT sensitive) AS l
+        FROM qi GROUP BY 1, 2
+    )
+    SELECT l,
+           COUNT(*) AS n_classes,
+           CAST(SUM(class_rows) AS BIGINT) AS n_rows
+    FROM classes
+    GROUP BY l
+    ORDER BY l
+    """,
+    tags=("privacy", "l-diversity", "audit", "engine-addition"),
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity histogram: with QI = (nation, balance band) and the
+    market segment as the sensitive attribute, count how many
+    equivalence classes achieve each distinct-sensitive-value count l.
+    Classes with l = 1 leak the sensitive value outright even when k
+    is large — the failure k-anonymity alone cannot see.
+
+    Scale shape: distinct-inside-group is the expensive primitive;
+    Spark plans COUNT(DISTINCT) as a two-phase expand + re-aggregate
+    on the same QI partitioning (no extra shuffle beyond the key).
+    The output is a histogram over l — bounded by the sensitive
+    cardinality, tiny regardless of input scale."""
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    classes = (
+        c.select(
+            F.col("c_nationkey").alias("qi_nation"),
+            F.floor(cents / _BAND).cast("bigint").alias("qi_band"),
+            F.col("c_mktsegment").alias("sensitive"),
+        )
+        .groupBy("qi_nation", "qi_band")
+        .agg(
+            F.count(F.lit(1)).alias("class_rows"),
+            F.countDistinct("sensitive").alias("l"),
+        )
+    )
+    return (
+        classes.groupBy("l")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("class_rows").alias("n_rows"),
+        )
+        .orderBy("l")
+    )
+
+
+@query(
+    "privacy_generalization_ladder",
+    oracle="""
+    WITH levels AS (
+        SELECT * FROM (VALUES (10000), (100000), (1000000)) AS t(band)
+    ),
+    qi AS (
+        SELECT l.band,
+               c.c_nationkey AS qi_nation,
+               c.c_mktsegment AS qi_segment,
+               CAST(FLOOR(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)
+                          / CAST(l.band AS DOUBLE)) AS BIGINT) AS qi_band
+        FROM customer c CROSS JOIN levels l
+    ),
+    classes AS (
+        SELECT band, qi_nation, qi_segment, qi_band, COUNT(*) AS k
+        FROM qi GROUP BY 1, 2, 3, 4
+    )
+    SELECT band,
+           COUNT(*) AS n_classes,
+           MIN(k) AS min_k,
+           CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS singleton_classes,
+           CAST(FLOOR(SUM(CASE WHEN k = 1 THEN k ELSE 0 END) * 1000000
+                / SUM(k)) AS BIGINT) AS singleton_ppm
+    FROM classes
+    GROUP BY band
+    ORDER BY band
+    """,
+    tags=("privacy", "k-anonymity", "generalization", "engine-addition"),
+)
+def privacy_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The anonymization TRADEOFF CURVE: re-run the k-anonymity audit
+    at three balance-band generalization levels ($100 / $1000 / $10000
+    bands) in ONE pass and report how coarsening the QI buys down the
+    singleton rate. This is the utility-vs-privacy readout an actual
+    release pipeline iterates on.
+
+    Scale shape: the ladder is a 3x row explode (a literal-array
+    explode, no shuffle) followed by the same two-level aggregate as
+    privacy_k_anonymity — one shuffle keyed on (level, QI), so adding
+    ladder rungs widens the key space, never adds passes over the
+    data."""
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    with_levels = c.select(
+        F.col("c_nationkey").alias("qi_nation"),
+        F.col("c_mktsegment").alias("qi_segment"),
+        cents.alias("cents"),
+        F.explode(F.array(F.lit(10_000), F.lit(100_000), F.lit(1_000_000))).alias(
+            "band"
+        ),
+    ).select(
+        "band",
+        "qi_nation",
+        "qi_segment",
+        F.floor(F.col("cents") / F.col("band")).cast("bigint").alias("qi_band"),
+    )
+    classes = with_levels.groupBy("band", "qi_nation", "qi_segment", "qi_band").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    k = F.col("k")
+    return (
+        classes.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.min(k).alias("min_k"),
+            F.sum(F.when(k == 1, 1).otherwise(0)).alias("singleton_classes"),
+            F.floor(
+                F.sum(F.when(k == 1, k).otherwise(0))
+                * F.lit(1_000_000)
+                / F.sum(k)
+            )
+            .cast("bigint")
+            .alias("singleton_ppm"),
+        )
+        .orderBy("band")
+    )

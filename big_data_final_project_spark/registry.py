@@ -83,6 +83,7 @@ def _load_all() -> None:
         storage,
         profiling,
         geo,
+        privacy,
     )
 
 
