@@ -84,6 +84,7 @@ def _load_all() -> None:
         profiling,
         geo,
         privacy,
+        bloom,
     )
 
 

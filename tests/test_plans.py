@@ -304,3 +304,21 @@ def test_round3_timeseries_plan_shapes(spark, sf_dir):
     # user_id; no cartesian anywhere
     p = _plan(spark, sf_dir, "events_cohort_retention")
     assert p.cartesian_products == 0
+
+
+def test_round4_privacy_bloom_plan_shapes(spark, sf_dir):
+    # bloom prefilter: both word-map probes and the exact semi join
+    # broadcast (the fact side never shuffles before the aggregate);
+    # no cartesian anywhere
+    p = _plan(spark, sf_dir, "join_bloom_prefilter")
+    assert p.broadcast_joins >= 3, p.text
+    assert p.cartesian_products == 0
+    # k-anonymity: two-level aggregate, one QI-key shuffle feeding a
+    # single-row global agg; no joins at all
+    p = _plan(spark, sf_dir, "privacy_k_anonymity")
+    assert p.broadcast_joins == 0 and p.sortmerge_joins == 0
+    assert p.shuffles <= 3, p.text
+    # generalization ladder: the 3-level explode must NOT triple the
+    # scan — one file-scan location in the whole plan
+    p = _plan(spark, sf_dir, "privacy_generalization_ladder")
+    assert p.text.count("Location: InMemoryFileIndex") == 1, p.text
