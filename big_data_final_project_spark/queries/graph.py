@@ -478,3 +478,40 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("jaccard"), F.desc("common"), F.asc("pa"), F.asc("pb")
     ).limit(20)
+
+
+@query(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH {_KNN_EDGES_SQL},
+    deg AS (
+        SELECT node, COUNT(*) AS degree
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+        GROUP BY node
+    )
+    SELECT degree, COUNT(*) AS n_nodes
+    FROM deg GROUP BY degree ORDER BY degree
+    """,
+    tags=("graph", "degree-distribution"),
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the sparsified co-purchase graph — the
+    first thing a graph pipeline inspects before choosing join
+    strategies (a heavy-tailed histogram means the vertex-join family
+    needs salting; this kNN graph is degree-bounded by construction
+    and the histogram PROVES it, so the downstream triangle/Jaccard
+    joins are safely skew-free).
+
+    Scale shape: symmetrize (narrow union), one node-key shuffle for
+    degrees, then a histogram aggregate whose key space is bounded by
+    the max degree — tiny output regardless of |E|."""
+    e = _knn_edges(spark, sf_dir)  # materialized by the shared cache
+    nodes = e.select(F.col("a").alias("node")).unionByName(
+        e.select(F.col("b").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("degree")
+    )

@@ -432,3 +432,71 @@ def ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((share_base - share_curr) * F.log(ratio), 6),
         ).alias("psi_term"),
     )
+
+
+@query(
+    "ml_target_encoding",
+    oracle="""
+    WITH enc AS (
+        SELECT o_orderkey,
+               o_orderpriority AS priority,
+               o_totalprice AS target,
+               COUNT(*) OVER w AS n_cat,
+               CAST(CAST(
+                   SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w
+                   - CAST(o_totalprice AS DECIMAL(18,6))
+                   AS VARCHAR) AS DOUBLE) AS loo_sum
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority)
+    )
+    SELECT o_orderkey, priority, target,
+           CASE WHEN n_cat > 1 THEN loo_sum / (n_cat - 1) END AS loo_enc
+    FROM enc
+    ORDER BY o_orderkey
+    LIMIT 25
+    """,
+    tags=("ml", "feature-engineering", "target-encoding", "engine-addition"),
+)
+def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority against order
+    value — the feature-engineering primitive for high-cardinality
+    categoricals (each row gets the mean target of its OWN category
+    with itself excluded, the standard guard against target leakage).
+    Computed with one category-partitioned window (sum + count), no
+    self-join: enc = (sum_cat - target) / (n_cat - 1).
+
+    Exactness: the numerator is staged as an exact decimal window sum
+    minus an exact decimal cast, converted to double once on each
+    engine (VARCHAR route on the DuckDB side), and the final IEEE
+    double division then matches bit-for-bit; singleton categories
+    yield NULL rather than 0/0.
+
+    Scale shape: one shuffle on the category key; for truly
+    high-cardinality categoricals this is the same partial-agg +
+    broadcast-back shape as the TF-IDF document-frequency table — the
+    window form here additionally streams category partitions without
+    materializing a per-category dict anywhere."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority")
+    dec = F.col("o_totalprice").cast("decimal(18,6)")
+    n_cat = F.count(F.lit(1)).over(w)
+    loo_sum = (F.sum(dec).over(w) - dec).cast("double")
+    return (
+        o.select(
+            "o_orderkey",
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_totalprice").alias("target"),
+            n_cat.alias("n_cat"),
+            loo_sum.alias("loo_sum"),
+        )
+        .select(
+            "o_orderkey",
+            "priority",
+            "target",
+            F.when(F.col("n_cat") > 1, F.col("loo_sum") / (F.col("n_cat") - 1)).alias(
+                "loo_enc"
+            ),
+        )
+        .orderBy("o_orderkey")
+        .limit(25)
+    )

@@ -25,7 +25,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..data import load_table
@@ -177,4 +177,75 @@ def store_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("h").alias("h_min"),
         F.max("h").alias("h_max"),
         dsum("value").alias("total_value"),
+    )
+
+
+@query(
+    "store_compaction_bins",
+    oracle="""
+    WITH manifest AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_rows
+        FROM events GROUP BY 1
+    ),
+    planned AS (
+        SELECT day, n_rows,
+               COALESCE(SUM(n_rows) OVER (
+                   ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM manifest
+    )
+    SELECT CAST(FLOOR(cum_before / 5000.0) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_files,
+           CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+           MIN(day) AS first_day,
+           MAX(day) AS last_day
+    FROM planned
+    GROUP BY 1
+    ORDER BY bin_id
+    """,
+    tags=("storage", "compaction", "bin-packing", "engine-addition"),
+)
+def store_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planner: treat each event day as one
+    file in a table manifest (day, row count), then bin-pack adjacent
+    files into ~5000-row rewrite groups with a running-sum window —
+    bin = floor(rows_before / target) — and report each bin's file
+    count, row total, and day span. This is the planning half of the
+    OPTIMIZE/rewrite pass every lakehouse runs (the execute half is
+    load_table's multi-file mirror, which this repo already does on
+    ingest).
+
+    Scale shape: the plan runs over the MANIFEST, not the data — one
+    row per file, millions of entries at worst — so the
+    single-partition ordered window is deliberate and safe (a table's
+    manifest fits on one core by design; it is the same metadata the
+    driver already lists to plan a scan). Only the day-count
+    aggregate touches the data, one narrow shuffle. Adjacent-day
+    packing preserves day clustering so the rewritten files keep
+    their min/max day bounds tight (the same locality argument as
+    store_zorder_layout)."""
+    e = load_table(spark, sf_dir, "events")
+    manifest = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = manifest.withColumn(
+        "cum_before", F.coalesce(F.sum("n_rows").over(w), F.lit(0))
+    )
+    return (
+        planned.groupBy(
+            F.floor(F.col("cum_before") / 5000.0).cast("bigint").alias("bin_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_rows").alias("total_rows"),
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+        )
+        .orderBy("bin_id")
     )

@@ -317,3 +317,43 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         total.alias("cust_total"),
         (F.col("o_totalprice") / total).alias("share_of_customer"),
     )
+
+
+@query(
+    "window_topk_with_ties",
+    oracle="""
+    SELECT segment, c_custkey, acctbal, rnk
+    FROM (
+        SELECT c_mktsegment AS segment, c_custkey, c_acctbal AS acctbal,
+               RANK() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC) AS rnk
+        FROM customer
+    )
+    WHERE rnk <= 3
+    ORDER BY segment, rnk, c_custkey
+    """,
+    tags=("window", "topk", "ties"),
+)
+def window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers per market segment WITH TIES (rank(), not
+    row_number()): every row tied at the cutoff value is kept, the
+    ANSI `FETCH FIRST n ROWS WITH TIES` semantics. The companion
+    window_topk_per_group is the ties-broken variant; both exist
+    because the two answer different product questions (quota vs
+    threshold).
+
+    Scale shape: identical to the row_number top-k — one shuffle on
+    the group key, early rank-filter before anything wide; output is
+    k-ish per group (k + tie overflow), bounded for any input size."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"))
+    return (
+        c.select(
+            F.col("c_mktsegment").alias("segment"),
+            "c_custkey",
+            F.col("c_acctbal").alias("acctbal"),
+            F.rank().over(w).alias("rnk"),
+        )
+        .where(F.col("rnk") <= 3)
+        .orderBy("segment", "rnk", "c_custkey")
+    )
