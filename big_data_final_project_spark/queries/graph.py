@@ -515,3 +515,72 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy("degree")
     )
+
+
+@query(
+    "graph_bfs_levels",
+    oracle=f"""
+    WITH RECURSIVE {_KNN_EDGES_SQL},
+    adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+    src AS (SELECT MIN(a) AS s FROM e),
+    walk(node, lvl) AS (
+        SELECT s, 0 FROM src
+        UNION
+        SELECT adj.v, walk.lvl + 1
+        FROM walk JOIN adj ON adj.u = walk.node
+        WHERE walk.lvl < 3
+    )
+    SELECT CAST(min_lvl AS BIGINT) AS level, COUNT(*) AS n_nodes
+    FROM (SELECT node, MIN(lvl) AS min_lvl FROM walk GROUP BY node)
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("graph", "bfs", "iterative"),
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop breadth-first search from the lowest-id node of the
+    co-purchase graph: how many nodes sit at each BFS distance
+    0..3 — the reachability primitive under friend-of-a-friend
+    queries and network blast-radius analysis. Frontier expansion is
+    the Pregel pattern dedup_clusters already uses, here with an
+    explicit per-level frontier: join frontier to adjacency, anti-join
+    out already-visited nodes, checkpoint, repeat — each round's
+    frontier is the ONLY thing joined, so per-round cost tracks
+    frontier x degree, not |V| x |E|.
+
+    The oracle is a recursive CTE whose UNION dedups (node, level)
+    pairs; MIN(level) per node afterwards is exactly the BFS distance,
+    pinning the iterative DataFrame loop against declarative
+    recursion cross-engine (the same three-way check philosophy as
+    dedup_clusters).
+
+    Scale shape: adjacency is degree-bounded (kNN graph), each round
+    is one join shuffle + one anti-join on the visited set;
+    localCheckpoint cuts lineage so round N's plan does not replay
+    rounds 1..N-1. Visited-set growth is the memory bound — at
+    web scale the visited set becomes a bloom-gated anti join
+    (join_bloom_prefilter is that machinery)."""
+    e = _knn_edges(spark, sf_dir)  # materialized by the shared cache
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    src = e.agg(F.min("a").alias("node")).withColumn("level", F.lit(0))
+    visited = src.localCheckpoint(eager=True)
+    frontier = visited
+    for lvl in range(1, 4):
+        nxt = (
+            adj.join(
+                frontier.select(F.col("node").alias("u")).hint("broadcast"), "u"
+            )
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("level", F.lit(lvl))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return (
+        visited.groupBy("level")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("level")
+    )

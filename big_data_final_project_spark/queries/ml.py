@@ -500,3 +500,58 @@ def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .limit(25)
     )
+
+
+_CAL_BIN_W = 50_000  # fixed-width score bins (o_totalprice ~ [1e3, 6e5])
+
+
+@query(
+    "ml_calibration_bins",
+    oracle=f"""
+    SELECT CAST(FLOOR(o_totalprice / {_CAL_BIN_W}.0) AS BIGINT) AS bin_id,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pos,
+           {dsum_sql("o_totalprice")} / COUNT(*) AS mean_score,
+           CAST(FLOOR(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                * 1000000.0 / COUNT(*)) AS BIGINT) AS pos_rate_ppm
+    FROM orders
+    GROUP BY 1
+    ORDER BY bin_id
+    """,
+    tags=("ml", "evaluation", "calibration", "engine-addition"),
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (calibration curve) for the same
+    score/label pair ml_auc_exact evaluates (score = order value,
+    label = finished status): fixed-width score bins, each reporting
+    volume, mean score, and observed positive rate. AUC says the
+    ranking is good; THIS says whether the scores mean what they
+    claim — the two standard model-eval readouts.
+
+    Cross-engine exactness: fixed-width integer binning (never
+    engine-computed quantile edges), decimal-exact mean score, and an
+    integer-ppm positive rate via floor division — no float
+    percentage ever compared.
+
+    Scale shape: one map-side-combinable aggregate, key space bounded
+    by the bin count — the cheapest possible shape; at 100 TB the
+    same query runs unchanged because the output is O(bins)."""
+    o = load_table(spark, sf_dir, "orders")
+    pos = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / float(_CAL_BIN_W))
+            .cast("bigint")
+            .alias("bin_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(pos).alias("n_pos"),
+            (dsum("o_totalprice") / F.count(F.lit(1))).alias("mean_score"),
+            F.floor(F.sum(pos) * 1_000_000.0 / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("pos_rate_ppm"),
+        )
+        .orderBy("bin_id")
+    )

@@ -1244,3 +1244,99 @@ def agg_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("top_share_n").cast("double") / F.col("total")).alias("top_share"),
     )
+
+
+# Interval-overlap join: cell width must be >= the longest interval so
+# every interval covers at most 2 cells. 2^26 us ~ 67.1s > 60s max.
+_IVL_CELL_US = 1 << 26
+
+_IVL_SETS_SQL = """
+    ia AS (
+        SELECT event_id AS a_id,
+               epoch_us(ts) AS a_s,
+               epoch_us(ts) + (10 + event_id % 51) * 1000000 AS a_e
+        FROM events WHERE event_type = 'click'
+    ),
+    ib AS (
+        SELECT event_id AS b_id,
+               epoch_us(ts) AS b_s,
+               epoch_us(ts) + (10 + event_id % 51) * 1000000 AS b_e
+        FROM events WHERE event_type = 'view'
+    )
+"""
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH {_IVL_SETS_SQL}
+    SELECT COUNT(*) AS n_pairs,
+           CAST(SUM(LEAST(a_e, b_e) - GREATEST(a_s, b_s)) AS BIGINT)
+               AS total_overlap_us,
+           CAST(MAX(LEAST(a_e, b_e) - GREATEST(a_s, b_s)) AS BIGINT)
+               AS max_overlap_us
+    FROM ia JOIN ib
+      ON a_s < b_e AND b_s < a_e
+    """,
+    tags=("join", "interval", "overlap", "bucketized", "engine-addition"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (two half-open interval sets, pairs that
+    overlap in time) — the genomics/session-collision workload —
+    rewritten from the naive theta join into a CELL-blocked equi-join:
+    with cell width >= the longest interval, every interval covers at
+    most 2 cells; both sides explode onto their covered cells, the
+    join runs on the integer cell id, the exact overlap predicate
+    filters candidates, and each true pair is COUNTED EXACTLY ONCE by
+    attributing it to the cell containing max(a_start, b_start) (the
+    later-starting endpoint falls in exactly one cell). The oracle is
+    the naive overlap theta join — same rows, different asymptotics
+    (DuckDB's IEJoin grinds it at test scale; a distributed engine
+    cannot).
+
+    Scale shape: fan-out <= 2x per side, one shuffle on the cell id,
+    per-cell candidates bounded by interval density per ~67s of
+    timeline — temporal skew (a hot minute) is the spatial-skew
+    problem again, salting/finer cells the same cure. All geometry in
+    integer microseconds, so the differential is exact."""
+    e = load_table(spark, sf_dir, "events")
+
+    def side(tp: str, pre: str) -> DataFrame:
+        s = F.unix_micros(F.col("ts"))
+        dur = (F.lit(10) + F.col("event_id") % 51) * 1_000_000
+        return e.where(F.col("event_type") == tp).select(
+            F.col("event_id").alias(f"{pre}_id"),
+            s.alias(f"{pre}_s"),
+            (s + dur).alias(f"{pre}_e"),
+        )
+
+    def explode_cells(df: DataFrame, pre: str) -> DataFrame:
+        return df.withColumn(
+            "cell",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(f"{pre}_s") / _IVL_CELL_US),
+                    # half-open end: the cell of the last covered us
+                    F.floor((F.col(f"{pre}_e") - 1) / _IVL_CELL_US),
+                )
+            ),
+        )
+
+    a = explode_cells(side("click", "a"), "a")
+    b = explode_cells(side("view", "b"), "b")
+    ov_start = F.greatest(F.col("a_s"), F.col("b_s"))
+    ov_len = F.least(F.col("a_e"), F.col("b_e")) - ov_start
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("a_s") < F.col("b_e"))
+        .where(F.col("b_s") < F.col("a_e"))
+        # dedup rule: the pair belongs to the cell where the LATER
+        # interval starts — true overlap implies that cell is probed
+        # by both sides, and it is unique
+        .where(F.floor(ov_start / _IVL_CELL_US) == F.col("cell"))
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(ov_len).alias("total_overlap_us"),
+        F.max(ov_len).alias("max_overlap_us"),
+    )

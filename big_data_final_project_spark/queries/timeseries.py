@@ -1316,3 +1316,64 @@ def ts_ewma_taps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v0").cast("double").alias("value"),
         (num.cast("double") / F.lit(15.0)).alias("ewma"),
     )
+
+
+@query(
+    "ts_seasonal_naive_error",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(18,6))) AS tot
+        FROM events GROUP BY 1, 2
+    ),
+    l AS (
+        SELECT event_type, tot,
+               lag(tot, 7) OVER (PARTITION BY event_type ORDER BY day) AS fc
+        FROM daily
+    )
+    SELECT event_type,
+           CAST(COUNT(fc) AS BIGINT) AS n_eval,
+           CAST(CAST(SUM(ABS(tot - fc)) AS VARCHAR) AS DOUBLE) / COUNT(fc)
+               AS mae,
+           CAST(CAST(SUM(tot - fc) AS VARCHAR) AS DOUBLE) / COUNT(fc)
+               AS bias
+    FROM l
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("timeseries", "forecast-baseline", "seasonal-naive", "engine-addition"),
+)
+def ts_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast baseline scored in one pass: forecast
+    each event type's daily total with the value 7 observations back
+    (same weekday, the standard naive seasonal model) and report MAE
+    and signed bias per series. This is the benchmark every real
+    forecasting pipeline must beat — and the query shape (window lag
+    + error aggregate) is identical for scoring ANY stored forecast
+    column against actuals.
+
+    Exactness: daily totals, errors, and error sums all stay in exact
+    decimal; the only float ops are the two final divisions, staged
+    identically on both engines (VARCHAR-route decimal->double on the
+    DuckDB side).
+
+    Scale shape: one shuffle to daily grain (map-side combinable —
+    the raw events collapse to O(series x days) rows), then lag and
+    the error aggregate share the series-key partitioning; nothing
+    downstream of the first aggregate ever sees raw-event volume."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("tot"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    scored = daily.withColumn("fc", F.lag("tot", 7).over(w))
+    err = F.col("tot") - F.col("fc")
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count("fc").alias("n_eval"),
+            (F.sum(F.abs(err)).cast("double") / F.count("fc")).alias("mae"),
+            (F.sum(err).cast("double") / F.count("fc")).alias("bias"),
+        )
+        .orderBy("event_type")
+    )

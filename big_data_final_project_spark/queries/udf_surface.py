@@ -303,3 +303,73 @@ def udf_arrow_map_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         norms,
         schema="vec_id bigint, label int, n_dims int, norm_sq_fp bigint",
     )
+
+
+@query(
+    "udf_grouped_map_scale",
+    oracle="""
+    SELECT event_id, event_type, value,
+           CAST(FLOOR(CASE WHEN mx = mn THEN 0.0
+                           ELSE (value - mn) * 1000000.0 / (mx - mn)
+                      END) AS BIGINT) AS scaled_ppm
+    FROM (
+        SELECT event_id, event_type, value,
+               MIN(value) OVER (PARTITION BY event_type) AS mn,
+               MAX(value) OVER (PARTITION BY event_type) AS mx
+        FROM events
+    )
+    ORDER BY event_id
+    LIMIT 25
+    """,
+    tags=("udf", "applyInPandas", "grouped-map", "feature-engineering"),
+)
+def udf_grouped_map_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped MAP with per-row output (the companion
+    udf_grouped_agg_pandas collapses each group to one row; this one
+    transforms every row using group-local state): min-max scale each
+    event's value within its event type to an integer
+    parts-per-million position. The pandas function sees one whole
+    group as a DataFrame — the escape hatch for group-local logic the
+    built-ins can't express — while the ORACLE states the same
+    semantics with two analytic windows, which pins the UDF exactly.
+
+    Float discipline: the scale expression is (v - min) * 1e6 /
+    (max - min) evaluated in IEEE doubles in the SAME operation order
+    in numpy and DuckDB, then floored to int64 — bit-identical
+    without any decimal staging because no reduction over floats ever
+    happens (min/max are selections, not sums).
+
+    Scale shape: one shuffle on the group key; each group must fit a
+    pandas frame (event-type groups are table-scale here — real
+    deployments key by a finer entity; the API shape is the point).
+    Arrow batches both directions, zero per-row Python."""
+    e = load_table(spark, sf_dir, "events")
+
+    def scale(pdf: pd.DataFrame) -> pd.DataFrame:
+        mn = pdf["value"].min()
+        mx = pdf["value"].max()
+        if mx == mn:
+            scaled = pd.Series(0.0, index=pdf.index)
+        else:
+            scaled = (pdf["value"] - mn) * 1000000.0 / (mx - mn)
+        import numpy as np
+
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "value": pdf["value"],
+                "scaled_ppm": np.floor(scaled).astype("int64"),
+            }
+        )
+
+    out_schema = (
+        "event_id bigint, event_type string, value double, scaled_ppm bigint"
+    )
+    return (
+        e.select("event_id", "event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(scale, schema=out_schema)
+        .orderBy("event_id")
+        .limit(25)
+    )
