@@ -555,3 +555,57 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_id")
     )
+
+
+_KFOLD = 5
+
+
+@query(
+    "ml_group_kfold",
+    oracle=f"""
+    SELECT CAST(CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                AS UBIGINT) % {_KFOLD} AS BIGINT) AS fold,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+               AS value_sum
+    FROM events
+    GROUP BY 1
+    ORDER BY fold
+    """,
+    tags=("ml", "cross-validation", "group-kfold", "engine-addition"),
+)
+def ml_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group k-fold assignment by entity hash: every event lands in
+    fold md5(user_id) % {_KFOLD}, so a user's entire history sits in
+    exactly ONE fold — the leakage-free split a behavioral model
+    needs (row-level random splits put the same user in train and
+    test and inflate every metric). The readout is the balance audit:
+    users, events, and exact value mass per fold.
+
+    Hash-gating (not seeded RNG) makes the assignment reproducible
+    across engines, runs, and repartitions — the same property
+    sample_hash_stratified relies on, which is also what makes this
+    oracle-pairable at all.
+
+    Scale shape: fold id is a narrow per-row expression; one
+    aggregate shuffle with a {_KFOLD}-key space (COUNT(DISTINCT
+    user_id) expands it internally to per-(fold, user) partials —
+    still keyed by hash, skew-free)."""
+    e = load_table(spark, sf_dir, "events")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % _KFOLD
+    )
+    return (
+        e.groupBy(fold.alias("fold"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .orderBy("fold")
+    )

@@ -249,3 +249,80 @@ def store_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_id")
     )
+
+
+@query(
+    "store_backfill_missing_hours",
+    oracle="""
+    WITH p AS (
+        SELECT DISTINCT event_type,
+               epoch_us(ts) // 3600000000 AS h
+        FROM events
+    ),
+    b AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM p),
+    t AS (SELECT DISTINCT event_type FROM p),
+    expected AS (
+        -- scalar generate_series returns a LIST (accepts columns);
+        -- the table-function form wants constants
+        SELECT t.event_type, unnest(generate_series(b.lo, b.hi)) AS h
+        FROM t, b
+    ),
+    miss AS (
+        SELECT e.event_type, e.h
+        FROM expected e
+        WHERE NOT EXISTS (
+            SELECT 1 FROM p WHERE p.event_type = e.event_type AND p.h = e.h
+        )
+    ),
+    isl AS (
+        SELECT event_type, h,
+               h - row_number() OVER (PARTITION BY event_type ORDER BY h)
+                   AS grp
+        FROM miss
+    ),
+    g AS (SELECT event_type, grp, COUNT(*) AS len FROM isl GROUP BY 1, 2)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(len) AS BIGINT) AS n_missing_hours,
+           CAST(MAX(len) AS BIGINT) AS longest_gap_hours
+    FROM g GROUP BY 1 ORDER BY 1
+    """,
+    tags=("storage", "backfill", "gaps-and-islands", "engine-addition"),
+)
+def store_backfill_missing_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill planner: which (event type, hour) partitions are
+    MISSING against the table's own global hour span, reported as gap
+    islands (count, total missing hours, longest contiguous gap) per
+    type — the query an orchestrator runs before scheduling catch-up
+    jobs, and the partition-level twin of ts_gapfill_interpolate's
+    row-level densification.
+
+    Scale shape: runs on the DISTINCT partition-key set (manifest
+    scale, like store_compaction_bins), never raw rows: one distinct
+    shuffle over (type, hour), a 1-row bounds aggregate broadcast
+    into a generated calendar, an anti join to find holes, and the
+    gaps-and-islands window (h - row_number) per type. Calendar size
+    is span x types — thousands of rows even for years of data."""
+    e = load_table(spark, sf_dir, "events")
+    present = e.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("h"),
+    ).distinct()
+    bounds = present.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    types = present.select("event_type").distinct()
+    expected = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("h")
+    )
+    missing = expected.join(present, ["event_type", "h"], "left_anti")
+    w = Window.partitionBy("event_type").orderBy("h")
+    isl = missing.withColumn("grp", F.col("h") - F.row_number().over(w))
+    gaps = isl.groupBy("event_type", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("len").alias("n_missing_hours"),
+            F.max("len").alias("longest_gap_hours"),
+        )
+        .orderBy("event_type")
+    )

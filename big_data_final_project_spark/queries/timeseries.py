@@ -1377,3 +1377,141 @@ def ts_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_RFM_ACC = 1 << 20  # GK accuracy: exact while per-metric distincts < 2^20
+
+
+def _rfm_score_sql(col: str, t: str, invert: bool = False) -> str:
+    op = "<" if invert else ">"
+    return (
+        "1 "
+        + " ".join(
+            f"+ CASE WHEN {col} {op} {t}[{i}] THEN 1 ELSE 0 END"
+            for i in (1, 2, 3, 4)
+        )
+    )
+
+
+@query(
+    "events_rfm_segments",
+    oracle=f"""
+    WITH pur AS (
+        SELECT user_id, epoch_us(ts) AS us, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    anchor AS (SELECT MAX(us) AS a FROM pur),
+    u AS (
+        SELECT user_id,
+               ((SELECT a FROM anchor) - MAX(us)) // 86400000000 AS rec_days,
+               COUNT(*) AS freq,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR)
+                    AS DOUBLE) AS mon
+        FROM pur GROUP BY user_id
+    ),
+    th AS (
+        SELECT [quantile_disc(rec_days, 0.2), quantile_disc(rec_days, 0.4),
+                quantile_disc(rec_days, 0.6), quantile_disc(rec_days, 0.8)]
+                   AS rt,
+               [quantile_disc(freq, 0.2), quantile_disc(freq, 0.4),
+                quantile_disc(freq, 0.6), quantile_disc(freq, 0.8)] AS ft,
+               [quantile_disc(mon, 0.2), quantile_disc(mon, 0.4),
+                quantile_disc(mon, 0.6), quantile_disc(mon, 0.8)] AS mt
+        FROM u
+    ),
+    scored AS (
+        SELECT CAST({_rfm_score_sql("rec_days", "rt", invert=True)} AS BIGINT)
+                   AS r_score,
+               CAST({_rfm_score_sql("freq", "ft")} AS BIGINT) AS f_score,
+               CAST({_rfm_score_sql("mon", "mt")} AS BIGINT) AS m_score,
+               mon
+        FROM u, th
+    )
+    SELECT r_score, f_score, m_score,
+           COUNT(*) AS n_users,
+           CAST(CAST(SUM(CAST(mon AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+               AS monetary_total
+    FROM scored
+    GROUP BY 1, 2, 3
+    ORDER BY n_users DESC, r_score, f_score, m_score
+    LIMIT 20
+    """,
+    tags=("events", "rfm", "segmentation", "engine-addition"),
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintile
+    scores) over purchase events — the classic customer-value grid.
+    Quintile boundaries come from DISCRETE percentiles over the
+    user-grain table, broadcast as one row, and each user is scored
+    by threshold comparison — NOT by ntile over a global sort, which
+    would funnel every user through one partition. Ties share a score
+    (threshold semantics), which is also what makes the result
+    partitioning-independent.
+
+    Exactness: recency is integer days (integer µs division),
+    frequency an integer count, monetary an exact decimal sum
+    rendered to double identically on both engines; the GK sketch
+    used for thresholds is in its exact regime below 2^20 distinct
+    values per metric (same scale-guard rationale as
+    agg_percentiles_approx) and pairs with DuckDB's quantile_disc.
+
+    Scale shape: one user-key shuffle to user grain (map-side
+    combinable), one tiny threshold aggregate broadcast back, one
+    125-key segment aggregate. Nothing global-sorts; nothing is
+    single-partition."""
+    e = load_table(spark, sf_dir, "events")
+    pur = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("us"), "value"
+    )
+    anchor = pur.agg(F.max("us").alias("a"))
+    u = (
+        pur.groupBy("user_id")
+        .agg(
+            F.max("us").alias("max_us"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("mon"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.expr("(a - max_us) div 86400000000").alias("rec_days"),
+            "freq",
+            "mon",
+        )
+    )
+    qs = "array(0.2D, 0.4D, 0.6D, 0.8D)"
+    th = u.agg(
+        F.expr(f"percentile_approx(rec_days, {qs}, {_RFM_ACC})").alias("rt"),
+        F.expr(f"percentile_approx(freq, {qs}, {_RFM_ACC})").alias("ft"),
+        F.expr(f"percentile_approx(mon, {qs}, {_RFM_ACC})").alias("mt"),
+    )
+
+    def score(col: str, t: str, invert: bool = False) -> F.Column:
+        op = "<" if invert else ">"
+        return F.expr(
+            "1 "
+            + " ".join(
+                f"+ CASE WHEN {col} {op} {t}[{i}] THEN 1 ELSE 0 END"
+                for i in (0, 1, 2, 3)  # Spark arrays are 0-indexed
+            )
+        ).cast("bigint")
+
+    scored = u.crossJoin(F.broadcast(th)).select(
+        score("rec_days", "rt", invert=True).alias("r_score"),
+        score("freq", "ft").alias("f_score"),
+        score("mon", "mt").alias("m_score"),
+        "mon",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.col("mon").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("monetary_total"),
+        )
+        .orderBy(F.desc("n_users"), "r_score", "f_score", "m_score")
+        .limit(20)
+    )
