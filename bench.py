@@ -62,6 +62,12 @@ HEADLINE = [
     "agg_bitmap_distinct",
     "ts_sessionize_batch",
     "dedup_substring_windows",
+    # round-4 families: bloom semi-join reduction, interval overlap,
+    # privacy audit, RFM segmentation
+    "join_bloom_prefilter",
+    "join_interval_overlap",
+    "privacy_k_anonymity",
+    "events_rfm_segments",
 ]
 
 

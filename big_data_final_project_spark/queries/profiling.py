@@ -414,3 +414,51 @@ def audit_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_violations").cast("bigint").alias("n_violations"),
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+@query(
+    "audit_benford_digits",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substring(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                   AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders
+        WHERE o_totalprice > 0
+    ),
+    g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit)
+    SELECT digit, n,
+           CAST(n * 1000000 // SUM(n) OVER () AS BIGINT) AS share_ppm
+    FROM g
+    ORDER BY digit
+    """,
+    tags=("profiling", "benford", "fraud-audit", "engine-addition"),
+)
+def audit_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit: leading-significant-digit distribution of
+    order values — the classic forensic screen for fabricated or
+    systematically-edited monetary data (organic amounts follow
+    log-uniform digit frequencies; manual entry doesn't). The leading
+    digit is extracted through the EXACT integer cent value rendered
+    as a string — never via log10 (float log at powers of ten flips
+    the digit differently per engine) and never by formatting a
+    double (engines disagree on double→string).
+
+    Scale shape: a narrow per-row expression plus one 9-key aggregate
+    — map-side combinable, free at any scale; the ppm shares come
+    from a window over the 9-row result."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    d = o.where(F.col("o_totalprice") > 0).select(
+        F.substring(cents.cast("string"), 1, 1).cast("bigint").alias("digit")
+    )
+    g = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        g.select(
+            "digit",
+            "n",
+            F.expr("n * 1000000 div sum(n) OVER ()").cast("bigint").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy("digit")
+    )

@@ -255,3 +255,78 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cnt"), F.asc("merchant_id"))
     )
+
+
+@query(
+    "agg_bitmap_set_ops",
+    oracle="""
+    SELECT CAST(count(DISTINCT CASE WHEN event_type = 'click'
+                                    THEN user_id END) AS BIGINT) AS n_click,
+           CAST(count(DISTINCT CASE WHEN event_type = 'view'
+                                    THEN user_id END) AS BIGINT) AS n_view,
+           CAST(count(DISTINCT CASE WHEN event_type IN ('click', 'view')
+                                    THEN user_id END) AS BIGINT) AS n_union,
+           CAST(count(DISTINCT CASE WHEN event_type = 'click'
+                                    THEN user_id END)
+                + count(DISTINCT CASE WHEN event_type = 'view'
+                                      THEN user_id END)
+                - count(DISTINCT CASE WHEN event_type IN ('click', 'view')
+                                      THEN user_id END)
+                AS BIGINT) AS n_both,
+           CAST(count(DISTINCT CASE WHEN event_type IN ('click', 'view')
+                                    THEN user_id END)
+                - count(DISTINCT CASE WHEN event_type = 'view'
+                                      THEN user_id END)
+                AS BIGINT) AS n_click_only
+    FROM events
+    """,
+    tags=("sketch", "bitmap", "set-algebra", "audience-overlap"),
+)
+def agg_bitmap_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap algebra on exact bitmaps: distinct users who
+    clicked, who viewed, who did either (bitmap OR), who did BOTH
+    (inclusion-exclusion: |A| + |B| - |A∪B| — no bitmap AND needed),
+    and who only clicked. This is the segment-overlap query every
+    audience platform serves, and the bitmap formulation is what lets
+    a 100 TB store answer it from per-day per-bucket bitmap partials
+    instead of re-shuffling raw user ids (same machinery as
+    agg_bitmap_distinct, extended from counting to SET ALGEBRA).
+
+    Scale shape: one pass builds both sides' partial bitmaps keyed by
+    (id-bucket) — map-side combinable, kilobyte partials — and every
+    set operation happens on merged bitmaps per bucket; only 5
+    integers leave the aggregation. The COUNT(DISTINCT CASE...)
+    oracle proves all five numbers exact."""
+    e = load_table(spark, sf_dir, "events")
+    partials = (
+        e.where(F.col("event_type").isin("click", "view"))
+        .select(
+            F.expr("bitmap_bucket_number(user_id)").alias("bk"),
+            F.expr("bitmap_bit_position(user_id)").alias("bp"),
+            "event_type",
+        )
+        .groupBy("bk")
+        .agg(
+            F.expr(
+                "bitmap_construct_agg(CASE WHEN event_type = 'click' "
+                "THEN bp END)"
+            ).alias("bm_click"),
+            F.expr(
+                "bitmap_construct_agg(CASE WHEN event_type = 'view' "
+                "THEN bp END)"
+            ).alias("bm_view"),
+            F.expr("bitmap_construct_agg(bp)").alias("bm_any"),
+        )
+    )
+    counted = partials.agg(
+        F.sum(F.expr("bitmap_count(bm_click)")).cast("bigint").alias("n_click"),
+        F.sum(F.expr("bitmap_count(bm_view)")).cast("bigint").alias("n_view"),
+        F.sum(F.expr("bitmap_count(bm_any)")).cast("bigint").alias("n_union"),
+    )
+    return counted.select(
+        "n_click",
+        "n_view",
+        "n_union",
+        (F.col("n_click") + F.col("n_view") - F.col("n_union")).alias("n_both"),
+        (F.col("n_union") - F.col("n_view")).alias("n_click_only"),
+    )

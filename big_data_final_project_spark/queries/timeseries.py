@@ -1515,3 +1515,158 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), "r_score", "f_score", "m_score")
         .limit(20)
     )
+
+
+@query(
+    "ts_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(18,6))) AS tot
+        FROM events GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT event_type, day,
+               SUM(tot) OVER (PARTITION BY event_type ORDER BY day) AS prefix,
+               row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+               SUM(tot) OVER (PARTITION BY event_type) AS total,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+    ),
+    s AS (
+        SELECT event_type, day,
+               n * prefix - t * total AS s_scaled
+        FROM c
+    ),
+    best AS (
+        SELECT event_type, day, s_scaled,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ABS(s_scaled) DESC, day ASC)
+                   AS rn
+        FROM s
+    )
+    SELECT event_type, day AS change_day,
+           CAST(CAST(s_scaled AS VARCHAR) AS DOUBLE) AS cusum_scaled
+    FROM best WHERE rn = 1
+    ORDER BY event_type
+    """,
+    tags=("timeseries", "changepoint", "cusum", "engine-addition"),
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per series: the day where the
+    cumulative deviation from the series mean peaks in magnitude —
+    the classic level-shift locator for drift monitoring. The mean
+    never appears as a float: CUSUM_t = prefix_t - t·mean is scaled
+    through by n to S_t = n·prefix_t - t·total, which is EXACT
+    decimal arithmetic end to end (argmax is scaling-invariant), so
+    the located day is bit-identical cross-engine — float CUSUMs
+    near-tie at the peak and different engines pick different days.
+
+    Scale shape: raw events collapse to daily grain first (one
+    map-side-combinable shuffle); the prefix/total windows and the
+    argmax all share the series-key partitioning — one more shuffle
+    total, everything downstream at O(series x days)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("tot"))
+    wp = Window.partitionBy("event_type")
+    wo = wp.orderBy("day")
+    c = daily.select(
+        "event_type",
+        "day",
+        F.sum("tot").over(wo).alias("prefix"),
+        F.row_number().over(wo).alias("t"),
+        F.sum("tot").over(wp).alias("total"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    s = c.select(
+        "event_type",
+        "day",
+        (F.col("n") * F.col("prefix") - F.col("t") * F.col("total")).alias(
+            "s_scaled"
+        ),
+    )
+    wbest = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s_scaled")).desc(), F.asc("day")
+    )
+    return (
+        s.withColumn("rn", F.row_number().over(wbest))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            F.col("s_scaled").cast("double").alias("cusum_scaled"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_funnel_windowed",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS t1
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click'
+          AND epoch_us(e.ts) > s1.t1
+          AND epoch_us(e.ts) <= s1.t1 + 3600000000
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_us(e.ts) > s2.t2
+          AND epoch_us(e.ts) <= s2.t2 + 86400000000
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_signup,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_click_1h,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_purchase_24h
+    """,
+    tags=("events", "funnel", "conversion-window", "engine-addition"),
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-BOUNDED funnel (the product-analytics default, unlike
+    events_funnel_steps' unbounded ordering): click within 1 hour of
+    first signup, purchase within 24 hours of that click. Conversion
+    windows change the answer qualitatively — an unbounded funnel
+    counts a purchase a month later as converted; this one doesn't —
+    and the implementation shows windows cost nothing extra: the same
+    stage-anchored min-aggregates, each with two extra integer-µs
+    bounds.
+
+    Scale shape: identical to the unbounded funnel — three
+    filter→join-on-user→min rounds, one user_id partitioning reused
+    end to end, stages shrink monotonically (broadcast-eligible).
+    All time arithmetic in integer microseconds."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    s1 = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t1"))
+    )
+    s2 = (
+        e.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where((us > F.col("t1")) & (us <= F.col("t1") + 3_600_000_000))
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t2"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where((us > F.col("t2")) & (us <= F.col("t2") + 86_400_000_000))
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t3"))
+    )
+    c1 = s1.agg(F.count(F.lit(1)).alias("n_signup"))
+    c2 = s2.agg(F.count(F.lit(1)).alias("n_click_1h"))
+    c3 = s3.agg(F.count(F.lit(1)).alias("n_purchase_24h"))
+    return c1.crossJoin(F.broadcast(c2)).crossJoin(F.broadcast(c3))
