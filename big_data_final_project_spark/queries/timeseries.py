@@ -1670,3 +1670,69 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = s2.agg(F.count(F.lit(1)).alias("n_click_1h"))
     c3 = s3.agg(F.count(F.lit(1)).alias("n_purchase_24h"))
     return c1.crossJoin(F.broadcast(c2)).crossJoin(F.broadcast(c3))
+
+
+@query(
+    "events_power_users_pareto",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, COUNT(*) AS n_events
+        FROM events GROUP BY user_id
+    ),
+    th AS (
+        SELECT quantile_disc(n_events, 0.90) AS p90,
+               quantile_disc(n_events, 0.99) AS p99
+        FROM u
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN n_events > th.p90 THEN 1 ELSE 0 END)
+                AS BIGINT) AS users_above_p90,
+           CAST(SUM(CASE WHEN n_events > th.p90 THEN n_events ELSE 0 END)
+                * 1000000 // SUM(n_events) AS BIGINT) AS share_above_p90_ppm,
+           CAST(SUM(CASE WHEN n_events > th.p99 THEN n_events ELSE 0 END)
+                * 1000000 // SUM(n_events) AS BIGINT) AS share_above_p99_ppm
+    FROM u, th
+    """,
+    tags=("events", "pareto", "concentration", "engine-addition"),
+)
+def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration readout: what share of event volume comes
+    from users above the p90 / p99 activity thresholds — the "do 10%
+    of users generate 90% of traffic" number that drives capacity
+    planning and the skew treatment everywhere else in this repo
+    (salting, per-key caps). Complements agg_concentration_hhi: HHI
+    summarizes the whole distribution, this names the head.
+
+    Same scalable shape as events_rfm_segments: user-grain aggregate,
+    exact-regime discrete-percentile thresholds broadcast as one row,
+    threshold comparisons, integer-ppm shares — no global sort, no
+    float rates."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    th = u.agg(
+        F.expr(f"percentile_approx(n_events, 0.90D, {_RFM_ACC})").alias("p90"),
+        F.expr(f"percentile_approx(n_events, 0.99D, {_RFM_ACC})").alias("p99"),
+    )
+    j = u.crossJoin(F.broadcast(th))
+    above90 = F.when(F.col("n_events") > F.col("p90"), F.col("n_events")).otherwise(0)
+    above99 = F.when(F.col("n_events") > F.col("p99"), F.col("n_events")).otherwise(0)
+    return j.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_events").alias("n_events"),
+        F.sum(F.when(F.col("n_events") > F.col("p90"), 1).otherwise(0)).alias(
+            "users_above_p90"
+        ),
+        F.expr(
+            "sum(CASE WHEN n_events > p90 THEN n_events ELSE 0 END) "
+            "* 1000000 div sum(n_events)"
+        )
+        .cast("bigint")
+        .alias("share_above_p90_ppm"),
+        F.expr(
+            "sum(CASE WHEN n_events > p99 THEN n_events ELSE 0 END) "
+            "* 1000000 div sum(n_events)"
+        )
+        .cast("bigint")
+        .alias("share_above_p99_ppm"),
+    )

@@ -141,3 +141,82 @@ def test_seasonal_naive_mae_dominates_bias(spark, sf_dir):
 def test_grouped_map_scale_bounds(spark, sf_dir):
     for r in _run(spark, sf_dir, "udf_grouped_map_scale").collect():
         assert 0 <= r["scaled_ppm"] <= 1_000_000
+
+
+# --- bitmap set algebra ----------------------------------------------------
+
+
+def test_bitmap_set_ops_identities(spark, sf_dir):
+    row = _run(spark, sf_dir, "agg_bitmap_set_ops").collect()[0]
+    e = load_table(spark, sf_dir, "events")
+    click = {
+        r["user_id"]
+        for r in e.where(F.col("event_type") == "click")
+        .select("user_id").distinct().collect()
+    }
+    view = {
+        r["user_id"]
+        for r in e.where(F.col("event_type") == "view")
+        .select("user_id").distinct().collect()
+    }
+    assert row["n_click"] == len(click)
+    assert row["n_view"] == len(view)
+    assert row["n_union"] == len(click | view)
+    assert row["n_both"] == len(click & view)
+    assert row["n_click_only"] == len(click - view)
+
+
+# --- CUSUM -----------------------------------------------------------------
+
+
+def test_cusum_matches_float_recompute(spark, sf_dir):
+    import pandas as pd
+
+    got = {r["event_type"]: r for r in
+           _run(spark, sf_dir, "ts_cusum_changepoint").collect()}
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    ).toPandas()
+    daily = e.groupby(["event_type", "day"], as_index=False)["value"].sum()
+    for et, g in daily.groupby("event_type"):
+        g = g.sort_values("day").reset_index(drop=True)
+        n, total = len(g), g.value.sum()
+        s = n * g.value.cumsum() - (g.index + 1) * total
+        best = s.abs().idxmax()
+        assert got[et]["change_day"] == g.day[best]
+
+
+# --- windowed funnel -------------------------------------------------------
+
+
+def test_windowed_funnel_is_monotone_and_tighter(spark, sf_dir):
+    row = _run(spark, sf_dir, "events_funnel_windowed").collect()[0]
+    assert row["n_signup"] >= row["n_click_1h"] >= row["n_purchase_24h"]
+    # the bounded funnel can never beat the unbounded one stage-wise
+    unb = {r["step"]: r["n_users"] for r in
+           _run(spark, sf_dir, "events_funnel_steps").collect()}
+    assert row["n_signup"] == unb["signup"]
+    assert row["n_click_1h"] <= unb["signup>click"]
+    assert row["n_purchase_24h"] <= unb["signup>click>purchase"]
+
+
+# --- Benford ---------------------------------------------------------------
+
+
+def test_benford_digits_cover_and_sum(spark, sf_dir):
+    rows = _run(spark, sf_dir, "audit_benford_digits").collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert sum(r["share_ppm"] for r in rows) <= 1_000_000
+    n = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 0
+    ).count()
+    assert sum(r["n"] for r in rows) == n
+
+
+# --- Pareto ----------------------------------------------------------------
+
+
+def test_pareto_shares_are_ordered(spark, sf_dir):
+    row = _run(spark, sf_dir, "events_power_users_pareto").collect()[0]
+    assert 0 <= row["share_above_p99_ppm"] <= row["share_above_p90_ppm"] <= 1_000_000
+    assert row["users_above_p90"] <= row["n_users"]
