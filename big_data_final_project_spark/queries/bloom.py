@@ -31,20 +31,10 @@ from pyspark.sql import functions as F
 
 from ..data import load_table
 from ..functions.numeric import dsum_prod, dsum_prod_sql
+from ..operators.bloom_filter import bloom_build, bloom_prune
 from ..registry import query
 
 _M_BITS = 1 << 17  # bloom width: 131072 bits = 2048 int64 words
-_WORDS = _M_BITS // 64
-
-
-def _buckets(key: F.Column) -> list[F.Column]:
-    """Two bloom bucket indexes for a key (double hashing: xxhash64 of
-    the key alone and salted with a literal — independent enough for
-    k=2, and both stay JVM-side)."""
-    return [
-        F.pmod(F.xxhash64(key), F.lit(_M_BITS)),
-        F.pmod(F.xxhash64(key, F.lit(1)), F.lit(_M_BITS)),
-    ]
 
 
 @query(
@@ -87,41 +77,13 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey"
     )
 
-    # Bloom bitmap: explode each key's two buckets, pack into words.
-    bucket = F.explode(F.array(*_buckets(F.col("o_orderkey")))).alias("bucket")
-    bitmap = (
-        urgent.select(bucket)
-        .select(
-            (F.col("bucket") / 64).cast("bigint").alias("word_idx"),
-            (F.col("bucket") % 64).cast("int").alias("bit"),
-        )
-        .groupBy("word_idx")
-        # shiftleft by a COLUMN needs the SQL form (the Python wrapper
-        # only takes an int literal)
-        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("bits"))
-    )
-
-    b0, b1 = _buckets(F.col("l_orderkey"))
+    # Bloom bitmap + probe via the reusable operator
+    # (operators/bloom_filter.py — property-tested: no false negatives).
+    bitmap = bloom_build(urgent, "o_orderkey", _M_BITS)
     probe = li.select(
-        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount",
-        b0.alias("bk0"), b1.alias("bk1"),
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
     )
-    w0 = bitmap.select(
-        F.col("word_idx").alias("w0_idx"), F.col("bits").alias("w0_bits")
-    )
-    w1 = bitmap.select(
-        F.col("word_idx").alias("w1_idx"), F.col("bits").alias("w1_bits")
-    )
-    pruned = (
-        probe.join(
-            F.broadcast(w0), (F.col("bk0") / 64).cast("bigint") == F.col("w0_idx")
-        )
-        .where(F.expr("(shiftright(w0_bits, CAST(bk0 % 64 AS INT)) & 1) = 1"))
-        .join(
-            F.broadcast(w1), (F.col("bk1") / 64).cast("bigint") == F.col("w1_idx")
-        )
-        .where(F.expr("(shiftright(w1_bits, CAST(bk1 % 64 AS INT)) & 1) = 1"))
-    )
+    pruned = bloom_prune(probe, "l_orderkey", bitmap, _M_BITS)
 
     # Exact semi join removes bloom false positives (broadcast: the
     # urgent key list is dim-sized).

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..data import load_table
 from ..functions.numeric import davg_sql, davg, dsum, dsum_prod, dsum_prod_sql, dsum_sql
+from ..operators.intervals import overlap_pairs
 from ..operators.joins import asof_join
 from ..registry import query
 
@@ -1310,35 +1311,13 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (s + dur).alias(f"{pre}_e"),
         )
 
-    def explode_cells(df: DataFrame, pre: str) -> DataFrame:
-        return df.withColumn(
-            "cell",
-            F.explode(
-                F.sequence(
-                    F.floor(F.col(f"{pre}_s") / _IVL_CELL_US),
-                    # half-open end: the cell of the last covered us
-                    F.floor((F.col(f"{pre}_e") - 1) / _IVL_CELL_US),
-                )
-            ),
-        )
-
-    a = explode_cells(side("click", "a"), "a")
-    b = explode_cells(side("view", "b"), "b")
-    ov_start = F.greatest(F.col("a_s"), F.col("b_s"))
-    ov_len = F.least(F.col("a_e"), F.col("b_e")) - ov_start
-    pairs = (
-        a.join(b, "cell")
-        .where(F.col("a_s") < F.col("b_e"))
-        .where(F.col("b_s") < F.col("a_e"))
-        # dedup rule: the pair belongs to the cell where the LATER
-        # interval starts — true overlap implies that cell is probed
-        # by both sides, and it is unique
-        .where(F.floor(ov_start / _IVL_CELL_US) == F.col("cell"))
+    pairs = overlap_pairs(
+        side("click", "a"), side("view", "b"), _IVL_CELL_US
     )
     return pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.sum(ov_len).alias("total_overlap_us"),
-        F.max(ov_len).alias("max_overlap_us"),
+        F.sum("ov_len").alias("total_overlap_us"),
+        F.max("ov_len").alias("max_overlap_us"),
     )
 
 

@@ -230,3 +230,79 @@ def test_chunk_geometry_covers_every_token():
         assert extra_start >= n or set(range(extra_start, n)) <= covered
 
     check()
+
+
+# -- operators: cell-blocked interval overlap ------------------------------
+
+
+def _brute_overlaps(aset, bset):
+    out = set()
+    for aid, a_s, a_e in aset:
+        for bid, b_s, b_e in bset:
+            if a_s < b_e and b_s < a_e:
+                out.add((aid, bid, max(a_s, b_s), min(a_e, b_e) - max(a_s, b_s)))
+    return out
+
+
+def test_interval_overlap_operator_matches_bruteforce(spark):
+    """Randomized interval sets (+ adversarial edges: touching
+    endpoints, exactly-cell-width spans, cell-boundary starts) —
+    the cell-blocked equi-join must reproduce the naive quadratic
+    join exactly, each pair once."""
+    import numpy as np
+
+    from big_data_final_project_spark.operators.intervals import overlap_pairs
+
+    CELL = 64
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n = 120
+        a_start = rng.integers(0, 2000, n)
+        a_len = rng.integers(1, CELL + 1, n)  # max exactly one cell
+        b_start = rng.integers(0, 2000, n)
+        b_len = rng.integers(1, CELL + 1, n)
+        aset = [(int(i), int(s), int(s + l)) for i, (s, l) in
+                enumerate(zip(a_start, a_len))]
+        bset = [(int(i), int(s), int(s + l)) for i, (s, l) in
+                enumerate(zip(b_start, b_len))]
+        # adversarial edges
+        aset += [(1000, 128, 192), (1001, 100, 101), (1002, 0, 64)]
+        bset += [(2000, 192, 256),  # touches 1000 at 192: NO overlap
+                 (2001, 100, 101),  # identical unit interval
+                 (2002, 63, 65)]    # crosses the cell boundary
+        a = spark.createDataFrame(aset, "a_id long, a_s long, a_e long")
+        b = spark.createDataFrame(bset, "b_id long, b_s long, b_e long")
+        got = {
+            (r["a_id"], r["b_id"], r["ov_start"], r["ov_len"])
+            for r in overlap_pairs(a, b, CELL).collect()
+        }
+        assert got == _brute_overlaps(aset, bset), f"seed {seed}"
+
+
+# -- operators: bloom filter ------------------------------------------------
+
+
+def test_bloom_filter_has_no_false_negatives(spark):
+    """Every build key must survive the probe; false positives are
+    allowed but must be rare at the design load factor."""
+    import numpy as np
+
+    from big_data_final_project_spark.operators.bloom_filter import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    M = 1 << 14  # 16384 bits
+    rng = np.random.default_rng(7)
+    members = sorted(int(x) for x in rng.choice(10**9, 500, replace=False))
+    non_members = [x + 10**10 for x in members]  # disjoint by construction
+    keys = spark.createDataFrame([(k,) for k in members], "k long")
+    bitmap = bloom_build(keys, "k", M)
+    probe = spark.createDataFrame(
+        [(k,) for k in members + non_members], "k long"
+    )
+    kept = {r["k"] for r in bloom_prune(probe, "k", bitmap, M).collect()}
+    assert set(members) <= kept  # zero false negatives, always
+    fp = len(kept - set(members))
+    # k=2, n=500, m=16384 -> (2*500/16384)^2 ~ 0.4%; allow 10x slack
+    assert fp / len(non_members) < 0.04, fp
