@@ -1384,3 +1384,60 @@ def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(F.broadcast(actual)).select(
         "predicted_rows", "actual_rows", "n_shared_keys", "max_key_rows"
     )
+
+
+@query(
+    "agg_argmax_deterministic",
+    oracle="""
+    SELECT event_type,
+           arg_max(user_id, lpad(CAST(CAST(ROUND(value * 1000000) AS BIGINT)
+                                      AS VARCHAR), 16, '0')
+                            || '|' || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+               AS top_user,
+           arg_min(user_id, lpad(CAST(CAST(ROUND(value * 1000000) AS BIGINT)
+                                      AS VARCHAR), 16, '0')
+                            || '|' || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+               AS bottom_user,
+           MAX(value) AS top_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("groupby", "argmax", "max_by", "determinism"),
+)
+def agg_argmax_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (argmax aggregates) made DETERMINISTIC: who
+    generated each event type's highest- and lowest-valued event.
+    Plain max_by(user, value) is underspecified under value ties —
+    Spark returns an arbitrary tied row, and two runs (let alone two
+    engines) may disagree. The fix is a composite ordering key with a
+    unique tiebreak, encoded as a fixed-width string (value in
+    positive micro-units, then event_id) because DuckDB's arg_max
+    accepts no struct ordering key — lexicographic order on the
+    padded string IS the numeric composite order on both engines.
+
+    Scale shape: argmax aggregates are single-pass and map-side
+    combinable (each partial keeps one candidate) — strictly cheaper
+    than the window row_number() formulation of ref_latest_record,
+    and the right tool when only the argmax row's single column is
+    needed. Rounding note: value >= 0 here, where Spark's HALF_UP and
+    DuckDB's half-away rounding agree."""
+    e = load_table(spark, sf_dir, "events")
+    key = F.concat(
+        F.lpad(
+            F.round(F.col("value") * 1_000_000).cast("bigint").cast("string"),
+            16,
+            "0",
+        ),
+        F.lit("|"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.max_by("user_id", key).alias("top_user"),
+            F.min_by("user_id", key).alias("bottom_user"),
+            F.max("value").alias("top_value"),
+        )
+        .orderBy("event_type")
+    )

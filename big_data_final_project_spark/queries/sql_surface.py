@@ -382,3 +382,45 @@ def sql_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
                               WHERE p.k = c.c_custkey)) AS n_not_exists,
           (SELECT CAST(count(*) AS BIGINT) FROM probe WHERE k IS NULL) AS n_null_keys
     """)
+
+
+@query(
+    "sql_group_by_all",
+    oracle="""
+    SELECT event_type,
+           CAST(ts AS DATE) AS day,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+               AS total_value
+    FROM events
+    GROUP BY ALL
+    ORDER BY event_type, day
+    LIMIT 50
+    """,
+    tags=("sql", "group-by-all", "syntax-surface"),
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL — the modern-SQL ergonomic both Spark (3.4+) and
+    DuckDB ship: every non-aggregate select item becomes a grouping
+    key, so wide rollup queries stop repeating their column lists
+    (and stop silently mis-grouping when an edit updates SELECT but
+    not GROUP BY). Registered through spark.sql to pin the parser
+    path, not just the DataFrame equivalent.
+
+    Plan-wise it IS groupBy(event_type, day) — one map-side
+    combinable shuffle; syntax sugar costs nothing."""
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("events_gba")
+    return spark.sql(
+        """
+        SELECT event_type,
+               to_date(ts) AS day,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS total_value
+        FROM events_gba
+        GROUP BY ALL
+        ORDER BY event_type, day
+        LIMIT 50
+        """
+    )
