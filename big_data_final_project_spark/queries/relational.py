@@ -9,7 +9,7 @@ pushes filters into scans, and AQE handles skew at scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..data import load_table
@@ -1440,4 +1440,137 @@ def agg_argmax_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("top_value"),
         )
         .orderBy("event_type")
+    )
+
+
+_ASOF_TOL_US = 3_600_000_000  # 1 hour staleness bound
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH errors AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ),
+    clicks AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+        SELECT e.event_id, e.user_id,
+               epoch_us(e.ts) - epoch_us(c.ts) AS gap_us,
+               c.value AS v
+        FROM errors e ASOF LEFT JOIN clicks c
+          ON e.user_id = c.user_id AND e.ts >= c.ts
+    )
+    SELECT event_id, user_id,
+           CASE WHEN gap_us <= {_ASOF_TOL_US} THEN v END AS value_asof,
+           CASE WHEN gap_us <= {_ASOF_TOL_US} THEN gap_us END
+               AS staleness_us
+    FROM j
+    ORDER BY event_id
+    LIMIT 25
+    """,
+    tags=("join", "asof", "tolerance", "engine-addition"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS BOUND (pandas `merge_asof
+    tolerance=` / kdb wj semantics): each error event takes the most
+    recent same-user click, but only if it is at most 1 hour old —
+    older context is stale and must read as missing, not silently
+    joined. The bound is a post-match null-out on the carried match
+    timestamp, so it costs nothing on top of the plain as-of
+    union-merge (one user_id shuffle, no explosion); DuckDB's native
+    ASOF JOIN plus the same CASE pins it.
+
+    Scale shape: identical to join_asof — the tolerance predicate is
+    per-row arithmetic after the merge, and at 100 TB it REDUCES
+    downstream volume (stale matches become nulls that aggregate
+    paths can drop)."""
+    events = load_table(spark, sf_dir, "events")
+    errors = events.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select("user_id", "ts", "value")
+        .withColumn("matched_us", F.unix_micros("ts"))
+    )
+    j = asof_join(
+        errors,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["value", "matched_us"],
+    )
+    gap = F.unix_micros(F.col("ts")) - F.col("matched_us_asof")
+    fresh = gap <= _ASOF_TOL_US
+    return (
+        j.select(
+            "event_id",
+            "user_id",
+            F.when(fresh, F.col("value_asof")).alias("value_asof"),
+            F.when(fresh, gap).alias("staleness_us"),
+        )
+        .orderBy("event_id")
+        .limit(25)
+    )
+
+
+@query(
+    "agg_weighted_percentile",
+    oracle="""
+    WITH g AS (
+        SELECT l_returnflag, l_quantity,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT l_returnflag, l_quantity, w,
+               SUM(w) OVER (PARTITION BY l_returnflag
+                            ORDER BY l_quantity) AS cumw,
+               SUM(w) OVER (PARTITION BY l_returnflag) AS total
+        FROM g
+    )
+    SELECT l_returnflag,
+           MIN(l_quantity) FILTER (WHERE 2 * cumw >= total)
+               AS weighted_median_qty
+    FROM c
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("groupby", "weighted-percentile", "engine-addition"),
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median: the quantity at which half the REVENUE mass
+    sits below, per return flag — the latency-percentile/price-mass
+    aggregate neither Spark nor most engines ship natively (percentile
+    weighs rows equally). Formulation: collapse to distinct values
+    with exact decimal weight sums, cumulative-sum along the value
+    axis, pick the first value where 2·cumw >= total — every compare
+    is exact decimal, so the chosen value is engine- and
+    partitioning-independent (a float-weight cumsum would near-tie at
+    the median and flip the pick).
+
+    Scale shape: the distinct-value collapse is the scale move (raw
+    rows -> value-domain rows, map-side combinable); the window runs
+    per group over the (small) value domain. Arbitrary quantiles =
+    replace 2·cumw >= total with 100·cumw >= q·total, same machinery."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("w")
+    )
+    wo = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wp = Window.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag",
+        "l_quantity",
+        F.sum("w").over(wo).alias("cumw"),
+        F.sum("w").over(wp).alias("total"),
+    )
+    return (
+        c.where(2 * F.col("cumw") >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(F.min("l_quantity").alias("weighted_median_qty"))
+        .orderBy("l_returnflag")
     )

@@ -220,3 +220,34 @@ def test_pareto_shares_are_ordered(spark, sf_dir):
     row = _run(spark, sf_dir, "events_power_users_pareto").collect()[0]
     assert 0 <= row["share_above_p99_ppm"] <= row["share_above_p90_ppm"] <= 1_000_000
     assert row["users_above_p90"] <= row["n_users"]
+
+
+# --- asof tolerance --------------------------------------------------------
+
+
+def test_asof_tolerance_only_nulls_stale_matches(spark, sf_dir):
+    rows = _run(spark, sf_dir, "join_asof_tolerance").collect()
+    for r in rows:
+        if r["staleness_us"] is not None:
+            assert 0 <= r["staleness_us"] <= 3_600_000_000
+            assert r["value_asof"] is not None
+        else:
+            assert r["value_asof"] is None
+
+
+# --- weighted percentile ---------------------------------------------------
+
+
+def test_weighted_median_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    got = {r["l_returnflag"]: r["weighted_median_qty"] for r in
+           _run(spark, sf_dir, "agg_weighted_percentile").collect()}
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).toPandas()
+    for flag, g in li.groupby("l_returnflag"):
+        g = g.sort_values("l_quantity")
+        cumw = g.l_extendedprice.cumsum()
+        med = g.l_quantity[cumw >= g.l_extendedprice.sum() / 2].iloc[0]
+        assert got[flag] == med
