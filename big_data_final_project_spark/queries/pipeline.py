@@ -445,3 +445,79 @@ def pipeline_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "curriculum_shard"
         ),
     )
+
+
+_EPOCH_BATCH = 32  # docs per training batch
+
+
+@query(
+    "pipeline_epoch_shuffle",
+    oracle=f"""
+    WITH shuffled AS (
+        SELECT epoch, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY epoch
+                   ORDER BY md5(CAST(epoch AS VARCHAR) || ':'
+                                || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS pos
+        FROM documents, (SELECT unnest([0, 1]) AS epoch)
+    )
+    SELECT epoch,
+           CAST((pos - 1) // {_EPOCH_BATCH} AS BIGINT) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           MIN(doc_id) AS first_doc
+    FROM shuffled
+    GROUP BY 1, 2
+    ORDER BY epoch, batch_id
+    LIMIT 40
+    """,
+    tags=("pipeline", "epoch-shuffle", "training", "engine-addition"),
+)
+def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch reshuffling — the training-loader
+    contract: every epoch must visit every document exactly once in a
+    DIFFERENT but REPRODUCIBLE order. Order = md5(epoch || ':' ||
+    doc_id): changing the epoch reshuffles globally, re-running (on
+    any engine, any partitioning) reproduces the identical order, and
+    batches are contiguous slices of that order. The per-batch
+    manifest (count, char budget, first doc) is what a loader
+    actually consumes.
+
+    Scale shape: the hash-order row_number here is a per-epoch global
+    sort — at 100 TB the batch id comes from the SAME two-pass
+    machinery as pipeline_global_rank (range-partition by the hash,
+    zipWithIndex), keeping the hash as the sort key; semantics and
+    the manifest are unchanged, which is exactly why the hash-order
+    definition (not an RNG permutation) is the right contract."""
+    d = load_table(spark, sf_dir, "documents")
+    epochs = d.crossJoin(
+        F.broadcast(
+            spark.createDataFrame([(0,), (1,)], "epoch int")
+        )
+    )
+    key = F.md5(
+        F.concat(
+            F.col("epoch").cast("string"), F.lit(":"), F.col("doc_id").cast("string")
+        )
+    )
+    w = Window.partitionBy("epoch").orderBy(key, F.asc("doc_id"))
+    shuffled = epochs.select(
+        "epoch",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w).alias("pos"),
+    )
+    return (
+        shuffled.groupBy(
+            "epoch",
+            ((F.col("pos") - 1) / _EPOCH_BATCH).cast("bigint").alias("batch_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("epoch", "batch_id")
+        .limit(40)
+    )

@@ -462,3 +462,75 @@ def audit_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+_PK_SPECS = (
+    ("orders", ("o_orderkey",)),
+    ("customer", ("c_custkey",)),
+    ("part", ("p_partkey",)),
+    ("supplier", ("s_suppkey",)),
+    ("lineitem", ("l_orderkey", "l_linenumber")),
+    ("events", ("event_id",)),
+    ("documents", ("doc_id",)),
+)
+
+
+def _pk_oracle_leg(table: str, keys: tuple[str, ...]) -> str:
+    kl = ", ".join(keys)
+    return f"""
+    SELECT '{table}' AS tbl,
+           CAST(SUM(k_rows) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE k_rows > 1) AS BIGINT)
+               AS oversized_keys,
+           CAST(COALESCE(SUM(k_rows - 1), 0) AS BIGINT) AS surplus_rows
+    FROM (SELECT {kl}, COUNT(*) AS k_rows FROM {table} GROUP BY {kl})
+    """
+
+
+@query(
+    "audit_primary_key_uniqueness",
+    oracle=" UNION ALL ".join(
+        _pk_oracle_leg(t, k) for t, k in _PK_SPECS
+    )
+    + " ORDER BY tbl",
+    tags=("profiling", "constraints", "primary-key", "engine-addition"),
+)
+def audit_primary_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit across every keyed table in the
+    store: rows, keys appearing more than once, and the surplus row
+    count a dedup would remove — the first integrity gate a warehouse
+    load runs, complementing audit_constraint_suite (column-level
+    rules) and audit_referential_integrity (FK orphans). Note n_rows
+    counts the key-grain table; surplus_rows == 0 everywhere is the
+    pass condition.
+
+    Scale shape: per table, one map-side-combinable key count whose
+    output is the DISTINCT key set, immediately re-aggregated to 3
+    integers — the same two-level shape as agg_reaggregation; tables
+    audit independently (union of tiny 1-row legs), so the whole
+    audit parallelizes across the store."""
+    legs = []
+    for table, keys in _PK_SPECS:
+        t = load_table(spark, sf_dir, table)
+        per_key = t.groupBy(*[F.col(k) for k in keys]).agg(
+            F.count(F.lit(1)).alias("k_rows")
+        )
+        legs.append(
+            per_key.agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("k_rows").alias("n_rows"),
+                F.sum(F.when(F.col("k_rows") > 1, 1).otherwise(0)).alias(
+                    "oversized_keys"
+                ),
+                F.sum(F.col("k_rows") - 1).alias("surplus_rows"),
+            ).select(
+                F.lit(table).alias("tbl"),
+                "n_rows",
+                "oversized_keys",
+                F.coalesce("surplus_rows", F.lit(0)).alias("surplus_rows"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("tbl")
