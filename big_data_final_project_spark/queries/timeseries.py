@@ -1463,8 +1463,11 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     pur = e.where(F.col("event_type") == "purchase").select(
         "user_id", F.unix_micros("ts").alias("us"), "value"
     )
-    anchor = pur.agg(F.max("us").alias("a"))
-    u = (
+    # one events scan: user grain is materialized once (it feeds both
+    # the threshold aggregate and the scoring pass — an un-cut diamond
+    # re-scans events 4x; PLANS.md caught it), and the anchor derives
+    # from the user grain (max over per-user maxes), not a second scan
+    u0 = (
         pur.groupBy("user_id")
         .agg(
             F.max("us").alias("max_us"),
@@ -1473,13 +1476,14 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("mon"),
         )
-        .crossJoin(F.broadcast(anchor))
-        .select(
-            "user_id",
-            F.expr("(a - max_us) div 86400000000").alias("rec_days"),
-            "freq",
-            "mon",
-        )
+        .localCheckpoint(eager=True)
+    )
+    anchor = u0.agg(F.max("max_us").alias("a"))
+    u = u0.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.expr("(a - max_us) div 86400000000").alias("rec_days"),
+        "freq",
+        "mon",
     )
     qs = "array(0.2D, 0.4D, 0.6D, 0.8D)"
     th = u.agg(
@@ -1709,7 +1713,13 @@ def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold comparisons, integer-ppm shares — no global sort, no
     float rates."""
     e = load_table(spark, sf_dir, "events")
-    u = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    # materialized once: u feeds both the threshold row and the final
+    # aggregate (otherwise events is scanned twice)
+    u = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .localCheckpoint(eager=True)
+    )
     th = u.agg(
         F.expr(f"percentile_approx(n_events, 0.90D, {_RFM_ACC})").alias("p90"),
         F.expr(f"percentile_approx(n_events, 0.99D, {_RFM_ACC})").alias("p99"),
