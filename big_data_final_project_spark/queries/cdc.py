@@ -69,32 +69,41 @@ def scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     a transactional commit."""
     c = load_table(spark, sf_dir, "customer")
     dim = c.select(F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment"))
+    # change batches are staged once (each is read twice: the touched
+    # key set and its own output leg) — the plan-audit sweep showed
+    # the un-staged form re-scanning customer 7x
     updates = (
         c.where(F.col("c_acctbal") < 0)
         .select(F.col("c_custkey").alias("custkey"), F.lit(NEW_SEGMENT).alias("segment"))
+        .localCheckpoint(eager=True)
     )
     deletes = (
         c.where((F.col("c_acctbal") >= 0) & (F.col("c_acctbal") < 10))
         .select(F.col("c_custkey").alias("custkey"))
+        .localCheckpoint(eager=True)
     )
-    touched = F.broadcast(
-        updates.select("custkey").unionByName(deletes).distinct()
+    touched = (
+        updates.select("custkey")
+        .unionByName(deletes)
+        .distinct()
+        .withColumn("is_touched", F.lit(True))
     )
-    expired = (
-        dim.join(touched, "custkey", "left_semi")
-        .select("custkey", "segment", F.lit(1).cast("long").alias("version"),
-                F.lit(False).alias("is_current"))
+    # every dim row emits exactly one v1 row — expired when touched,
+    # carried when not — so the semi/anti branch pair collapses into
+    # ONE flagged broadcast left join: the dim table is scanned once
+    # (the plan-audit sweep showed the two-branch form scanning it
+    # twice)
+    dim_v1 = dim.join(F.broadcast(touched), "custkey", "left").select(
+        "custkey",
+        "segment",
+        F.lit(1).cast("long").alias("version"),
+        F.col("is_touched").isNull().alias("is_current"),
     )
     inserted = updates.select(
         "custkey", "segment", F.lit(2).cast("long").alias("version"),
         F.lit(True).alias("is_current"),
     )
-    carried = (
-        dim.join(touched, "custkey", "left_anti")
-        .select("custkey", "segment", F.lit(1).cast("long").alias("version"),
-                F.lit(True).alias("is_current"))
-    )
-    return expired.unionByName(inserted).unionByName(carried)
+    return dim_v1.unionByName(inserted)
 
 
 @query(

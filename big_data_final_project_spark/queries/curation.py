@@ -319,14 +319,26 @@ def curation_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     rationale). Plan: one per-source aggregate (tiny), the rate
     table broadcast back onto the corpus, a narrow gate predicate,
     one final per-source aggregate."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.size(_toks(F.col("text"))).cast("long").alias("n_tokens"),
+    # the tokenized projection feeds the accounting AND the gated
+    # sample pass — checkpoint it once (narrow: 3 columns) so the
+    # tokenizer runs once per doc, and stage the tiny per-source
+    # table its two consumers share
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.size(_toks(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+        .localCheckpoint(eager=True)
     )
-    per_src = d.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    per_src = (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .localCheckpoint(eager=True)
     )
     # Global totals via a 1-row broadcast cross join (not a window: no
     # need to sort/shuffle the per-source table for a grand total).

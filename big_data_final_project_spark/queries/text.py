@@ -425,12 +425,21 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bigram")
     )
     uni = toks.select(F.explode(tk).alias("tok"))
-    cb = grams.groupBy("bigram").agg(F.count("*").alias("c_ab"))
-    cu = uni.groupBy("tok").agg(F.count("*").alias("c"))
-    # corpus totals as a broadcast 1-row cross join, not driver
-    # actions — the whole query is one lazy plan / one job
-    tot = uni.agg(F.count("*").alias("n_tok")).crossJoin(
-        grams.agg(F.count("*").alias("n_big"))
+    # count tables are staged once (each has two consumers), and the
+    # corpus totals derive FROM the counts — the un-staged form
+    # re-tokenized the corpus 5x (plan-audit sweep)
+    cb = (
+        grams.groupBy("bigram")
+        .agg(F.count("*").alias("c_ab"))
+        .localCheckpoint(eager=True)
+    )
+    cu = (
+        uni.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tot = cu.agg(F.sum("c").alias("n_tok")).crossJoin(
+        cb.agg(F.sum("c_ab").alias("n_big"))
     )
     a = cu.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
     b = cu.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))

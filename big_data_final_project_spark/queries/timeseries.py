@@ -268,10 +268,15 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     end (AQE); stage tables shrink monotonically, so each successive
     join is cheaper and broadcast-eligible."""
     e = load_table(spark, sf_dir, "events")
+    # each stage output is read TWICE (next stage's join + its own
+    # count); checkpointing the tiny user-grain stage tables keeps
+    # every events scan single-visit (one pushed-filter scan per
+    # stage, nothing re-derived)
     s1 = (
         e.where(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint(eager=True)
     )
     s2 = (
         e.where(F.col("event_type") == "click")
@@ -279,6 +284,7 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .localCheckpoint(eager=True)
     )
     s3 = (
         e.where(F.col("event_type") == "purchase")
@@ -286,6 +292,7 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts") > F.col("t2"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
+        .localCheckpoint(eager=True)
     )
     def _count(df: DataFrame, label: str) -> DataFrame:
         return df.agg(F.count("*").cast("long").alias("n_users")).select(
@@ -1651,10 +1658,13 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     All time arithmetic in integer microseconds."""
     e = load_table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts"))
+    # stage outputs checkpoint for the same single-visit-scan reason
+    # as events_funnel_steps
     s1 = (
         e.where(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min(us).alias("t1"))
+        .localCheckpoint(eager=True)
     )
     s2 = (
         e.where(F.col("event_type") == "click")
@@ -1662,6 +1672,7 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((us > F.col("t1")) & (us <= F.col("t1") + 3_600_000_000))
         .groupBy("user_id")
         .agg(F.min(us).alias("t2"))
+        .localCheckpoint(eager=True)
     )
     s3 = (
         e.where(F.col("event_type") == "purchase")
@@ -1669,6 +1680,7 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((us > F.col("t2")) & (us <= F.col("t2") + 86_400_000_000))
         .groupBy("user_id")
         .agg(F.min(us).alias("t3"))
+        .localCheckpoint(eager=True)
     )
     c1 = s1.agg(F.count(F.lit(1)).alias("n_signup"))
     c2 = s2.agg(F.count(F.lit(1)).alias("n_click_1h"))
