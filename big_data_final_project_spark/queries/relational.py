@@ -373,8 +373,18 @@ def setop_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION / INTERSECT / EXCEPT over two segment slices, summarized
     as counts in one result."""
     customer = load_table(spark, sf_dir, "customer")
-    machinery = customer.where(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey")
-    building = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    # each slice feeds all three set ops — stage them once (the
+    # un-staged form scanned customer 6x: 3 ops x 2 inputs)
+    machinery = (
+        customer.where(F.col("c_mktsegment") == "MACHINERY")
+        .select("c_nationkey")
+        .localCheckpoint(eager=True)
+    )
+    building = (
+        customer.where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_nationkey")
+        .localCheckpoint(eager=True)
+    )
     u = machinery.unionByName(building).distinct().agg(F.count("*").alias("n")).select(
         F.lit("union").alias("op"), "n"
     )

@@ -335,10 +335,16 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(F.split(_norm(F.col("text")), " ")).alias("term")
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    # corpus size as a broadcast 1-row aggregate, not a driver action:
-    # the whole query stays one lazy plan / one job
+    # the term-frequency table is the one materialization (a real
+    # pipeline persists it): df derives FROM it (tf is per (doc,
+    # term), so rows-per-term IS the document frequency) — the
+    # un-staged form tokenized the corpus three times
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     n = d.agg(F.count("*").cast("double").alias("n_docs"))
     scored = (
         tf.join(F.broadcast(df), "term")

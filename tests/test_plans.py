@@ -164,10 +164,11 @@ def test_new_ops_plan_shapes(spark, sf_dir):
     p = _plan(spark, sf_dir, "ts_gapfill_locf")
     assert p.broadcast_joins >= 1 and p.cartesian_products == 0
     assert p.shuffles <= 4, p.text
-    # scd2: change batches broadcast; the dim never shuffles for the
-    # semi/anti split
+    # scd2: the semi/anti branch pair is folded into ONE flagged
+    # broadcast left join — the dim is scanned once and never shuffles
     p = _plan(spark, sf_dir, "scd2_merge")
-    assert p.broadcast_joins >= 2 and p.sortmerge_joins == 0, p.text
+    assert p.broadcast_joins == 1 and p.sortmerge_joins == 0, p.text
+    assert p.text.count("Location: InMemoryFileIndex") <= 1, p.text
     # changelog compaction: exactly one key-partitioned window shuffle
     p = _plan(spark, sf_dir, "cdc_changelog_apply")
     assert p.shuffles <= 1, p.text
