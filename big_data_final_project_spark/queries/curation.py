@@ -696,3 +696,72 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("r").cast("double") / RARITY_FXP / F.count("*")
         ).alias("avg_token_rarity"),
     )
+
+
+@query(
+    "curation_dataset_card",
+    oracle="""
+    WITH langs AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars,
+               CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_chars,
+               CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts
+        FROM documents
+    )
+    SELECT n_docs, n_langs, n_sources, total_chars, min_chars,
+           max_chars, mean_chars, n_unique_texts,
+           CAST((n_docs - n_unique_texts) * 1000000 // n_docs AS BIGINT)
+               AS dup_rate_ppm,
+           CAST((SELECT count(*) FROM documents WHERE lang = 'en')
+                * 1000000 // n_docs AS BIGINT) AS en_share_ppm
+    FROM langs
+    """,
+    tags=("curation", "dataset-card", "profiling", "engine-addition"),
+)
+def curation_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset datasheet — the summary block of a dataset
+    card (corpus size, language/source diversity, length envelope,
+    exact-duplicate rate, dominant-language share), computed in ONE
+    scan. Rates are integer ppm so every cell is an integer.
+
+    Scale shape: a single full-scan aggregate with map-side partials;
+    the exact-dup counter rides the same pass as a distinct over
+    md5(text) — at 100 TB that distinct is the one shuffle (content
+    hashes, not documents, move), or swaps to an HLL/bitmap partial
+    (agg_bitmap_distinct) when an estimate suffices. No joins, no
+    second scan — the en-share subquery in the oracle is a
+    conditional sum in the Spark plan."""
+    d = load_table(spark, sf_dir, "documents")
+    card = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.expr("CAST(sum(n_chars) div count(*) AS BIGINT)").alias("mean_chars"),
+        F.countDistinct(F.md5("text")).cast("bigint").alias("n_unique_texts"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_en"),
+    )
+    return card.select(
+        "n_docs",
+        "n_langs",
+        "n_sources",
+        "total_chars",
+        "min_chars",
+        "max_chars",
+        "mean_chars",
+        "n_unique_texts",
+        F.expr(
+            "CAST((n_docs - n_unique_texts) * 1000000 div n_docs AS BIGINT)"
+        ).alias("dup_rate_ppm"),
+        F.expr("CAST(n_en * 1000000 div n_docs AS BIGINT)").alias(
+            "en_share_ppm"
+        ),
+    )

@@ -609,3 +609,222 @@ def ml_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+_GAINS_ACC = 1 << 20  # GK accuracy: exact while distinct scores < 2^20
+
+
+@query(
+    "ml_gains_deciles",
+    oracle="""
+    WITH s AS (
+        SELECT o_totalprice AS score,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+        FROM orders
+    ),
+    th AS (
+        SELECT [quantile_disc(score, 0.1), quantile_disc(score, 0.2),
+                quantile_disc(score, 0.3), quantile_disc(score, 0.4),
+                quantile_disc(score, 0.5), quantile_disc(score, 0.6),
+                quantile_disc(score, 0.7), quantile_disc(score, 0.8),
+                quantile_disc(score, 0.9)] AS t
+        FROM s
+    ),
+    binned AS (
+        SELECT 1 + (CASE WHEN score > t[1] THEN 1 ELSE 0 END)
+                 + (CASE WHEN score > t[2] THEN 1 ELSE 0 END)
+                 + (CASE WHEN score > t[3] THEN 1 ELSE 0 END)
+                 + (CASE WHEN score > t[4] THEN 1 ELSE 0 END)
+                 + (CASE WHEN score > t[5] THEN 1 ELSE 0 END)
+                 + (CASE WHEN score > t[6] THEN 1 ELSE 0 END)
+                 + (CASE WHEN score > t[7] THEN 1 ELSE 0 END)
+                 + (CASE WHEN score > t[8] THEN 1 ELSE 0 END)
+                 + (CASE WHEN score > t[9] THEN 1 ELSE 0 END) AS decile,
+               pos
+        FROM s, th
+    ),
+    d AS (
+        SELECT decile, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pos) AS BIGINT) AS n_pos
+        FROM binned GROUP BY decile
+    ),
+    c AS (
+        SELECT decile, n, n_pos,
+               CAST(sum(n) OVER (ORDER BY decile DESC) AS BIGINT) AS cum_n,
+               CAST(sum(n_pos) OVER (ORDER BY decile DESC) AS BIGINT)
+                   AS cum_pos,
+               CAST(sum(n) OVER () AS BIGINT) AS total_n,
+               CAST(sum(n_pos) OVER () AS BIGINT) AS total_pos
+        FROM d
+    )
+    SELECT decile, n, n_pos, cum_n, cum_pos,
+           CAST(cum_pos * 1000000 // total_pos AS BIGINT) AS gain_ppm,
+           CAST((cum_pos * total_n * 1000000) // (total_pos * cum_n)
+                AS BIGINT) AS lift_ppm
+    FROM c
+    ORDER BY decile DESC
+    """,
+    tags=("ml", "evaluation", "gains", "lift", "engine-addition"),
+)
+def ml_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table — the model-targeting readout
+    ("contacting the top 30% of scores captures X% of positives, a
+    Y-times lift over random"). Deciles come from DISCRETE score
+    percentiles broadcast as one row and assigned by threshold
+    comparison — never ``ntile`` over a global sort, which funnels
+    every row through one partition (same rationale as
+    events_rfm_segments). Cumulative sums then run over the 10-row
+    decile table, which is driver-scale by construction.
+
+    Exactness: decile membership compares raw doubles to member
+    values of the same column (quantile_disc / GK-exact-regime
+    percentile_approx both return actual data values); gain and lift
+    are integer-ppm divisions, so every output cell is an integer or
+    raw data value — nothing accumulates float error. The GK sketch
+    is exact while distinct scores < 2^20 (scale guard as in
+    agg_percentiles_approx).
+
+    Scale shape: one scan for thresholds (aggregate to ONE row), one
+    scan for binning + a 10-group aggregate — both map-side
+    combinable; the window runs on 10 rows. At 100 TB the threshold
+    pass would ride a mergeable quantile sketch instead; the binning
+    pass is unchanged."""
+    s = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("score"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+    )
+    qs = ", ".join(f"0.{i}D" for i in range(1, 10))
+    th = s.agg(
+        F.expr(f"percentile_approx(score, array({qs}), {_GAINS_ACC})").alias("t")
+    )
+    binned = s.crossJoin(F.broadcast(th)).select(
+        F.expr(
+            "1 + "
+            + " + ".join(
+                f"(CASE WHEN score > t[{i}] THEN 1 ELSE 0 END)"
+                for i in range(9)  # Spark arrays are 0-indexed
+            )
+        ).alias("decile"),
+        "pos",
+    )
+    d = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+    )
+    w_cum = (
+        Window.orderBy(F.desc("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    c = d.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.sum("n").over(w_cum).cast("bigint").alias("cum_n"),
+        F.sum("n_pos").over(w_cum).cast("bigint").alias("cum_pos"),
+        F.sum("n").over(w_all).cast("bigint").alias("total_n"),
+        F.sum("n_pos").over(w_all).cast("bigint").alias("total_pos"),
+    )
+    return c.select(
+        "decile",
+        "n",
+        "n_pos",
+        "cum_n",
+        "cum_pos",
+        F.expr("CAST(cum_pos * 1000000 div total_pos AS BIGINT)").alias(
+            "gain_ppm"
+        ),
+        F.expr(
+            "CAST((cum_pos * total_n * 1000000) div (total_pos * cum_n)"
+            " AS BIGINT)"
+        ).alias("lift_ppm"),
+    ).orderBy(F.desc("decile"))
+
+
+@query(
+    "ml_mrr_hit_rate",
+    oracle="""
+    WITH w AS (
+        SELECT l_orderkey, l_extendedprice,
+               max(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END)
+                   OVER (PARTITION BY l_orderkey) AS rel_best
+        FROM lineitem
+    ),
+    per AS (
+        SELECT l_orderkey,
+               CAST(1 + sum(CASE WHEN l_extendedprice > rel_best
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS rnk,
+               (max(rel_best) IS NOT NULL) AS has_rel
+        FROM w GROUP BY l_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN has_rel THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_rel,
+           CAST(sum(CASE WHEN has_rel AND rnk = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits_at_1,
+           CAST(sum(CASE WHEN has_rel AND rnk <= 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits_at_3,
+           CAST(sum(CASE WHEN has_rel THEN 1000000 // rnk ELSE 0 END)
+                AS BIGINT) AS sum_rr_ppm,
+           CAST(sum(CASE WHEN has_rel THEN 1000000 // rnk ELSE 0 END)
+                // sum(CASE WHEN has_rel THEN 1 ELSE 0 END)
+                AS BIGINT) AS mrr_ppm
+    FROM per
+    """,
+    tags=("ml", "evaluation", "ranking", "mrr", "engine-addition"),
+)
+def ml_mrr_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-retrieval evaluation: MRR and hit-rate@k, treating each
+    order's lineitems as a result list ranked by price and
+    ``l_returnflag = 'R'`` items as the relevant ones — the offline
+    eval every retrieval / recommender pipeline runs over (query,
+    ranked results, relevance) logs.
+
+    The rank of the first relevant item is computed WITHOUT a
+    row_number over a possibly tie-broken sort (lineitem's line
+    numbers duplicate — audit_primary_key_uniqueness — so row_number
+    would be nondeterministic): rank = 1 + #items strictly better
+    than the best relevant item. Ties collapse to the same rank on
+    both engines by construction. Reciprocal ranks are integer ppm
+    (1000000 div rank), so MRR is exact integer arithmetic end to
+    end.
+
+    Scale shape: ONE shuffle on the query key (l_orderkey) feeds both
+    the per-group max window and the per-group conditional aggregate;
+    the final global rollup is a 1-row map-side-combinable sum. No
+    joins, no global sort — at 100 TB this is a single
+    exchange + two local passes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rel_best = F.max(
+        F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice"))
+    ).over(Window.partitionBy("l_orderkey"))
+    w = li.select("l_orderkey", "l_extendedprice", rel_best.alias("rel_best"))
+    per = w.groupBy("l_orderkey").agg(
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(F.col("l_extendedprice") > F.col("rel_best"), 1).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("rnk"),
+        F.max("rel_best").isNotNull().alias("has_rel"),
+    )
+    rr = F.when(F.col("has_rel"), F.expr("1000000 div rnk")).otherwise(0)
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.col("has_rel"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_with_rel"),
+        F.sum(F.when(F.col("has_rel") & (F.col("rnk") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("hits_at_1"),
+        F.sum(F.when(F.col("has_rel") & (F.col("rnk") <= 3), 1).otherwise(0))
+        .cast("bigint")
+        .alias("hits_at_3"),
+        F.sum(rr).cast("bigint").alias("sum_rr_ppm"),
+        F.expr(
+            "CAST(sum(CASE WHEN has_rel THEN 1000000 div rnk ELSE 0 END)"
+            " div sum(CASE WHEN has_rel THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("mrr_ppm"),
+    )

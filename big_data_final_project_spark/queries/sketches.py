@@ -330,3 +330,98 @@ def agg_bitmap_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_click") + F.col("n_view") - F.col("n_union")).alias("n_both"),
         (F.col("n_union") - F.col("n_view")).alias("n_click_only"),
     )
+
+
+CMS_DEPTHS = ("1", "2", "3", "4")  # 4 independent hash rows
+# Cell id = first 2 hex chars of md5(key:depth) -> 256 columns/row.
+# md5 is the one keyed hash both engines spell identically, and the
+# 2-hex-char prefix IS the "mod width" step with no integer-parsing
+# portability trap (same trick as the LSH band keys in dedup.py).
+
+
+@query(
+    "agg_countmin_sketch",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT user_id, CAST(user_id AS VARCHAR) AS k FROM events
+    ),
+    cells AS (
+        SELECT d.depth, substr(md5(k || ':' || d.depth), 1, 2) AS cell,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM keyed, (VALUES {", ".join(f"('{d}')" for d in CMS_DEPTHS)})
+             AS d(depth)
+        GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT user_id, k, CAST(count(*) AS BIGINT) AS exact_cnt
+        FROM keyed GROUP BY 1, 2
+        ORDER BY exact_cnt DESC, user_id ASC LIMIT 5
+    ),
+    est AS (
+        SELECT t.user_id, t.exact_cnt,
+               CAST(min(c.cnt) AS BIGINT) AS est_cnt
+        FROM top t JOIN cells c
+          ON c.cell = substr(md5(t.k || ':' || c.depth), 1, 2)
+        GROUP BY 1, 2
+    )
+    SELECT user_id, exact_cnt, est_cnt,
+           est_cnt - exact_cnt AS overestimate
+    FROM est
+    ORDER BY exact_cnt DESC, user_id ASC
+    """,
+    tags=("sketch", "count-min", "frequency", "mergeable"),
+)
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch, built and probed as plain aggregates: a
+    4x256 grid of counters (depth = 4 independent md5-keyed hash
+    rows, width = 256 cells via the 2-hex-char prefix), point-queried
+    for the 5 exact-heaviest keys. The CMS guarantee — est >= exact,
+    overestimate bounded by collisions — is surfaced directly
+    (``overestimate`` is provably >= 0, and the differential pins the
+    exact collision pattern cross-engine since both engines hash with
+    the same md5).
+
+    Scale shape: the sketch build is ONE map-side-combinable
+    aggregate whose output is <= depth x width = 1024 rows of
+    kilobyte state, no matter how many input rows — the mergeable-
+    summary contract (partial grids add cellwise, so per-day /
+    per-partition sketches OR into a corpus sketch like the bitmaps
+    above). The probe side broadcasts the 1024-row grid and joins on
+    the computed cell key — an expression-equality broadcast hash
+    join, zero shuffle of the probe keys. At 100 TB the exact top-5
+    anchor would itself come from agg_heavy_hitters; here it doubles
+    as the ground truth the estimate is judged against."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("user_id").cast("string").alias("k")
+    )
+    depths = F.array(*[F.lit(d) for d in CMS_DEPTHS])
+    cells = (
+        e.select("k", F.explode(depths).alias("depth"))
+        .select(
+            "depth",
+            F.expr("substr(md5(concat(k, ':', depth)), 1, 2)").alias("cell"),
+        )
+        .groupBy("depth", "cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    top = (
+        e.groupBy("user_id", "k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("user_id"))
+        .limit(5)
+    )
+    est = (
+        top.join(
+            F.broadcast(cells),
+            F.col("cell")
+            == F.expr("substr(md5(concat(k, ':', depth)), 1, 2)"),
+        )
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("cnt").cast("bigint").alias("est_cnt"))
+    )
+    return est.select(
+        "user_id",
+        "exact_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("exact_cnt")).alias("overestimate"),
+    ).orderBy(F.desc("exact_cnt"), F.asc("user_id"))

@@ -1758,3 +1758,131 @@ def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("share_above_p99_ppm"),
     )
+
+
+@query(
+    "ts_autocorr_exact",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, day, x,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+               CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+               lead(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS x1,
+               lead(x, 2) OVER (PARTITION BY event_type ORDER BY day) AS x2,
+               lead(x, 3) OVER (PARTITION BY event_type ORDER BY day) AS x3
+        FROM daily
+    ),
+    dev AS (
+        SELECT event_type, n,
+               CAST(sum((n * x - s) * (n * x - s)) AS BIGINT) AS den,
+               CAST(sum(CASE WHEN x1 IS NOT NULL
+                    THEN (n * x - s) * (n * x1 - s) ELSE 0 END) AS BIGINT)
+                   AS num1,
+               CAST(sum(CASE WHEN x2 IS NOT NULL
+                    THEN (n * x - s) * (n * x2 - s) ELSE 0 END) AS BIGINT)
+                   AS num2,
+               CAST(sum(CASE WHEN x3 IS NOT NULL
+                    THEN (n * x - s) * (n * x3 - s) ELSE 0 END) AS BIGINT)
+                   AS num3
+        FROM stats GROUP BY 1, 2
+    ),
+    lags AS (
+        SELECT event_type, n AS n_days, l.lag,
+               CASE l.lag WHEN 1 THEN num1 WHEN 2 THEN num2
+                          ELSE num3 END AS num,
+               den
+        FROM dev, (VALUES (1), (2), (3)) AS l(lag)
+    )
+    SELECT event_type, CAST(lag AS BIGINT) AS lag, n_days, num, den,
+           CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS acf
+    FROM lags
+    ORDER BY event_type, lag
+    """,
+    tags=("timeseries", "autocorrelation", "exact", "engine-addition"),
+)
+def ts_autocorr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of each event type's daily-volume
+    series at lags 1-3 — the seasonality / persistence diagnostic a
+    forecasting pipeline runs before picking a model. Everything up
+    to the final division is INTEGER: with n = #days and S = Σx, the
+    mean-centered products are computed n²-scaled as
+    (n·x_t − S)(n·x_{t+ℓ} − S), so numerator and denominator are
+    exact bigints and the single num/den division is the only float
+    op — bit-identical cross-engine, no float accumulation. (At
+    100 TB volumes the same identity lifts to DECIMAL(38,0) sums;
+    the shape is unchanged.) Lag steps are OBSERVED-day steps; the
+    synthetic events table is daily-dense so they coincide with
+    calendar lags.
+
+    Scale shape: the raw scan collapses to |types| x |days| rows in
+    one map-side-combinable aggregate; the windows (per-type count,
+    sum, and leads) and the final per-(type, lag) rollup all run on
+    that driver-scale series table, partitioned by series key — the
+    100 TB pattern for per-series diagnostics over millions of
+    series: one shuffle on the series key, everything else local."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    wp = Window.partitionBy("event_type")
+    wo = wp.orderBy("day")
+    stats = daily.select(
+        "event_type",
+        "x",
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n"),
+        F.sum("x").over(wp).cast("bigint").alias("s"),
+        F.lead("x", 1).over(wo).alias("x1"),
+        F.lead("x", 2).over(wo).alias("x2"),
+        F.lead("x", 3).over(wo).alias("x3"),
+    )
+    dev = F.col("n") * F.col("x") - F.col("s")
+
+    def num(lagcol: str) -> F.Column:
+        return (
+            F.sum(
+                F.when(
+                    F.col(lagcol).isNotNull(),
+                    dev * (F.col("n") * F.col(lagcol) - F.col("s")),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            .cast("bigint")
+        )
+
+    agg = stats.groupBy("event_type", F.col("n").alias("n_days")).agg(
+        F.sum(dev * dev).cast("bigint").alias("den"),
+        num("x1").alias("num1"),
+        num("x2").alias("num2"),
+        num("x3").alias("num3"),
+    )
+    lags = agg.select(
+        "event_type",
+        "n_days",
+        "den",
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("lag"), F.col("num1").alias("num")),
+                F.struct(F.lit(2).alias("lag"), F.col("num2").alias("num")),
+                F.struct(F.lit(3).alias("lag"), F.col("num3").alias("num")),
+            )
+        ).alias("ln"),
+    ).select(
+        "event_type",
+        F.col("ln.lag").cast("bigint").alias("lag"),
+        "n_days",
+        F.col("ln.num").alias("num"),
+        "den",
+    )
+    return lags.select(
+        "event_type",
+        "lag",
+        "n_days",
+        "num",
+        "den",
+        (F.col("num").cast("double") / F.col("den").cast("double")).alias("acf"),
+    ).orderBy("event_type", "lag")
