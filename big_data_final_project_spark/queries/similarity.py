@@ -662,3 +662,120 @@ def kmeans_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.join(F.broadcast(first_coord), "cell").select(
         "cell", "n_members", "c0"
     )
+
+
+PQ_M = 8  # subspaces
+PQ_D = 8  # dims per subspace (PQ_M * PQ_D = 64, the embedding width)
+PQ_K = 4  # codewords per subspace (vec_id < PQ_K seed the codebook)
+
+
+@query(
+    "sim_pq_codebook",
+    oracle=f"""
+    WITH q0 AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
+    cb AS (SELECT vec_id AS code, qv FROM q0 WHERE vec_id < {PQ_K}),
+    sub AS (
+        SELECT vec_id, qv, m
+        FROM q0, (VALUES {", ".join(f"({m})" for m in range(PQ_M))}) AS s(m)
+    ),
+    dist AS (
+        SELECT sub.vec_id, sub.m, cb.code,
+               CAST(list_reduce(list_transform(range(1, {PQ_D} + 1),
+                    i -> (sub.qv[sub.m * {PQ_D} + i] - cb.qv[sub.m * {PQ_D} + i])
+                       * (sub.qv[sub.m * {PQ_D} + i] - cb.qv[sub.m * {PQ_D} + i])),
+                    (a, x) -> a + x) AS BIGINT) AS dist2
+        FROM sub, cb
+    ),
+    chosen AS (
+        SELECT vec_id, m, code, dist2,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist2, code) AS rn
+        FROM dist
+    )
+    SELECT CAST(m AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code,
+           CAST(count(*) AS BIGINT) AS n_assigned,
+           CAST(sum(dist2) AS BIGINT) AS sse
+    FROM chosen WHERE rn = 1
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("similarity", "product-quantization", "pandas", "compression"),
+)
+def sim_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding pass — the compression step that
+    makes billion-vector ANN affordable (each 64-dim float vector
+    becomes PQ_M=8 one-byte codes, a 32x shrink): the vector splits
+    into 8 contiguous 8-dim subspaces, each assigned to its nearest
+    of 4 codewords (seeded deterministically from the first PQ_K
+    vectors — a real pipeline would k-means them per subspace, as
+    kmeans_lloyd_refine does). Output is the codebook utilization
+    histogram + per-cell quantization error (n_assigned, sse) — the
+    diagnostic that decides whether a codebook needs re-training.
+
+    Exactness: all arithmetic is fixed-point integer (dedup.FXP_SCALE
+    quantization on BOTH engines); subspace distances are exact int64
+    sums of squared integer diffs, and numpy's first-argmin equals the
+    oracle's (dist2, code) tie order because codewords are scanned in
+    ascending code order. No floats anywhere in the result.
+
+    Scale shape: the codebook is a 32-row broadcast (collected once);
+    encoding is one mapInPandas corpus scan — per Arrow batch, 8
+    vectorized (batch x 4) distance matrices, argmin per row — and
+    the only shuffle is the final 32-group rollup of integer
+    partials. At 100 TB this is the canonical "broadcast tiny model,
+    scan once, aggregate small" plan; the per-vector codes (the
+    actual PQ index payload) would stream straight to the sink from
+    the same scan."""
+    import numpy as np
+
+    e = spread(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    cb_rows = sorted(
+        e.where(F.col("vec_id") < PQ_K).collect(), key=lambda r: r["vec_id"]
+    )
+    # cb[m]: (PQ_K, PQ_D) quantized codeword matrix for subspace m
+    cb_full = quantize_fxp(
+        np.stack([np.asarray(r["embedding"], dtype="float64") for r in cb_rows])
+    )
+    cb = [cb_full[:, m * PQ_D : (m + 1) * PQ_D] for m in range(PQ_M)]
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qv = quantize_fxp(np.stack(pdf["embedding"].to_numpy()))
+            ids = pdf["vec_id"].to_numpy()
+            out_id, out_m, out_code, out_d2 = [], [], [], []
+            for m in range(PQ_M):
+                sub = qv[:, m * PQ_D : (m + 1) * PQ_D]
+                # (batch, PQ_K) exact integer distances held in float64
+                # (diffs < 2^25, squares < 2^50, 8-term sums < 2^53)
+                d2 = ((sub[:, None, :] - cb[m][None, :, :]) ** 2).sum(axis=2)
+                code = np.argmin(d2, axis=1)  # first-min == lowest code
+                out_id.append(ids)
+                out_m.append(np.full(len(ids), m, dtype="int64"))
+                out_code.append(code.astype("int64"))
+                out_d2.append(d2[np.arange(len(ids)), code].astype("int64"))
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(out_id),
+                    "subspace": np.concatenate(out_m),
+                    "code": np.concatenate(out_code),
+                    "dist2": np.concatenate(out_d2),
+                }
+            )
+
+    codes = e.mapInPandas(
+        encode, schema="vec_id long, subspace long, code long, dist2 long"
+    )
+    return (
+        codes.groupBy("subspace", "code")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
+            F.sum("dist2").cast("bigint").alias("sse"),
+        )
+        .orderBy("subspace", "code")
+    )

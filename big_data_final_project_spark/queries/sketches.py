@@ -410,12 +410,20 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("exact_cnt"), F.asc("user_id"))
         .limit(5)
     )
+    # Probe cells are computed on the PROBE side (explode the depths,
+    # hash there) so the join is a plain (depth, cell) equality — a
+    # broadcast HASH join; putting the md5 inside the join condition
+    # would reference both sides and force a nested-loop join.
+    probes = top.select(
+        "user_id", "exact_cnt", F.explode(depths).alias("depth"), "k"
+    ).select(
+        "user_id",
+        "exact_cnt",
+        "depth",
+        F.expr("substr(md5(concat(k, ':', depth)), 1, 2)").alias("cell"),
+    )
     est = (
-        top.join(
-            F.broadcast(cells),
-            F.col("cell")
-            == F.expr("substr(md5(concat(k, ':', depth)), 1, 2)"),
-        )
+        probes.join(F.broadcast(cells), ["depth", "cell"])
         .groupBy("user_id", "exact_cnt")
         .agg(F.min("cnt").cast("bigint").alias("est_cnt"))
     )

@@ -1886,3 +1886,59 @@ def ts_autocorr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "den",
         (F.col("num").cast("double") / F.col("den").cast("double")).alias("acf"),
     ).orderBy("event_type", "lag")
+
+
+@query(
+    "join_dpp_partitioned",
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+        WHERE isodow(CAST(ts AS DATE)) = 1
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS VARCHAR)
+                AS DOUBLE) AS total_value
+    FROM events e JOIN dim ON CAST(e.ts AS DATE) = dim.d
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("join", "dynamic-partition-pruning", "store", "pruning"),
+)
+def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is the DATE-PARTITIONED
+    event store, the dim side is a filtered calendar (Mondays only —
+    a predicate on an attribute the fact's directory layout knows
+    nothing about). A static planner must scan every fact partition;
+    Spark's DPP reuses the broadcast dim as a runtime IN-filter on
+    the fact's PARTITION COLUMN, so only Monday directories are
+    listed and read (the plan's PartitionFilters carries a
+    ``dynamicpruning`` subquery — asserted in tests/test_plans.py).
+
+    This is the 100 TB star-schema workhorse: "revenue for promo
+    weeks" joins a 10-year fact store to a dim filtered on an
+    attribute, and DPP turns a full-store scan into reading exactly
+    the qualifying partitions — the difference between 100 TB and a
+    few hundred GB of IO. Mondays ≈ 1/7 of partitions here; the
+    day-grain dim stays broadcast-sized at any fact scale.
+
+    Exactness: weekday via ISO day-of-week (Spark ``weekday()+1`` ==
+    DuckDB ``isodow``), money through the decimal route."""
+    fact = spark.read.parquet(_partitioned_store(spark, sf_dir))
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("d"))
+        .distinct()
+        .where(F.expr("weekday(d)") == 0)
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.event_date == dim.d)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

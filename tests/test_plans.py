@@ -323,3 +323,36 @@ def test_round4_privacy_bloom_plan_shapes(spark, sf_dir):
     # scan — one file-scan location in the whole plan
     p = _plan(spark, sf_dir, "privacy_generalization_ladder")
     assert p.text.count("Location: InMemoryFileIndex") == 1, p.text
+
+
+def test_round4d_plan_shapes(spark, sf_dir):
+    # dynamic partition pruning: the fact scan must carry a runtime
+    # dynamicpruning subquery on its partition column (a static plan
+    # would list every directory), and the dim must broadcast
+    p = _plan(spark, sf_dir, "join_dpp_partitioned")
+    assert "dynamicpruning" in p.text.lower(), p.text
+    assert p.broadcast_joins >= 1
+    assert p.cartesian_products == 0
+    # count-min: sketch build + probe are aggregates; the 1024-row
+    # grid joins the top keys via broadcast, never a shuffle join
+    p = _plan(spark, sf_dir, "agg_countmin_sketch")
+    assert p.broadcast_joins >= 1, p.text
+    assert p.sortmerge_joins == 0
+    assert p.cartesian_products == 0
+    # gains table: threshold row broadcast back (one scan per pass,
+    # no sort-merge join, no cartesian beyond the 1-row cross join)
+    p = _plan(spark, sf_dir, "ml_gains_deciles")
+    assert p.sortmerge_joins == 0, p.text
+    # MRR: single l_orderkey exchange feeds window + aggregate; no
+    # joins at all
+    p = _plan(spark, sf_dir, "ml_mrr_hit_rate")
+    assert p.broadcast_joins == 0 and p.sortmerge_joins == 0
+    assert p.shuffles <= 3, p.text
+    # PQ encode: one corpus scan (mapInPandas) + 32-group rollup;
+    # codebook rides a closure, so the plan has no join of any kind
+    p = _plan(spark, sf_dir, "sim_pq_codebook")
+    assert p.broadcast_joins == 0 and p.sortmerge_joins == 0
+    assert p.cartesian_products == 0
+    # dataset card: joinless single-scan aggregate
+    p = _plan(spark, sf_dir, "curation_dataset_card")
+    assert p.text.count("Location: InMemoryFileIndex") == 1, p.text
