@@ -68,6 +68,12 @@ HEADLINE = [
     "join_interval_overlap",
     "privacy_k_anonymity",
     "events_rfm_segments",
+    # round-4d families: PQ vector compression, count-min sketch,
+    # gains/lift targeting, dynamic partition pruning
+    "sim_pq_codebook",
+    "agg_countmin_sketch",
+    "ml_gains_deciles",
+    "join_dpp_partitioned",
 ]
 
 

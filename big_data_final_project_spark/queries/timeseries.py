@@ -1942,3 +1942,78 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "ts_wow_growth",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM orders GROUP BY 1
+    ),
+    lagged AS (
+        SELECT day, rev_cents,
+               lag(rev_cents, 1) OVER (ORDER BY day) AS prev_dod,
+               lag(rev_cents, 7) OVER (ORDER BY day) AS prev_wow
+        FROM daily
+    )
+    SELECT day, rev_cents,
+           CASE WHEN prev_dod IS NOT NULL
+                THEN CAST((rev_cents - prev_dod) * 1000000 // prev_dod
+                          AS BIGINT) END AS dod_growth_ppm,
+           CASE WHEN prev_wow IS NOT NULL
+                THEN CAST((rev_cents - prev_wow) * 1000000 // prev_wow
+                          AS BIGINT) END AS wow_growth_ppm
+    FROM lagged
+    ORDER BY day
+    """,
+    tags=("timeseries", "growth", "kpi", "engine-addition"),
+)
+def ts_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day and week-over-week revenue growth — the KPI
+    dashboard's headline numbers — in exact integer arithmetic:
+    revenue is summed as integer CENTS (the decimal(18,2)*100 cast is
+    exact, so the daily totals are bigints), and growth rates are
+    integer-ppm divisions. Lag steps are observed-day steps (the
+    orders calendar is dense); nothing floats, so both engines agree
+    bit-for-bit including the null leading edge.
+
+    Scale shape: the raw scan collapses to |days| rows in one
+    map-side-combinable aggregate; the lag window runs on that
+    driver-scale series. The single-series ORDER BY window is a
+    one-partition sort of |days| rows — per-series partitioning (as
+    in ts_autocorr_exact) is the multi-series form."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "rev_cents",
+        F.lag("rev_cents", 1).over(w).alias("prev_dod"),
+        F.lag("rev_cents", 7).over(w).alias("prev_wow"),
+    )
+    return lagged.select(
+        "day",
+        "rev_cents",
+        F.expr(
+            "CASE WHEN prev_dod IS NOT NULL THEN "
+            "CAST((rev_cents - prev_dod) * 1000000 div prev_dod AS BIGINT) END"
+        ).alias("dod_growth_ppm"),
+        F.expr(
+            "CASE WHEN prev_wow IS NOT NULL THEN "
+            "CAST((rev_cents - prev_wow) * 1000000 div prev_wow AS BIGINT) END"
+        ).alias("wow_growth_ppm"),
+    ).orderBy("day")
