@@ -584,3 +584,101 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy("level")
     )
+
+
+K_CORE = 3  # peel threshold: nodes need >= 3 surviving neighbors
+KCORE_ROUNDS = 3  # bounded rounds keep the oracle a finite CTE chain
+
+
+def _kcore_degree_sql(edges: str) -> str:
+    return (
+        f"SELECT n, count(*) AS deg FROM "
+        f"(SELECT a AS n FROM {edges} UNION ALL SELECT b FROM {edges}) t "
+        f"GROUP BY 1"
+    )
+
+
+@query(
+    "graph_kcore_peel",
+    oracle=f"""
+    WITH {_KNN_EDGES_SQL},
+    d0 AS ({_kcore_degree_sql("e")}),
+    r1 AS (SELECT n FROM d0 WHERE deg < {K_CORE}),
+    e1 AS (SELECT a, b FROM e WHERE a NOT IN (SELECT n FROM r1)
+                               AND b NOT IN (SELECT n FROM r1)),
+    d1 AS ({_kcore_degree_sql("e1")}),
+    r2 AS (SELECT n FROM d1 WHERE deg < {K_CORE}),
+    e2 AS (SELECT a, b FROM e1 WHERE a NOT IN (SELECT n FROM r2)
+                                AND b NOT IN (SELECT n FROM r2)),
+    d2 AS ({_kcore_degree_sql("e2")}),
+    r3 AS (SELECT n FROM d2 WHERE deg < {K_CORE}),
+    e3 AS (SELECT a, b FROM e2 WHERE a NOT IN (SELECT n FROM r3)
+                                AND b NOT IN (SELECT n FROM r3))
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS round,
+             CAST((SELECT count(*) FROM r1) AS BIGINT) AS n_removed,
+             CAST((SELECT count(*) FROM e1) AS BIGINT) AS n_edges_left
+      UNION ALL
+      SELECT 2, (SELECT count(*) FROM r2), (SELECT count(*) FROM e2)
+      UNION ALL
+      SELECT 3, (SELECT count(*) FROM r3), (SELECT count(*) FROM e3)
+    ) s ORDER BY round
+    """,
+    tags=("graph", "kcore", "iterative", "engine-addition"),
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by degree peeling (KCORE_ROUNDS=3 bounded
+    rounds, k=K_CORE=3): each round removes every node whose degree
+    in the SURVIVING graph is below k, then recomputes degrees — the
+    community-detection / spam-filtering primitive that strips
+    low-engagement periphery off a graph. Per-round audit rows
+    (nodes removed, edges left) show the convergence trajectory.
+
+    Scale shape: one degree aggregate (explode both endpoints, one
+    shuffle) and two LEFT ANTI joins against the small dropped-node
+    set (broadcast) per round; the edge table is localCheckpoint'ed
+    each round, so lineage stays flat (same discipline as
+    graph_bfs_levels / dedup_clusters). The full algorithm peels to
+    fixpoint with the identical round body plus the scalar
+    convergence check dedup_clusters uses; the bounded form keeps the
+    DuckDB oracle a finite CTE chain. Degrees are bounded by the kNN
+    construction (union-kNN ≤ 2·K_NEIGHBORS), so the degree shuffle
+    is skew-free by design."""
+    edges = _knn_edges(spark, sf_dir)
+    stats = []
+    for rnd in range(1, KCORE_ROUNDS + 1):
+        deg = (
+            edges.select(F.col("a").alias("n"))
+            .unionAll(edges.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        drop = (
+            deg.where(F.col("deg") < K_CORE)
+            .select("n")
+            .localCheckpoint(eager=True)
+        )
+        edges = (
+            edges.join(
+                F.broadcast(drop), edges["a"] == drop["n"], "left_anti"
+            )
+            .join(F.broadcast(drop), F.col("b") == drop["n"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        stats.append(
+            drop.agg(F.count(F.lit(1)).cast("bigint").alias("n_removed"))
+            .crossJoin(
+                edges.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_edges_left")
+                )
+            )
+            .select(
+                F.lit(rnd).cast("bigint").alias("round"),
+                "n_removed",
+                "n_edges_left",
+            )
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("round")

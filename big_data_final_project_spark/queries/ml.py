@@ -828,3 +828,112 @@ def ml_mrr_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div sum(CASE WHEN has_rel THEN 1 ELSE 0 END) AS BIGINT)"
         ).alias("mrr_ppm"),
     )
+
+
+@query(
+    "ml_ks_two_sample",
+    oracle="""
+    WITH s AS (
+        SELECT o_totalprice AS score,
+               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS na,
+               sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS nb
+        FROM orders GROUP BY o_totalprice
+    ),
+    t AS (
+        SELECT CAST(sum(na) AS BIGINT) AS n_a,
+               CAST(sum(nb) AS BIGINT) AS n_b FROM s
+    ),
+    c AS (
+        SELECT score,
+               CAST(sum(na) OVER (ORDER BY score) AS BIGINT) AS ca,
+               CAST(sum(nb) OVER (ORDER BY score) AS BIGINT) AS cb
+        FROM s
+    ),
+    d AS (
+        SELECT score,
+               abs(ca * (SELECT n_b FROM t) - cb * (SELECT n_a FROM t))
+                   AS diff
+        FROM c
+    ),
+    m AS (SELECT CAST(max(diff) AS BIGINT) AS d_num FROM d)
+    SELECT t.n_a, t.n_b, m.d_num,
+           (SELECT min(score) FROM d WHERE diff = m.d_num) AS ks_score,
+           CAST(m.d_num AS DOUBLE)
+             / (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)) AS ks_stat
+    FROM t, m
+    """,
+    tags=("ml", "evaluation", "ks-test", "drift", "prefix-sum"),
+)
+def ml_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic — the
+    distribution-drift test PSI approximates with bins, computed
+    EXACTLY: D = max |F_a(x) - F_b(x)| over the pooled distinct
+    scores. Kept integer end to end by cross-scaling the cumulative
+    counts (|ca·n_b - cb·n_a| is an integer; D = that / (n_a·n_b)),
+    so the max, its argmax (min score achieving it, tie-safe) and
+    the final statistic are bit-identical cross-engine — one float
+    division at the end.
+
+    Scale shape: the same distributed prefix sum as ml_auc_exact —
+    distinct-score aggregate, repartitionByRange(score), per-range
+    window sums + P-value driver-side offset cumsum (P integers move,
+    not data), then a global max. No single-partition global window
+    at any size; the cum table is localCheckpoint'ed because both
+    the max and the argmax read it (diamond rule)."""
+    o = load_table(spark, sf_dir, "orders")
+    pos = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    s = (
+        o.groupBy(F.col("o_totalprice").alias("score"))
+        .agg(F.sum(pos).alias("na"), F.sum(1 - pos).alias("nb"))
+        .repartitionByRange(AUC_RANGE_PARTITIONS, "score")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    per_part = {
+        r["pid"]: (r["ta"], r["tb"])
+        for r in s.groupBy("pid")
+        .agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+        .collect()
+    }
+    offsets, run_a, run_b = [], 0, 0
+    for pid in range(AUC_RANGE_PARTITIONS):
+        offsets.append((pid, run_a, run_b))
+        ta, tb = per_part.get(pid, (0, 0))
+        run_a += int(ta)
+        run_b += int(tb)
+    n_a, n_b = run_a, run_b
+    off = spark.createDataFrame(offsets, "pid int, offa long, offb long")
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = s.join(F.broadcast(off), "pid").select(
+        "score",
+        (F.sum("na").over(w) + F.col("offa")).cast("bigint").alias("ca"),
+        (F.sum("nb").over(w) + F.col("offb")).cast("bigint").alias("cb"),
+    )
+    d = c.select(
+        "score",
+        F.abs(F.col("ca") * F.lit(n_b) - F.col("cb") * F.lit(n_a)).alias(
+            "diff"
+        ),
+    ).localCheckpoint(eager=True)
+    m = d.agg(F.max("diff").cast("bigint").alias("d_num"))
+    arg = (
+        d.join(F.broadcast(m), d["diff"] == m["d_num"])
+        .agg(F.min("score").alias("ks_score"))
+    )
+    return (
+        m.crossJoin(arg)
+        .select(
+            F.lit(n_a).cast("bigint").alias("n_a"),
+            F.lit(n_b).cast("bigint").alias("n_b"),
+            "d_num",
+            "ks_score",
+            (
+                F.col("d_num").cast("double")
+                / (F.lit(float(n_a)) * F.lit(float(n_b)))
+            ).alias("ks_stat"),
+        )
+    )
