@@ -937,3 +937,73 @@ def ml_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_stat"),
         )
     )
+
+
+FH_BUCKETS = 64  # feature-hashing dims: md5 prefix mod 64
+
+
+@query(
+    "ml_feature_hashing",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                   ' ')) AS term
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               CAST(ascii(substr(md5(term), 1, 1)) % 8 AS BIGINT) * 8
+                 + CAST(ascii(substr(md5(term), 2, 1)) % 8 AS BIGINT)
+                 AS bucket
+        FROM toks
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS tf_total,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df_docs
+    FROM hashed
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("ml", "feature-hashing", "text", "engine-addition"),
+)
+def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (feature hashing): every token maps to one of
+    FH_BUCKETS fixed dimensions by hashing — no vocabulary build, no
+    dictionary shuffle, which is what makes bag-of-words featurization
+    O(tokens) at 100 TB (a vocab join would shuffle the dictionary AND
+    the corpus; the hash needs neither). Output is the per-bucket
+    term-frequency total and document frequency — the collision
+    profile a pipeline checks before committing to a width.
+
+    The bucket is derived from two md5 hex chars (each `ascii % 8`),
+    spelled identically on both engines — the same
+    no-integer-parsing md5 trick as the LSH band keys and the
+    count-min grid. The Spark side keeps the whole map in ONE
+    expression chain (split → explode → hash) inside codegen; the
+    only shuffle is the 64-group rollup (count + distinct doc_id —
+    at corpus scale the distinct swaps to a bitmap partial as in
+    agg_bitmap_distinct).
+    """
+    from .text import _toks
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(_toks(F.col("text"))).alias("term")
+    )
+    hashed = toks.select(
+        "doc_id",
+        (
+            F.expr("CAST(ascii(substr(md5(term), 1, 1)) % 8 AS BIGINT)") * 8
+            + F.expr("CAST(ascii(substr(md5(term), 2, 1)) % 8 AS BIGINT)")
+        ).alias("bucket"),
+    )
+    return (
+        hashed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf_total"),
+            F.countDistinct("doc_id").cast("bigint").alias("df_docs"),
+        )
+        .orderBy("bucket")
+    )

@@ -1584,3 +1584,48 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("l_quantity").alias("weighted_median_qty"))
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "pivot_multi_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(count(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS f_n,
+           {dsum_sql("CASE WHEN l_linestatus = 'F' THEN l_extendedprice END")}
+               AS f_rev,
+           CAST(count(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS o_n,
+           {dsum_sql("CASE WHEN l_linestatus = 'O' THEN l_extendedprice END")}
+               AS o_rev
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("pivot", "multi-aggregate", "relational"),
+)
+def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per cell (count + decimal-exact
+    revenue for each line status) — the cross-tab report surface
+    beyond the single-measure `pivot_status`. Pivot values are
+    declared explicitly, which is the scale rule: an undeclared
+    pivot runs a distinct-values job first AND caps at
+    spark.sql.pivotMaxValues, while a declared one is a single
+    conditional-aggregate pass (exactly the oracle's FILTER form —
+    one scan, one group-key shuffle, map-side combinable). Missing
+    cells: counts coalesce to 0 (SQL count semantics), sums stay
+    NULL on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_extendedprice").alias("rev"),
+        )
+    )
+    return p.select(
+        "l_returnflag",
+        F.coalesce(F.col("F_n"), F.lit(0)).cast("bigint").alias("f_n"),
+        F.col("F_rev").alias("f_rev"),
+        F.coalesce(F.col("O_n"), F.lit(0)).cast("bigint").alias("o_n"),
+        F.col("O_rev").alias("o_rev"),
+    ).orderBy("l_returnflag")
