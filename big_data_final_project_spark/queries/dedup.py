@@ -933,3 +933,112 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("doc_b") == 0).alias("is_new"),
         )
     )
+
+
+STAR_MAX_ROUNDS = 6  # large-star/small-star rounds bound (log D)
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round over canonical (a < b) edges: every
+    neighbor v > u reconnects to m = min(N(u) ∪ {u}). Output stays
+    canonical because m <= u < v."""
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(F.col("a").alias("u"), F.col("b").alias("v"))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(
+            F.least(F.col("u"), F.col("mn")).alias("a"),
+            F.col("v").alias("b"),
+        )
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: per node u, its strictly-smaller
+    neighborhood N = {v < u} rewires to m = min(N); emits (m, v) for
+    the other small neighbors and (m, u). Canonical by construction
+    (m is the minimum)."""
+    d = e.select(F.col("b").alias("u"), F.col("a").alias("v"))  # v < u
+    mins = d.groupBy("u").agg(F.min("v").alias("mn"))
+    out1 = (
+        d.join(mins, "u")
+        .where(F.col("v") != F.col("mn"))
+        .select(F.col("mn").alias("a"), F.col("v").alias("b"))
+    )
+    out2 = mins.select(F.col("mn").alias("a"), F.col("u").alias("b"))
+    return out1.unionByName(out2).distinct()
+
+
+@query(
+    "dedup_cc_star_contraction",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs AS (
+        SELECT doc_a, doc_b FROM cand WHERE est_jaccard >= {MIN_EST_JACCARD}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT src AS node, src AS r FROM edges
+        UNION
+        SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(r) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+    tags=("dedup", "connected-components", "star-contraction", "iterative"),
+)
+def dedup_cc_star_contraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by large-star/small-star contraction
+    [Kiveris et al., "Connected Components in MapReduce and Beyond"]
+    — the WEB-SCALE swap the min-label loop (dedup_clusters)
+    documents: alternating rounds rewire every edge toward the
+    component minimum, converging in O(log diameter) rounds instead
+    of O(diameter), which is the difference between ~60 and ~10
+    shuffle rounds on a billion-node chain-heavy web graph. Same
+    MinHash candidate graph, same oracle, same cluster map — the
+    THIRD independently-derived algorithm pinned to this fixture
+    (DataFrame min-label loop ≡ Spark recursive CTE ≡ this ≡ DuckDB
+    recursive oracle).
+
+    Per round: each star step is one groupBy-min on the node key +
+    a co-partitioned join back — no broadcast needed, skew bounded
+    because high-degree nodes only ever SHRINK their star (every
+    emitted edge points at a component min). Convergence = empty
+    symmetric difference between successive canonical edge sets
+    (two set-subtract counts per round, scalar to the driver);
+    lineage cut per round with eager localCheckpoint, like every
+    iterative loop in this engine."""
+    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    e = (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("a"),
+            F.greatest("doc_a", "doc_b").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(STAR_MAX_ROUNDS):
+        nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        changed = nxt.exceptAll(e).count() + e.exceptAll(nxt).count()
+        e = nxt
+        if changed == 0:
+            break
+    # Converged: every edge is (component_min, v). Labels: nodes on
+    # the b side point at a; roots label themselves.
+    members = e.select(
+        F.col("b").alias("doc_id"), F.col("a").alias("cluster_id")
+    )
+    roots = e.select(F.col("a").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    return members.unionByName(roots).groupBy("doc_id").agg(
+        F.min("cluster_id").alias("cluster_id")
+    )
