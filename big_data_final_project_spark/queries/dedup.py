@@ -1042,3 +1042,95 @@ def dedup_cc_star_contraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return members.unionByName(roots).groupBy("doc_id").agg(
         F.min("cluster_id").alias("cluster_id")
     )
+
+
+CONTAINMENT_PPM = 500000  # flag pairs where >= 50% of the smaller doc
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+               {_SHINGLES_SQL} AS sh
+        FROM documents
+    )
+    SELECT * FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(a.sh) AS BIGINT) AS na,
+               CAST(len(b.sh) AS BIGINT) AS nb,
+               CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS shared,
+               CAST(len(list_intersect(a.sh, b.sh)) * 1000000
+                    // least(len(a.sh), len(b.sh)) AS BIGINT)
+                   AS containment_ppm
+        FROM t a JOIN t b
+          ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+         AND a.doc_id < b.doc_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+    ) p WHERE containment_ppm >= {CONTAINMENT_PPM}
+    """,
+    tags=("dedup", "containment", "inverted-index"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup screen: |A ∩ B| / min(|A|, |B|) over
+    bigram shingle sets — the ASYMMETRIC companion to Jaccard that
+    catches sub-document duplication (a doc pasted inside a longer
+    one scores low Jaccard but high containment; quote-heavy corpora
+    and boilerplate wrappers are the 100 TB motivating cases).
+    Same inverted-index formulation as dedup_ngram_jaccard (explode
+    shingles, join only pairs that actually share one, count), same
+    (language × length-bucket) blocking; the score is integer ppm —
+    shared·10⁶ div min(|A|,|B|) — so the threshold compare is exact
+    on both engines.
+
+    Scale note: inherits the jaccard query's skew posture (f² rows
+    per f-frequent shingle within a block; prefix filtering / df-cap
+    is the natural-text mitigation)."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "len_bucket", F.floor(F.col("n_chars") / 100).cast("long")
+    )
+    t = _shingled(d, "doc_id", "lang", "len_bucket")
+    ex = (
+        t.select(
+            "doc_id",
+            "lang",
+            "len_bucket",
+            F.size("sh").alias("n"),
+            F.explode("sh").alias("s0"),
+        )
+        .withColumn("s", F.xxhash64("s0"))
+        .drop("s0")
+        .localCheckpoint(eager=True)
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("shared"),
+            F.first(F.col("a.n")).cast("bigint").alias("na"),
+            F.first(F.col("b.n")).cast("bigint").alias("nb"),
+        )
+    )
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            "na",
+            "nb",
+            "shared",
+            F.expr(
+                "CAST(shared * 1000000 div least(na, nb) AS BIGINT)"
+            ).alias("containment_ppm"),
+        )
+        .where(F.col("containment_ppm") >= CONTAINMENT_PPM)
+    )

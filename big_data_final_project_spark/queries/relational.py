@@ -1629,3 +1629,40 @@ def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O_n"), F.lit(0)).cast("bigint").alias("o_n"),
         F.col("O_rev").alias("o_rev"),
     ).orderBy("l_returnflag")
+
+
+SAMPLE_EXACT_N = 1000
+
+
+@query(
+    "sample_exact_size_hash",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+    LIMIT {SAMPLE_EXACT_N}
+    """,
+    tags=("sampling", "deterministic", "topk"),
+)
+def sample_exact_size_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-size uniform sample without RNG: order by a content hash
+    of the key and take the first N — the k-minimum-values idea as a
+    sample. Unlike threshold gating (sample_hash_stratified: size is
+    only approximate) or seeded rand() (sample_deterministic:
+    engine/partitioning-dependent, rows-only checkable), this is
+    exactly N rows, identical on any engine, any partitioning, any
+    retry — and MERGEABLE: the union of two shards' hash-top-N
+    contains the global top-N, which is how a 100 TB table yields an
+    exact-size sample from per-partition heaps
+    (TakeOrderedAndProject — no global sort, no single reducer; the
+    same plan shape as every top-k in this engine). md5 is uniform,
+    so hash-order ≈ uniform random order with a fixed, auditable
+    "seed"."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(
+            F.md5(F.col("o_orderkey").cast("string")), F.col("o_orderkey")
+        )
+        .limit(SAMPLE_EXACT_N)
+    )

@@ -779,3 +779,75 @@ def sim_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("subspace", "code")
     )
+
+
+GRAM_DIM = 64  # embedding width
+
+
+@query(
+    "ml_gram_matrix",
+    oracle=f"""
+    WITH q0 AS (SELECT {_QVEC_SQL} AS qv FROM embeddings),
+    idx AS (
+        SELECT i.range AS i, j.range AS j
+        FROM range(1, {GRAM_DIM} + 1) i, range(1, {GRAM_DIM} + 1) j
+        WHERE j.range >= i.range
+    )
+    SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           CAST(sum(qv[i] * qv[j]) AS BIGINT) AS g_fp
+    FROM q0, idx
+    GROUP BY i, j
+    ORDER BY i, j
+    """,
+    tags=("ml", "gram-matrix", "pandas", "linear-algebra"),
+)
+def ml_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix XᵀX over the embedding corpus — the
+    single aggregate that closed-form linear models, PCA (covariance
+    eigendecomposition), ridge regression and whitening all reduce
+    to at scale: compute d×d partials per partition, sum them, and
+    the 100-TB problem becomes a d²-sized driver solve
+    (ml_linreg_closed_form is the d=1 special case of this pattern).
+
+    Exactness: vectors are fixed-point int64 (dedup.FXP_SCALE);
+    each partition computes one int64 numpy matmul (exact — entries
+    < 2^46 per product, < 2^60 per partition sum here) and emits the
+    2 080 upper-triangle cells; Spark's bigint SUM merges partials
+    exactly, matching DuckDB's integer arithmetic bit-for-bit. At
+    corpus scales where the int64 envelope tightens (≳2^17 rows per
+    partition at full 2^23-scale entries), the partial lifts to
+    DECIMAL(38,0) with the identical dataflow.
+
+    Scale shape: ONE corpus scan, kilobyte partials (d² cells), one
+    tiny rollup shuffle — no pairwise anything. The mapInPandas
+    batch is the unit of work, so memory is bounded by the Arrow
+    batch size, not the corpus."""
+    import numpy as np
+
+    e = spread(load_table(spark, sf_dir, "embeddings").select("embedding"))
+    iu, ju = np.triu_indices(GRAM_DIM)
+
+    def gram(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qv = quantize_fxp(np.stack(pdf["embedding"].to_numpy())).astype(
+                "int64"
+            )
+            g = qv.T @ qv  # exact int64 matmul
+            yield pd.DataFrame(
+                {
+                    "i": (iu + 1).astype("int64"),
+                    "j": (ju + 1).astype("int64"),
+                    "g_fp": g[iu, ju],
+                }
+            )
+
+    partials = e.mapInPandas(gram, schema="i long, j long, g_fp long")
+    return (
+        partials.groupBy("i", "j")
+        .agg(F.sum("g_fp").cast("bigint").alias("g_fp"))
+        .orderBy("i", "j")
+    )
