@@ -1666,3 +1666,48 @@ def sample_exact_size_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(SAMPLE_EXACT_N)
     )
+
+
+@query(
+    "agg_mad_robust",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag AS g, quantile_cont(l_quantity, 0.5) AS med
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           min(m.med) AS med,
+           quantile_cont(abs(l.l_quantity - m.med), 0.5) AS mad
+    FROM lineitem l JOIN m ON l.l_returnflag = m.g
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+    tags=("groupby", "robust-statistics", "mad"),
+)
+def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust spread
+    estimate (outlier-immune, unlike stddev) behind every
+    median±k·MAD anomaly gate. Two aggregation passes by necessity
+    (MAD is a median OF deviations FROM a median): pass 1 reduces
+    each group to one median row, broadcast back; pass 2 re-scans
+    column-pruned and aggregates |x − med| — the threshold/two-pass
+    pattern (PLANS.md taxonomy), which at 100 TB beats materializing
+    a deviations copy of the fact table. Spark `percentile` and
+    DuckDB `quantile_cont` share the linear-interpolation definition
+    (agg_percentiles_exact), and |x − med| is the same double on
+    both engines, so the MAD matches bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy(F.col("l_returnflag").alias("g")).agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("med")
+    )
+    return (
+        li.join(F.broadcast(m), li.l_returnflag == F.col("g"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("med").alias("med"),
+            F.expr("percentile(abs(l_quantity - med), 0.5)").alias("mad"),
+        )
+        .orderBy("l_returnflag")
+    )

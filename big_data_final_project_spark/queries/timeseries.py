@@ -2017,3 +2017,88 @@ def ts_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((rev_cents - prev_wow) * 1000000 div prev_wow AS BIGINT) END"
         ).alias("wow_growth_ppm"),
     ).orderBy("day")
+
+
+@query(
+    "ts_mann_kendall",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    n AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY 1
+    ),
+    s AS (
+        SELECT a.event_type,
+               CAST(sum(CASE WHEN b.x > a.x THEN 1
+                             WHEN b.x < a.x THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_stat
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day
+        GROUP BY 1
+    )
+    SELECT s.event_type, n.n_days, s.s_stat,
+           CAST(s.s_stat * 2000000 // (n.n_days * (n.n_days - 1))
+                AS BIGINT) AS tau_ppm
+    FROM s JOIN n ON s.event_type = n.event_type
+    ORDER BY s.event_type
+    """,
+    tags=("timeseries", "trend", "mann-kendall", "engine-addition"),
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per series — the nonparametric
+    monotone-trend detector (S = Σ_{i<j} sign(x_j − x_i), Kendall
+    tau = 2S/(n(n−1))) monitoring pipelines run on KPI series
+    because it needs no distribution assumption and ignores
+    magnitude outliers. Everything is integers: the sign sum, n,
+    and tau in integer ppm — bit-identical cross-engine.
+
+    Scale shape: the event scan collapses to |series| × |days| rows
+    first (one map-side-combinable shuffle); the O(days²) pair join
+    runs WITHIN each series key on that driver-scale table — at
+    daily grain, 10 years is ~6.7k pair rows per series, megabytes
+    even for millions of series (and the O(n log n) inversion-count
+    form is the swap if the grain ever gets finer). The join is
+    equi on the series key, never cross-series."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    n = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.x") > F.col("a.x"), 1)
+                .when(F.col("b.x") < F.col("a.x"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    return (
+        s.join(n, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            F.expr(
+                "CAST(s_stat * 2000000 div (n_days * (n_days - 1)) AS BIGINT)"
+            ).alias("tau_ppm"),
+        )
+        .orderBy("event_type")
+    )
