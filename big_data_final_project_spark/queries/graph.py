@@ -682,3 +682,116 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in stats[1:]:
         out = out.unionByName(s)
     return out.orderBy("round")
+
+
+@query(
+    "graph_modularity_by_brand",
+    oracle=f"""
+    WITH {_KNN_EDGES_SQL},
+    lab AS (SELECT p_partkey, p_brand FROM part),
+    le AS (
+        SELECT la.p_brand AS ba, lb.p_brand AS bb
+        FROM e JOIN lab la ON e.a = la.p_partkey
+               JOIN lab lb ON e.b = lb.p_partkey
+    ),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM le),
+    ein AS (
+        SELECT ba AS brand, CAST(count(*) AS BIGINT) AS e_in
+        FROM le WHERE ba = bb GROUP BY 1
+    ),
+    degs AS (
+        SELECT brand, CAST(count(*) AS BIGINT) AS deg_sum FROM (
+            SELECT ba AS brand FROM le UNION ALL SELECT bb FROM le
+        ) t GROUP BY 1
+    ),
+    bycomm AS (
+        SELECT d.brand,
+               coalesce(ein.e_in, 0) AS e_in,
+               d.deg_sum,
+               4 * m.m_edges * coalesce(ein.e_in, 0)
+                 - d.deg_sum * d.deg_sum AS contrib_num
+        FROM degs d LEFT JOIN ein ON d.brand = ein.brand, m
+    )
+    SELECT CAST((SELECT m_edges FROM m) AS BIGINT) AS n_edges,
+           CAST(count(*) AS BIGINT) AS n_communities,
+           CAST(sum(e_in) AS BIGINT) AS intra_edges,
+           CAST(sum(contrib_num) AS BIGINT) AS q_num,
+           CAST(4 * (SELECT m_edges FROM m) * (SELECT m_edges FROM m)
+                AS BIGINT) AS q_den,
+           CAST(sum(contrib_num) AS DOUBLE)
+             / (4.0 * (SELECT m_edges FROM m) * (SELECT m_edges FROM m))
+               AS modularity
+    FROM bycomm
+    """,
+    tags=("graph", "modularity", "community", "engine-addition"),
+)
+def graph_modularity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of a community assignment — the quality
+    score every community-detection loop (Louvain/Leiden) maximizes
+    — evaluated for the part-brand partition of the co-purchase kNN
+    graph: Q = Σ_c [e_in/m − (deg_c/2m)²]. Cross-scaled to integers
+    (Q·4m² = Σ 4m·e_in − deg_c², emitted as exact q_num/q_den) so
+    the only float is the final division.
+
+    Scale shape: edges join the node→community map twice (broadcast
+    — the label map is |nodes| rows but only (key, small label)
+    columns; at web scale this is the classic 2-hop join sharded on
+    node id), then two community-grain aggregates. Communities are
+    the reduce keys, so skew follows community size — the same
+    reason Louvain implementations aggregate per-community partials
+    map-side. The brand partition scores near zero (co-purchase
+    edges ignore brands — planted randomness), which is itself the
+    diagnostic: modularity near 0 says "this labeling explains
+    nothing", exactly what a mixture-curation pipeline checks before
+    trusting a domain split."""
+    e = _knn_edges(spark, sf_dir)
+    lab = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"), F.col("p_brand").alias("brand")
+    )
+    le = (
+        e.join(F.broadcast(lab.withColumnRenamed("brand", "ba")), e.a == F.col("k"))
+        .drop("k")
+        .join(
+            F.broadcast(lab.withColumnRenamed("brand", "bb")),
+            F.col("b") == F.col("k"),
+        )
+        .select("ba", "bb")
+        .localCheckpoint(eager=True)
+    )
+    m = le.agg(F.count(F.lit(1)).cast("bigint").alias("m_edges"))
+    ein = (
+        le.where(F.col("ba") == F.col("bb"))
+        .groupBy(F.col("ba").alias("brand"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_in"))
+    )
+    degs = (
+        le.select(F.col("ba").alias("brand"))
+        .unionAll(le.select(F.col("bb").alias("brand")))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg_sum"))
+    )
+    bycomm = (
+        degs.join(ein, "brand", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "brand",
+            F.coalesce(F.col("e_in"), F.lit(0)).alias("e_in"),
+            "deg_sum",
+            (
+                4 * F.col("m_edges") * F.coalesce(F.col("e_in"), F.lit(0))
+                - F.col("deg_sum") * F.col("deg_sum")
+            ).alias("contrib_num"),
+            "m_edges",
+        )
+    )
+    return bycomm.agg(
+        F.max("m_edges").cast("bigint").alias("n_edges"),
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+        F.sum("e_in").cast("bigint").alias("intra_edges"),
+        F.sum("contrib_num").cast("bigint").alias("q_num"),
+        (4 * F.max("m_edges") * F.max("m_edges")).cast("bigint").alias("q_den"),
+        (
+            F.sum("contrib_num").cast("double")
+            / (F.lit(4.0) * F.max("m_edges") * F.max("m_edges"))
+        ).alias("modularity"),
+    )

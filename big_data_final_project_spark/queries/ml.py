@@ -1007,3 +1007,76 @@ def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "ml_naive_bayes_train",
+    oracle="""
+    WITH toks AS (
+        SELECT lang,
+               unnest(string_split(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                   ' ')) AS term
+        FROM documents
+    ),
+    hashed AS (
+        SELECT lang,
+               CAST(ascii(substr(md5(term), 1, 1)) % 8 AS BIGINT) * 8
+                 + CAST(ascii(substr(md5(term), 2, 1)) % 8 AS BIGINT)
+                 AS bucket
+        FROM toks
+    ),
+    counts AS (
+        SELECT lang, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM hashed GROUP BY 1, 2
+    )
+    SELECT lang, bucket, cnt,
+           CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+           CAST((cnt + 1) * 1000000
+                // (sum(cnt) OVER (PARTITION BY lang) + 64) AS BIGINT)
+               AS prob_ppm
+    FROM counts
+    ORDER BY lang, bucket
+    """,
+    tags=("ml", "naive-bayes", "training", "engine-addition"),
+)
+def ml_naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes TRAINING as pure aggregation — the
+    second "training is one aggregate pass" demonstration next to
+    ml_linreg_closed_form: class-conditional token-bucket counts
+    (classes = document language, features = the 64 hashed buckets
+    of ml_feature_hashing) plus the add-one-smoothed conditional
+    probability in integer ppm: (cnt+1)·10⁶ div (total+|V|). No
+    vocabulary shuffle (hashing trick), no iterative optimizer, no
+    floats — the full model is |classes| × 64 integer rows, exact on
+    both engines. Inference is then a broadcast-join + per-row
+    log-sum, the classic 100 TB scoring shape.
+
+    Scale: one corpus scan, one (class, bucket) shuffle (map-side
+    combinable), a window over the model-sized table."""
+    from .text import _toks
+
+    d = load_table(spark, sf_dir, "documents")
+    hashed = d.select(
+        "lang", F.explode(_toks(F.col("text"))).alias("term")
+    ).select(
+        "lang",
+        (
+            F.expr("CAST(ascii(substr(md5(term), 1, 1)) % 8 AS BIGINT)") * 8
+            + F.expr("CAST(ascii(substr(md5(term), 2, 1)) % 8 AS BIGINT)")
+        ).alias("bucket"),
+    )
+    counts = hashed.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("lang")
+    return counts.select(
+        "lang",
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w).cast("bigint").alias("lang_total"),
+        F.expr(
+            "CAST((cnt + 1) * 1000000 div "
+            "(sum(cnt) OVER (PARTITION BY lang) + 64) AS BIGINT)"
+        ).alias("prob_ppm"),
+    ).orderBy("lang", "bucket")
