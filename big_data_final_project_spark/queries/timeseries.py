@@ -2102,3 +2102,65 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _ohlc_key_sql() -> str:
+    """Fixed-width (epoch_us | event_id) ordering key: lexicographic
+    order on the padded string == chronological order with a unique
+    tiebreak (events can share a timestamp; event_id disambiguates
+    identically on both engines)."""
+    return (
+        "lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '|' || "
+        "lpad(CAST(event_id AS VARCHAR), 12, '0')"
+    )
+
+
+@query(
+    "ts_ohlc_bars",
+    oracle=f"""
+    SELECT event_type,
+           date_trunc('hour', ts) AS bar,
+           arg_min(value, {_ohlc_key_sql()}) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, {_ohlc_key_sql()}) AS close,
+           CAST(count(*) AS BIGINT) AS volume
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("timeseries", "ohlc", "downsample", "argmax"),
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars (open/high/low/close + volume) per series per hour —
+    the finance/metrics downsampling that preserves what a candle
+    chart needs. Open and close are argmin/argmax aggregates over a
+    fixed-width (epoch-µs | event_id) string key (the
+    agg_argmax_deterministic idiom: composite numeric order encoded
+    lexicographically, unique tiebreak so timestamp ties can't make
+    the bar nondeterministic); high/low/volume are plain aggregates.
+
+    Scale shape: ONE map-side-combinable aggregate pass — each
+    partial carries one open candidate, one close candidate and three
+    scalars per open bar, so this is strictly cheaper than the
+    window first/last formulation (no per-row window state, no sort).
+    This is the M4/downsampling family's aggregate-only member: bars
+    stream out of a 100 TB event store in a single shuffle keyed on
+    (series, bar)."""
+    e = load_table(spark, sf_dir, "events")
+    key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lit("|"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("bar"))
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("volume"),
+        )
+        .orderBy("event_type", "bar")
+    )
