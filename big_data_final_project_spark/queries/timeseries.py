@@ -2164,3 +2164,60 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bar")
     )
+
+
+@query(
+    "ts_interarrival_stats",
+    oracle="""
+    WITH s AS (
+        SELECT event_type, epoch_us(ts) AS us, event_id FROM events
+    ),
+    g AS (
+        SELECT event_type,
+               us - lag(us) OVER (PARTITION BY event_type
+                                  ORDER BY us, event_id) AS gap
+        FROM s
+    )
+    SELECT event_type,
+           CAST(count(gap) AS BIGINT) AS n_gaps,
+           quantile_cont(gap, 0.5) AS median_gap_us,
+           quantile_cont(gap, 0.9) AS p90_gap_us,
+           CAST(max(gap) AS BIGINT) AS max_gap_us
+    FROM g GROUP BY 1 ORDER BY 1
+    """,
+    tags=("timeseries", "interarrival", "monitoring"),
+)
+def ts_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution per event stream (median, p90,
+    max gap in exact integer µs) — the liveness/SLO diagnostic that
+    distinguishes "slow but steady" from "bursty with stalls", and
+    the empirical input to any queueing model. Arrivals are totally
+    ordered by (timestamp, event_id), so timestamp ties produce
+    deterministic zero-gaps instead of nondeterministic orderings;
+    gaps are bigint µs, percentiles use the shared
+    percentile ≡ quantile_cont interpolation parity
+    (agg_percentiles_exact).
+
+    Scale shape: one shuffle on the series key for the lag window,
+    then a per-series aggregate on the same partitioning — at
+    millions of streams this is the standard per-key ordered-state
+    pass; the exact percentile sorts within each series partition
+    (the approx-sketch swap applies if a single series outgrows a
+    partition)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    g = e.select(
+        "event_type", (F.col("us") - F.lag("us").over(w)).alias("gap")
+    )
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count("gap").cast("bigint").alias("n_gaps"),
+            F.expr("percentile(gap, 0.5)").alias("median_gap_us"),
+            F.expr("percentile(gap, 0.9)").alias("p90_gap_us"),
+            F.max("gap").cast("bigint").alias("max_gap_us"),
+        )
+        .orderBy("event_type")
+    )
