@@ -1711,3 +1711,119 @@ def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    ),
+    errors AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ),
+    b AS (
+        SELECT e.event_id, e.user_id, e.ts, c.ts AS bts, c.value AS bval
+        FROM errors e ASOF LEFT JOIN clicks c
+          ON e.user_id = c.user_id AND c.ts <= e.ts
+    ),
+    f AS (
+        SELECT e.event_id, c.ts AS fts, c.value AS fval
+        FROM errors e ASOF LEFT JOIN clicks c
+          ON e.user_id = c.user_id AND c.ts > e.ts
+    )
+    SELECT b.event_id, b.user_id, b.ts,
+           CASE WHEN fts IS NULL
+                  OR (bts IS NOT NULL
+                      AND epoch_us(b.ts) - epoch_us(bts)
+                          <= epoch_us(fts) - epoch_us(b.ts))
+                THEN bval ELSE fval END AS nearest_value,
+           CASE WHEN bts IS NULL AND fts IS NULL THEN NULL
+                WHEN fts IS NULL
+                  OR (bts IS NOT NULL
+                      AND epoch_us(b.ts) - epoch_us(bts)
+                          <= epoch_us(fts) - epoch_us(b.ts))
+                THEN CAST(epoch_us(b.ts) - epoch_us(bts) AS BIGINT)
+                ELSE CAST(epoch_us(fts) - epoch_us(b.ts) AS BIGINT)
+           END AS gap_us
+    FROM b JOIN f USING (event_id)
+    """,
+    tags=("join", "asof", "nearest", "custom"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-neighbor as-of join (either direction in time): each
+    'error' picks the closest 'click' by the same user — before OR
+    after — with equal distances resolved to the earlier one. This is
+    the sensor-fusion / log-correlation variant plain (backward-only)
+    as-of can't express; gap_us reports how stale the match is.
+
+    Implementation is ONE union-merge window pass (not two joins):
+    errors and clicks union-sort per user on (µs, kind) — clicks
+    first on timestamp ties, so a same-instant click matches backward
+    with gap 0 — then an ignore-nulls LAST over the preceding frame
+    (previous click) and FIRST over the following frame (next click)
+    resolve both directions from the same sorted shuffle. One
+    exchange on user_id total; the oracle spends two native ASOF
+    joins to say the same thing.
+
+    Scale shape: identical to join_asof (union-merge: no row
+    explosion, state = one struct per direction per row); the choose
+    step is a narrow projection."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ets"),
+        F.struct(
+            F.unix_micros("ts").alias("cus"), F.col("value").alias("cval")
+        ).alias("cs"),
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.col("ts").alias("ets"),
+        F.lit(None)
+        .cast("struct<cus:bigint,cval:double>")
+        .alias("cs"),
+    )
+    u = errors.unionByName(clicks)
+    w = Window.partitionBy("user_id").orderBy("us", "kind")
+    wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = w.rowsBetween(1, Window.unboundedFollowing)
+    marked = u.select(
+        "user_id",
+        "us",
+        "kind",
+        "event_id",
+        "ets",
+        F.last("cs", ignorenulls=True).over(wp).alias("prev"),
+        F.first("cs", ignorenulls=True).over(wf).alias("nxt"),
+    ).where(F.col("kind") == 1)
+    gap_prev = F.col("us") - F.col("prev.cus")
+    gap_next = F.col("nxt.cus") - F.col("us")
+    take_prev = F.col("nxt").isNull() | (
+        F.col("prev").isNotNull() & (gap_prev <= gap_next)
+    )
+    return marked.select(
+        "event_id",
+        "user_id",
+        F.col("ets").alias("ts"),
+        F.when(
+            F.col("prev").isNull() & F.col("nxt").isNull(),
+            F.lit(None).cast("double"),
+        )
+        .when(take_prev, F.col("prev.cval"))
+        .otherwise(F.col("nxt.cval"))
+        .alias("nearest_value"),
+        F.when(
+            F.col("prev").isNull() & F.col("nxt").isNull(),
+            F.lit(None).cast("bigint"),
+        )
+        .when(take_prev, gap_prev.cast("bigint"))
+        .otherwise(gap_next.cast("bigint"))
+        .alias("gap_us"),
+    )
