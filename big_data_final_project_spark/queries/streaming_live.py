@@ -507,3 +507,51 @@ def streaming_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_stream", F.lit(0)).cast("bigint").alias("n_stream"),
         status.alias("status"),
     )
+
+
+@query(
+    "streaming_ohlc_live",
+    oracle="""
+    SELECT event_type,
+           date_trunc('hour', ts) AS bar,
+           arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                          || '|' || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+               AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                          || '|' || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+               AS close,
+           CAST(count(*) AS BIGINT) AS volume
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "live", "ohlc", "argmax"),
+)
+def streaming_ohlc_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE OHLC bars: the ts_ohlc_bars aggregate running as a real
+    Structured Streaming job (complete mode over the micro-batched
+    stream, drained with availableNow) — candle charts maintained
+    incrementally off the firehose. min_by/max_by over the
+    deterministic (epoch-µs | event_id) key are plain aggregates, so
+    each micro-batch folds into per-(series, bar) state of constant
+    size (one open candidate, one close candidate, three scalars) —
+    the streaming state story is identical to the batch partial-
+    aggregate story, which is why incremental must and does equal
+    the batch answer exactly (the oracle is the batch SQL)."""
+    valid = _staged_valid(spark, sf_dir)
+    key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lit("|"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    bars = valid.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bar")
+    ).agg(
+        F.min_by("value", key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", key).alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("volume"),
+    )
+    return run_to_memory(bars, spark, "streaming_ohlc_live_sink", complete=True)
