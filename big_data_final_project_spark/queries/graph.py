@@ -795,3 +795,102 @@ def graph_modularity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(4.0) * F.max("m_edges") * F.max("m_edges"))
         ).alias("modularity"),
     )
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH {_KNN_EDGES_SQL},
+    deg AS (
+        SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT a AS n FROM e UNION ALL SELECT b FROM e
+        ) t GROUP BY 1
+    ),
+    de AS (
+        SELECT da.d AS x, db.d AS y
+        FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n
+    ),
+    sym AS (
+        SELECT x, y FROM de UNION ALL SELECT y, x FROM de
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM sym
+    )
+    SELECT n, sx, sxy,
+           CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+           CAST((n * sxx - sx * sx) AS BIGINT) AS var_num,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) AS assortativity
+    FROM m
+    """,
+    tags=("graph", "assortativity", "statistics", "engine-addition"),
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity — the Pearson correlation of degrees
+    across edge endpoints (Newman r): do hubs attach to hubs
+    (assortative, r > 0, social-network-like) or to leaves
+    (disassortative, r < 0, kNN/web-like)? All five moments are exact
+    integer sums over the SYMMETRIZED endpoint-degree pairs (each
+    undirected edge contributes both orientations — required for the
+    standard definition), so numerator and variance terms are exact
+    bigints; the final r is one sqrt + divide.
+
+    Scale shape: the degree table is one aggregate; decorating edges
+    with endpoint degrees is two joins on the node key (degree-bounded
+    graph, so skew-free; at web scale the degree map shards by node
+    id — the standard 2-hop decoration); the moment rollup is one
+    map-side-combinable pass to a single row."""
+    e = _knn_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    da = deg.select(F.col("n").alias("node_a"), F.col("d").alias("x"))
+    db = deg.select(F.col("n").alias("node_b"), F.col("d").alias("y"))
+    de = (
+        e.join(da, e.a == da.node_a)
+        .join(db, e.b == db.node_b)
+        .select("x", "y")
+    )
+    sym = de.unionAll(de.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    m = sym.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    return m.select(
+        "n",
+        "sx",
+        "sxy",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("bigint")
+        .alias("cov_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("bigint")
+        .alias("var_num"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            )
+        ).alias("assortativity"),
+    )

@@ -1827,3 +1827,94 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(gap_next.cast("bigint"))
         .alias("gap_us"),
     )
+
+
+GINI_RANGE_PARTITIONS = 8
+
+
+@query(
+    "agg_gini_concentration",
+    oracle="""
+    WITH u AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    r AS (
+        SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i FROM u
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS total_cents,
+               CAST(sum(i * x) AS BIGINT) AS wsum
+        FROM r
+    )
+    SELECT n, total_cents, wsum,
+           CAST(2 * wsum AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(total_cents AS DOUBLE))
+             - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
+    FROM m
+    """,
+    tags=("groupby", "gini", "concentration", "prefix-sum"),
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the standard
+    inequality/concentration index (0 = uniform, →1 = winner-takes-
+    all) that events_power_users_pareto approximates with two
+    thresholds. Computed from the rank-weighted formula
+    G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n over integer CENTS, so n,
+    Σx and Σ i·xᵢ are exact bigints (value ties are rank-order
+    independent: equal x makes Σ i·xᵢ invariant under tie
+    permutation) and both engines evaluate the identical final
+    float expression.
+
+    Scale shape: ranks come from the SAME distributed total-order
+    trick as ml_auc_exact / pipeline_global_rank —
+    repartitionByRange(revenue, custkey), per-partition row_number,
+    plus a P-value driver-side offset cumsum; no single-partition
+    global window at any size. One customer-grain aggregate + one
+    range exchange + a one-row rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    u = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("x")
+        )
+        .repartitionByRange(GINI_RANGE_PARTITIONS, "x", "o_custkey")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    per_part = {
+        r["pid"]: r["c"] for r in u.groupBy("pid").count().withColumnRenamed("count", "c").collect()
+    }
+    offsets, running = [], 0
+    for pid in range(GINI_RANGE_PARTITIONS):
+        offsets.append((pid, running))
+        running += int(per_part.get(pid, 0))
+    off = spark.createDataFrame(offsets, "pid int, off long")
+    w = Window.partitionBy("pid").orderBy("x", "o_custkey")
+    r = u.join(F.broadcast(off), "pid").select(
+        "x", (F.row_number().over(w) + F.col("off")).alias("i")
+    )
+    m = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("total_cents"),
+        F.sum(F.col("i") * F.col("x")).cast("bigint").alias("wsum"),
+    )
+    return m.select(
+        "n",
+        "total_cents",
+        "wsum",
+        (
+            (2 * F.col("wsum")).cast("double")
+            / (F.col("n").cast("double") * F.col("total_cents").cast("double"))
+            - (F.col("n") + 1).cast("double") / F.col("n").cast("double")
+        ).alias("gini"),
+    )
