@@ -731,3 +731,89 @@ def text_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), F.desc("tf"), F.asc("term"))
         .limit(50)
     )
+
+
+BURST_TOP_TERMS = 10
+
+
+@query(
+    "text_term_burstiness",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS x FROM (
+            SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+        ) t GROUP BY 1, 2
+    ),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    top AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df
+        FROM tf GROUP BY 1
+        ORDER BY df DESC, term ASC LIMIT {BURST_TOP_TERMS}
+    ),
+    st AS (
+        SELECT tf.term,
+               CAST(sum(tf.x) AS BIGINT) AS tf_total,
+               CAST(sum(tf.x * tf.x) AS BIGINT) AS tf_sq
+        FROM tf JOIN top ON tf.term = top.term
+        GROUP BY 1
+    )
+    SELECT top.term, top.df, st.tf_total,
+           CAST(nd.n_docs * st.tf_sq - st.tf_total * st.tf_total
+                AS BIGINT) AS burst_num,
+           CAST(nd.n_docs * st.tf_total AS BIGINT) AS burst_den,
+           CAST(nd.n_docs * st.tf_sq - st.tf_total * st.tf_total AS DOUBLE)
+             / CAST(nd.n_docs * st.tf_total AS DOUBLE) AS burstiness
+    FROM top JOIN st ON top.term = st.term, nd
+    ORDER BY top.df DESC, top.term ASC
+    """,
+    tags=("text", "burstiness", "statistics", "engine-addition"),
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (variance-to-mean ratio of per-document term
+    counts, zeros included) for the corpus's top document-frequency
+    terms — the content-word vs function-word discriminator (bursty
+    terms cluster in few docs; VMR ≈ 1 is Poisson background) that
+    feeds stopword induction and keyword scoring. The VMR is
+    cross-scaled to integers (num = N·Σx² − (Σx)², den = N·Σx over
+    all N docs — absent docs contribute x = 0 to both, so only the
+    term's tf table is ever touched) and the ratio is the single
+    float op.
+
+    Scale shape: one tokenize + (doc, term) count shuffle (the same
+    TF table the TF-IDF family stages), a term-grain DF aggregate
+    with TakeOrderedAndProject for the top slice, and a broadcast
+    semi-join of the tiny top-term set back onto the TF table. No
+    per-doc × per-term densification ever happens — the zeros are
+    algebraic, not materialized."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(_toks(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    n_docs = d.count()
+    top = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(BURST_TOP_TERMS)
+    )
+    st = (
+        tf.join(F.broadcast(top), "term")
+        .groupBy("term", "df")
+        .agg(
+            F.sum("x").cast("bigint").alias("tf_total"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("tf_sq"),
+        )
+    )
+    num = F.lit(n_docs) * F.col("tf_sq") - F.col("tf_total") * F.col("tf_total")
+    den = F.lit(n_docs) * F.col("tf_total")
+    return st.select(
+        "term",
+        "df",
+        "tf_total",
+        num.cast("bigint").alias("burst_num"),
+        den.cast("bigint").alias("burst_den"),
+        (num.cast("double") / den.cast("double")).alias("burstiness"),
+    ).orderBy(F.desc("df"), F.asc("term"))
