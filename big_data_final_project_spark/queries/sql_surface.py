@@ -424,3 +424,95 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 50
         """
     )
+
+
+@query(
+    "sql_scalar_udf",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           {dsum_sql("l_extendedprice * (1 - l_discount)")} AS net_revenue,
+           {dsum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}
+               AS gross_revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("sql", "udf", "sql-udf", "engine-addition"),
+)
+def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDFs (Spark 4 `CREATE FUNCTION ... RETURNS ...
+    RETURN expr`) — reusable business logic (net/gross price rules)
+    declared ONCE and called like a built-in. Unlike Python UDFs,
+    Catalyst INLINES the SQL body into the plan, so the call sites
+    whole-stage-codegen exactly as if the expression were written
+    in place — zero serialization boundary, full pushdown through
+    the UDF. The oracle is the inlined form, which is the point:
+    the UDF is an abstraction with no runtime cost. Decimal-exact
+    sums on both sides."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "sg_udf_lineitem"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION sg_net(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION sg_gross(p DOUBLE, d DOUBLE, "
+        "t DOUBLE) RETURNS DOUBLE RETURN sg_net(p, d) * (1 + t)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(sg_net(l_extendedprice, l_discount)
+                        AS DECIMAL(18,6))) AS DOUBLE) AS net_revenue,
+               CAST(SUM(CAST(sg_gross(l_extendedprice, l_discount, l_tax)
+                        AS DECIMAL(18,6))) AS DOUBLE) AS gross_revenue
+        FROM sg_udf_lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+PARAM_MIN_PRICE = 150000.0
+PARAM_STATUS = "F"
+
+
+@query(
+    "sql_parameterized",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           {dsum_sql("o_totalprice")} AS total
+    FROM orders
+    WHERE o_totalprice >= {PARAM_MIN_PRICE} AND o_orderstatus = '{PARAM_STATUS}'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("sql", "parameterized", "engine-addition"),
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (`spark.sql(query, args={...})`) — the
+    injection-safe templating surface every serving layer needs:
+    parameters bind as typed literals in the PARSED plan (never
+    string-spliced), so constant folding and parquet filter pushdown
+    see real constants — the plan is byte-identical to hand-written
+    literals, which is exactly what the oracle checks."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "sg_param_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS total
+        FROM sg_param_orders
+        WHERE o_totalprice >= :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"min_price": PARAM_MIN_PRICE, "status": PARAM_STATUS},
+    )
