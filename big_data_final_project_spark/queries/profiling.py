@@ -534,3 +534,93 @@ def audit_primary_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out.orderBy("tbl")
+
+
+@query(
+    "ab_diff_in_diff",
+    oracle="""
+    WITH anchor AS (
+        SELECT epoch_us(min(ts))
+               + (epoch_us(max(ts)) - epoch_us(min(ts))) // 2 AS mid
+        FROM events
+    ),
+    cells AS (
+        SELECT (user_id % 2 = 0) AS treated,
+               (epoch_us(ts) >= (SELECT mid FROM anchor)) AS post,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR)
+                    AS DOUBLE) AS total
+        FROM events
+        GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT
+          max(CASE WHEN treated AND post THEN total / n END) AS tr_post,
+          max(CASE WHEN treated AND NOT post THEN total / n END) AS tr_pre,
+          max(CASE WHEN NOT treated AND post THEN total / n END) AS ct_post,
+          max(CASE WHEN NOT treated AND NOT post THEN total / n END) AS ct_pre,
+          CAST(sum(n) AS BIGINT) AS n_events
+        FROM cells
+    )
+    SELECT n_events, tr_pre, tr_post, ct_pre, ct_post,
+           (tr_post - tr_pre) - (ct_post - ct_pre) AS did_estimate
+    FROM wide
+    """,
+    tags=("experiment", "diff-in-diff", "causal", "engine-addition"),
+)
+def ab_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the quasi-experimental estimator
+    for rollouts without randomization: (treated post − treated pre)
+    − (control post − control pre) cancels both the group baseline
+    and the time trend. Treated = even user ids, the period split is
+    the data-derived midpoint (no wall clock). The four cell means
+    come from ONE conditional aggregate pass with decimal-exact
+    sums; every downstream subtraction is performed on identical
+    doubles in an identical order on both engines, so the estimate
+    is bit-stable (the ab_welch_ttest float-staging discipline).
+
+    Scale shape: one scan (the anchor rides a 1-row broadcast), one
+    4-group aggregate, one 1-row pivot — at 100 TB this is the
+    cheapest possible causal readout, which is why DiD is the
+    default rollout-analysis query at event-log scale."""
+    e = load_table(spark, sf_dir, "events")
+    anchor = e.agg(
+        (
+            F.unix_micros(F.min("ts"))
+            + F.expr(
+                "(unix_micros(max(ts)) - unix_micros(min(ts))) div 2"
+            )
+        ).alias("mid")
+    )
+    cells = (
+        e.crossJoin(F.broadcast(anchor))
+        .groupBy(
+            (F.col("user_id") % 2 == 0).alias("treated"),
+            (F.unix_micros("ts") >= F.col("mid")).alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+    mean = F.col("total") / F.col("n")
+    wide = cells.agg(
+        F.max(F.when(F.col("treated") & F.col("post"), mean)).alias("tr_post"),
+        F.max(F.when(F.col("treated") & ~F.col("post"), mean)).alias("tr_pre"),
+        F.max(F.when(~F.col("treated") & F.col("post"), mean)).alias("ct_post"),
+        F.max(F.when(~F.col("treated") & ~F.col("post"), mean)).alias("ct_pre"),
+        F.sum("n").cast("bigint").alias("n_events"),
+    )
+    return wide.select(
+        "n_events",
+        "tr_pre",
+        "tr_post",
+        "ct_pre",
+        "ct_post",
+        (
+            (F.col("tr_post") - F.col("tr_pre"))
+            - (F.col("ct_post") - F.col("ct_pre"))
+        ).alias("did_estimate"),
+    )

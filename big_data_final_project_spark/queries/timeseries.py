@@ -2221,3 +2221,102 @@ def ts_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_survival_table",
+    oracle="""
+    WITH pur AS (
+        SELECT user_id, CAST(ts AS DATE) AS day
+        FROM events WHERE event_type = 'purchase'
+    ),
+    anchor AS (SELECT max(day) AS amax FROM pur),
+    u AS (
+        SELECT user_id,
+               (max(day) - min(day)) AS lifetime_days,
+               ((SELECT amax FROM anchor) - min(day)) AS tenure_days,
+               (max(day) < (SELECT amax FROM anchor) - 7) AS churned
+        FROM pur GROUP BY user_id
+    ),
+    ev AS (
+        SELECT CASE WHEN churned THEN lifetime_days // 7
+                    ELSE tenure_days // 7 END AS t_week,
+               churned
+        FROM u
+    ),
+    wk AS (
+        SELECT t_week,
+               CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_churned,
+               CAST(sum(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_censored
+        FROM ev GROUP BY 1
+    )
+    SELECT CAST(t_week AS BIGINT) AS t_week, n_churned, n_censored,
+           CAST(sum(n_churned + n_censored)
+                OVER (ORDER BY t_week DESC) AS BIGINT) AS n_at_risk
+    FROM wk
+    ORDER BY t_week
+    """,
+    tags=("events", "survival", "kaplan-meier", "engine-addition"),
+)
+def events_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival (Kaplan-Meier) life table for customer churn: per
+    tenure-week, how many users churned at that tenure (last
+    purchase > 7 days before the data's end), how many are
+    right-censored there (still active — their tenure merely ran
+    out), and the at-risk count — the SUFFICIENT STATISTIC of the
+    KM estimator (Ŝ(t) = Π (1 − d/n) folds over exactly these
+    integers; the product is left to the consumer because a float
+    product chain has no cross-engine bit guarantee, while this
+    table is all exact integers and all anchors are data-derived).
+
+    Scale shape: events collapse to the user grain in one shuffle
+    (min/max per user); the life table is |weeks| rows, and the
+    at-risk reverse-cumulative window runs on that driver-scale
+    table. Censoring is handled algebraically — no per-(user, week)
+    densification."""
+    pur = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("day"))
+    )
+    u0 = (
+        pur.groupBy("user_id")
+        .agg(F.min("day").alias("first_day"), F.max("day").alias("last_day"))
+        .localCheckpoint(eager=True)
+    )
+    anchor = u0.agg(F.max("last_day").alias("amax"))
+    u = u0.crossJoin(F.broadcast(anchor)).select(
+        F.datediff("last_day", "first_day").alias("lifetime_days"),
+        F.datediff("amax", "first_day").alias("tenure_days"),
+        (F.col("last_day") < F.date_sub("amax", 7)).alias("churned"),
+    )
+    ev = u.select(
+        F.when(
+            F.col("churned"), F.expr("lifetime_days div 7")
+        )
+        .otherwise(F.expr("tenure_days div 7"))
+        .alias("t_week"),
+        "churned",
+    )
+    wk = ev.groupBy("t_week").agg(
+        F.sum(F.when(F.col("churned"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_churned"),
+        F.sum(F.when(F.col("churned"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_censored"),
+    )
+    w = Window.orderBy(F.desc("t_week")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return wk.select(
+        F.col("t_week").cast("bigint").alias("t_week"),
+        "n_churned",
+        "n_censored",
+        F.sum(F.col("n_churned") + F.col("n_censored"))
+        .over(w)
+        .cast("bigint")
+        .alias("n_at_risk"),
+    ).orderBy("t_week")
