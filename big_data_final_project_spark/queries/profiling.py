@@ -624,3 +624,54 @@ def ab_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("ct_post") - F.col("ct_pre"))
         ).alias("did_estimate"),
     )
+
+
+@query(
+    "agg_log2_histogram",
+    oracle="""
+    WITH c AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT event_type,
+           CAST(length(bin(cents)) AS BIGINT) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(cents) AS BIGINT) AS lo_cents,
+           CAST(max(cents) AS BIGINT) AS hi_cents
+    FROM c
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("profiling", "histogram", "log-buckets", "engine-addition"),
+)
+def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed (HDR-style) value histogram per event type —
+    the latency/amount distribution readout every ops dashboard
+    wants: exponentially-wider buckets give constant RELATIVE
+    resolution with a few dozen rows no matter the range. The bucket
+    is the BIT LENGTH of the exact integer cents (length(bin(x)) ==
+    floor(log2 x)+1) — pure integer/string ops, so bucket membership
+    never depends on a float log's rounding (log2(2^k) returning
+    k−ε on one engine would misplace every power-of-two boundary
+    value). Per-bucket min/max document the real bucket envelope.
+
+    Scale shape: one scan, one (type, bucket) map-side-combinable
+    aggregate — the histogram is mergeable by construction (partials
+    add), which is what makes it the standard 100 TB distribution
+    summary."""
+    e = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    return (
+        e.select("event_type", cents.alias("cents"))
+        .groupBy(
+            "event_type",
+            F.length(F.bin(F.col("cents"))).cast("bigint").alias("log2_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("cents").cast("bigint").alias("lo_cents"),
+            F.max("cents").cast("bigint").alias("hi_cents"),
+        )
+        .orderBy("event_type", "log2_bucket")
+    )
