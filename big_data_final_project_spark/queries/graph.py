@@ -894,3 +894,99 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("assortativity"),
     )
+
+
+@query(
+    "graph_association_rules",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM op),
+    supp AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS s FROM op GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+               CAST(count(*) AS BIGINT) AS supp_ab
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT * FROM pairs ORDER BY supp_ab DESC, pa, pb LIMIT 20
+    )
+    SELECT t.pa, t.pb, t.supp_ab,
+           sa.s AS supp_a, sb.s AS supp_b, n.n_orders,
+           CAST(t.supp_ab * 1000000 // sa.s AS BIGINT) AS conf_ab_ppm,
+           CAST(t.supp_ab * 1000000 // sb.s AS BIGINT) AS conf_ba_ppm,
+           CAST(n.n_orders * t.supp_ab AS DOUBLE)
+             / CAST(sa.s * sb.s AS DOUBLE) AS lift
+    FROM top t
+    JOIN supp sa ON t.pa = sa.l_partkey
+    JOIN supp sb ON t.pb = sb.l_partkey, n
+    ORDER BY t.supp_ab DESC, t.pa, t.pb
+    """,
+    tags=("graph", "association-rules", "market-basket", "engine-addition"),
+)
+def graph_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the co-purchase pairs: confidence
+    (P(b|a), both directions, integer ppm) and lift
+    (N·supp_ab / (supp_a·supp_b) — how much more often the pair
+    co-occurs than independence predicts) for the top-20 supported
+    pairs. Lift's numerator and denominator are exact integers; the
+    division is the one float, and the ranking key is pure-integer
+    support with a (pa, pb) tie-break, so the selected rule set is
+    deterministic cross-engine.
+
+    Scale shape: the pair aggregate is the shared
+    _copurchase_support table; the top slice is
+    TakeOrderedAndProject; item supports join onto the 20-row slice
+    as two BROADCAST joins of the slice against the item-support
+    table (never the reverse — the item table scales with the
+    catalog). This (supports + pair counts → confidence/lift) is
+    exactly frequent-itemset mining's k=2 stage; higher k iterates
+    the same join shape on frequent survivors (Apriori's candidate
+    pruning), which the docstring of a 100 TB run would bound by
+    min-support pushdown into the pair aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(
+        eager=True
+    )
+    n = op.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    supp = op.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("s")
+    )
+    top = (
+        _copurchase_support(spark, sf_dir)
+        .select("pa", "pb", F.col("support").cast("bigint").alias("supp_ab"))
+        .orderBy(F.desc("supp_ab"), "pa", "pb")
+        .limit(20)
+    )
+    sa = supp.select(F.col("l_partkey").alias("ka"), F.col("s").alias("supp_a"))
+    sb = supp.select(F.col("l_partkey").alias("kb"), F.col("s").alias("supp_b"))
+    half = sa.join(F.broadcast(top), sa.ka == top.pa).drop("ka")
+    joined = (
+        sb.join(F.broadcast(half), F.col("pb") == F.col("kb"))
+        .drop("kb")
+        .crossJoin(F.broadcast(n))
+    )
+    return joined.select(
+        "pa",
+        "pb",
+        "supp_ab",
+        "supp_a",
+        "supp_b",
+        "n_orders",
+        F.expr("CAST(supp_ab * 1000000 div supp_a AS BIGINT)").alias(
+            "conf_ab_ppm"
+        ),
+        F.expr("CAST(supp_ab * 1000000 div supp_b AS BIGINT)").alias(
+            "conf_ba_ppm"
+        ),
+        (
+            (F.col("n_orders") * F.col("supp_ab")).cast("double")
+            / (F.col("supp_a") * F.col("supp_b")).cast("double")
+        ).alias("lift"),
+    ).orderBy(F.desc("supp_ab"), "pa", "pb")

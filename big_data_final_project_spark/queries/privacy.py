@@ -247,3 +247,117 @@ def privacy_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("band")
     )
+
+
+# Ordered 3-level sensitive attribute for t-closeness: in-debt /
+# low / high account balance (exact integer cents thresholds).
+_SENS_SQL = """
+    sens AS (
+        SELECT qi_nation, qi_segment, qi_band,
+               CASE WHEN bal_cents < 0 THEN 0
+                    WHEN bal_cents < 500000 THEN 1
+                    ELSE 2 END AS s
+        FROM qi_raw
+    )
+"""
+
+
+@query(
+    "privacy_t_closeness",
+    oracle=f"""
+    WITH qi_raw AS (
+        SELECT c_nationkey AS qi_nation,
+               c_mktsegment AS qi_segment,
+               CAST(FLOOR(CAST(ROUND(c_acctbal * 100) AS BIGINT) / {_BAND}.0)
+                    AS BIGINT) AS qi_band,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer
+    ),
+    {_SENS_SQL},
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN s <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+               CAST(sum(CASE WHEN s <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        FROM sens
+    ),
+    cl AS (
+        SELECT qi_nation, qi_segment, qi_band,
+               CAST(count(*) AS BIGINT) AS nc,
+               CAST(sum(CASE WHEN s <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS k0,
+               CAST(sum(CASE WHEN s <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS k1
+        FROM sens GROUP BY 1, 2, 3
+    )
+    SELECT qi_nation, qi_segment, qi_band, nc,
+           CAST(abs(k0 * g.n - g.c0 * nc) + abs(k1 * g.n - g.c1 * nc)
+                AS BIGINT) AS emd_num,
+           CAST(nc * g.n * 2 AS BIGINT) AS emd_den,
+           CAST((abs(k0 * g.n - g.c0 * nc) + abs(k1 * g.n - g.c1 * nc))
+                * 1000000 // (nc * g.n * 2) AS BIGINT) AS t_ppm
+    FROM cl, g
+    ORDER BY t_ppm DESC, qi_nation, qi_segment, qi_band
+    LIMIT 10
+    """,
+    tags=("privacy", "t-closeness", "audit", "engine-addition"),
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the distributional leak k-anonymity AND
+    l-diversity both miss: a class can be large and diverse yet still
+    skew heavily toward one sensitive value. t = Earth Mover's
+    Distance between the class's sensitive distribution and the
+    global one, over the ORDERED 3-level balance attribute
+    (debt / low / high); for an ordered attribute the EMD is the sum
+    of |cumulative differences|, cross-scaled to exact integers
+    (|k_j·n − c_j·n_c|, denominator n_c·n·(m−1)) so the top-10
+    riskiest classes and their t values are integer-exact ppm.
+
+    Scale shape: one QI-key shuffle for class cumulative counts, a
+    1-row global broadcast, TakeOrderedAndProject for the worst
+    classes — the same audit plan family as k-anonymity, one more
+    conditional sum wide."""
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    sens = c.select(
+        F.col("c_nationkey").alias("qi_nation"),
+        F.col("c_mktsegment").alias("qi_segment"),
+        F.floor(cents / _BAND).cast("bigint").alias("qi_band"),
+        F.when(cents < 0, 0).when(cents < 500000, 1).otherwise(2).alias("s"),
+    )
+    g = sens.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("s") <= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c0"),
+        F.sum(F.when(F.col("s") <= 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+    )
+    cl = sens.groupBy("qi_nation", "qi_segment", "qi_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nc"),
+        F.sum(F.when(F.col("s") <= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("k0"),
+        F.sum(F.when(F.col("s") <= 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("k1"),
+    )
+    num = F.abs(F.col("k0") * F.col("n") - F.col("c0") * F.col("nc")) + F.abs(
+        F.col("k1") * F.col("n") - F.col("c1") * F.col("nc")
+    )
+    den = F.col("nc") * F.col("n") * 2
+    return (
+        cl.crossJoin(F.broadcast(g))
+        .select(
+            "qi_nation",
+            "qi_segment",
+            "qi_band",
+            "nc",
+            num.cast("bigint").alias("emd_num"),
+            den.cast("bigint").alias("emd_den"),
+            F.expr(
+                "CAST((abs(k0 * n - c0 * nc) + abs(k1 * n - c1 * nc)) "
+                "* 1000000 div (nc * n * 2) AS BIGINT)"
+            ).alias("t_ppm"),
+        )
+        .orderBy(F.desc("t_ppm"), "qi_nation", "qi_segment", "qi_band")
+        .limit(10)
+    )
