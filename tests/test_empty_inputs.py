@@ -1,0 +1,97 @@
+"""Empty-input robustness: representative queries from every family
+must run (not crash) over zero-row tables with the production schema.
+
+Rationale: at 100 TB, empty slices are routine — a partition-pruned
+day with no data, a filter that matches nothing, a brand-new tenant.
+An operator that throws on empty input turns routine pruning into a
+pipeline page. Queries built around data-derived anchors collected to
+the driver (k-means seeds, IVF centroids) legitimately REQUIRE rows
+and document that contract; everything here must degrade to an empty
+(or identity-aggregate) result instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from big_data_final_project_spark.registry import catalog
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+# One representative per operator family; anchor-collect queries
+# (kmeans, IVF, bruteforce ANN: they broadcast collected seed rows)
+# are deliberately excluded — their non-empty precondition is part of
+# the operator contract and documented in their docstrings.
+EMPTY_SAFE = [
+    "ref_historical_view",
+    "ref_validated_rows",
+    "ref_time_range_counts",
+    "agg_multi_key",
+    "agg_rollup",
+    "agg_percentiles_exact",
+    "agg_log2_histogram",
+    "tpch_q1_pricing_summary",
+    "tpch_q6_forecast_revenue",
+    "join_inner_star",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "join_theta_range",
+    "window_running_sum",
+    "window_topk_per_group",
+    "window_rank_funcs",
+    "setop_union_intersect_except",
+    "pivot_status",
+    "pivot_multi_agg",
+    "distinct_rows",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "text_token_stats",
+    "text_quality_score",
+    "ml_mrr_hit_rate",
+    "ml_feature_hashing",
+    "ts_ohlc_bars",
+    "ts_interarrival_stats",
+    "ts_mann_kendall",
+    "events_funnel_steps",
+    "sample_exact_size_hash",
+    "sample_hash_stratified",
+    "scalar_string_funcs",
+    "scalar_math_funcs",
+    "agg_countmin_sketch",
+    "agg_bitmap_distinct",
+    "privacy_k_anonymity",
+    "privacy_t_closeness",
+    "graph_degree_distribution",
+    "dedup_containment",
+    "events_survival_table",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("empty_sf"))
+    con = duckdb.connect()
+    for t in TABLES:
+        src = f"/root/testdata/sf0.001/{t}.parquet"
+        con.execute(
+            f"COPY (SELECT * FROM '{src}' WHERE 1=0) "
+            f"TO '{os.path.join(out, t)}.parquet' (FORMAT PARQUET)"
+        )
+    return out
+
+
+@pytest.mark.parametrize("name", EMPTY_SAFE)
+def test_runs_on_empty_tables(spark, empty_dir, name):
+    df = catalog()[name].fn(spark, empty_dir)
+    rows = df.collect()  # must not raise
+    assert df.columns  # schema survives even with zero rows
+    # global aggregates may legitimately emit one identity row;
+    # everything else must be empty
+    assert len(rows) <= 5
