@@ -1918,3 +1918,73 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("n") + 1).cast("double") / F.col("n").cast("double")
         ).alias("gini"),
     )
+
+
+_COV_VARS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@query(
+    "agg_covariance_matrix",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               {", ".join(f'{dsum_sql(v)} AS s_{v}' for v in _COV_VARS)},
+               {", ".join(
+                   f'{dsum_prod_sql(a, b)} AS p_{a}_{b}'
+                   for i, a in enumerate(_COV_VARS)
+                   for b in _COV_VARS[i:]
+               )}
+        FROM lineitem
+    )
+    SELECT * FROM (
+        {" UNION ALL ".join(
+            f"SELECT '{a}' AS var_a, '{b}' AS var_b, "
+            f"(p_{a}_{b} - s_{a} * s_{b} / n) / n AS cov FROM m"
+            for i, a in enumerate(_COV_VARS)
+            for b in _COV_VARS[i:]
+        )}
+    ) t ORDER BY var_a, var_b
+    """,
+    tags=("groupby", "covariance", "statistics"),
+)
+def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pairwise covariance matrix (upper triangle, 10 cells over
+    4 measures) from ONE aggregation pass — the tabular sibling of
+    ml_gram_matrix: every Σx and Σxy routes through exact decimal
+    sums (dsum/dsum_prod), so the moment matrix is order- and
+    partition-independent and the per-cell final expression
+    (population covariance, ÷n) is the only float arithmetic —
+    identical on both engines. This single-pass moment-matrix shape
+    is how correlation-matrix jobs run at 100 TB: one scan, d(d+1)/2
+    kilobyte partials, no per-pair re-scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for v in _COV_VARS:
+        aggs.append(dsum(v).alias(f"s_{v}"))
+    for i, a in enumerate(_COV_VARS):
+        for b in _COV_VARS[i:]:
+            aggs.append(dsum_prod(a, b).alias(f"p_{a}_{b}"))
+    m = li.agg(*aggs)
+    # Fan the 1-row moment matrix out to cells with ONE explode —
+    # a 10-way union of selects over `m` would re-derive the
+    # aggregate (and re-scan lineitem) once per cell.
+    cell_structs = [
+        F.struct(
+            F.lit(a).alias("var_a"),
+            F.lit(b).alias("var_b"),
+            (
+                (
+                    F.col(f"p_{a}_{b}")
+                    - F.col(f"s_{a}") * F.col(f"s_{b}") / F.col("n")
+                )
+                / F.col("n")
+            ).alias("cov"),
+        )
+        for i, a in enumerate(_COV_VARS)
+        for b in _COV_VARS[i:]
+    ]
+    return (
+        m.select(F.explode(F.array(*cell_structs)).alias("c"))
+        .select("c.*")
+        .orderBy("var_a", "var_b")
+    )

@@ -851,3 +851,76 @@ def ml_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("g_fp").cast("bigint").alias("g_fp"))
         .orderBy("i", "j")
     )
+
+
+@query(
+    "ml_knn_classifier_vote",
+    oracle=f"""
+    WITH q0 AS (SELECT vec_id, label, {_QVEC_SQL} AS qv FROM embeddings),
+    n AS (SELECT vec_id, label, qv, {_QL2_SQL} AS nrm FROM q0),
+    q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               n.label AS neighbor_label,
+               {_QDOT_SQL.format(a="q.qv", b="n.qv", na="q.nrm", nb="n.nrm")} AS cosine
+        FROM q JOIN n ON q.vec_id <> n.vec_id
+    ),
+    topk AS (
+        SELECT query_id, neighbor_label FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+            FROM scored
+        ) r WHERE rnk <= {TOP_K}
+    ),
+    votes AS (
+        SELECT query_id, neighbor_label,
+               CAST(count(*) AS BIGINT) AS n_votes
+        FROM topk GROUP BY 1, 2
+    )
+    SELECT query_id,
+           CAST(neighbor_label AS BIGINT) AS predicted_label,
+           n_votes
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY n_votes DESC, neighbor_label ASC) AS vr
+        FROM votes
+    ) v WHERE vr = 1
+    ORDER BY query_id
+    """,
+    tags=("similarity", "knn-classifier", "ml", "engine-addition"),
+)
+def ml_knn_classifier_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification — the ANN stack actually serving a model:
+    each query vector takes the majority label among its exact top-k
+    cosine neighbors (ties broken to the smaller label, so the
+    prediction is deterministic cross-engine). Composes directly on
+    sim_bruteforce_topk's fixed-point retrieval — retrieval and
+    inference are the SAME distributed plan plus a votes aggregate
+    and a per-query argmax, which is the production shape: nothing
+    new shuffles, the k·|queries| candidate rows are already
+    driver-scale.
+
+    Scale: inherits the ANN ladder's posture (broadcast queries,
+    one corpus scan, per-partition top-k merge); swapping the
+    retrieval rung for LSH/IVF changes recall, not this voting
+    layer."""
+    topk = sim_bruteforce_topk(spark, sf_dir).select(
+        "query_id", "neighbor_label"
+    )
+    votes = topk.groupBy("query_id", "neighbor_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("neighbor_label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(w))
+        .where(F.col("vr") == 1)
+        .select(
+            "query_id",
+            F.col("neighbor_label").cast("bigint").alias("predicted_label"),
+            "n_votes",
+        )
+        .orderBy("query_id")
+    )
