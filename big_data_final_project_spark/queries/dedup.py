@@ -25,7 +25,7 @@ bit-identical.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..data import load_table
@@ -1133,4 +1133,84 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment_ppm"),
         )
         .where(F.col("containment_ppm") >= CONTAINMENT_PPM)
+    )
+
+
+@query(
+    "dedup_survivor_longest",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs AS (
+        SELECT doc_a, doc_b FROM cand WHERE est_jaccard >= {MIN_EST_JACCARD}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT src AS node, src AS r FROM edges
+        UNION
+        SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    cl AS (
+        SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+    ),
+    ranked AS (
+        SELECT cl.cluster_id, cl.doc_id, d.n_chars,
+               row_number() OVER (PARTITION BY cl.cluster_id
+                                  ORDER BY d.n_chars DESC, cl.doc_id ASC)
+                   AS rn,
+               count(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+        FROM cl JOIN documents d ON cl.doc_id = d.doc_id
+    )
+    SELECT cluster_id,
+           doc_id AS survivor_doc,
+           CAST(n_chars AS BIGINT) AS survivor_chars,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_members - 1 AS BIGINT) AS n_dropped
+    FROM ranked WHERE rn = 1
+    ORDER BY cluster_id
+    """,
+    tags=("dedup", "survivorship", "curation"),
+)
+def dedup_survivor_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection POLICY on the near-duplicate clusters: keep
+    the LONGEST member (ties to the smaller doc_id) instead of the
+    default min-id canonical — the curation decision that actually
+    determines which bytes reach training (longest-member wins is
+    the common heuristic: near-dup clusters usually contain
+    truncated variants of one original). Composes the shared
+    converged cluster map (materialized once per session — the same
+    table dedup_clusters and dedup_survivor_stats read) with the
+    documents dimension; one window over the cluster key.
+
+    Scale shape: cluster map ⋈ documents is a key join on doc_id
+    (both sides shuffle once on it); the per-cluster argmax window
+    rides the cluster_id shuffle. Policy changes (quality-weighted,
+    source-priority) swap the ORDER BY — the plan is unchanged."""
+    cl = _cluster_map(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = cl.join(d, "doc_id")
+    wrank = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    wcnt = Window.partitionBy("cluster_id")
+    ranked = j.select(
+        "cluster_id",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1)).over(wcnt).alias("n_members"),
+    )
+    return (
+        ranked.where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_doc"),
+            F.col("n_chars").cast("bigint").alias("survivor_chars"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            (F.col("n_members") - 1).cast("bigint").alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
     )
