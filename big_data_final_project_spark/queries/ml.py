@@ -1080,3 +1080,89 @@ def ml_naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(sum(cnt) OVER (PARTITION BY lang) + 64) AS BIGINT)"
         ).alias("prob_ppm"),
     ).orderBy("lang", "bucket")
+
+
+@query(
+    "ml_regression_metrics",
+    oracle=f"""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE) AS n,
+               {dsum_sql("l_quantity")} AS sx,
+               {dsum_sql("l_extendedprice")} AS sy,
+               {dsum_prod_sql("l_quantity", "l_quantity")} AS sxx,
+               {dsum_prod_sql("l_extendedprice", "l_extendedprice")} AS syy,
+               {dsum_prod_sql("l_quantity", "l_extendedprice")} AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    fit AS (
+        SELECT l_returnflag, n, sx, sy, sxx, syy, sxy,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b
+        FROM m
+    ),
+    fit2 AS (
+        SELECT *, (sy - b * sx) / n AS a FROM fit
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           b AS slope, a AS intercept,
+           (syy - 2 * a * sy - 2 * b * sxy + 2 * a * b * sx
+            + a * a * n + b * b * sxx) / n AS mse,
+           1 - (syy - 2 * a * sy - 2 * b * sxy + 2 * a * b * sx
+                + a * a * n + b * b * sxx)
+             / (syy - sy * sy / n) AS r2
+    FROM fit2
+    ORDER BY l_returnflag
+    """,
+    tags=("ml", "regression", "evaluation", "engine-addition"),
+)
+def ml_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train AND evaluate in ONE aggregation pass: the per-group OLS
+    fit (ml_linreg_closed_form) plus its MSE and R² — derived
+    algebraically from the same six moments via
+    SSE = Σy² − 2aΣy − 2bΣxy + 2abΣx + a²n + b²Σx², so there is NO
+    second residual scan (the naive eval re-reads the fact table to
+    compute per-row residuals; the moment identity makes evaluation
+    free). Moments are exact decimal sums; the fit and metric
+    expressions are staged through identical intermediates on both
+    engines (the ab_welch_ttest float discipline), so slope, MSE and
+    R² match bit-for-bit.
+
+    Scale: one map-side-combined shuffle for everything — at 100 TB
+    per-model-per-segment training+eval costs exactly one pass, the
+    same envelope as a count(*)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum_prod(x, x).alias("sxx"),
+        dsum_prod(y, y).alias("syy"),
+        dsum_prod(x, y).alias("sxy"),
+    )
+    fit = m.withColumn(
+        "b",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+    )
+    fit2 = fit.withColumn(
+        "a", (F.col("sy") - F.col("b") * F.col("sx")) / F.col("n")
+    )
+    sse = (
+        F.col("syy")
+        - 2 * F.col("a") * F.col("sy")
+        - 2 * F.col("b") * F.col("sxy")
+        + 2 * F.col("a") * F.col("b") * F.col("sx")
+        + F.col("a") * F.col("a") * F.col("n")
+        + F.col("b") * F.col("b") * F.col("sxx")
+    )
+    sst = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    return fit2.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("b").alias("slope"),
+        F.col("a").alias("intercept"),
+        (sse / F.col("n")).alias("mse"),
+        (F.lit(1) - sse / sst).alias("r2"),
+    ).orderBy("l_returnflag")
