@@ -2320,3 +2320,80 @@ def events_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_at_risk"),
     ).orderBy("t_week")
+
+
+@query(
+    "ts_seasonal_index_dow",
+    oracle="""
+    WITH c AS (
+        SELECT event_type,
+               isodow(CAST(ts AS DATE)) AS dow,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ),
+    per AS (
+        SELECT event_type, dow,
+               CAST(count(*) AS BIGINT) AS n_dow,
+               CAST(sum(cents) AS BIGINT) AS sum_dow
+        FROM c GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(sum(n_dow) AS BIGINT) AS n_total,
+               CAST(sum(sum_dow) AS BIGINT) AS sum_total
+        FROM per GROUP BY 1
+    )
+    SELECT p.event_type, CAST(p.dow AS BIGINT) AS dow, p.n_dow, p.sum_dow,
+           CAST(p.sum_dow * t.n_total * 1000000
+                // (CAST(p.n_dow AS HUGEINT) * t.sum_total) AS BIGINT)
+               AS seasonal_index_ppm
+    FROM per p JOIN tot t ON p.event_type = t.event_type
+    ORDER BY p.event_type, dow
+    """,
+    tags=("timeseries", "seasonality", "decomposition", "engine-addition"),
+)
+def ts_seasonal_index_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index per event stream — the
+    decomposition primitive behind staffing curves and
+    seasonally-adjusted anomaly thresholds: index(dow) = mean value
+    on that weekday / overall mean, as integer ppm (1 000 000 =
+    no seasonality). The ratio of means is cross-multiplied into
+    one integer division — sum_dow·n_total·10⁶ div (n_dow·sum_total)
+    over exact integer cents — so no float ever forms, and both
+    sides widen the products past int64 (HUGEINT / DECIMAL(38,0))
+    so the identity survives any corpus size. ISO weekday on both
+    engines.
+
+    Scale shape: two stacked map-side-combinable aggregates (the
+    weekday grain, then the per-series total) and a broadcast-sized
+    join back — |series|×7 rows end to end."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.select(
+        "event_type",
+        (F.expr("weekday(CAST(ts AS DATE))") + 1).cast("bigint").alias("dow"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    per = c.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dow"),
+        F.sum("cents").cast("bigint").alias("sum_dow"),
+    )
+    tot = per.groupBy("event_type").agg(
+        F.sum("n_dow").cast("bigint").alias("n_total"),
+        F.sum("sum_dow").cast("bigint").alias("sum_total"),
+    )
+    return (
+        per.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n_dow",
+            "sum_dow",
+            F.expr(
+                "CAST(CAST(sum_dow AS DECIMAL(38,0)) * n_total * 1000000"
+                " div (CAST(n_dow AS DECIMAL(38,0)) * sum_total) AS BIGINT)"
+            ).alias("seasonal_index_ppm"),
+        )
+        .orderBy("event_type", "dow")
+    )
