@@ -1988,3 +1988,41 @@ def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c.*")
         .orderBy("var_a", "var_b")
     )
+
+
+@query(
+    "join_right_outer",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           count(s.s_suppkey) AS n_suppliers,
+           coalesce({dsum_sql("s.s_acctbal")}, 0.0) AS total_balance
+    FROM supplier s
+    RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    tags=("join", "right-outer", "null"),
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join keeping supplier-less nations (zero-filled) —
+    the report-completeness shape ("every region appears, even with
+    no activity"). Catalyst canonicalizes right joins by swapping the
+    sides, so the physical plan is a left join with the dimension
+    broadcast; writing it RIGHT keeps the probe side (supplier, the
+    big one at scale) streaming and the small side built — the
+    orientation that matters at 100 TB."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supplier.join(
+            F.broadcast(nation),
+            supplier.s_nationkey == nation.n_nationkey,
+            "right",
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("s_suppkey").alias("n_suppliers"),
+            F.coalesce(dsum("s_acctbal"), F.lit(0.0)).alias("total_balance"),
+        )
+        .orderBy("nation")
+    )
