@@ -1166,3 +1166,306 @@ def ml_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sse / F.col("n")).alias("mse"),
         (F.lit(1) - sse / sst).alias("r2"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "ml_decision_stump",
+    oracle="""
+    WITH per AS (
+        SELECT CAST(l_quantity AS BIGINT) AS qty,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pos
+        FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+        SELECT qty,
+               CAST(sum(n) OVER (ORDER BY qty
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS nl,
+               CAST(sum(pos) OVER (ORDER BY qty
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS pl,
+               CAST(sum(n) OVER () AS BIGINT) AS nt,
+               CAST(sum(pos) OVER () AS BIGINT) AS pt
+        FROM per
+    ),
+    ev AS (
+        SELECT qty AS split_qty, nl AS n_left, pl AS pos_left,
+               nt - nl AS n_right, pt - pl AS pos_right,
+               CAST(nl * nl - pl * pl - (nl - pl) * (nl - pl) AS DOUBLE)
+                   / (CAST(nl AS DOUBLE) * nt)
+             + CAST((nt - nl) * (nt - nl) - (pt - pl) * (pt - pl)
+                    - ((nt - nl) - (pt - pl)) * ((nt - nl) - (pt - pl))
+                    AS DOUBLE)
+                   / (CAST(nt - nl AS DOUBLE) * nt) AS gini_weighted
+        FROM cum WHERE nl < nt
+    )
+    SELECT split_qty, n_left, pos_left, n_right, pos_right, gini_weighted,
+           CASE WHEN gini_weighted = min(gini_weighted) OVER () THEN 1
+                ELSE 0 END AS is_best
+    FROM ev ORDER BY split_qty
+    """,
+    tags=("ml", "tree", "split-search", "engine-addition"),
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump split search (the inner loop of distributed
+    tree boosting, a la XGBoost's approx split finder): evaluate
+    EVERY candidate threshold on l_quantity for classifying
+    l_returnflag='R' in one aggregation pass + one model-sized
+    window. Per-value (n, positives) histograms are built with one
+    map-side-combinable shuffle; cumulative sums over the ~50-row
+    histogram give each threshold's left/right class counts, and the
+    weighted Gini impurity is formed from exact integer counts with
+    one double division per side (identical expression tree on both
+    engines, so the argmin flag matches bit-for-bit; nl*nl fits
+    bigint up to ~3e9 rows per side).
+
+    Scale: the fact scan collapses to |distinct values| rows before
+    any windowing — at 100 TB split search per feature costs one
+    count-shuffle, and the unpartitioned window runs on the tiny
+    histogram, never the data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy(F.col("l_quantity").cast("bigint").alias("qty")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos"),
+    )
+    wc = Window.orderBy("qty").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = per.select(
+        "qty",
+        F.sum("n").over(wc).cast("bigint").alias("nl"),
+        F.sum("pos").over(wc).cast("bigint").alias("pl"),
+        F.sum("n").over(wall).cast("bigint").alias("nt"),
+        F.sum("pos").over(wall).cast("bigint").alias("pt"),
+    )
+    nl, pl = F.col("nl"), F.col("pl")
+    nr, pr = F.col("nt") - nl, F.col("pt") - pl
+    gini = (
+        (nl * nl - pl * pl - (nl - pl) * (nl - pl)).cast("double")
+        / (nl.cast("double") * F.col("nt"))
+    ) + (
+        (nr * nr - pr * pr - (nr - pr) * (nr - pr)).cast("double")
+        / (nr.cast("double") * F.col("nt"))
+    )
+    ev = cum.filter(nl < F.col("nt")).select(
+        F.col("qty").alias("split_qty"),
+        nl.alias("n_left"),
+        pl.alias("pos_left"),
+        nr.alias("n_right"),
+        pr.alias("pos_right"),
+        gini.alias("gini_weighted"),
+    )
+    return ev.select(
+        "*",
+        F.when(
+            F.col("gini_weighted")
+            == F.min("gini_weighted").over(Window.partitionBy()),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_best"),
+    ).orderBy("split_qty")
+
+
+# Poisson(1) CDF scaled to integer millionths: a uniform hash draw u
+# in [0, 1e6) maps to replicate weight w = #thresholds <= u. This is
+# the standard distributed bootstrap (per-row independent Poisson(1)
+# weights instead of a global n-out-of-n resample); deriving u from
+# md5(event_id, replicate) makes every weight deterministic and
+# engine-independent, so the oracle reproduces the exact draws.
+_POIS_CUM = (367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999)
+_N_REPS = 32
+
+
+def _pois_case(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CUM)
+    )
+    return f"CAST(CASE {branches} ELSE {len(_POIS_CUM)} END AS BIGINT)"
+
+
+@query(
+    "ml_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+        SELECT e.event_type, r.r,
+               {dsum_prod_sql(
+                   _pois_case(
+                       "CAST(('0x' || substring(md5(CAST(e.event_id AS VARCHAR)"
+                       " || ':' || CAST(r.r AS VARCHAR)), 1, 8)) AS UBIGINT)"
+                       " % 1000000"
+                   ),
+                   "e.value",
+               )} AS wsum,
+               CAST(sum({_pois_case(
+                   "CAST(('0x' || substring(md5(CAST(e.event_id AS VARCHAR)"
+                   " || ':' || CAST(r.r AS VARCHAR)), 1, 8)) AS UBIGINT)"
+                   " % 1000000"
+               )}) AS BIGINT) AS wn,
+               {dsum_sql("e.value")} AS vsum,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events e CROSS JOIN (SELECT unnest(generate_series(0, {_N_REPS - 1})) AS r) r
+        GROUP BY 1, 2
+    ),
+    means AS (
+        SELECT event_type, r, n, vsum,
+               wsum / nullif(CAST(wn AS DOUBLE), 0) AS mean_r
+        FROM reps
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY mean_r ASC, r ASC) AS ra,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY mean_r DESC, r ASC) AS rd
+        FROM means
+    )
+    SELECT event_type,
+           max(n) AS n,
+           max(CASE WHEN r = 0 THEN vsum END) / max(n) AS mean_value,
+           max(CASE WHEN ra = 2 THEN mean_r END) AS ci_lo,
+           max(CASE WHEN rd = 2 THEN mean_r END) AS ci_hi
+    FROM ranked GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("ml", "bootstrap", "statistics", "engine-addition"),
+)
+def ml_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the per-type mean via the
+    DETERMINISTIC Poisson bootstrap: each (row, replicate) gets an
+    independent Poisson(1) weight derived from md5(event_id,
+    replicate) against the integer-millionth Poisson CDF — the
+    distributed-bootstrap construction (per-row weights, no global
+    n-out-of-n resample, so replicates are one map-side-combinable
+    aggregate away) made reproducible across engines, retries and
+    partitionings because the 'randomness' is a content hash. The CI
+    is the 2nd/31st order statistic of the 32 replicate means
+    (~94% coverage); weighted sums are decimal-exact, each mean is
+    one IEEE division, so both engines match bit-for-bit.
+
+    Scale: one scan with a 32x flat-map fan-out, one
+    (type, replicate) shuffle of partial sums, then windows over the
+    |types|x32 model table. At 100 TB the fan-out stays in the map
+    stage (no replicated shuffle data beyond the partial aggregates).
+    """
+    e = load_table(spark, sf_dir, "events")
+    exploded = e.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_REPS - 1))).alias("r"),
+    )
+    u = (
+        "conv(substring(md5(CAST(event_id AS STRING) || ':' || "
+        "CAST(r AS STRING)), 1, 8), 16, 10) % 1000000"
+    )
+    w = F.expr(_pois_case(u))
+    reps = exploded.groupBy("event_type", "r").agg(
+        dsum_prod(w, F.col("value")).alias("wsum"),
+        F.sum(w).cast("bigint").alias("wn"),
+        dsum("value").alias("vsum"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    means = reps.withColumn(
+        "mean_r",
+        F.col("wsum") / F.nullif(F.col("wn").cast("double"), F.lit(0.0)),
+    )
+    wa = Window.partitionBy("event_type").orderBy(
+        F.col("mean_r").asc(), F.col("r").asc()
+    )
+    wd = Window.partitionBy("event_type").orderBy(
+        F.col("mean_r").desc(), F.col("r").asc()
+    )
+    ranked = means.select(
+        "*",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            (
+                F.max(F.when(F.col("r") == 0, F.col("vsum"))) / F.max("n")
+            ).alias("mean_value"),
+            F.max(F.when(F.col("ra") == 2, F.col("mean_r"))).alias("ci_lo"),
+            F.max(F.when(F.col("rd") == 2, F.col("mean_r"))).alias("ci_hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "ml_rank_fusion_rrf",
+    oracle="""
+    WITH stats AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS rev_cents,
+               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+        SELECT l_suppkey, rev_cents, n_orders,
+               CAST(row_number() OVER (ORDER BY rev_cents DESC, l_suppkey ASC)
+                    AS BIGINT) AS rank_rev,
+               CAST(row_number() OVER (ORDER BY n_orders DESC, l_suppkey ASC)
+                    AS BIGINT) AS rank_cnt
+        FROM stats
+    ),
+    fused AS (
+        SELECT *,
+               1000000000000 // (60 + rank_rev)
+             + 1000000000000 // (60 + rank_cnt) AS rrf_score
+        FROM ranked
+    )
+    SELECT l_suppkey, rev_cents, n_orders, rank_rev, rank_cnt, rrf_score
+    FROM fused
+    ORDER BY rrf_score DESC, l_suppkey ASC
+    LIMIT 20
+    """,
+    tags=("ml", "ranking", "fusion", "engine-addition"),
+)
+def ml_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two independent supplier rankings
+    (by exact revenue cents; by distinct-order count) — the standard
+    way to merge heterogeneous retrieval/recommendation rankings
+    without score calibration. RRF terms are computed as scaled
+    INTEGER divisions (1e12 div (60+rank)), so scores are exact
+    bigints and the fused order is engine-independent; every
+    ranking tie breaks on the key.
+
+    Scale: one fact shuffle builds both rankings' input; the two
+    row_number windows and the fusion run on the |suppliers| model
+    table; the final top-20 is a TakeOrderedAndProject, never a full
+    sort of the fact data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("rev_cents"),
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
+    )
+    wr = Window.orderBy(F.col("rev_cents").desc(), F.col("l_suppkey").asc())
+    wc = Window.orderBy(F.col("n_orders").desc(), F.col("l_suppkey").asc())
+    ranked = stats.select(
+        "*",
+        F.row_number().over(wr).cast("bigint").alias("rank_rev"),
+        F.row_number().over(wc).cast("bigint").alias("rank_cnt"),
+    )
+    fused = ranked.withColumn(
+        "rrf_score",
+        F.expr(
+            "1000000000000 div (60 + rank_rev)"
+            " + 1000000000000 div (60 + rank_cnt)"
+        ),
+    )
+    return fused.orderBy(
+        F.col("rrf_score").desc(), F.col("l_suppkey").asc()
+    ).limit(20)

@@ -2026,3 +2026,98 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@query(
+    "agg_median_bisect",
+    oracle="""
+    WITH vals AS (
+        SELECT l_returnflag AS g,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS v
+        FROM lineitem
+    ),
+    stats AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM vals GROUP BY g),
+    ranked AS (
+        SELECT g, v,
+               row_number() OVER (PARTITION BY g ORDER BY v) AS rn
+        FROM vals
+    )
+    SELECT r.g AS l_returnflag, r.v AS median_cents, s.n AS n,
+           CAST((s.n + 1) // 2 AS BIGINT) AS k
+    FROM ranked r JOIN stats s ON r.g = s.g
+    WHERE r.rn = (s.n + 1) // 2
+    ORDER BY 1
+    """,
+    tags=("agg", "selection", "iterative", "engine-addition"),
+)
+def agg_median_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median WITHOUT a total sort: binary-search the
+    integer cents domain with counting passes (the classic
+    distributed exact-selection algorithm). Each round broadcasts a
+    per-group probe midpoint and counts rows <= mid per group — one
+    map-side-combinable aggregate over the cached single-column
+    projection — halving each group's candidate interval until it
+    pins the k-th smallest value (k = ceil(n/2), the lower median).
+    ~log2(value range) ~= 24 passes replace the per-group sort; the
+    oracle finds the same element the opposite way (row_number).
+
+    Scale: this is how you take an exact median of a 100 TB column —
+    no stage ever sorts or shuffles the data (counts only); the
+    cached projection is a narrow 12-byte-per-row scan, and the
+    probe state lives on the driver (|groups| scalars)."""
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    vals = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_returnflag").alias("g"), cents.alias("v"))
+        .persist()
+    )
+    bounds = {
+        r["g"]: [r["lo"], r["hi"], (r["n"] + 1) // 2, r["n"]]
+        for r in vals.groupBy("g")
+        .agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    while True:
+        open_groups = {g: b for g, b in bounds.items() if b[0] < b[1]}
+        if not open_groups:
+            break
+        mid_expr = None
+        for g, (lo, hi, _k, _n) in open_groups.items():
+            mid = (lo + hi) // 2
+            cond = F.when(F.col("g") == g, F.lit(mid))
+            mid_expr = cond if mid_expr is None else mid_expr.when(
+                F.col("g") == g, F.lit(mid)
+            )
+        counts = (
+            vals.filter(F.col("g").isin(*open_groups))
+            .withColumn("mid", mid_expr)
+            .groupBy("g")
+            .agg(
+                F.sum(
+                    F.when(F.col("v") <= F.col("mid"), 1).otherwise(0)
+                ).alias("c_le"),
+                F.first("mid").alias("mid"),
+            )
+            .collect()
+        )
+        for r in counts:
+            b = bounds[r["g"]]
+            if r["c_le"] >= b[2]:
+                b[1] = r["mid"]
+            else:
+                b[0] = r["mid"] + 1
+    vals.unpersist()
+    rows = [
+        (g, int(b[0]), int(b[3]), int(b[2]))
+        for g, b in sorted(bounds.items())
+    ]
+    return spark.createDataFrame(
+        rows, "l_returnflag string, median_cents bigint, n bigint, k bigint"
+    ).orderBy("l_returnflag")
