@@ -765,3 +765,73 @@ def curation_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "en_share_ppm"
         ),
     )
+
+
+@query(
+    "curation_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, count(*) AS c FROM toks
+            GROUP BY tok ORDER BY c DESC, tok ASC LIMIT 1000
+        )
+    ),
+    per AS (
+        SELECT t.source,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov
+        FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        GROUP BY t.source
+    )
+    SELECT source, n_tokens, n_oov,
+           CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_ppm
+    FROM per ORDER BY source
+    """,
+    tags=("curation", "tokenizer", "coverage", "engine-addition"),
+)
+def curation_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: build the top-1000-token
+    vocabulary from the corpus itself (count-ranked, token string as
+    the deterministic tie-break) and measure each source's
+    out-of-vocabulary rate in integer ppm — the pre-training check
+    that a tokenizer fit on one mixture doesn't silently shred
+    another source into rare pieces. The vocabulary cut is a
+    TakeOrderedAndProject (top-k merge, not a global sort) and the
+    OOV probe is a BROADCAST left join against the 1000-row vocab;
+    the rate is integer division, so both engines agree exactly.
+
+    Scale: two token-shuffles (global counts, per-source counts) and
+    a broadcast probe — the vocab table stays driver-sized by
+    construction no matter the corpus size."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(_toks(F.col("text"))).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(1000)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    per = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+    )
+    return per.select(
+        "source",
+        "n_tokens",
+        "n_oov",
+        F.expr("CAST(n_oov * 1000000 div n_tokens AS BIGINT)").alias(
+            "oov_ppm"
+        ),
+    ).orderBy("source")

@@ -1214,3 +1214,133 @@ def dedup_survivor_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@query(
+    "dedup_prefix_filter_join",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               list_distinct(string_split({_NORM_SQL}, ' ')) AS toks,
+               CAST(len(list_distinct(string_split({_NORM_SQL}, ' ')))
+                    AS BIGINT) AS n
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+               a.n AS n_a, b.n AS n_b,
+               CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS isect
+        FROM s a JOIN s b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+         AND b.n <= 2 * a.n AND a.n <= 2 * b.n
+    )
+    SELECT doc_a, doc_b, lang, n_a, n_b, isect,
+           n_a + n_b - isect AS uni,
+           CAST(isect AS DOUBLE) / (n_a + n_b - isect) AS jaccard
+    FROM pairs
+    WHERE 2 * isect >= n_a + n_b - isect
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "jaccard", "prefix-filter", "engine-addition"),
+)
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity join at Jaccard >= 0.5 with PREFIX FILTERING
+    (the All-Pairs/PPJoin candidate bound, and the exact upgrade the
+    dedup_ngram_jaccard docstring calls for at 100 TB): order each
+    document's distinct tokens by global document frequency (rarest
+    first, token as tie-break) and join only on each doc's
+    (n - ceil(tau*n) + 1)-token prefix — any pair with J >= tau MUST
+    share a prefix token under a common total order, so the filter is
+    LOSSLESS; the oracle runs the unfiltered quadratic blocked join
+    and gets the same pairs, which proves it. The length filter
+    (n_b <= 2*n_a, both engines) is the other lossless bound. The
+    threshold test is pure integers — J >= 1/2 iff 2*|intersect| >=
+    |union| — so no float compare decides membership.
+
+    Scale: candidate generation touches only prefix tokens (~half of
+    each doc, and the RAREST half, so per-token fan-out is tiny);
+    frequent tokens never join. One df aggregate, one prefix
+    self-join, one verify join against collected token sets."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(_norm(F.col("text")), " ")).alias("tok"),
+    ).distinct()
+    sets = toks.groupBy("doc_id", "lang").agg(
+        F.collect_set("tok").alias("toks"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    df_tab = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    ranked = toks.join(df_tab, "tok").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.col("df").asc(), F.col("tok").asc()
+            )
+        ),
+    )
+    prefix = ranked.join(
+        sets.select("doc_id", "n"), "doc_id"
+    ).filter(F.col("rn") <= F.expr("n div 2 + 1"))
+    pa = prefix.select(
+        F.col("tok"),
+        F.col("lang"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("n_a"),
+    )
+    pb = prefix.select(
+        F.col("tok"),
+        F.col("lang").alias("lang_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("n_b"),
+    )
+    cand = (
+        pa.join(
+            pb,
+            (pa.tok == pb.tok)
+            & (pa.lang == pb.lang_b)
+            & (pa.doc_a < pb.doc_b)
+            & (pb.n_b <= 2 * pa.n_a)
+            & (pa.n_a <= 2 * pb.n_b),
+        )
+        .select("doc_a", "doc_b", "lang")
+        .distinct()
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")
+    )
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "isect",
+            F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint"),
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
+            "doc_b",
+        )
+    )
+    return (
+        verified.withColumn("uni", F.col("n_a") + F.col("n_b") - F.col("isect"))
+        .filter(2 * F.col("isect") >= F.col("uni"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "lang",
+            "n_a",
+            "n_b",
+            "isect",
+            "uni",
+            (F.col("isect").cast("double") / F.col("uni")).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

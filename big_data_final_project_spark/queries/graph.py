@@ -990,3 +990,90 @@ def graph_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("supp_a") * F.col("supp_b")).cast("double")
         ).alias("lift"),
     ).orderBy(F.desc("supp_ab"), "pa", "pb")
+
+
+@query(
+    "graph_two_hop_min_plus",
+    oracle="""
+    WITH edges AS (
+        SELECT l.l_partkey AS part, o.o_custkey AS cust,
+               CAST(min(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ),
+    deg AS (
+        SELECT part FROM edges GROUP BY part HAVING count(*) <= 40
+    ),
+    pairs AS (
+        SELECT a.cust AS c1, b.cust AS c2, a.part AS part,
+               a.w + b.w AS cost
+        FROM edges a JOIN deg d ON a.part = d.part
+        JOIN edges b ON b.part = a.part AND a.cust < b.cust
+    ),
+    best AS (
+        SELECT c1, c2,
+               CAST(min(cost) AS BIGINT) AS min_cost_cents,
+               CAST(count(*) AS BIGINT) AS n_shared_parts
+        FROM pairs GROUP BY c1, c2
+    )
+    SELECT c1, c2, min_cost_cents, n_shared_parts
+    FROM best
+    ORDER BY min_cost_cents ASC, c1 ASC, c2 ASC
+    LIMIT 20
+    """,
+    tags=("graph", "min-plus", "join", "engine-addition"),
+)
+def graph_two_hop_min_plus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest two-hop connection in the weighted customer-part
+    bipartite graph — one min-plus matrix-multiply step, the building
+    block of distributed shortest paths (and of 'cheapest shared
+    resource' analytics): edge weight = min observed line price in
+    exact cents; for every customer pair reachable through a shared
+    part, the min over parts of w1+w2. Candidate pairs are generated
+    THROUGH the shared part (wedge join) with a degree cap of 40 on
+    the join-side part — the standard hub-suppression bound that
+    keeps the fan-out sum(deg^2) instead of quadratic; the final
+    top-20 is a TakeOrderedAndProject.
+
+    Scale: edge build is one (part, cust) shuffle; the wedge join
+    shuffles edges once on part; min-plus re-aggregates on the pair
+    key — three shuffles total, no cartesian, hub parts excluded
+    before the join fan-out (docstring bound, plan-assertable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("l_partkey").alias("part"), F.col("o_custkey").alias("cust")
+        )
+        .agg(F.min(cents).cast("bigint").alias("w"))
+    )
+    deg = edges.groupBy("part").agg(F.count("*").alias("d")).filter(
+        F.col("d") <= 40
+    )
+    a = edges.join(deg.select("part"), "part")
+    b = edges.select(
+        F.col("part").alias("part"),
+        F.col("cust").alias("cust2"),
+        F.col("w").alias("w2"),
+    )
+    pairs = a.join(b, "part").filter(F.col("cust") < F.col("cust2")).select(
+        F.col("cust").alias("c1"),
+        F.col("cust2").alias("c2"),
+        (F.col("w") + F.col("w2")).alias("cost"),
+    )
+    return (
+        pairs.groupBy("c1", "c2")
+        .agg(
+            F.min("cost").cast("bigint").alias("min_cost_cents"),
+            F.count("*").cast("bigint").alias("n_shared_parts"),
+        )
+        .orderBy(
+            F.col("min_cost_cents").asc(), F.col("c1").asc(), F.col("c2").asc()
+        )
+        .limit(20)
+    )

@@ -2121,3 +2121,179 @@ def agg_median_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "l_returnflag string, median_cents bigint, n bigint, k bigint"
     ).orderBy("l_returnflag")
+
+
+@query(
+    "agg_skyline_2d",
+    oracle="""
+    WITH stats AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS rev_cents,
+               CAST(sum(CAST(l_quantity AS BIGINT)) * 100
+                    // count(*) AS BIGINT) AS qty_x100
+        FROM lineitem GROUP BY 1
+    )
+    SELECT s1.l_suppkey, s1.rev_cents, s1.qty_x100
+    FROM stats s1
+    WHERE NOT EXISTS (
+        SELECT 1 FROM stats s2
+        WHERE s2.rev_cents >= s1.rev_cents
+          AND s2.qty_x100 <= s1.qty_x100
+          AND (s2.rev_cents > s1.rev_cents OR s2.qty_x100 < s1.qty_x100)
+    )
+    ORDER BY s1.rev_cents DESC, s1.l_suppkey ASC
+    """,
+    tags=("agg", "skyline", "window", "engine-addition"),
+)
+def agg_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): suppliers not dominated on
+    (maximize revenue cents, minimize avg line quantity x100 — both
+    exact integers). The Spark side is the O(n log n) sort-based
+    skyline — two window minima replace the quadratic dominance
+    check: m1 = best rival quantity among STRICTLY higher revenue
+    (a RANGE frame ending 1 before the current revenue), m2 = best
+    quantity among equal-revenue rows sorted first (a ROWS frame);
+    a row survives iff neither beats it under strict dominance, so
+    exact duplicates survive together. The oracle is the NOT EXISTS
+    quadratic definition — same rows from an INDEPENDENT algorithm,
+    which is the strongest kind of differential.
+
+    Scale: the fact scan collapses to |suppliers| rows first; the
+    windows sort only the model-sized stats table. The quadratic
+    form never runs on Spark."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("rev_cents"),
+        F.expr(
+            "CAST(sum(CAST(l_quantity AS BIGINT)) * 100 div count(*)"
+            " AS BIGINT)"
+        ).alias("qty_x100"),
+    )
+    m1 = (
+        Window.orderBy(F.col("rev_cents").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    m2 = (
+        Window.partitionBy("rev_cents")
+        .orderBy(F.col("qty_x100").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = stats.select(
+        "*",
+        F.min("qty_x100").over(m1).alias("best_higher_rev"),
+        F.min("qty_x100").over(m2).alias("best_same_rev"),
+    )
+    dominated = (
+        F.col("best_higher_rev").isNotNull()
+        & (F.col("best_higher_rev") <= F.col("qty_x100"))
+    ) | (
+        F.col("best_same_rev").isNotNull()
+        & (F.col("best_same_rev") < F.col("qty_x100"))
+    )
+    return (
+        flagged.filter(~dominated)
+        .select("l_suppkey", "rev_cents", "qty_x100")
+        .orderBy(F.col("rev_cents").desc(), F.col("l_suppkey").asc())
+    )
+
+
+@query(
+    "agg_alloc_largest_remainder",
+    oracle="""
+    WITH w AS (
+        SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT source, chars,
+               CAST(sum(chars) OVER () AS BIGINT) AS total_chars
+        FROM w
+    ),
+    q AS (
+        SELECT source, chars, total_chars,
+               CAST(CAST(chars AS HUGEINT) * 1000000 // total_chars
+                    AS BIGINT) AS quota,
+               CAST(CAST(chars AS HUGEINT) * 1000000
+                    - (CAST(chars AS HUGEINT) * 1000000 // total_chars)
+                      * total_chars AS BIGINT) AS rem_num
+        FROM tot
+    ),
+    r AS (
+        SELECT *,
+               CAST(1000000 - sum(quota) OVER () AS BIGINT) AS extras,
+               CAST(row_number() OVER (ORDER BY rem_num DESC, source ASC)
+                    AS BIGINT) AS rk
+        FROM q
+    )
+    SELECT source, chars, quota,
+           CASE WHEN rk <= extras THEN 1 ELSE 0 END AS extra,
+           quota + CASE WHEN rk <= extras THEN 1 ELSE 0 END AS alloc
+    FROM r ORDER BY source
+    """,
+    tags=("agg", "allocation", "sampling", "engine-addition"),
+)
+def agg_alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment: split a budget of
+    exactly 1,000,000 sample slots across document sources
+    proportional to corpus bytes, summing EXACTLY to the budget —
+    floor quotas plus one extra slot to the largest fractional
+    remainders (ties break on source name). This is how a curation
+    pipeline turns mixture weights into integer per-source sampling
+    quotas that reproduce bit-for-bit (naive round() drifts off the
+    budget and float shares aren't associative). All arithmetic is
+    integer: budget*weight runs in decimal(38,0)/HUGEINT so a
+    100 TB character count cannot overflow the product.
+
+    Scale: one corpus aggregate, then every window runs on the
+    |sources| model table."""
+    w = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").cast("bigint").alias("chars"))
+    )
+    tot = w.select(
+        "*",
+        F.sum("chars")
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("total_chars"),
+    )
+    q = tot.select(
+        "*",
+        F.expr(
+            "CAST(CAST(chars AS DECIMAL(38,0)) * 1000000"
+            " div CAST(total_chars AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("quota"),
+    ).select(
+        "*",
+        F.expr(
+            "CAST(CAST(chars AS DECIMAL(38,0)) * 1000000"
+            " - CAST(quota AS DECIMAL(38,0))"
+            "   * CAST(total_chars AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("rem_num"),
+    )
+    r = q.select(
+        "*",
+        (F.lit(1000000) - F.sum("quota").over(Window.partitionBy()))
+        .cast("bigint")
+        .alias("extras"),
+        F.row_number()
+        .over(Window.orderBy(F.col("rem_num").desc(), F.col("source").asc()))
+        .cast("bigint")
+        .alias("rk"),
+    )
+    extra = F.when(F.col("rk") <= F.col("extras"), 1).otherwise(0)
+    return r.select(
+        "source",
+        "chars",
+        "quota",
+        extra.alias("extra"),
+        (F.col("quota") + extra).alias("alloc"),
+    ).orderBy("source")

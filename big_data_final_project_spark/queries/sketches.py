@@ -433,3 +433,149 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_cnt",
         (F.col("est_cnt") - F.col("exact_cnt")).alias("overestimate"),
     ).orderBy(F.desc("exact_cnt"), F.asc("user_id"))
+
+
+@query(
+    "agg_kmv_distinct",
+    oracle="""
+    WITH h AS (
+        SELECT DISTINCT CAST(CAST(('0x' || substring(
+                   md5(CAST(user_id AS VARCHAR)), 1, 12)) AS UBIGINT)
+               AS BIGINT) AS h
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    kth AS (
+        SELECT CAST(max(h) AS BIGINT) AS theta,
+               CAST(count(*) AS BIGINT) AS kk
+        FROM (SELECT h FROM h ORDER BY h LIMIT 256)
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS true_distinct FROM h)
+    SELECT CAST(256 AS BIGINT) AS k, kth.theta, kth.kk, tot.true_distinct,
+           CAST(CASE WHEN kth.kk < 256 THEN tot.true_distinct
+                ELSE 255 * 281474976710656 // kth.theta END
+                AS BIGINT) AS est_distinct
+    FROM kth, tot
+    """,
+    tags=("sketch", "distinct", "kmv", "engine-addition"),
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch — the mergeable
+    cardinality estimator whose state is just the k smallest distinct
+    hash values (union sketches = merge lists, keep k smallest; the
+    theta-sketch family's core). Unlike HLL (whose register
+    internals forced agg_approx_distinct to a rows-only check), KMV
+    over a CONTENT hash is fully deterministic, so the estimate
+    (k-1)*2^48 div theta is oracle-paired EXACTLY — a sketch with a
+    green hash differential, plus the true distinct count alongside
+    for the observed error.
+
+    Scale: the distinct-hash dedup is one shuffle; the k smallest
+    arrive via TakeOrderedAndProject (per-partition top-k then one
+    k-row merge — no global sort). At 100 TB the sketch state is
+    256 longs regardless of cardinality."""
+    h = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 12),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h")
+        )
+        .distinct()
+    )
+    kth = (
+        h.orderBy("h")
+        .limit(256)
+        .agg(
+            F.max("h").cast("bigint").alias("theta"),
+            F.count("*").cast("bigint").alias("kk"),
+        )
+    )
+    tot = h.agg(F.count("*").cast("bigint").alias("true_distinct"))
+    return kth.crossJoin(tot).select(
+        F.lit(256).cast("bigint").alias("k"),
+        "theta",
+        "kk",
+        "true_distinct",
+        F.when(F.col("kk") < 256, F.col("true_distinct"))
+        .otherwise(F.expr("255 * 281474976710656 div theta"))
+        .cast("bigint")
+        .alias("est_distinct"),
+    )
+
+
+@query(
+    "store_incremental_join",
+    oracle="""
+    SELECT c.c_nationkey AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("incremental", "materialized-view", "join", "engine-addition"),
+)
+def store_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view when BOTH sides change
+    — the bilinear delta rule: with fact F -> F ∪ dF and dimension
+    D -> D ∪ dD, the view delta is dF⋈D ∪ F⋈dD ∪ dF⋈dD, merged with
+    the old view's partial state; history is NEVER re-joined against
+    history. Here orders split on a data-anchored date cutoff
+    (dF = last 30 days) and customers on a key residue (dD = every
+    10th customer, a deterministic stand-in for new signups); the
+    four disjoint term joins each produce per-nation partials
+    (bigint counts, exact decimal revenue) that merge on the group
+    key. The oracle is the monolithic join+rollup recompute, so the
+    green hash proves the incremental expansion loses and duplicates
+    nothing.
+
+    Scale: the dominant term (F_old ⋈ D_old, the old view) is
+    amortized state in a real store — each refresh pays only the
+    delta joins, whose fact sides prune to the new partitions; all
+    four joins here broadcast the dimension side."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day"),
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,6)").alias("price"),
+    )
+    cutoff = o.agg(F.date_sub(F.max("day"), 30).alias("cutoff"))
+    o = o.crossJoin(F.broadcast(cutoff))
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    c_old = c.filter(F.col("c_custkey") % 10 != 0)
+    c_new = c.filter(F.col("c_custkey") % 10 == 0)
+    f_old = o.where(F.col("day") < F.col("cutoff"))
+    f_new = o.where(F.col("day") >= F.col("cutoff"))
+
+    def term(fact: DataFrame, dim: DataFrame) -> DataFrame:
+        return (
+            fact.join(F.broadcast(dim), fact.o_custkey == dim.c_custkey)
+            .groupBy("c_nationkey")
+            .agg(
+                F.count("*").cast("bigint").alias("pn"),
+                F.sum("price").alias("prev"),
+            )
+        )
+
+    merged = (
+        term(f_old, c_old)
+        .unionByName(term(f_new, c_old))
+        .unionByName(term(f_old, c_new))
+        .unionByName(term(f_new, c_new))
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n_orders"),
+            F.sum("prev").alias("rev"),
+        )
+    )
+    return merged.select(
+        F.col("c_nationkey").alias("nationkey"),
+        "n_orders",
+        F.col("rev").cast("double").alias("revenue"),
+    ).orderBy("nationkey")

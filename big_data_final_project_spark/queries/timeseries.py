@@ -2397,3 +2397,378 @@ def ts_seasonal_index_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+@query(
+    "ts_max_drawdown",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, ts, event_id,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ),
+    run AS (
+        SELECT event_type, ts, event_id, cents,
+               CAST(max(cents) OVER (PARTITION BY event_type
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS peak_cents,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM v
+    ),
+    dd AS (
+        SELECT event_type, ts, cents, peak_cents, n,
+               peak_cents - cents AS drawdown_cents,
+               row_number() OVER (PARTITION BY event_type
+                   ORDER BY peak_cents - cents DESC, ts ASC, event_id ASC)
+                   AS rn
+        FROM run
+    )
+    SELECT event_type, drawdown_cents AS max_drawdown_cents,
+           peak_cents, cents AS trough_cents, ts AS trough_ts, n
+    FROM dd WHERE rn = 1 ORDER BY event_type
+    """,
+    tags=("timeseries", "window", "finance", "engine-addition"),
+)
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per series — the peak-to-trough monitoring
+    metric (portfolio risk, SLA budgets, battery/stock levels): a
+    running max over the (ts, event_id)-ordered series, drawdown =
+    running peak minus current value in exact integer cents, then the
+    deterministic argmax (ties break on earliest ts, then event_id).
+
+    Scale: one per-series shuffle+sort feeds both windows; the
+    running-max frame is streaming (no buffering), and the final
+    argmax is a row_number filter, not a self-join. The sort IS the
+    algorithm — drawdown is order-defined — so this is the minimal
+    shape at 100 TB."""
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    v = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", cents.alias("cents")
+    )
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = v.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "cents",
+        F.max("cents").over(wrun).cast("bigint").alias("peak_cents"),
+        F.count("*")
+        .over(Window.partitionBy("event_type"))
+        .cast("bigint")
+        .alias("n"),
+    )
+    dd = run.withColumn(
+        "drawdown_cents", F.col("peak_cents") - F.col("cents")
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("drawdown_cents").desc(),
+                F.col("ts").asc(),
+                F.col("event_id").asc(),
+            )
+        ),
+    )
+    return (
+        dd.filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("drawdown_cents").alias("max_drawdown_cents"),
+            "peak_cents",
+            F.col("cents").alias("trough_cents"),
+            F.col("ts").alias("trough_ts"),
+            "n",
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "ts_max_concurrency",
+    oracle="""
+    WITH iv AS (
+        SELECT r.r_name AS region,
+               o.o_orderdate AS s,
+               o.o_orderdate
+                 + to_days(CAST(o.o_orderkey % 30 + 1 AS INTEGER)) AS e
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+    ),
+    deltas AS (
+        SELECT region, s AS t, CAST(1 AS BIGINT) AS delta FROM iv
+        UNION ALL
+        SELECT region, e AS t, CAST(-1 AS BIGINT) AS delta FROM iv
+    ),
+    sweep AS (
+        SELECT region, t, delta,
+               CAST(sum(delta) OVER (PARTITION BY region
+                   ORDER BY t, delta
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS conc
+        FROM deltas
+    ),
+    peak AS (
+        SELECT region, CAST(max(conc) AS BIGINT) AS peak_concurrency,
+               CAST(count(*) // 2 AS BIGINT) AS n_intervals
+        FROM sweep GROUP BY region
+    )
+    SELECT p.region, p.peak_concurrency,
+           min(s.t) AS peak_first_ts,
+           p.n_intervals
+    FROM sweep s JOIN peak p
+      ON s.region = p.region AND s.conc = p.peak_concurrency
+    GROUP BY p.region, p.peak_concurrency, p.n_intervals
+    ORDER BY p.region
+    """,
+    tags=("timeseries", "sweep-line", "intervals", "engine-addition"),
+)
+def ts_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per region via the sweep line — "how many
+    orders were in flight at once" (the occupancy / connection-count
+    / room-scheduling primitive). Each order becomes a half-open
+    interval [orderdate, orderdate + (orderkey%30+1) days); +1/-1
+    deltas sorted by (time, delta) — ends before starts at the same
+    instant, the half-open convention — and a running sum gives the
+    exact concurrency profile. The peak and its FIRST attainment time
+    are deterministic even under timestamp ties because prefix sums
+    over a permuted tied block are the same multiset.
+
+    Scale: the star lookup is all-broadcast; the sweep is ONE
+    per-region shuffle+sort of 2 rows per interval; peak extraction
+    re-aggregates the sweep (grouped, map-side combinable) instead of
+    windowing twice. Memory is O(1) per partition — the profile is
+    never materialized."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    iv = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("o_orderdate").alias("s"),
+            F.expr(
+                "o_orderdate + make_interval(0, 0, 0, "
+                "CAST(o_orderkey % 30 + 1 AS INT), 0, 0, 0)"
+            ).alias("e"),
+        )
+    )
+    deltas = iv.select(
+        "region", F.col("s").alias("t"), F.lit(1).cast("bigint").alias("delta")
+    ).unionAll(
+        iv.select(
+            "region",
+            F.col("e").alias("t"),
+            F.lit(-1).cast("bigint").alias("delta"),
+        )
+    )
+    wsweep = (
+        Window.partitionBy("region")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sweep = deltas.select(
+        "region",
+        "t",
+        F.sum("delta").over(wsweep).cast("bigint").alias("conc"),
+    )
+    peak = sweep.groupBy("region").agg(
+        F.max("conc").cast("bigint").alias("peak_concurrency"),
+        F.expr("CAST(count(*) div 2 AS BIGINT)").alias("n_intervals"),
+    )
+    return (
+        sweep.join(F.broadcast(peak), ["region"])
+        .filter(F.col("conc") == F.col("peak_concurrency"))
+        .groupBy("region", "peak_concurrency", "n_intervals")
+        .agg(F.min("t").alias("peak_first_ts"))
+        .select("region", "peak_concurrency", "peak_first_ts", "n_intervals")
+        .orderBy("region")
+    )
+
+
+@query(
+    "ts_rolling_corr",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               CAST(count(*) AS BIGINT) AS x,
+               CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    mom AS (
+        SELECT event_type, bucket, x, y,
+               row_number() OVER w AS rn,
+               CAST(sum(x) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS sx,
+               CAST(sum(y) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS sy,
+               CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+                   OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                   AS DECIMAL(38,0)) AS sxx,
+               CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                   OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                   AS DECIMAL(38,0)) AS syy,
+               CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                   OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                   AS DECIMAL(38,0)) AS sxy
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+    )
+    SELECT event_type, bucket, x, y,
+           (7 * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / nullif(sqrt((7 * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (7 * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0)
+               AS corr_7h
+    FROM mom WHERE rn >= 7
+    ORDER BY event_type, bucket
+    """,
+    tags=("timeseries", "window", "statistics", "engine-addition"),
+)
+def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-hour correlation between a series' volume (hourly
+    event count) and its value flow (hourly cents sum) — the drift
+    monitor that flags when throughput decouples from revenue. The
+    five co-moments are EXACT window sums over the trailing 7-bucket
+    frame — linear moments in bigint, squared/cross products in
+    decimal(38,0) so a series with $30M+ hourly cents never overflows
+    the square (oracle re-reads them through the VARCHAR route,
+    dsum_sql discipline); only the final Pearson
+    combination runs in double, with the identical expression tree
+    (and IEEE-exact sqrt) on both engines. Partial leading windows
+    (rn < 7) are suppressed rather than emitting a differently-sized
+    frame.
+
+    Scale: the raw scan collapses to |series|x|hours| rows in one
+    map-side-combinable aggregate; the five window sums share ONE
+    per-series sort of that already-small table."""
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("x"),
+            F.sum(cents).cast("bigint").alias("y"),
+        )
+    )
+    wb = Window.partitionBy("event_type").orderBy("bucket")
+    wf = wb.rowsBetween(-6, 0)
+    mom = hourly.select(
+        "event_type",
+        "bucket",
+        "x",
+        "y",
+        F.row_number().over(wb).alias("rn"),
+        F.sum("x").over(wf).cast("bigint").alias("sx"),
+        F.sum("y").over(wf).cast("bigint").alias("sy"),
+        F.sum(
+            F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)")
+        )
+        .over(wf)
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(
+            F.col("y").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)")
+        )
+        .over(wf)
+        .cast("decimal(38,0)")
+        .alias("syy"),
+        F.sum(
+            F.col("x").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)")
+        )
+        .over(wf)
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    corr = (F.lit(7) * sxy - sx * sy) / F.nullif(
+        F.sqrt((F.lit(7) * sxx - sx * sx) * (F.lit(7) * syy - sy * sy)),
+        F.lit(0.0),
+    )
+    return (
+        mom.filter(F.col("rn") >= 7)
+        .select("event_type", "bucket", "x", "y", corr.alias("corr_7h"))
+        .orderBy("event_type", "bucket")
+    )
+
+
+@query(
+    "events_longest_streak",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    isl AS (
+        SELECT user_id, d,
+               row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, d - to_days(CAST(rn AS INTEGER)) AS anchor,
+               CAST(count(*) AS BIGINT) AS len
+        FROM isl GROUP BY 1, 2
+    ),
+    longest AS (
+        SELECT user_id, CAST(max(len) AS BIGINT) AS longest
+        FROM streaks GROUP BY 1
+    )
+    SELECT longest AS streak_days, CAST(count(*) AS BIGINT) AS n_users
+    FROM longest GROUP BY 1 ORDER BY 1
+    """,
+    tags=("events", "gaps-islands", "engagement", "engine-addition"),
+)
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user, summarized as
+    a distribution (streak length -> user count) — the engagement
+    metric behind 'X-day streak' features, computed with the
+    gaps-and-islands identity: on a user's DISTINCT active days,
+    day - row_number(day) is constant exactly within a run of
+    consecutive days, so one window + one count collapses each run,
+    no self-join and no recursion.
+
+    Scale: distinct (user, day) is one dedup shuffle; the island
+    window is one per-user sort of a few hundred day-rows each; the
+    final histogram is map-side combinable. Pure date/integer
+    arithmetic end to end."""
+    days = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+        )
+        .distinct()
+    )
+    isl = days.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("user_id").orderBy("d")),
+    )
+    streaks = (
+        isl.select(
+            "user_id", F.expr("date_sub(d, CAST(rn AS INT))").alias("anchor")
+        )
+        .groupBy("user_id", "anchor")
+        .agg(F.count("*").cast("bigint").alias("len"))
+    )
+    longest = streaks.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("longest")
+    )
+    return (
+        longest.groupBy(F.col("longest").alias("streak_days"))
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy("streak_days")
+    )

@@ -357,3 +357,66 @@ def window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .orderBy("segment", "rnk", "c_custkey")
     )
+
+
+@query(
+    "window_rolling_median",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    framed AS (
+        SELECT event_type, day, cents,
+               list_sort(list(cents) OVER (PARTITION BY event_type
+                   ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+        FROM daily
+    )
+    SELECT event_type, day, cents,
+           CAST(len(win) AS BIGINT) AS n_in_window,
+           win[(len(win) + 1) // 2] AS median_cents
+    FROM framed
+    ORDER BY event_type, day
+    """,
+    tags=("window", "robust", "timeseries", "engine-addition"),
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day MEDIAN of each series' daily cents total — the
+    robust smoother (a rolling mean chases one spiked day; the
+    median ignores it). Exact: the trailing frame's values are
+    collected, sorted, and the lower median (index ceil(n/2), n from
+    the actual frame so leading edges are well-defined) picked by
+    integer arithmetic — no percentile interpolation, no floats, so
+    both engines agree to the cent.
+
+    Scale: the fact scan collapses to |series|x|days| first; the
+    collect_list frame holds at most 7 bigints per row (bounded by
+    the frame, not the data), and one per-series sort serves the
+    whole window stack."""
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.sum(cents).cast("bigint").alias("cents"))
+    )
+    frame = (
+        W.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    )
+    framed = daily.withColumn(
+        "win", F.array_sort(F.collect_list("cents").over(frame))
+    )
+    return framed.select(
+        "event_type",
+        "day",
+        "cents",
+        F.size("win").cast("bigint").alias("n_in_window"),
+        F.element_at("win", F.expr("(size(win) + 1) div 2").cast("int")).alias(
+            "median_cents"
+        ),
+    ).orderBy("event_type", "day")

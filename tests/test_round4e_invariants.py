@@ -1,0 +1,296 @@
+"""Semantic invariants of the round-4e operators — properties the
+oracle differential can't state (it proves Spark == DuckDB; these
+prove both mean what each operator claims)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from big_data_final_project_spark.data import load_table
+from big_data_final_project_spark.registry import catalog
+from big_data_final_project_spark.plans.audit import audit
+
+
+def _run(spark, sf_dir, name):
+    return catalog()[name].fn(spark, sf_dir)
+
+
+def _plan(spark, sf_dir, name):
+    return audit(catalog()[name].fn(spark, sf_dir))
+
+
+def test_decision_stump_brute_force_gini(spark, sf_dir):
+    rows = {r["split_qty"]: r for r in _run(spark, sf_dir, "ml_decision_stump").collect()}
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_quantity", "l_returnflag")
+        .toPandas()
+    )
+    li["qty"] = li.l_quantity.astype("int64")
+    li["pos"] = (li.l_returnflag == "R").astype("int64")
+    nt, pt = len(li), int(li.pos.sum())
+    best = None
+    for t in sorted(li.qty.unique())[:-1]:
+        left = li[li.qty <= t]
+        nl, pl = len(left), int(left.pos.sum())
+        nr, pr = nt - nl, pt - pl
+        g = (nl * nl - pl * pl - (nl - pl) ** 2) / (nl * nt) + (
+            nr * nr - pr * pr - (nr - pr) ** 2
+        ) / (nr * nt)
+        r = rows[t]
+        assert (r["n_left"], r["pos_left"], r["n_right"], r["pos_right"]) == (
+            nl,
+            pl,
+            nr,
+            pr,
+        )
+        assert abs(r["gini_weighted"] - g) < 1e-12
+        best = g if best is None else min(best, g)
+    flagged = [r for r in rows.values() if r["is_best"] == 1]
+    assert flagged and all(
+        abs(r["gini_weighted"] - best) < 1e-12 for r in flagged
+    )
+
+
+def test_bootstrap_ci_brackets_mean(spark, sf_dir):
+    for r in _run(spark, sf_dir, "ml_bootstrap_ci").collect():
+        # a 2nd/31st-of-32 order-statistic interval almost surely
+        # brackets the point estimate; at minimum it must be ordered
+        assert r["ci_lo"] <= r["ci_hi"]
+        assert r["n"] > 0
+
+
+def test_rrf_scores_consistent(spark, sf_dir):
+    rows = _run(spark, sf_dir, "ml_rank_fusion_rrf").collect()
+    assert 1 <= len(rows) <= 20  # min(20, |suppliers|) rows
+    for r in rows:
+        assert r["rrf_score"] == 10**12 // (60 + r["rank_rev"]) + 10**12 // (
+            60 + r["rank_cnt"]
+        )
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_median_bisect_is_exact_median(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").toPandas()
+    li["cents"] = (
+        (li.l_extendedprice.astype("float64") * 100).round().astype("int64")
+    )
+    for r in _run(spark, sf_dir, "agg_median_bisect").collect():
+        vals = sorted(li[li.l_returnflag == r["l_returnflag"]].cents)
+        assert r["n"] == len(vals)
+        assert r["median_cents"] == vals[(len(vals) + 1) // 2 - 1]
+
+
+def test_max_drawdown_pandas_replay(spark, sf_dir):
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts", "event_id", "value")
+        .toPandas()
+    )
+    e["cents"] = (e.value.astype("float64") * 100).round().astype("int64")
+    for r in _run(spark, sf_dir, "ts_max_drawdown").collect():
+        g = e[e.event_type == r["event_type"]].sort_values(["ts", "event_id"])
+        dd = g.cents.cummax() - g.cents
+        assert r["max_drawdown_cents"] == int(dd.max())
+        assert r["n"] == len(g)
+
+
+def test_max_concurrency_pandas_sweep(spark, sf_dir):
+    rows = _run(spark, sf_dir, "ts_max_concurrency").collect()
+    o = load_table(spark, sf_dir, "orders").toPandas()
+    c = load_table(spark, sf_dir, "customer").toPandas()
+    n = load_table(spark, sf_dir, "nation").toPandas()
+    r_ = load_table(spark, sf_dir, "region").toPandas()
+    j = (
+        o.merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(n, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(r_, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    j["e"] = j.o_orderdate + pd.to_timedelta(j.o_orderkey % 30 + 1, unit="D")
+    for row in rows:
+        g = j[j.r_name == row["region"]]
+        deltas = pd.concat(
+            [
+                pd.DataFrame({"t": g.o_orderdate, "d": 1}),
+                pd.DataFrame({"t": g.e, "d": -1}),
+            ]
+        ).sort_values(["t", "d"])
+        conc = deltas.d.cumsum()
+        assert row["peak_concurrency"] == int(conc.max())
+        assert row["n_intervals"] == len(g)
+
+
+def test_skyline_quadratic_dominance(spark, sf_dir):
+    sky = {
+        (r["l_suppkey"], r["rev_cents"], r["qty_x100"])
+        for r in _run(spark, sf_dir, "agg_skyline_2d").collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem").toPandas()
+    li["cents"] = (
+        (li.l_extendedprice.astype("float64") * 100).round().astype("int64")
+    )
+    st = li.groupby("l_suppkey").agg(
+        rev=("cents", "sum"), sq=("l_quantity", "sum"), n=("cents", "size")
+    )
+    st["q100"] = (st.sq.astype("int64") * 100) // st.n
+    pts = list(zip(st.index, st.rev, st.q100))
+    expect = {
+        (k, x, y)
+        for k, x, y in pts
+        if not any(
+            (x2 >= x and y2 <= y and (x2 > x or y2 < y))
+            for _, x2, y2 in pts
+        )
+    }
+    assert sky == expect
+
+
+def test_largest_remainder_sums_to_budget(spark, sf_dir):
+    rows = _run(spark, sf_dir, "agg_alloc_largest_remainder").collect()
+    assert sum(r["alloc"] for r in rows) == 1_000_000
+    assert all(r["alloc"] in (r["quota"], r["quota"] + 1) for r in rows)
+
+
+def test_rolling_corr_pandas_compare(spark, sf_dir):
+    rows = _run(spark, sf_dir, "ts_rolling_corr").collect()
+    e = load_table(spark, sf_dir, "events").toPandas()
+    e["cents"] = (e.value.astype("float64") * 100).round().astype("int64")
+    e["bucket"] = e.ts.dt.floor("h")
+    hourly = (
+        e.groupby(["event_type", "bucket"])
+        .agg(x=("cents", "size"), y=("cents", "sum"))
+        .reset_index()
+        .sort_values(["event_type", "bucket"])
+    )
+    for r in rows[:50]:
+        g = hourly[hourly.event_type == r["event_type"]].reset_index(drop=True)
+        i = g.index[g.bucket == r["bucket"]][0]
+        win = g.iloc[i - 6 : i + 1]
+        assert len(win) == 7
+        ref = win.x.astype("float64").corr(win.y.astype("float64"))
+        if r["corr_7h"] is not None:
+            assert abs(r["corr_7h"] - ref) < 1e-9
+
+
+def test_two_hop_min_plus_brute_force(spark, sf_dir):
+    rows = _run(spark, sf_dir, "graph_two_hop_min_plus").collect()
+    li = load_table(spark, sf_dir, "lineitem").toPandas()
+    o = load_table(spark, sf_dir, "orders").toPandas()
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    j["cents"] = (
+        (j.l_extendedprice.astype("float64") * 100).round().astype("int64")
+    )
+    edges = (
+        j.groupby(["l_partkey", "o_custkey"])
+        .cents.min()
+        .reset_index()
+        .rename(columns={"l_partkey": "part", "o_custkey": "cust"})
+    )
+    deg = edges.groupby("part").size()
+    edges = edges[edges.part.isin(deg[deg <= 40].index)]
+    best = {}
+    for part, g in edges.groupby("part"):
+        recs = list(g[["cust", "cents"]].itertuples(index=False))
+        for i, (c1, w1) in enumerate(recs):
+            for c2, w2 in recs[i + 1 :]:
+                a, b = min(c1, c2), max(c1, c2)
+                cur = best.get((a, b))
+                best[(a, b)] = min(cur, w1 + w2) if cur else w1 + w2
+    expect = sorted(
+        ((v, a, b) for (a, b), v in best.items())
+    )[:20]
+    got = [(r["min_cost_cents"], r["c1"], r["c2"]) for r in rows]
+    assert got == expect
+
+
+def test_prefix_filter_threshold_integrality(spark, sf_dir):
+    rows = _run(spark, sf_dir, "dedup_prefix_filter_join").collect()
+    for r in rows:
+        assert 2 * r["isect"] >= r["uni"]
+        assert r["uni"] == r["n_a"] + r["n_b"] - r["isect"]
+        assert r["doc_a"] < r["doc_b"]
+
+
+def test_rolling_median_is_frame_median(spark, sf_dir):
+    rows = _run(spark, sf_dir, "window_rolling_median").collect()
+    by_series: dict[str, list] = {}
+    for r in rows:  # rows arrive ordered (event_type, day)
+        hist = by_series.setdefault(r["event_type"], [])
+        hist.append(r["cents"])
+        win = sorted(hist[-7:])
+        assert r["n_in_window"] == len(win)
+        assert r["median_cents"] == win[(len(win) + 1) // 2 - 1]
+
+
+def test_kmv_estimate_quality(spark, sf_dir):
+    r = _run(spark, sf_dir, "agg_kmv_distinct").collect()[0]
+    if r["kk"] < 256:
+        assert r["est_distinct"] == r["true_distinct"]
+    else:
+        # KMV with k=256 has ~6% relative sd; 5 sigma as the gate
+        assert (
+            abs(r["est_distinct"] - r["true_distinct"])
+            <= 0.35 * r["true_distinct"]
+        )
+
+
+def test_incremental_join_split_is_partition(spark, sf_dir):
+    # the four bilinear terms must partition the join exactly:
+    # total order count across nations == orders with a matching
+    # customer (the oracle equivalence proves values; this pins the
+    # no-loss/no-dup accounting independently)
+    rows = _run(spark, sf_dir, "store_incremental_join").collect()
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n_join = o.join(c, o.o_custkey == c.c_custkey).count()
+    assert sum(r["n_orders"] for r in rows) == n_join
+
+
+def test_longest_streak_user_accounting(spark, sf_dir):
+    rows = _run(spark, sf_dir, "events_longest_streak").collect()
+    n_users = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_users"] for r in rows) == n_users
+    assert all(r["streak_days"] >= 1 for r in rows)
+
+
+def test_vocab_coverage_bounds(spark, sf_dir):
+    rows = _run(spark, sf_dir, "curation_vocab_coverage").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert 0 <= r["oov_ppm"] <= 1_000_000
+
+
+def test_round4e_plan_shapes(spark, sf_dir):
+    # stump: fact collapses to the value histogram in one shuffle;
+    # windows run on it; no joins at all
+    p = _plan(spark, sf_dir, "ml_decision_stump")
+    assert p.broadcast_joins == 0 and p.sortmerge_joins == 0
+    assert p.cartesian_products == 0
+    # concurrency sweep: all-broadcast star on the lookup side
+    p = _plan(spark, sf_dir, "ts_max_concurrency")
+    assert p.broadcast_joins >= 3, p.text
+    assert p.cartesian_products == 0
+    # RRF and the min-plus top-20 must be top-k merges, not sorts
+    for name in ("ml_rank_fusion_rrf", "graph_two_hop_min_plus"):
+        p = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in p.text, name
+        assert p.cartesian_products == 0
+    # KMV: the 256-row cut is a top-k merge, no global sort
+    p = _plan(spark, sf_dir, "agg_kmv_distinct")
+    assert "TakeOrderedAndProject" in p.text
+    # vocab probe is broadcast, never a shuffle join
+    p = _plan(spark, sf_dir, "curation_vocab_coverage")
+    assert p.broadcast_joins >= 1 and p.sortmerge_joins == 0
+    # incremental join: every dimension term broadcasts
+    p = _plan(spark, sf_dir, "store_incremental_join")
+    assert p.broadcast_joins >= 4, p.text
+    assert p.cartesian_products == 0
