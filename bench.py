@@ -74,6 +74,12 @@ HEADLINE = [
     "agg_countmin_sketch",
     "ml_gains_deciles",
     "join_dpp_partitioned",
+    # round-4e families: exact selection without sort, prefix-filtered
+    # set similarity, stump split search, incremental join maintenance
+    "agg_median_bisect",
+    "dedup_prefix_filter_join",
+    "ml_decision_stump",
+    "store_incremental_join",
 ]
 
 

@@ -1219,18 +1219,24 @@ def dedup_survivor_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_prefix_filter_join",
     oracle=f"""
-    WITH s AS (
-        SELECT doc_id, lang,
-               list_distinct(string_split({_NORM_SQL}, ' ')) AS toks,
-               CAST(len(list_distinct(string_split({_NORM_SQL}, ' ')))
-                    AS BIGINT) AS n
+    WITH tk AS (
+        SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS ss
         FROM documents
+    ),
+    s AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(range(1, len(ss) - 1),
+                   i -> ss[i] || ' ' || ss[i+1] || ' ' || ss[i+2])) AS sh
+        FROM tk WHERE len(ss) >= 3
+    ),
+    sz AS (
+        SELECT doc_id, lang, sh, CAST(len(sh) AS BIGINT) AS n FROM s
     ),
     pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
                a.n AS n_a, b.n AS n_b,
-               CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS isect
-        FROM s a JOIN s b
+               CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS isect
+        FROM sz a JOIN sz b
           ON a.lang = b.lang AND a.doc_id < b.doc_id
          AND b.n <= 2 * a.n AND a.n <= 2 * b.n
     )
@@ -1246,30 +1252,50 @@ def dedup_survivor_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-similarity join at Jaccard >= 0.5 with PREFIX FILTERING
     (the All-Pairs/PPJoin candidate bound, and the exact upgrade the
-    dedup_ngram_jaccard docstring calls for at 100 TB): order each
-    document's distinct tokens by global document frequency (rarest
-    first, token as tie-break) and join only on each doc's
-    (n - ceil(tau*n) + 1)-token prefix — any pair with J >= tau MUST
-    share a prefix token under a common total order, so the filter is
-    LOSSLESS; the oracle runs the unfiltered quadratic blocked join
-    and gets the same pairs, which proves it. The length filter
-    (n_b <= 2*n_a, both engines) is the other lossless bound. The
-    threshold test is pure integers — J >= 1/2 iff 2*|intersect| >=
-    |union| — so no float compare decides membership.
+    dedup_ngram_jaccard docstring calls for at 100 TB): the set
+    elements are distinct word TRIGRAMS (unigrams degenerate here —
+    the synthetic vocabulary is ~31 words, so every doc shares most
+    of it and no filter can prune; trigram space is |V|^3 and df per
+    shingle is ~8, which is also the realistic configuration).
+    Order each doc's shingles by global document frequency (rarest
+    first, shingle string as tie-break) and join only on each doc's
+    (n - ceil(tau*n) + 1)-shingle prefix — any pair with J >= tau
+    MUST share a prefix element under a common total order, so the
+    filter is LOSSLESS; the oracle runs the unfiltered quadratic
+    blocked join and gets the same pairs, which proves it. The
+    length filter (n_b <= 2*n_a, both engines) is the other lossless
+    bound, and the threshold test is pure integers (J >= 1/2 iff
+    2*|intersect| >= |union|) — no float compare decides membership.
 
-    Scale: candidate generation touches only prefix tokens (~half of
-    each doc, and the RAREST half, so per-token fan-out is tiny);
-    frequent tokens never join. One df aggregate, one prefix
-    self-join, one verify join against collected token sets."""
+    Scale: candidate generation touches only prefix shingles (~half
+    of each doc, and the RAREST half, so per-element fan-out is
+    df_prefix^2 with tiny df); frequent shingles never join. One df
+    aggregate, one prefix self-join, and an inverted-index verify
+    (count shared shingles per candidate pair — no per-doc arrays
+    are ever shipped through the shuffle)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        "lang",
-        F.explode(F.split(_norm(F.col("text")), " ")).alias("tok"),
-    ).distinct()
-    sets = toks.groupBy("doc_id", "lang").agg(
-        F.collect_set("tok").alias("toks"),
-        F.count("*").cast("bigint").alias("n"),
+    tk = d.select(
+        "doc_id", "lang", F.split(_norm(F.col("text")), " ").alias("ss")
+    ).filter(F.size("ss") >= 3)
+    # one materialization of the distinct (doc, shingle) relation:
+    # four downstream consumers (sizes, df, prefix ranks, verify
+    # probes) would otherwise re-run normalize+shingle+distinct each
+    toks = (
+        tk.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ss) - 3),"
+                    " i -> ss[i] || ' ' || ss[i+1] || ' ' || ss[i+2])"
+                )
+            ).alias("tok"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = toks.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n")
     )
     df_tab = toks.groupBy("tok").agg(F.count("*").alias("df"))
     ranked = toks.join(df_tab, "tok").withColumn(
@@ -1280,54 +1306,45 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    prefix = ranked.join(
-        sets.select("doc_id", "n"), "doc_id"
-    ).filter(F.col("rn") <= F.expr("n div 2 + 1"))
-    pa = prefix.select(
-        F.col("tok"),
-        F.col("lang"),
-        F.col("doc_id").alias("doc_a"),
-        F.col("n").alias("n_a"),
+    prefix = ranked.join(sizes, "doc_id").filter(
+        F.col("rn") <= F.expr("n div 2 + 1")
     )
-    pb = prefix.select(
-        F.col("tok"),
-        F.col("lang").alias("lang_b"),
-        F.col("doc_id").alias("doc_b"),
-        F.col("n").alias("n_b"),
+    pre = prefix.select("tok", "lang", "doc_id", "n").localCheckpoint(
+        eager=True
     )
+    pa, pb = pre.alias("pa"), pre.alias("pb")
     cand = (
         pa.join(
             pb,
-            (pa.tok == pb.tok)
-            & (pa.lang == pb.lang_b)
-            & (pa.doc_a < pb.doc_b)
-            & (pb.n_b <= 2 * pa.n_a)
-            & (pa.n_a <= 2 * pb.n_b),
+            (F.col("pa.tok") == F.col("pb.tok"))
+            & (F.col("pa.lang") == F.col("pb.lang"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            & (F.col("pb.n") <= 2 * F.col("pa.n"))
+            & (F.col("pa.n") <= 2 * F.col("pb.n")),
         )
-        .select("doc_a", "doc_b", "lang")
+        .select(
+            F.col("pa.doc_id").alias("doc_a"),
+            F.col("pb.doc_id").alias("doc_b"),
+            F.col("pa.lang").alias("lang"),
+        )
         .distinct()
     )
-    sa = sets.select(
-        F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")
+    # verify through the inverted index (count shared shingles via
+    # two equi-joins) instead of materializing per-doc arrays
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tok"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tok"))
+    isect = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b", "lang")
+        .agg(F.count("*").cast("bigint").alias("isect"))
     )
-    sb = sets.select(
-        F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")
-    )
-    verified = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "isect",
-            F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint"),
-        )
-        .join(
-            sets.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
-            "doc_a",
-        )
-        .join(
-            sets.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
-            "doc_b",
-        )
+    verified = isect.join(
+        sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
+        "doc_a",
+    ).join(
+        sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
+        "doc_b",
     )
     return (
         verified.withColumn("uni", F.col("n_a") + F.col("n_b") - F.col("isect"))

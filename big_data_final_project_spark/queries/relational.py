@@ -2054,13 +2054,14 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_median_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group median WITHOUT a total sort: binary-search the
     integer cents domain with counting passes (the classic
-    distributed exact-selection algorithm). Each round broadcasts a
-    per-group probe midpoint and counts rows <= mid per group — one
+    distributed exact-selection algorithm, 64-ary): each round maps
+    every in-range value to one of 64 equal integer sub-intervals of
+    its group's candidate range and counts per bucket — one
     map-side-combinable aggregate over the cached single-column
-    projection — halving each group's candidate interval until it
-    pins the k-th smallest value (k = ceil(n/2), the lower median).
-    ~log2(value range) ~= 24 passes replace the per-group sort; the
-    oracle finds the same element the opposite way (row_number).
+    projection — then descends into the bucket holding the k-th
+    smallest value (k = ceil(n/2), the lower median). log64(range)
+    ~= 4 passes replace the per-group sort; the oracle finds the
+    same element the opposite way (row_number).
 
     Scale: this is how you take an exact median of a 100 TB column —
     no stage ever sorts or shuffles the data (counts only); the
@@ -2084,35 +2085,53 @@ def agg_median_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()
     }
+    # base[g] = #values < lo (already excluded from the interval)
+    base = {g: 0 for g in bounds}
+    fanout = 64
     while True:
         open_groups = {g: b for g, b in bounds.items() if b[0] < b[1]}
         if not open_groups:
             break
-        mid_expr = None
+        lo_expr, w_expr = None, None
         for g, (lo, hi, _k, _n) in open_groups.items():
-            mid = (lo + hi) // 2
-            cond = F.when(F.col("g") == g, F.lit(mid))
-            mid_expr = cond if mid_expr is None else mid_expr.when(
-                F.col("g") == g, F.lit(mid)
+            lo_c = F.when(F.col("g") == g, F.lit(lo))
+            w_c = F.when(F.col("g") == g, F.lit(hi - lo + 1))
+            lo_expr = lo_c if lo_expr is None else lo_expr.when(
+                F.col("g") == g, F.lit(lo)
+            )
+            w_expr = w_c if w_expr is None else w_expr.when(
+                F.col("g") == g, F.lit(hi - lo + 1)
             )
         counts = (
             vals.filter(F.col("g").isin(*open_groups))
-            .withColumn("mid", mid_expr)
-            .groupBy("g")
-            .agg(
-                F.sum(
-                    F.when(F.col("v") <= F.col("mid"), 1).otherwise(0)
-                ).alias("c_le"),
-                F.first("mid").alias("mid"),
+            .withColumn("glo", lo_expr)
+            .withColumn("gw", w_expr)
+            .filter(
+                (F.col("v") >= F.col("glo"))
+                & (F.col("v") < F.col("glo") + F.col("gw"))
             )
+            .groupBy(
+                "g",
+                F.expr(f"(v - glo) * {fanout} div gw").alias("bk"),
+            )
+            .agg(F.count("*").alias("c"))
             .collect()
         )
+        hist: dict[str, dict[int, int]] = {g: {} for g in open_groups}
         for r in counts:
-            b = bounds[r["g"]]
-            if r["c_le"] >= b[2]:
-                b[1] = r["mid"]
-            else:
-                b[0] = r["mid"] + 1
+            hist[r["g"]][r["bk"]] = r["c"]
+        for g, (lo, hi, k, _n) in open_groups.items():
+            w = hi - lo + 1
+            cum = base[g]
+            for j in range(fanout):
+                c = hist[g].get(j, 0)
+                if cum + c >= k:
+                    b = bounds[g]
+                    b[0] = lo + (j * w + fanout - 1) // fanout
+                    b[1] = min(hi, lo + ((j + 1) * w + fanout - 1) // fanout - 1)
+                    base[g] = cum
+                    break
+                cum += c
     vals.unpersist()
     rows = [
         (g, int(b[0]), int(b[3]), int(b[2]))

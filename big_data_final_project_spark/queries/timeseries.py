@@ -2562,32 +2562,47 @@ def ts_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("e"),
         )
     )
+    # both deltas from ONE scan of the star join (explode, not union:
+    # a union re-reads the 4-table join once per branch)
     deltas = iv.select(
-        "region", F.col("s").alias("t"), F.lit(1).cast("bigint").alias("delta")
-    ).unionAll(
-        iv.select(
-            "region",
-            F.col("e").alias("t"),
-            F.lit(-1).cast("bigint").alias("delta"),
-        )
-    )
+        "region",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s").alias("t"),
+                    F.lit(1).cast("bigint").alias("delta"),
+                ),
+                F.struct(
+                    F.col("e").alias("t"),
+                    F.lit(-1).cast("bigint").alias("delta"),
+                ),
+            )
+        ).alias("x"),
+    ).select("region", "x.t", "x.delta")
     wsweep = (
         Window.partitionBy("region")
         .orderBy("t", "delta")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    sweep = deltas.select(
+    wreg = Window.partitionBy("region")
+    # peak + interval count ride the SAME per-region sort as the
+    # sweep (whole-partition frames add no shuffle); the post-filter
+    # aggregate sees only the few peak rows
+    aug = deltas.select(
         "region",
         "t",
         F.sum("delta").over(wsweep).cast("bigint").alias("conc"),
-    )
-    peak = sweep.groupBy("region").agg(
-        F.max("conc").cast("bigint").alias("peak_concurrency"),
-        F.expr("CAST(count(*) div 2 AS BIGINT)").alias("n_intervals"),
+    ).select(
+        "region",
+        "t",
+        "conc",
+        F.max("conc").over(wreg).cast("bigint").alias("peak_concurrency"),
+        F.expr(
+            "CAST(count(*) OVER (PARTITION BY region) div 2 AS BIGINT)"
+        ).alias("n_intervals"),
     )
     return (
-        sweep.join(F.broadcast(peak), ["region"])
-        .filter(F.col("conc") == F.col("peak_concurrency"))
+        aug.filter(F.col("conc") == F.col("peak_concurrency"))
         .groupBy("region", "peak_concurrency", "n_intervals")
         .agg(F.min("t").alias("peak_first_ts"))
         .select("region", "peak_concurrency", "peak_first_ts", "n_intervals")
