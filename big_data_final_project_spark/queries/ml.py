@@ -1469,3 +1469,226 @@ def ml_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(
         F.col("rrf_score").desc(), F.col("l_suppkey").asc()
     ).limit(20)
+
+
+@query(
+    "ml_roc_curve",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(l_quantity AS BIGINT) AS score,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+        FROM lineitem
+    ),
+    per AS (
+        SELECT score, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pos) AS BIGINT) AS n_pos
+        FROM s GROUP BY score
+    ),
+    c AS (
+        SELECT score, n, n_pos,
+               CAST(sum(n_pos) OVER (ORDER BY score DESC) AS BIGINT) AS tp,
+               CAST(sum(n - n_pos) OVER (ORDER BY score DESC) AS BIGINT) AS fp,
+               CAST(sum(n_pos) OVER () AS BIGINT) AS total_pos,
+               CAST(sum(n - n_pos) OVER () AS BIGINT) AS total_neg
+        FROM per
+    )
+    SELECT score AS threshold, tp, fp,
+           CAST(tp * 1000000 // total_pos AS BIGINT) AS tpr_ppm,
+           CAST(fp * 1000000 // total_neg AS BIGINT) AS fpr_ppm
+    FROM c ORDER BY threshold DESC
+    """,
+    tags=("ml", "evaluation", "roc", "engine-addition"),
+)
+def ml_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL ROC curve at every distinct score ('predict positive
+    when quantity >= t'): per-threshold true/false positive counts
+    from cumulative sums over the per-score histogram, rates in
+    integer ppm — the curve whose area ml_auc_exact computes in
+    closed form, materialized point by point for calibration review.
+    Complements ml_gains_deciles (quantile-bucketed, scan-assigned
+    deciles); here thresholds are the score's own support, so the
+    curve is exact, not sampled.
+
+    Scale: the fact scan collapses to |distinct scores| rows in one
+    map-side-combinable shuffle; every window runs on that
+    model-sized histogram. With a continuous score, bucket first
+    (the gains pattern) — an every-distinct-value curve over a
+    mostly-unique score would be output-bound, not compute-bound."""
+    s = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("score"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("pos"),
+    )
+    per = s.groupBy("score").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+    )
+    wc = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    c = per.select(
+        "score",
+        "n",
+        "n_pos",
+        F.sum("n_pos").over(wc).cast("bigint").alias("tp"),
+        F.sum(F.col("n") - F.col("n_pos")).over(wc).cast("bigint").alias("fp"),
+        F.sum("n_pos").over(wall).cast("bigint").alias("total_pos"),
+        F.sum(F.col("n") - F.col("n_pos"))
+        .over(wall)
+        .cast("bigint")
+        .alias("total_neg"),
+    )
+    return c.select(
+        F.col("score").alias("threshold"),
+        "tp",
+        "fp",
+        F.expr("CAST(tp * 1000000 div total_pos AS BIGINT)").alias("tpr_ppm"),
+        F.expr("CAST(fp * 1000000 div total_neg AS BIGINT)").alias("fpr_ppm"),
+    ).orderBy(F.col("threshold").desc())
+
+
+@query(
+    "ml_split_gain_all_features",
+    oracle="""
+    WITH melted AS (
+        SELECT f.feature, f.val,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+        FROM lineitem, LATERAL (VALUES
+            ('quantity', CAST(l_quantity AS BIGINT)),
+            ('discount_x100', CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                                   AS BIGINT)),
+            ('tax_x100', CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT))
+        ) AS f(feature, val)
+    ),
+    per AS (
+        SELECT feature, val, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pos) AS BIGINT) AS pos
+        FROM melted GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT feature, val,
+               CAST(sum(n) OVER (PARTITION BY feature ORDER BY val
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS nl,
+               CAST(sum(pos) OVER (PARTITION BY feature ORDER BY val
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS pl,
+               CAST(sum(n) OVER (PARTITION BY feature) AS BIGINT) AS nt,
+               CAST(sum(pos) OVER (PARTITION BY feature) AS BIGINT) AS pt
+        FROM per
+    ),
+    ev AS (
+        SELECT feature, val, nl, pl, nt, pt,
+               CAST(nl * nl - pl * pl - (nl - pl) * (nl - pl) AS DOUBLE)
+                   / (CAST(nl AS DOUBLE) * nt)
+             + CAST((nt - nl) * (nt - nl) - (pt - pl) * (pt - pl)
+                    - ((nt - nl) - (pt - pl)) * ((nt - nl) - (pt - pl))
+                    AS DOUBLE)
+                   / (CAST(nt - nl AS DOUBLE) * nt) AS gini_split
+        FROM cum WHERE nl < nt
+    ),
+    best AS (
+        SELECT feature, val AS best_split, nl AS n_left, gini_split,
+               CAST(nt * nt - pt * pt - (nt - pt) * (nt - pt) AS DOUBLE)
+                   / (CAST(nt AS DOUBLE) * nt) AS gini_root,
+               row_number() OVER (PARTITION BY feature
+                   ORDER BY gini_split ASC, val ASC) AS rk
+        FROM ev
+    )
+    SELECT feature, best_split, n_left, gini_root, gini_split,
+           gini_root - gini_split AS gain
+    FROM best WHERE rk = 1 ORDER BY feature
+    """,
+    tags=("ml", "tree", "split-search", "engine-addition"),
+)
+def ml_split_gain_all_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split search over ALL features in ONE scan — the actual inner
+    loop of distributed gradient boosting: melt each row into
+    (feature, value, label) via a generator (3x map-side fan-out, no
+    joins), build every feature's value histogram in one shuffle,
+    and run the cumulative-Gini evaluation per feature partition;
+    report each feature's best threshold and its impurity GAIN over
+    the root. Compare ml_decision_stump (one feature, same math):
+    at 100 TB, per-feature passes cost |features| scans — this costs
+    one. Exact integer class counts; the one double division per
+    side follows the identical expression tree on both engines;
+    ties break on the smaller threshold.
+
+    Scale: one fact scan, one (feature, value) shuffle (map-side
+    combinable), windows on the |features|x|values| histogram."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = (F.col("l_discount").cast("decimal(18,2)") * 100).cast("bigint")
+    tax = (F.col("l_tax").cast("decimal(18,2)") * 100).cast("bigint")
+    melted = li.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("quantity").alias("feature"),
+                    F.col("l_quantity").cast("bigint").alias("val"),
+                ),
+                F.struct(
+                    F.lit("discount_x100").alias("feature"),
+                    disc.alias("val"),
+                ),
+                F.struct(F.lit("tax_x100").alias("feature"), tax.alias("val")),
+            )
+        ).alias("x"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("pos"),
+    ).select("x.feature", "x.val", "pos")
+    per = melted.groupBy("feature", "val").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("pos"),
+    )
+    wc = (
+        Window.partitionBy("feature")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = Window.partitionBy("feature")
+    cum = per.select(
+        "feature",
+        "val",
+        F.sum("n").over(wc).cast("bigint").alias("nl"),
+        F.sum("pos").over(wc).cast("bigint").alias("pl"),
+        F.sum("n").over(wf).cast("bigint").alias("nt"),
+        F.sum("pos").over(wf).cast("bigint").alias("pt"),
+    )
+    nl, pl = F.col("nl"), F.col("pl")
+    nt, pt = F.col("nt"), F.col("pt")
+    nr, pr = nt - nl, pt - pl
+    gini_split = (
+        (nl * nl - pl * pl - (nl - pl) * (nl - pl)).cast("double")
+        / (nl.cast("double") * nt)
+    ) + (
+        (nr * nr - pr * pr - (nr - pr) * (nr - pr)).cast("double")
+        / (nr.cast("double") * nt)
+    )
+    gini_root = (nt * nt - pt * pt - (nt - pt) * (nt - pt)).cast("double") / (
+        nt.cast("double") * nt
+    )
+    ev = cum.filter(nl < nt).select(
+        "feature",
+        F.col("val").alias("best_split"),
+        nl.alias("n_left"),
+        gini_root.alias("gini_root"),
+        gini_split.alias("gini_split"),
+        F.row_number()
+        .over(
+            Window.partitionBy("feature").orderBy(
+                gini_split.asc(), F.col("val").asc()
+            )
+        )
+        .alias("rk"),
+    )
+    return (
+        ev.filter(F.col("rk") == 1)
+        .select(
+            "feature",
+            "best_split",
+            "n_left",
+            "gini_root",
+            "gini_split",
+            (F.col("gini_root") - F.col("gini_split")).alias("gain"),
+        )
+        .orderBy("feature")
+    )

@@ -2316,3 +2316,211 @@ def agg_alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
         extra.alias("extra"),
         (F.col("quota") + extra).alias("alloc"),
     ).orderBy("source")
+
+
+@query(
+    "agg_quantiles_bisect",
+    oracle="""
+    WITH vals AS (
+        SELECT l_returnflag AS g,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS v
+        FROM lineitem
+    ),
+    stats AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM vals GROUP BY g),
+    qs AS (SELECT unnest([25, 50, 75, 90]) AS q),
+    targets AS (
+        SELECT s.g, q.q, s.n,
+               CAST((s.n * q.q + 99) // 100 AS BIGINT) AS k
+        FROM stats s CROSS JOIN qs q
+    ),
+    ranked AS (
+        SELECT g, v,
+               row_number() OVER (PARTITION BY g ORDER BY v) AS rn
+        FROM vals
+    )
+    SELECT t.g AS l_returnflag, CAST(t.q AS BIGINT) AS q,
+           r.v AS value_cents, t.k, t.n
+    FROM ranked r JOIN targets t ON r.g = t.g AND r.rn = t.k
+    ORDER BY 1, 2
+    """,
+    tags=("agg", "selection", "quantiles", "iterative", "engine-addition"),
+)
+def agg_quantiles_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group p25/p50/p75/p90 (percentile_disc semantics:
+    the smallest value whose rank reaches ceil(n*q/100)) without any
+    sort: every (group, quantile) target keeps its own candidate
+    interval, and each round ONE broadcast-join pass maps in-range
+    rows to 64 equal sub-intervals per open target and counts — all
+    twelve selections narrow simultaneously, so exact quantiles of a
+    100 TB column cost the same ~log64(range) ~= 4 counting passes as
+    a single median. The oracle finds the same elements by
+    row_number. Replicated rows are bounded by the number of open
+    targets a row's group/value matches (<= 4, shrinking each round).
+
+    Scale: no stage sorts or shuffles the data (broadcast probe +
+    map-side-combinable counts only); selection state is
+    |groups|x|quantiles| scalars on the driver."""
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    vals = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_returnflag").alias("g"), cents.alias("v"))
+        .persist()
+    )
+    stats = {
+        r["g"]: r
+        for r in vals.groupBy("g")
+        .agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    # state per (group, quantile): [lo, hi, k, n, base]
+    state: dict[tuple[str, int], list[int]] = {}
+    for g, r in stats.items():
+        for q in (25, 50, 75, 90):
+            k = (r["n"] * q + 99) // 100
+            state[(g, q)] = [r["lo"], r["hi"], k, r["n"], 0]
+    fanout = 64
+    while True:
+        open_states = {s: b for s, b in state.items() if b[0] < b[1]}
+        if not open_states:
+            break
+        probe = spark.createDataFrame(
+            [(g, q, b[0], b[1] - b[0] + 1) for (g, q), b in open_states.items()],
+            "g string, q int, lo bigint, w bigint",
+        )
+        counts = (
+            vals.join(F.broadcast(probe), "g")
+            .filter((F.col("v") >= F.col("lo")) & (F.col("v") < F.col("lo") + F.col("w")))
+            .groupBy(
+                "g",
+                "q",
+                F.expr(f"(v - lo) * {fanout} div w").alias("bk"),
+            )
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+        hist: dict[tuple[str, int], dict[int, int]] = {
+            s: {} for s in open_states
+        }
+        for r in counts:
+            hist[(r["g"], r["q"])][r["bk"]] = r["c"]
+        for (g, q), b in open_states.items():
+            lo, hi, k, _n, base = b
+            w = hi - lo + 1
+            cum = base
+            for j in range(fanout):
+                c = hist[(g, q)].get(j, 0)
+                if cum + c >= k:
+                    b[0] = lo + (j * w + fanout - 1) // fanout
+                    b[1] = min(
+                        hi, lo + ((j + 1) * w + fanout - 1) // fanout - 1
+                    )
+                    b[4] = cum
+                    break
+                cum += c
+    vals.unpersist()
+    rows = [
+        (g, q, int(b[0]), int(b[2]), int(b[3]))
+        for (g, q), b in sorted(state.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "l_returnflag string, q bigint, value_cents bigint, k bigint,"
+        " n bigint",
+    ).orderBy("l_returnflag", "q")
+
+
+@query(
+    "agg_winsorized_mean",
+    oracle="""
+    WITH vals AS (
+        SELECT l_returnflag AS g,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS v
+        FROM lineitem
+    ),
+    th AS (
+        SELECT g, quantile_disc(v, 0.05) AS p05, quantile_disc(v, 0.95) AS p95
+        FROM vals GROUP BY g
+    )
+    SELECT v.g AS l_returnflag, t.p05 AS p05_cents, t.p95 AS p95_cents,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN v.v < t.p05 THEN t.p05
+                         WHEN v.v > t.p95 THEN t.p95
+                         ELSE v.v END) AS BIGINT) AS wsum_cents,
+           CAST(sum(CASE WHEN v.v < t.p05 THEN t.p05
+                         WHEN v.v > t.p95 THEN t.p95
+                         ELSE v.v END) // count(*) AS BIGINT)
+               AS winsorized_mean_cents,
+           CAST(sum(v.v) // count(*) AS BIGINT) AS raw_mean_cents,
+           CAST(sum(CASE WHEN v.v < t.p05 OR v.v > t.p95 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped
+    FROM vals v JOIN th t ON v.g = t.g
+    GROUP BY v.g, t.p05, t.p95
+    ORDER BY v.g
+    """,
+    tags=("agg", "robust", "winsorize", "engine-addition"),
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per group: clamp values outside the group's
+    [p5, p95] to the boundary and average — the robust mean that
+    keeps sample size (unlike trimming) while bounding any single
+    outlier's influence. Thresholds are DISCRETE percentiles (actual
+    data values: percentile_approx in its GK-exact regime ==
+    DuckDB's quantile_disc — the ml_gains_deciles equivalence);
+    clamped sums are exact integer cents, the mean is integer
+    division, and the raw mean plus clamp count ride along so the
+    outlier impact is visible.
+
+    Scale: one scan aggregates the per-group thresholds to |groups|
+    rows, broadcast back for the clamp pass — two map-side-combinable
+    scans, zero sorts (never ntile over a global order)."""
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    vals = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"), cents.alias("v")
+    )
+    th = vals.groupBy("g").agg(
+        F.expr(f"percentile_approx(v, 0.05D, {1 << 20})").alias("p05"),
+        F.expr(f"percentile_approx(v, 0.95D, {1 << 20})").alias("p95"),
+    )
+    clamped = F.when(F.col("v") < F.col("p05"), F.col("p05")).when(
+        F.col("v") > F.col("p95"), F.col("p95")
+    ).otherwise(F.col("v"))
+    out = (
+        vals.join(F.broadcast(th), "g")
+        .groupBy("g", "p05", "p95")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(clamped).cast("bigint").alias("wsum_cents"),
+            F.expr(
+                "CAST(sum(CASE WHEN v < p05 THEN p05 WHEN v > p95 THEN p95"
+                " ELSE v END) div count(*) AS BIGINT)"
+            ).alias("winsorized_mean_cents"),
+            F.expr("CAST(sum(v) div count(*) AS BIGINT)").alias(
+                "raw_mean_cents"
+            ),
+            F.sum(
+                F.when((F.col("v") < F.col("p05")) | (F.col("v") > F.col("p95")), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_clamped"),
+        )
+    )
+    return out.select(
+        F.col("g").alias("l_returnflag"),
+        F.col("p05").alias("p05_cents"),
+        F.col("p95").alias("p95_cents"),
+        "n",
+        "wsum_cents",
+        "winsorized_mean_cents",
+        "raw_mean_cents",
+        "n_clamped",
+    ).orderBy("l_returnflag")

@@ -2787,3 +2787,209 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_users"))
         .orderBy("streak_days")
     )
+
+
+@query(
+    "agg_bridge_price_volume",
+    oracle="""
+    WITH anchor AS (
+        SELECT max(o_orderdate) AS hi FROM orders
+    ),
+    f AS (
+        SELECT p.p_brand AS brand,
+               CASE WHEN o.o_orderdate > a.hi - INTERVAL 180 DAY
+                    THEN 2 ELSE 1 END AS period,
+               CAST(l.l_quantity AS BIGINT) AS q,
+               CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS r
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        CROSS JOIN anchor a
+        WHERE o.o_orderdate > a.hi - INTERVAL 360 DAY
+    ),
+    per AS (
+        SELECT brand,
+               CAST(sum(CASE WHEN period = 1 THEN q ELSE 0 END) AS BIGINT) AS q1,
+               CAST(sum(CASE WHEN period = 1 THEN r ELSE 0 END) AS BIGINT) AS r1,
+               CAST(sum(CASE WHEN period = 2 THEN q ELSE 0 END) AS BIGINT) AS q2,
+               CAST(sum(CASE WHEN period = 2 THEN r ELSE 0 END) AS BIGINT) AS r2
+        FROM f GROUP BY brand
+    )
+    SELECT brand, q1, r1, q2, r2,
+           r2 - r1 AS delta_cents,
+           (CAST(q2 AS DOUBLE) - CAST(q1 AS DOUBLE))
+               * (CAST(r1 AS DOUBLE) / nullif(CAST(q1 AS DOUBLE), 0))
+               AS volume_effect,
+           CAST(q2 AS DOUBLE)
+               * (CAST(r2 AS DOUBLE) / nullif(CAST(q2 AS DOUBLE), 0)
+                  - CAST(r1 AS DOUBLE) / nullif(CAST(q1 AS DOUBLE), 0))
+               AS price_effect
+    FROM per ORDER BY brand
+    """,
+    tags=("agg", "bridge", "bi", "engine-addition"),
+)
+def agg_bridge_price_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume bridge (revenue-change decomposition): per brand,
+    split the revenue delta between the trailing 180 days and the
+    prior 180 days into a VOLUME effect ((q2-q1)*p1) and a PRICE
+    effect (q2*(p2-p1)) — the waterfall chart behind every 'why did
+    revenue move' review, and an exact algebraic identity: the two
+    effects sum to r2-r1 by construction. Period totals are exact
+    integers from ONE conditional-aggregate pass (no per-period
+    scans); the per-unit prices and effects are staged through
+    identical double expressions on both engines, with nullif
+    guarding empty periods.
+
+    Scale: one fact scan, broadcast dims + broadcast 1-row anchor,
+    one brand shuffle — the same envelope as a grouped count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    anchor = o.agg(F.max("o_orderdate").alias("hi"))
+    f = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .crossJoin(F.broadcast(anchor))
+        .filter(F.expr("o_orderdate > hi - INTERVAL 360 DAY"))
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.expr(
+                "CASE WHEN o_orderdate > hi - INTERVAL 180 DAY"
+                " THEN 2 ELSE 1 END"
+            ).alias("period"),
+            F.col("l_quantity").cast("bigint").alias("q"),
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    per = f.groupBy("brand").agg(
+        *[
+            F.sum(F.when(F.col("period") == i, F.col(c)).otherwise(0))
+            .cast("bigint")
+            .alias(f"{c}{i}")
+            for i in (1, 2)
+            for c in ("q", "r")
+        ]
+    )
+    q1, r1 = F.col("q1").cast("double"), F.col("r1").cast("double")
+    q2, r2 = F.col("q2").cast("double"), F.col("r2").cast("double")
+    p1 = r1 / F.nullif(q1, F.lit(0.0))
+    p2 = r2 / F.nullif(q2, F.lit(0.0))
+    return per.select(
+        "brand",
+        "q1",
+        "r1",
+        "q2",
+        "r2",
+        (F.col("r2") - F.col("r1")).alias("delta_cents"),
+        ((q2 - q1) * p1).alias("volume_effect"),
+        (q2 * (p2 - p1)).alias("price_effect"),
+    ).orderBy("brand")
+
+
+@query(
+    "events_cohort_ltv",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, ts,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    cohorts AS (
+        SELECT user_id,
+               CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        FROM base GROUP BY user_id
+    ),
+    sizes AS (
+        SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+        FROM cohorts GROUP BY cohort_week
+    ),
+    weekly AS (
+        SELECT c.cohort_week,
+               CAST((CAST(date_trunc('week', b.ts) AS DATE) - c.cohort_week)
+                    // 7 AS BIGINT) AS week_k,
+               CAST(sum(b.cents) AS BIGINT) AS rev_cents
+        FROM base b JOIN cohorts c ON b.user_id = c.user_id
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT cohort_week, week_k, rev_cents,
+               CAST(sum(rev_cents) OVER (PARTITION BY cohort_week
+                   ORDER BY week_k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_rev_cents
+        FROM weekly
+    )
+    SELECT m.cohort_week, m.week_k, s.cohort_users, m.rev_cents,
+           m.cum_rev_cents,
+           CAST(m.cum_rev_cents // s.cohort_users AS BIGINT)
+               AS ltv_cents_per_user
+    FROM cum m JOIN sizes s ON m.cohort_week = s.cohort_week
+    ORDER BY m.cohort_week, m.week_k
+    """,
+    tags=("events", "cohort", "ltv", "engine-addition"),
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by first-activity
+    week, cumulative revenue per cohort by weeks-since-signup, and
+    LTV as integer cents per cohort user — the value twin of
+    events_cohort_retention (which counts activity; this accumulates
+    revenue, the number the payback-period decision actually needs).
+    Week indices and cents are exact integers; the cumulative sum is
+    a per-cohort window over the |cohorts|x|weeks| rollup.
+
+    Scale: one user shuffle assigns cohorts (first-touch min), one
+    (cohort, week) shuffle rolls up revenue, and the LTV window runs
+    on the model-sized grid; cohort sizes broadcast back."""
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            ((F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    cohorts = base.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count("*").cast("bigint").alias("cohort_users")
+    )
+    weekly = (
+        base.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr(
+                "CAST(datediff(CAST(date_trunc('week', ts) AS DATE),"
+                " cohort_week) div 7 AS BIGINT)"
+            ).alias("week_k"),
+        )
+        .agg(F.sum("cents").cast("bigint").alias("rev_cents"))
+    )
+    wcum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = weekly.withColumn(
+        "cum_rev_cents", F.sum("rev_cents").over(wcum).cast("bigint")
+    )
+    return (
+        cum.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_k",
+            "cohort_users",
+            "rev_cents",
+            "cum_rev_cents",
+            F.expr("CAST(cum_rev_cents div cohort_users AS BIGINT)").alias(
+                "ltv_cents_per_user"
+            ),
+        )
+        .orderBy("cohort_week", "week_k")
+    )

@@ -294,3 +294,67 @@ def test_round4e_plan_shapes(spark, sf_dir):
     p = _plan(spark, sf_dir, "store_incremental_join")
     assert p.broadcast_joins >= 4, p.text
     assert p.cartesian_products == 0
+
+
+def test_bridge_effects_sum_to_delta(spark, sf_dir):
+    for r in _run(spark, sf_dir, "agg_bridge_price_volume").collect():
+        if r["q1"] and r["q2"]:
+            assert (
+                abs(r["volume_effect"] + r["price_effect"] - r["delta_cents"])
+                < 1e-6 * max(1, abs(r["delta_cents"]))
+            )
+
+
+def test_roc_curve_monotone_and_ends(spark, sf_dir):
+    rows = _run(spark, sf_dir, "ml_roc_curve").collect()
+    # rows ordered threshold DESC: tp/fp cumulative -> nondecreasing
+    tps = [r["tp"] for r in rows]
+    fps = [r["fp"] for r in rows]
+    assert tps == sorted(tps) and fps == sorted(fps)
+    assert rows[-1]["tpr_ppm"] == 1_000_000
+    assert rows[-1]["fpr_ppm"] == 1_000_000
+
+
+def test_cohort_ltv_monotone_per_cohort(spark, sf_dir):
+    rows = _run(spark, sf_dir, "events_cohort_ltv").collect()
+    seen: dict = {}
+    for r in rows:  # ordered (cohort_week, week_k)
+        prev = seen.get(r["cohort_week"])
+        assert r["cum_rev_cents"] >= (prev or 0) or r["rev_cents"] < 0
+        seen[r["cohort_week"]] = r["cum_rev_cents"]
+        assert r["week_k"] >= 0
+
+
+def test_quantiles_bisect_matches_sorted_ranks(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").toPandas()
+    li["cents"] = (
+        (li.l_extendedprice.astype("float64") * 100).round().astype("int64")
+    )
+    for r in _run(spark, sf_dir, "agg_quantiles_bisect").collect():
+        vals = sorted(li[li.l_returnflag == r["l_returnflag"]].cents)
+        k = (len(vals) * r["q"] + 99) // 100
+        assert r["k"] == k and r["n"] == len(vals)
+        assert r["value_cents"] == vals[k - 1]
+
+
+def test_split_gain_consistent_with_stump(spark, sf_dir):
+    allf = {
+        r["feature"]: r
+        for r in _run(spark, sf_dir, "ml_split_gain_all_features").collect()
+    }
+    stump = _run(spark, sf_dir, "ml_decision_stump").collect()
+    best = min(
+        (r for r in stump if r["is_best"] == 1),
+        key=lambda r: r["split_qty"],
+    )
+    q = allf["quantity"]
+    assert q["best_split"] == best["split_qty"]
+    assert abs(q["gini_split"] - best["gini_weighted"]) < 1e-12
+    for r in allf.values():
+        assert r["gain"] >= -1e-12  # split never worse than root
+
+
+def test_winsorized_mean_bounds(spark, sf_dir):
+    for r in _run(spark, sf_dir, "agg_winsorized_mean").collect():
+        assert r["p05_cents"] <= r["winsorized_mean_cents"] <= r["p95_cents"]
+        assert r["n_clamped"] <= r["n"]
