@@ -1361,3 +1361,151 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# 63-bit simhash for the PAIRING step (the 16-bit profile above is
+# the compact fingerprint; pairing needs band buckets sparse enough
+# that same-band collisions mean similarity, not pigeon overcrowding:
+# 4 bands of ~16 bits give 2^16 bucket values per band). Bit k comes
+# from hex char k of md5(tok) for k < 32, of md5('x' || tok) for the
+# rest; 63 bits keeps the packed value positive in a signed bigint
+# on both engines.
+SIMHASH64_BITS = 63
+_S64_BANDS = ((0, 0xFFFF), (16, 0xFFFF), (32, 0xFFFF), (48, 0x7FFF))
+
+
+def _s64_bit_sql(k: int) -> str:
+    src = "md5(tok)" if k < 32 else "md5('x' || tok)"
+    return (
+        f"CASE WHEN substring({src}, {k % 32 + 1}, 1) >= '8'"
+        " THEN 1 ELSE -1 END"
+    )
+
+
+_S64_SIG_SQL = f"""
+    toks AS (
+        SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+        FROM documents
+    ),
+    bits AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"CAST(sum({_s64_bit_sql(k)}) AS BIGINT) AS s{k}"
+                   for k in range(SIMHASH64_BITS)
+               )}
+        FROM toks GROUP BY doc_id
+    ),
+    sig AS (
+        SELECT doc_id,
+               {" + ".join(
+                   f"CASE WHEN s{k} >= 0 THEN"
+                   f" CAST({1 << (SIMHASH64_BITS - 1 - k)} AS BIGINT)"
+                   " ELSE 0 END"
+                   for k in range(SIMHASH64_BITS)
+               )} AS sh
+        FROM bits
+    )
+"""
+
+HAMMING_MAX = 3  # 4 bands: any pair with ham <= 3 shares >= 1 band
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH {_S64_SIG_SQL}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= {HAMMING_MAX}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "simhash", "lsh", "engine-addition"),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRING — the step the 16-bit fingerprint
+    query (dedup_simhash) stops short of: a 63-bit signature split
+    into 4 ~16-bit bands; docs sharing any band value become
+    candidates (pigeonhole: Hamming distance <= 3 differs in at most
+    3 bands, so at least one band matches — the filter is LOSSLESS
+    for the threshold), verified by popcount(xor) <= 3. The oracle
+    recomputes the identical signatures and runs the UNFILTERED
+    quadratic join — same pairs, independent algorithm. Everything
+    is integer bit arithmetic; no floats anywhere.
+
+    Scale: signature build is one explode + 63 conditional partial
+    sums (map-side combinable, one doc shuffle); the band self-join
+    buckets on (band_idx, band_value) with 2^16 values per band —
+    uniform md5-derived bits keep buckets balanced, so the shuffle
+    is skew-free and only same-bucket pairs materialize. Citation:
+    reference has no fuzzy dedup; engine addition per SURVEY §2.6."""
+    # spread first: the signature build (explode + 63 conditional
+    # sums) is CPU-bound and the byte-small corpus scans as one split
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.explode(F.split(_norm(F.col("text")), " ")).alias("tok")
+    ).select(
+        "doc_id",
+        F.md5("tok").alias("h1"),
+        F.md5(F.concat(F.lit("x"), F.col("tok"))).alias("h2"),
+    )
+    bits = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.substring(
+                        F.col("h1" if k < 32 else "h2"), k % 32 + 1, 1
+                    )
+                    >= "8",
+                    1,
+                ).otherwise(-1)
+            )
+            .cast("bigint")
+            .alias(f"s{k}")
+            for k in range(SIMHASH64_BITS)
+        ]
+    )
+    packed = None
+    for k in range(SIMHASH64_BITS):
+        term = F.when(
+            F.col(f"s{k}") >= 0,
+            F.lit(1 << (SIMHASH64_BITS - 1 - k)).cast("bigint"),
+        ).otherwise(0)
+        packed = term if packed is None else packed + term
+    sig = bits.select(
+        "doc_id", packed.cast("bigint").alias("sh")
+    ).localCheckpoint(eager=True)
+    banded = sig.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.expr(f"shiftright(sh, {off}) & {mask}").alias(
+                            "band_val"
+                        ),
+                    )
+                    for i, (off, mask) in enumerate(_S64_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "sh", "b.band_idx", "b.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("CAST(bit_count(a.sh ^ b.sh) AS BIGINT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )

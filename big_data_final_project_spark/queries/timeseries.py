@@ -2993,3 +2993,64 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_k")
     )
+
+
+@query(
+    "events_absence_audit",
+    oracle="""
+    WITH anchor AS (SELECT max(ts) AS hi FROM events),
+    last_seen AS (
+        SELECT user_id, max(ts) AS last_ts,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    )
+    SELECT l.user_id, l.last_ts, l.n_events,
+           CAST((epoch_us(a.hi) - epoch_us(l.last_ts)) // 86400000000
+                AS BIGINT) AS days_silent
+    FROM last_seen l CROSS JOIN anchor a
+    WHERE epoch_us(l.last_ts) <= epoch_us(a.hi) - 7 * 86400000000
+    ORDER BY days_silent DESC, user_id ASC
+    LIMIT 100
+    """,
+    tags=("events", "monitoring", "absence", "engine-addition"),
+)
+def events_absence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-series detection (the dead-man switch every monitoring
+    stack needs): users whose LAST event is more than 7 days behind
+    the stream's own frontier (max(ts), no wall clock), with exact
+    integer-day silence computed in microseconds. Absence can't be
+    filtered from raw events — it's a property of what ISN'T there —
+    so the shape is: collapse to per-key last-seen (one
+    map-side-combinable aggregate), broadcast the 1-row frontier,
+    compare. Top-100 by silence with key tie-break keeps the output
+    bounded and deterministic.
+
+    Scale: one fact scan to |keys| rows; the threshold probe and the
+    top-k (TakeOrderedAndProject) never touch raw events again."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    anchor = e.agg(F.max("ts").alias("hi"))
+    last_seen = e.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    return (
+        last_seen.crossJoin(F.broadcast(anchor))
+        .filter(
+            F.expr(
+                "unix_micros(last_ts) <= unix_micros(hi) - 7 * 86400000000"
+            )
+        )
+        .select(
+            "user_id",
+            "last_ts",
+            "n_events",
+            F.expr(
+                "CAST((unix_micros(hi) - unix_micros(last_ts))"
+                " div 86400000000 AS BIGINT)"
+            ).alias("days_silent"),
+        )
+        .orderBy(F.col("days_silent").desc(), F.col("user_id").asc())
+        .limit(100)
+    )

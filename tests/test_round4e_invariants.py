@@ -358,3 +358,37 @@ def test_winsorized_mean_bounds(spark, sf_dir):
     for r in _run(spark, sf_dir, "agg_winsorized_mean").collect():
         assert r["p05_cents"] <= r["winsorized_mean_cents"] <= r["p95_cents"]
         assert r["n_clamped"] <= r["n"]
+
+
+def test_simhash_pairs_hamming_and_banding(spark, sf_dir):
+    rows = _run(spark, sf_dir, "dedup_simhash_pairs").collect()
+    for r in rows:
+        assert 0 <= r["hamming"] <= 3
+        assert r["doc_a"] < r["doc_b"]
+    # pigeonhole losslessness is proven by the unfiltered quadratic
+    # oracle; here pin the planted near-dups are actually caught:
+    # identical docs must appear at hamming 0 if any text repeats
+    d = load_table(spark, sf_dir, "documents").toPandas()
+    dup_groups = d.groupby(d.text.str.lower().str.strip()).doc_id.apply(list)
+    expected0 = {
+        (min(a, b), max(a, b))
+        for ids in dup_groups
+        if len(ids) > 1
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+    }
+    got = {(r["doc_a"], r["doc_b"]) for r in rows if r["hamming"] == 0}
+    assert expected0 <= got
+
+
+def test_absence_audit_accounting(spark, sf_dir):
+    rows = _run(spark, sf_dir, "events_absence_audit").collect()
+    e = load_table(spark, sf_dir, "events").toPandas()
+    e = e[e.user_id.notna()]
+    hi = e.ts.max()
+    last = e.groupby("user_id").ts.max()
+    silent = last[last <= hi - pd.Timedelta(days=7)]
+    assert len(rows) == min(100, len(silent))
+    for r in rows:
+        assert r["days_silent"] >= 7
+        assert last[r["user_id"]] == r["last_ts"]
