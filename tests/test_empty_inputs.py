@@ -71,6 +71,30 @@ EMPTY_SAFE = [
     "graph_degree_distribution",
     "dedup_containment",
     "events_survival_table",
+    # round-4e families
+    "ml_decision_stump",
+    "ml_split_gain_all_features",
+    "ml_roc_curve",
+    "ml_rank_fusion_rrf",
+    "agg_median_bisect",
+    "agg_quantiles_bisect",
+    "agg_skyline_2d",
+    "agg_alloc_largest_remainder",
+    "agg_winsorized_mean",
+    "agg_kmv_distinct",
+    "ts_max_drawdown",
+    "ts_max_concurrency",
+    "ts_rolling_corr",
+    "window_rolling_median",
+    "events_longest_streak",
+    "events_cohort_ltv",
+    "events_absence_audit",
+    "curation_vocab_coverage",
+    "dedup_prefix_filter_join",
+    "dedup_simhash_pairs",
+    "graph_two_hop_min_plus",
+    "store_incremental_join",
+    "agg_bridge_price_volume",
 ]
 
 
