@@ -1692,3 +1692,107 @@ def ml_split_gain_all_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("feature")
     )
+
+
+@query(
+    "ab_ratio_delta_method",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN user_id % 2 = 0 THEN 'treat' ELSE 'control' END
+                   AS arm,
+               {dsum_sql("value")} AS x,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    mom AS (
+        SELECT arm,
+               CAST(count(*) AS DOUBLE) AS n,
+               {dsum_sql("x")} AS sx,
+               CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS sy,
+               {dsum_prod_sql("x", "x")} AS sxx,
+               CAST(CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                    AS VARCHAR) AS DOUBLE) AS syy,
+               {dsum_prod_sql("x", "y")} AS sxy
+        FROM per_user GROUP BY arm
+    ),
+    est AS (
+        SELECT arm, n, sx, sy,
+               sx / sy AS ratio,
+               (sxx / n - (sx / n) * (sx / n)) AS vx,
+               (syy / n - (sy / n) * (sy / n)) AS vy,
+               (sxy / n - (sx / n) * (sy / n)) AS cxy
+        FROM mom
+    )
+    SELECT arm, CAST(n AS BIGINT) AS n_users, ratio,
+           (vx - 2 * ratio * cxy + ratio * ratio * vy)
+               / (n * (sy / n) * (sy / n)) AS var_delta,
+           sqrt((vx - 2 * ratio * cxy + ratio * ratio * vy)
+               / (n * (sy / n) * (sy / n))) AS se_delta
+    FROM est ORDER BY arm
+    """,
+    tags=("ml", "experiment", "delta-method", "engine-addition"),
+)
+def ab_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard error of a RATIO metric (value per event, the
+    CTR/revenue-per-session shape) under user-level randomization —
+    the delta method: a ratio of sums is NOT an average of i.i.d.
+    rows, so naive row-level variance is wrong; the correct variance
+    comes from per-USER moment sums (x=user value, y=user events):
+    var(R) ~= (vx - 2R*cxy + R^2*vy) / (n*ybar^2). Complements
+    ab_welch_ttest (per-row continuous metrics). Deterministic arm
+    assignment by user id parity; x-moments decimal-exact via the
+    dsum/dsum_prod discipline, y-moments exact integers, and every
+    downstream float op staged through identical intermediates so
+    both engines match bit-for-bit.
+
+    Scale: one user-level shuffle, then one |arms| aggregate of the
+    six moments — the experimentation readout costs two
+    map-side-combinable passes regardless of corpus size."""
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            dsum("value").alias("x"),
+            F.count("*").cast("bigint").alias("y"),
+        )
+        .withColumn(
+            "arm",
+            F.when(F.col("user_id") % 2 == 0, "treat").otherwise("control"),
+        )
+    )
+    mom = per_user.groupBy("arm").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum("x").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").cast("double").alias("sy"),
+        dsum_prod("x", "x").alias("sxx"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("syy"),
+        dsum_prod("x", "y").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    est = mom.select(
+        "arm",
+        "n",
+        "sx",
+        "sy",
+        (sx / sy).alias("ratio"),
+        (F.col("sxx") / n - (sx / n) * (sx / n)).alias("vx"),
+        (F.col("syy") / n - (sy / n) * (sy / n)).alias("vy"),
+        (F.col("sxy") / n - (sx / n) * (sy / n)).alias("cxy"),
+    )
+    var_delta = (
+        F.col("vx")
+        - 2 * F.col("ratio") * F.col("cxy")
+        + F.col("ratio") * F.col("ratio") * F.col("vy")
+    ) / (n * (sy / n) * (sy / n))
+    return est.select(
+        "arm",
+        n.cast("bigint").alias("n_users"),
+        "ratio",
+        var_delta.alias("var_delta"),
+        F.sqrt(var_delta).alias("se_delta"),
+    ).orderBy("arm")

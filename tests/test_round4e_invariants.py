@@ -392,3 +392,19 @@ def test_absence_audit_accounting(spark, sf_dir):
     for r in rows:
         assert r["days_silent"] >= 7
         assert last[r["user_id"]] == r["last_ts"]
+
+
+def test_ratio_delta_method_sanity(spark, sf_dir):
+    rows = _run(spark, sf_dir, "ab_ratio_delta_method").collect()
+    assert {r["arm"] for r in rows} == {"treat", "control"}
+    n_users = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_users"] for r in rows) == n_users
+    for r in rows:
+        assert r["var_delta"] >= 0
+        assert abs(r["se_delta"] ** 2 - r["var_delta"]) < 1e-18 + 1e-9 * r["var_delta"]
