@@ -408,3 +408,29 @@ def test_ratio_delta_method_sanity(spark, sf_dir):
     for r in rows:
         assert r["var_delta"] >= 0
         assert abs(r["se_delta"] ** 2 - r["var_delta"]) < 1e-18 + 1e-9 * r["var_delta"]
+
+
+def test_round4e3_plan_shapes(spark, sf_dir):
+    # simhash pairing: banded self-join, no cartesian; signature
+    # build is joinless aggregation
+    p = _plan(spark, sf_dir, "dedup_simhash_pairs")
+    assert p.cartesian_products == 0
+    # absence audit: frontier broadcast + top-k merge, no sort-merge
+    p = _plan(spark, sf_dir, "events_absence_audit")
+    assert "TakeOrderedAndProject" in p.text
+    assert p.sortmerge_joins == 0
+    # delta method / bridge / roc / split gain: pure aggregate+window
+    # pipelines — no shuffle-heavy joins beyond the broadcast star
+    p = _plan(spark, sf_dir, "ab_ratio_delta_method")
+    assert p.sortmerge_joins == 0 and p.cartesian_products == 0
+    p = _plan(spark, sf_dir, "agg_bridge_price_volume")
+    assert p.broadcast_joins >= 2, p.text
+    assert p.cartesian_products == 0
+    p = _plan(spark, sf_dir, "ml_roc_curve")
+    assert p.broadcast_joins == 0 and p.sortmerge_joins == 0
+    p = _plan(spark, sf_dir, "ml_split_gain_all_features")
+    assert p.broadcast_joins == 0 and p.sortmerge_joins == 0
+    assert p.shuffles <= 3, p.text
+    # winsorize: threshold row broadcast back, no global sort
+    p = _plan(spark, sf_dir, "agg_winsorized_mean")
+    assert p.sortmerge_joins == 0, p.text
