@@ -602,18 +602,22 @@ def _kcore_degree_sql(edges: str) -> str:
     "graph_kcore_peel",
     oracle=f"""
     WITH {_KNN_EDGES_SQL},
-    d0 AS ({_kcore_degree_sql("e")}),
-    r1 AS (SELECT n FROM d0 WHERE deg < {K_CORE}),
-    e1 AS (SELECT a, b FROM e WHERE a NOT IN (SELECT n FROM r1)
-                               AND b NOT IN (SELECT n FROM r1)),
+    em AS MATERIALIZED (SELECT a, b FROM e),
+    d0 AS ({_kcore_degree_sql("em")}),
+    r1 AS MATERIALIZED (SELECT n FROM d0 WHERE deg < {K_CORE}),
+    e1 AS MATERIALIZED (
+        SELECT a, b FROM em WHERE a NOT IN (SELECT n FROM r1)
+                              AND b NOT IN (SELECT n FROM r1)),
     d1 AS ({_kcore_degree_sql("e1")}),
-    r2 AS (SELECT n FROM d1 WHERE deg < {K_CORE}),
-    e2 AS (SELECT a, b FROM e1 WHERE a NOT IN (SELECT n FROM r2)
-                                AND b NOT IN (SELECT n FROM r2)),
+    r2 AS MATERIALIZED (SELECT n FROM d1 WHERE deg < {K_CORE}),
+    e2 AS MATERIALIZED (
+        SELECT a, b FROM e1 WHERE a NOT IN (SELECT n FROM r2)
+                              AND b NOT IN (SELECT n FROM r2)),
     d2 AS ({_kcore_degree_sql("e2")}),
-    r3 AS (SELECT n FROM d2 WHERE deg < {K_CORE}),
-    e3 AS (SELECT a, b FROM e2 WHERE a NOT IN (SELECT n FROM r3)
-                                AND b NOT IN (SELECT n FROM r3))
+    r3 AS MATERIALIZED (SELECT n FROM d2 WHERE deg < {K_CORE}),
+    e3 AS MATERIALIZED (
+        SELECT a, b FROM e2 WHERE a NOT IN (SELECT n FROM r3)
+                              AND b NOT IN (SELECT n FROM r3))
     SELECT * FROM (
       SELECT CAST(1 AS BIGINT) AS round,
              CAST((SELECT count(*) FROM r1) AS BIGINT) AS n_removed,
