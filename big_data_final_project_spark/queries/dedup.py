@@ -123,7 +123,7 @@ _SEEDS_SQL = "[" + ", ".join(f"'{s}'" for s in SEEDS) + "]"
 # (connected-components) oracle built on top of it.
 _MINHASH_CTES = f"""
     sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents),
-    sig AS (
+    sig AS MATERIALIZED (
         SELECT doc_id,
                list_transform({_SEEDS_SQL}, s ->
                    list_aggregate(
@@ -140,7 +140,7 @@ _MINHASH_CTES = f"""
                    sig[{ROWS_PER_BAND}*band_idx + 2]) AS band_hash
         FROM bands
     ),
-    cand AS (
+    cand AS MATERIALIZED (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(list_reduce(
                    list_transform(range(1, {N_PERM} + 1),
