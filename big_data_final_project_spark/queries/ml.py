@@ -1321,11 +1321,11 @@ def _pois_case(u: str) -> str:
                                   ORDER BY mean_r ASC, r ASC) AS ra,
                row_number() OVER (PARTITION BY event_type
                                   ORDER BY mean_r DESC, r ASC) AS rd
-        FROM means
+        FROM means WHERE mean_r IS NOT NULL
     )
     SELECT event_type,
            max(n) AS n,
-           max(CASE WHEN r = 0 THEN vsum END) / max(n) AS mean_value,
+           max(vsum) / max(n) AS mean_value,
            max(CASE WHEN ra = 2 THEN mean_r END) AS ci_lo,
            max(CASE WHEN rd = 2 THEN mean_r END) AS ci_hi
     FROM ranked GROUP BY event_type ORDER BY event_type
@@ -1378,7 +1378,10 @@ def ml_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     wd = Window.partitionBy("event_type").orderBy(
         F.col("mean_r").desc(), F.col("r").asc()
     )
-    ranked = means.select(
+    # drop empty replicates (all-zero Poisson weights, ~e^-n chance)
+    # BEFORE ranking: a NULL mean would sort NULLS FIRST on Spark but
+    # NULLS LAST on DuckDB and silently shift the order statistics
+    ranked = means.filter(F.col("mean_r").isNotNull()).select(
         "*",
         F.row_number().over(wa).alias("ra"),
         F.row_number().over(wd).alias("rd"),
@@ -1387,9 +1390,7 @@ def ml_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.groupBy("event_type")
         .agg(
             F.max("n").alias("n"),
-            (
-                F.max(F.when(F.col("r") == 0, F.col("vsum"))) / F.max("n")
-            ).alias("mean_value"),
+            (F.max("vsum") / F.max("n")).alias("mean_value"),
             F.max(F.when(F.col("ra") == 2, F.col("mean_r"))).alias("ci_lo"),
             F.max(F.when(F.col("rd") == 2, F.col("mean_r"))).alias("ci_hi"),
         )
