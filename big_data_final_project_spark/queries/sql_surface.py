@@ -516,3 +516,43 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_price": PARAM_MIN_PRICE, "status": PARAM_STATUS},
     )
+
+
+@query(
+    "sql_join_hint_broadcast",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_balance
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY nation
+    """,
+    tags=("sql", "hints", "surface", "engine-addition"),
+)
+def sql_join_hint_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL join-strategy HINT surface: the /*+ BROADCAST(n) */
+    comment-hint forces the dimension build side from inside pure
+    SQL text — the knob users reach for when statistics mislead the
+    planner on a 100 TB fact join (the engine's planner would
+    normally choose by size estimate; the hint pins it). Results are
+    identical with or without the hint — only the physical plan
+    differs — so the oracle is the plain join; the plan-shape suite
+    asserts the broadcast actually happened.
+
+    Hints are advisory metadata in the logical plan: they survive
+    view expansion and CTEs, and an impossible hint degrades to the
+    planner's choice rather than failing the query."""
+    for t in ("supplier", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"hint_{t}")
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(n) */ n.n_name AS nation,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                   AS total_balance
+        FROM hint_supplier s JOIN hint_nation n
+          ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY nation
+        """
+    )

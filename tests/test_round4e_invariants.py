@@ -434,3 +434,9 @@ def test_round4e3_plan_shapes(spark, sf_dir):
     # winsorize: threshold row broadcast back, no global sort
     p = _plan(spark, sf_dir, "agg_winsorized_mean")
     assert p.sortmerge_joins == 0, p.text
+
+
+def test_sql_join_hint_forces_broadcast(spark, sf_dir):
+    p = _plan(spark, sf_dir, "sql_join_hint_broadcast")
+    assert p.broadcast_joins >= 1, p.text
+    assert p.sortmerge_joins == 0
