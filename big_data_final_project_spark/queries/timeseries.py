@@ -3054,3 +3054,92 @@ def events_absence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("days_silent").desc(), F.col("user_id").asc())
         .limit(100)
     )
+
+
+@query(
+    "ts_slo_burn_rate",
+    oracle="""
+    WITH ev AS (
+        SELECT date_trunc('hour', ts) AS bucket,
+               CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) < 10
+                    THEN 1 ELSE 0 END AS err
+        FROM events
+    ),
+    hourly AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(err) AS BIGINT) AS errors
+        FROM ev GROUP BY bucket
+    ),
+    windowed AS (
+        SELECT bucket, n, errors,
+               CAST(sum(n) OVER w6 AS BIGINT) AS n6,
+               CAST(sum(errors) OVER w6 AS BIGINT) AS errors6,
+               row_number() OVER (ORDER BY bucket) AS rn
+        FROM hourly
+        WINDOW w6 AS (ORDER BY bucket ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+    )
+    SELECT bucket, n, errors,
+           CAST(errors * 100000 // n AS BIGINT) AS burn_1h_x1000,
+           CAST(errors6 * 100000 // n6 AS BIGINT) AS burn_6h_x1000,
+           CASE WHEN errors * 100000 // n > 6000
+                 AND errors6 * 100000 // n6 > 6000
+                THEN 1 ELSE 0 END AS page_alert
+    FROM windowed WHERE rn >= 6
+    ORDER BY bucket
+    """,
+    tags=("timeseries", "slo", "monitoring", "engine-addition"),
+)
+def ts_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO error-budget burn rate — the SRE alerting
+    construct: with a 99% success objective, burn rate is
+    (error rate)/(1% budget); paging requires BOTH the fast window
+    (1h) and the slow window (trailing 6h) to burn above 6x, which
+    filters blips (fast-only) and stale incidents (slow-only). The
+    error predicate reads the JSON props payload (k < 10) so the
+    whole path — JSON extract, hourly rollup, two burn rates, the
+    alert conjunction — is exercised end to end in exact integers
+    (burn x1000 = errors*100000 div n). Leading partial windows are
+    suppressed (rn >= 6).
+
+    Scale: one scan collapses to hourly grain (map-side combinable);
+    the 6-bucket frame and alert logic run on the |hours| rollup.
+    Per-service SLOs = add the service key to the group and window
+    partition; nothing else changes."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        F.when(
+            F.get_json_object(F.col("props"), "$.k").cast("bigint") < 10, 1
+        )
+        .otherwise(0)
+        .alias("err"),
+    )
+    hourly = ev.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("err").cast("bigint").alias("errors"),
+    )
+    wb = Window.orderBy("bucket")
+    w6 = wb.rowsBetween(-5, 0)
+    windowed = hourly.select(
+        "bucket",
+        "n",
+        "errors",
+        F.sum("n").over(w6).cast("bigint").alias("n6"),
+        F.sum("errors").over(w6).cast("bigint").alias("errors6"),
+        F.row_number().over(wb).alias("rn"),
+    )
+    burn1 = F.expr("errors * 100000 div n")
+    burn6 = F.expr("errors6 * 100000 div n6")
+    return (
+        windowed.filter(F.col("rn") >= 6)
+        .select(
+            "bucket",
+            "n",
+            "errors",
+            burn1.cast("bigint").alias("burn_1h_x1000"),
+            burn6.cast("bigint").alias("burn_6h_x1000"),
+            F.when((burn1 > 6000) & (burn6 > 6000), 1)
+            .otherwise(0)
+            .alias("page_alert"),
+        )
+        .orderBy("bucket")
+    )

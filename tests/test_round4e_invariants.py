@@ -440,3 +440,13 @@ def test_sql_join_hint_forces_broadcast(spark, sf_dir):
     p = _plan(spark, sf_dir, "sql_join_hint_broadcast")
     assert p.broadcast_joins >= 1, p.text
     assert p.sortmerge_joins == 0
+
+
+def test_slo_burn_alert_conjunction(spark, sf_dir):
+    rows = _run(spark, sf_dir, "ts_slo_burn_rate").collect()
+    assert rows
+    for r in rows:
+        assert r["page_alert"] == int(
+            r["burn_1h_x1000"] > 6000 and r["burn_6h_x1000"] > 6000
+        )
+        assert 0 <= r["errors"] <= r["n"]
