@@ -32,6 +32,7 @@ from ..data import load_table
 from ..operators.scale import spread
 from ..registry import query
 from .dedup import (
+    FXP_SCALE,
     _QDOT_SQL,
     _QL2_SQL,
     _QVEC_SQL,
@@ -923,4 +924,122 @@ def ml_knn_classifier_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_votes",
         )
         .orderBy("query_id")
+    )
+
+
+@query(
+    "curation_embedding_diversity",
+    oracle=f"""
+    WITH q0 AS (
+        SELECT vec_id, label, {_QVEC_SQL} AS qv FROM embeddings
+    ),
+    rows_ AS (
+        SELECT label,
+               CAST(list_reduce(list_transform(qv, x -> x * x),
+                    (a, x) -> a + x) AS BIGINT) AS norm2,
+               qv
+        FROM q0
+    ),
+    per_label AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(norm2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+        FROM rows_ GROUP BY label
+    ),
+    dims AS (
+        SELECT r.label, d.i AS dim,
+               CAST(sum(r.qv[d.i]) AS BIGINT) AS sx
+        FROM rows_ r, unnest(range(1, len(r.qv) + 1)) AS d(i)
+        GROUP BY 1, 2
+    ),
+    cent AS (
+        SELECT label,
+               CAST(sum(CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS c2
+        FROM dims GROUP BY label
+    )
+    SELECT p.label, p.n,
+           CAST(CAST(CAST(p.s2 AS HUGEINT) * p.n - CAST(c.c2 AS HUGEINT)
+                AS VARCHAR) AS DOUBLE)
+               * 2 / (CAST(p.n AS DOUBLE) * (CAST(p.n AS DOUBLE) - 1))
+               / ({FXP_SCALE} * {FXP_SCALE}) AS avg_pairwise_sq_dist,
+           CAST(CAST(c.c2 AS VARCHAR) AS DOUBLE)
+               / (CAST(p.n AS DOUBLE) * CAST(p.n AS DOUBLE))
+               / ({FXP_SCALE} * {FXP_SCALE}) AS centroid_norm_sq
+    FROM per_label p JOIN cent c ON p.label = c.label
+    ORDER BY p.label
+    """,
+    tags=("curation", "embeddings", "diversity", "engine-addition"),
+)
+def curation_embedding_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus embedding diversity WITHOUT a pairwise pass: the mean
+    squared pairwise distance obeys the moment identity
+    sum_{i!=j} ||xi-xj||^2 = 2(n*S2 - C2) with S2 = sum ||xi||^2 and
+    C2 = ||sum xi||^2 — so the curation metric that naively costs
+    O(n^2) vector comparisons (is this source's embedding space
+    collapsing into near-duplicates?) collapses to ONE scan of
+    per-row norms plus one per-dimension sum. Vectors are quantized
+    to 2^23 fixed point (dedup.FXP_SCALE), so S2 and C2 are EXACT
+    integers (decimal(38,0) rollups; C2 <= n^2*2^46*64 overflows
+    bigint at corpus scale); the final normalization is staged
+    through identical double expressions, with the oracle reading
+    the wide decimals through the VARCHAR route (dsum_sql
+    discipline). Centroid norm rides along: a high centroid norm
+    with low diversity flags a collapsed/biased embedding space.
+
+    Scale: one corpus scan for norms, one (label, dim) shuffle for
+    centroid sums — |labels| x dims rows of state; the n^2 pair
+    space is never touched."""
+    qv = F.expr(
+        f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+        f" * {FXP_SCALE}) AS BIGINT))"
+    )
+    rows = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "label",
+        qv.alias("qv"),
+    ).select(
+        "label",
+        "qv",
+        F.expr(
+            "aggregate(transform(qv, x -> x * x), 0L, (a, x) -> a + x)"
+        ).alias("norm2"),
+    )
+    per_label = rows.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("norm2").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    dims = (
+        rows.select("label", F.posexplode("qv").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.sum("x").cast("bigint").alias("sx"))
+    )
+    cent = dims.groupBy("label").agg(
+        F.sum(
+            F.col("sx").cast("decimal(19,0)") * F.col("sx").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("c2")
+    )
+    n = F.col("n").cast("double")
+    c2d = F.col("c2").cast("double")
+    fxp2 = F.lit(FXP_SCALE) * F.lit(FXP_SCALE)
+    # n*S2 - C2 cancels catastrophically in double (both terms ~2^59,
+    # difference ~2^52): form the difference EXACTLY in decimal(38,0)
+    # first, cast once — measured 1.6e-7 relative drift the other way
+    diff = (
+        F.col("s2") * F.col("n").cast("decimal(19,0)")
+        - F.col("c2")
+    ).cast("decimal(38,0)").cast("double")
+    return (
+        per_label.join(cent, "label")
+        .select(
+            "label",
+            "n",
+            (diff * 2 / (n * (n - 1)) / fxp2).alias(
+                "avg_pairwise_sq_dist"
+            ),
+            (c2d / (n * n) / fxp2).alias("centroid_norm_sq"),
+        )
+        .orderBy("label")
     )

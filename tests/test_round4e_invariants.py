@@ -450,3 +450,29 @@ def test_slo_burn_alert_conjunction(spark, sf_dir):
             r["burn_1h_x1000"] > 6000 and r["burn_6h_x1000"] > 6000
         )
         assert 0 <= r["errors"] <= r["n"]
+
+
+def test_embedding_diversity_matches_brute_force(spark, sf_dir):
+    import numpy as np
+
+    rows = _run(spark, sf_dir, "curation_embedding_diversity").collect()
+    emb = load_table(spark, sf_dir, "embeddings").toPandas()
+    for r in rows:
+        g = emb[emb.label == r["label"]]
+        x = np.stack(g.embedding.to_numpy()).astype("float64") * 8388608.0
+        # half-AWAY rounding (the engine's quantizer); np.round is
+        # half-even and disagrees on exact .5 ties of float32 inputs
+        q = (
+            (np.sign(x) * np.floor(np.abs(x) + 0.5))
+            .astype("int64")
+            .astype(object)  # exact big-int arithmetic: the engine value
+        )                    # is integer-exact, so the check must be too
+        n = len(q)
+        total = sum(
+            int(((q[i] - q[j]) ** 2).sum())
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        brute = 2 * total / (n * (n - 1)) / 8388608.0**2
+        assert r["n"] == n
+        assert abs(r["avg_pairwise_sq_dist"] - brute) < 1e-12 * max(1, brute)
