@@ -1797,3 +1797,111 @@ def ab_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
         var_delta.alias("var_delta"),
         F.sqrt(var_delta).alias("se_delta"),
     ).orderBy("arm")
+
+
+@query(
+    "ml_mann_whitney_u",
+    oracle="""
+    WITH vals AS (
+        SELECT CASE WHEN l_returnflag = 'R' THEN 'a' ELSE 'b' END AS grp,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS v
+        FROM lineitem WHERE l_returnflag IN ('R', 'A')
+    ),
+    per AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS t,
+               CAST(sum(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ta
+        FROM vals GROUP BY v
+    ),
+    ranked AS (
+        SELECT v, t, ta,
+               CAST(coalesce(sum(t) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_before
+        FROM per
+    ),
+    agg AS (
+        SELECT CAST(sum(ta * (2 * cum_before + t + 1)) AS BIGINT) AS w2a,
+               CAST(sum(ta) AS BIGINT) AS na,
+               CAST(sum(t - ta) AS BIGINT) AS nb,
+               CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+        FROM ranked
+    )
+    SELECT na, nb,
+           CAST(w2a - na * (na + 1) AS BIGINT) AS u_a_x2,
+           (CAST(w2a - na * (na + 1) AS DOUBLE) / 2
+            - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2)
+           / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12
+                  * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1)
+                     - CAST(tie3 AS DOUBLE)
+                       / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                          * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1))))
+               AS z
+    FROM agg
+    """,
+    tags=("ml", "statistics", "nonparametric", "engine-addition"),
+)
+def ml_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) two-sample test with FULL
+    tie correction — the nonparametric A/B readout when Welch's
+    normality assumption is off. Distributed exact ranks without a
+    global sort: collapse to the per-value histogram (one shuffle),
+    then average ranks come from the cumulative count — 2*avg_rank =
+    2*cum_before + t + 1, kept in INTEGER HALVES so W, U and the tie
+    term sum(t^3 - t) are exact bigints; only the final z (normal
+    approximation with the tie-corrected variance) runs in double,
+    through identical expression trees on both engines.
+
+    Scale: the value histogram is the only data-sized shuffle; the
+    rank window runs on |distinct values| rows. Compare ml_ks_two_
+    sample (distribution-shape distance) and ab_welch_ttest (mean
+    difference): this one tests stochastic dominance."""
+    vals = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag").isin("R", "A"))
+        .select(
+            F.when(F.col("l_returnflag") == "R", "a")
+            .otherwise("b")
+            .alias("grp"),
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("v"),
+        )
+    )
+    per = vals.groupBy("v").agg(
+        F.count("*").cast("bigint").alias("t"),
+        F.sum(F.when(F.col("grp") == "a", 1).otherwise(0))
+        .cast("bigint")
+        .alias("ta"),
+    )
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per.withColumn(
+        "cum_before",
+        F.coalesce(F.sum("t").over(wcum), F.lit(0)).cast("bigint"),
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.col("ta") * (2 * F.col("cum_before") + F.col("t") + 1)
+        )
+        .cast("bigint")
+        .alias("w2a"),
+        F.sum("ta").cast("bigint").alias("na"),
+        F.sum(F.col("t") - F.col("ta")).cast("bigint").alias("nb"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie3"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    # 2W keeps tie half-ranks exact, so report 2U (integer): U itself
+    # ends in .5 whenever an odd number of tied values straddles the
+    # groups, and an integer division would silently truncate it
+    ua2 = F.expr("CAST(w2a - na * (na + 1) AS BIGINT)")
+    uad = ua2.cast("double") / 2
+    z = (uad - na * nb / 2) / F.sqrt(
+        na
+        * nb
+        / 12
+        * ((na + nb + 1) - F.col("tie3").cast("double") / ((na + nb) * (na + nb - 1)))
+    )
+    return agg.select("na", "nb", ua2.alias("u_a_x2"), z.alias("z"))

@@ -3143,3 +3143,89 @@ def ts_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "ts_theil_sen_slope",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+        SELECT a.event_type,
+               CAST(b.cents - a.cents AS DOUBLE)
+                   / CAST(b.day - a.day AS BIGINT) AS slope
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day
+    ),
+    ranked AS (
+        SELECT event_type, slope,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY slope) AS rn,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_pairs
+        FROM slopes
+    )
+    SELECT event_type, n_pairs,
+           slope AS theil_sen_slope_cents_per_day
+    FROM ranked WHERE rn = (n_pairs + 1) // 2
+    ORDER BY event_type
+    """,
+    tags=("timeseries", "robust", "trend", "engine-addition"),
+)
+def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator — the median of all pairwise
+    slopes, the companion ESTIMATOR to the ts_mann_kendall
+    significance test (breakdown point ~29% vs 0% for OLS: a few
+    spiked days cannot drag it). The pair join runs on the DAILY
+    rollup, not raw events — each series' pair space is
+    |days|^2/2 ~ 1e5 rows for a year, model-sized by construction;
+    slopes are one exact IEEE division each (integer cents / integer
+    days, identical on both engines), and the median is the lower
+    order statistic by row_number, so no interpolation.
+
+    Scale: one fact shuffle to daily grain; the per-series pair join
+    and median window never touch raw data. For decade-long series,
+    sample day pairs deterministically (hash gate) — the estimator
+    is defined on any pair subset."""
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.sum(cents).cast("bigint").alias("cents"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") < F.col("b.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.cents") - F.col("a.cents")).cast("double")
+            / F.expr("datediff(b.day, a.day)").cast("bigint")
+        ).alias("slope"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope")
+    wp = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wp).cast("bigint").alias("n_pairs"),
+    )
+    return (
+        ranked.filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        .select(
+            "event_type",
+            "n_pairs",
+            F.col("slope").alias("theil_sen_slope_cents_per_day"),
+        )
+        .orderBy("event_type")
+    )

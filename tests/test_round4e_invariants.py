@@ -476,3 +476,44 @@ def test_embedding_diversity_matches_brute_force(spark, sf_dir):
         brute = 2 * total / (n * (n - 1)) / 8388608.0**2
         assert r["n"] == n
         assert abs(r["avg_pairwise_sq_dist"] - brute) < 1e-12 * max(1, brute)
+
+
+def test_mann_whitney_scipy_free_recompute(spark, sf_dir):
+    row = _run(spark, sf_dir, "ml_mann_whitney_u").collect()[0]
+    li = load_table(spark, sf_dir, "lineitem").toPandas()
+    li = li[li.l_returnflag.isin(["R", "A"])]
+    li["cents"] = (
+        (li.l_extendedprice.astype("float64") * 100).round().astype("int64")
+    )
+    ranks = li.cents.rank(method="average")  # pandas average ranks
+    wa = float(ranks[li.l_returnflag == "R"].sum())
+    na = int((li.l_returnflag == "R").sum())
+    ua = wa - na * (na + 1) / 2
+    assert row["na"] == na
+    assert abs(row["u_a_x2"] / 2 - ua) < 1e-9
+    assert abs(row["z"]) < 50  # sanity: finite, plausible magnitude
+
+
+def test_theil_sen_pandas_replay(spark, sf_dir):
+    rows = _run(spark, sf_dir, "ts_theil_sen_slope").collect()
+    e = load_table(spark, sf_dir, "events").toPandas()
+    e["cents"] = (e.value.astype("float64") * 100).round().astype("int64")
+    e["day"] = e.ts.dt.floor("d")
+    daily = e.groupby(["event_type", "day"]).cents.sum().reset_index()
+    for r in rows:
+        g = daily[daily.event_type == r["event_type"]].sort_values("day")
+        days = (g.day - g.day.min()).dt.days.to_numpy()
+        cents = g.cents.to_numpy()
+        slopes = sorted(
+            (cents[j] - cents[i]) / (days[j] - days[i])
+            for i in range(len(g))
+            for j in range(i + 1, len(g))
+        )
+        assert r["n_pairs"] == len(slopes)
+        assert (
+            abs(
+                r["theil_sen_slope_cents_per_day"]
+                - slopes[(len(slopes) + 1) // 2 - 1]
+            )
+            < 1e-9
+        )
