@@ -835,3 +835,88 @@ def curation_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "oov_ppm"
         ),
     ).orderBy("source")
+
+
+@query(
+    "curation_source_overlap_matrix",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT source, md5({_NORM_SQL}) AS ch FROM documents
+    ),
+    sizes AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_distinct FROM h
+        GROUP BY source
+    ),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS shared
+        FROM h a JOIN h b ON a.ch = b.ch AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b, sa.n_distinct AS n_a,
+           sb.n_distinct AS n_b, p.shared,
+           CAST(p.shared * 1000000 // least(sa.n_distinct, sb.n_distinct)
+                AS BIGINT) AS containment_ppm
+    FROM pairs p
+    JOIN sizes sa ON p.source_a = sa.source
+    JOIN sizes sb ON p.source_b = sb.source
+    ORDER BY p.source_a, p.source_b
+    """,
+    tags=("curation", "dedup", "provenance", "engine-addition"),
+)
+def curation_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate-overlap matrix: for every source pair,
+    how many normalized content hashes they SHARE, with containment
+    (shared / smaller side) in integer ppm — the provenance audit
+    that tells a curation pipeline two crawls are re-serving the
+    same content before it double-weights them in the mixture. The
+    join key is the md5 of normalized text, so overlap is exact
+    (same discipline as dedup_exact), and each source's hash set is
+    deduped BEFORE the pair join.
+
+    Scale: one (source, hash) dedup shuffle, one hash-keyed
+    self-join whose fan-out is bounded by per-hash source counts
+    (<= |sources| per hash, never row counts), and a |sources|^2
+    output. No text ever moves after the hash."""
+    h = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.md5(_norm(F.col("text"))).alias("ch"))
+        .distinct()
+    )
+    sizes = h.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_distinct")
+    )
+    a, b = h.alias("a"), h.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ch") == F.col("b.ch"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("shared"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_distinct").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_distinct").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "shared",
+            F.expr(
+                "CAST(shared * 1000000 div least(n_a, n_b) AS BIGINT)"
+            ).alias("containment_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )

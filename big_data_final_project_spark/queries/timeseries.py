@@ -3229,3 +3229,114 @@ def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "ts_seasonal_decompose_additive",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    trended AS (
+        SELECT event_type, day, cents,
+               CAST(count(*) OVER w7 AS BIGINT) AS w_n,
+               CAST(sum(cents) OVER w7 AS BIGINT) AS w_sum,
+               row_number() OVER (PARTITION BY event_type ORDER BY day)
+                   AS rn,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_days
+        FROM daily
+        WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    detrended AS (
+        SELECT event_type, day, cents,
+               CAST(w_sum // w_n AS BIGINT) AS trend_cents,
+               cents - CAST(w_sum // w_n AS BIGINT) AS detrended_cents,
+               CAST(isodow(day) AS BIGINT) AS dow
+        FROM trended WHERE rn > 3 AND rn <= n_days - 3
+    ),
+    seasonal AS (
+        SELECT event_type, dow,
+               CAST(sum(detrended_cents) // count(*) AS BIGINT)
+                   AS seasonal_cents
+        FROM detrended GROUP BY 1, 2
+    )
+    SELECT d.event_type, d.day, d.cents, d.trend_cents,
+           s.seasonal_cents,
+           d.cents - d.trend_cents - s.seasonal_cents AS residual_cents
+    FROM detrended d JOIN seasonal s
+      ON d.event_type = s.event_type AND d.dow = s.dow
+    ORDER BY d.event_type, d.day
+    """,
+    tags=("timeseries", "decomposition", "seasonal", "engine-addition"),
+)
+def ts_seasonal_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition, value = trend + seasonal +
+    residual, in EXACT integer cents: trend is the centered 7-day
+    moving average (integer-division mean, full windows only — the
+    3-day edges are trimmed, not emitted with a different window
+    size), seasonal is the per-weekday mean of the detrended series
+    (again integer division), and the residual is what remains —
+    the anomaly-detection input that doesn't confuse Sundays with
+    incidents. Every step is truncating integer arithmetic, so both
+    engines agree to the cent with no smoothing-parameter floats.
+
+    Scale: one fact shuffle to daily grain; the centered window and
+    the weekday profile both run on the |series|x|days| rollup; the
+    seasonal join broadcasts |series|x7 rows."""
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.sum(cents).cast("bigint").alias("cents"))
+    )
+    wb = Window.partitionBy("event_type").orderBy("day")
+    w7 = wb.rowsBetween(-3, 3)
+    wp = Window.partitionBy("event_type")
+    trended = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.count("*").over(w7).cast("bigint").alias("w_n"),
+        F.sum("cents").over(w7).cast("bigint").alias("w_sum"),
+        F.row_number().over(wb).alias("rn"),
+        F.count("*").over(wp).cast("bigint").alias("n_days"),
+    )
+    detrended = (
+        trended.filter(
+            (F.col("rn") > 3) & (F.col("rn") <= F.col("n_days") - 3)
+        )
+        .withColumn("trend_cents", F.expr("CAST(w_sum div w_n AS BIGINT)"))
+        .withColumn(
+            "detrended_cents", F.col("cents") - F.col("trend_cents")
+        )
+        .withColumn(
+            "dow", F.expr("CAST(weekday(day) + 1 AS BIGINT)")
+        )
+    )
+    seasonal = detrended.groupBy("event_type", "dow").agg(
+        F.expr(
+            "CAST(sum(detrended_cents) div count(*) AS BIGINT)"
+        ).alias("seasonal_cents")
+    )
+    return (
+        detrended.join(F.broadcast(seasonal), ["event_type", "dow"])
+        .select(
+            "event_type",
+            "day",
+            "cents",
+            "trend_cents",
+            "seasonal_cents",
+            (
+                F.col("cents") - F.col("trend_cents") - F.col("seasonal_cents")
+            ).alias("residual_cents"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -517,3 +517,21 @@ def test_theil_sen_pandas_replay(spark, sf_dir):
             )
             < 1e-9
         )
+
+
+def test_source_overlap_symmetric_bounds(spark, sf_dir):
+    rows = _run(spark, sf_dir, "curation_source_overlap_matrix").collect()
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert 0 < r["shared"] <= min(r["n_a"], r["n_b"])
+        assert 0 < r["containment_ppm"] <= 1_000_000
+
+
+def test_seasonal_decompose_reconstructs(spark, sf_dir):
+    rows = _run(spark, sf_dir, "ts_seasonal_decompose_additive").collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["trend_cents"] + r["seasonal_cents"] + r["residual_cents"]
+            == r["cents"]
+        )
