@@ -1905,3 +1905,113 @@ def ml_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         * ((na + nb + 1) - F.col("tie3").cast("double") / ((na + nb) * (na + nb - 1)))
     )
     return agg.select("na", "nb", ua2.alias("u_a_x2"), z.alias("z"))
+
+
+@query(
+    "ml_runs_test",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    med AS (
+        SELECT cents AS m FROM (
+            SELECT cents,
+                   row_number() OVER (ORDER BY cents) AS rn,
+                   count(*) OVER () AS n
+            FROM daily
+        ) t WHERE rn = (n + 1) // 2
+    ),
+    signs AS (
+        SELECT day, CASE WHEN cents > (SELECT m FROM med) THEN 1 ELSE 0 END
+                   AS above
+        FROM daily
+    ),
+    flagged AS (
+        SELECT above,
+               CASE WHEN lag(above) OVER (ORDER BY day) IS NULL
+                     OR lag(above) OVER (ORDER BY day) <> above
+                    THEN 1 ELSE 0 END AS new_run
+        FROM signs
+    ),
+    agg AS (
+        SELECT CAST(sum(new_run) AS BIGINT) AS runs,
+               CAST(sum(above) AS BIGINT) AS n1,
+               CAST(sum(1 - above) AS BIGINT) AS n2
+        FROM flagged
+    )
+    SELECT runs, n1, n2,
+           1 + 2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) AS expected_runs,
+           (CAST(runs AS DOUBLE)
+            - (1 + 2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))))
+           / sqrt(2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                  * (2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                     - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+                  / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                     * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                     * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1)))
+               AS z
+    FROM agg
+    """,
+    tags=("ml", "statistics", "nonparametric", "engine-addition"),
+)
+def ml_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily revenue series — is the
+    above/below-median pattern RANDOM, or does it trend/cluster (too
+    few runs) or oscillate (too many)? The monitoring primitive that
+    distinguishes regime behavior from noise before anyone fits a
+    model. Exact pieces: the lower-median threshold (order
+    statistic, no interpolation), the sign sequence, and the run
+    count (a lag-boundary sum) are all integers; expected runs and
+    the z score are the classical formulas in identically-staged
+    doubles.
+
+    Scale: the fact scan collapses to daily grain; the sign/lag
+    windows run on |days| rows. The single-series ORDER BY window is
+    the multi-series PARTITION BY form with a key added."""
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(cents).cast("bigint").alias("cents"))
+    )
+    wall = Window.partitionBy()
+    ranked = daily.select(
+        "day",
+        "cents",
+        F.row_number().over(Window.orderBy("cents")).alias("rn"),
+        F.count("*").over(wall).alias("n"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select(F.col("cents").alias("m"))
+    signs = daily.crossJoin(F.broadcast(med)).select(
+        "day", F.when(F.col("cents") > F.col("m"), 1).otherwise(0).alias("above")
+    )
+    lag = F.lag("above").over(Window.orderBy("day"))
+    flagged = signs.select(
+        "above",
+        F.when(lag.isNull() | (lag != F.col("above")), 1)
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = flagged.agg(
+        F.sum("new_run").cast("bigint").alias("runs"),
+        F.sum("above").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("above")).cast("bigint").alias("n2"),
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    expected = 1 + 2 * n1 * n2 / (n1 + n2)
+    z = (F.col("runs").cast("double") - expected) / F.sqrt(
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+    )
+    return agg.select(
+        "runs", "n1", "n2", expected.alias("expected_runs"), z.alias("z")
+    )

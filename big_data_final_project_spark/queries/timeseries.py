@@ -3340,3 +3340,117 @@ def ts_seasonal_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "ts_lead_lag_xcorr",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS bucket, event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT b.bucket,
+               coalesce(x.n, 0) AS x,
+               coalesce(y.n, 0) AS y
+        FROM (SELECT DISTINCT bucket FROM hourly) b
+        LEFT JOIN hourly x
+          ON x.bucket = b.bucket AND x.event_type = 'click'
+        LEFT JOIN hourly y
+          ON y.bucket = b.bucket AND y.event_type = 'purchase'
+    ),
+    lags AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag),
+    aligned AS (
+        SELECT l.lag, a.x, b.y
+        FROM lags l
+        JOIN grid a ON true
+        JOIN grid b
+          ON b.bucket = a.bucket + to_hours(CAST(l.lag AS BIGINT))
+    ),
+    mom AS (
+        SELECT lag, CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM aligned GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag_hours, CAST(n AS BIGINT) AS n_hours,
+           (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / nullif(sqrt((n * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (n * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0)
+               AS xcorr
+    FROM mom ORDER BY lag_hours
+    """,
+    tags=("timeseries", "lead-lag", "correlation", "engine-addition"),
+)
+def ts_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between two series (hourly click
+    volume vs purchase volume at lags -3h..+3h) — which signal LEADS:
+    the peak-lag readout behind 'do clicks predict purchases hours
+    ahead'. The hourly grid is densified per bucket (explicit zeros,
+    so silent hours count as zeros instead of silently shrinking the
+    join), alignment is a self-join shifted by each lag, and the
+    Pearson numerator/denominator come from exact integer moments
+    with one identically-staged double combination per lag (nullif
+    guards degenerate variance).
+
+    Scale: the fact scan collapses to |hours|x|types| first; each
+    lag's alignment joins the model-sized grid with itself (7
+    lags x |hours| rows), shuffled once on bucket. At many more
+    lags/series, the FFT-free moment form still holds — the grid
+    stays tiny relative to the data."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    buckets = hourly.select("bucket").distinct()
+    x = hourly.filter(F.col("event_type") == "click").select(
+        "bucket", F.col("n").alias("xn")
+    )
+    y = hourly.filter(F.col("event_type") == "purchase").select(
+        "bucket", F.col("n").alias("yn")
+    )
+    grid = (
+        buckets.join(x, "bucket", "left")
+        .join(y, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("xn", F.lit(0)).alias("x"),
+            F.coalesce("yn", F.lit(0)).alias("y"),
+        )
+    )
+    lags = spark.range(-3, 4).select(F.col("id").alias("lag"))
+    a = grid.alias("a").crossJoin(F.broadcast(lags))
+    b = grid.alias("b")
+    aligned = a.join(
+        b,
+        F.col("b.bucket")
+        == F.expr("a.bucket + make_interval(0, 0, 0, 0, CAST(lag AS INT), 0, 0)"),
+    ).select("lag", F.col("a.x").alias("x"), F.col("b.y").alias("y"))
+    mom = aligned.groupBy("lag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    xcorr = (n * sxy - sx * sy) / F.nullif(
+        F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), F.lit(0.0)
+    )
+    return mom.select(
+        F.col("lag").cast("bigint").alias("lag_hours"),
+        n.cast("bigint").alias("n_hours"),
+        xcorr.alias("xcorr"),
+    ).orderBy("lag_hours")

@@ -535,3 +535,27 @@ def test_seasonal_decompose_reconstructs(spark, sf_dir):
             r["trend_cents"] + r["seasonal_cents"] + r["residual_cents"]
             == r["cents"]
         )
+
+
+def test_runs_test_pandas_replay(spark, sf_dir):
+    row = _run(spark, sf_dir, "ml_runs_test").collect()[0]
+    o = load_table(spark, sf_dir, "orders").toPandas()
+    o["cents"] = (o.o_totalprice.astype("float64") * 100).round().astype("int64")
+    daily = (
+        o.groupby(o.o_orderdate.dt.floor("d")).cents.sum().sort_index()
+    )
+    m = sorted(daily)[(len(daily) + 1) // 2 - 1]
+    above = (daily > m).astype(int).to_numpy()
+    runs = 1 + int((above[1:] != above[:-1]).sum())
+    assert row["runs"] == runs
+    assert row["n1"] == int(above.sum())
+    assert row["n1"] + row["n2"] == len(daily)
+
+
+def test_lead_lag_xcorr_shape(spark, sf_dir):
+    rows = _run(spark, sf_dir, "ts_lead_lag_xcorr").collect()
+    assert [r["lag_hours"] for r in rows] == [-3, -2, -1, 0, 1, 2, 3]
+    for r in rows:
+        assert r["n_hours"] > 0
+        if r["xcorr"] is not None:
+            assert -1.0000001 <= r["xcorr"] <= 1.0000001
