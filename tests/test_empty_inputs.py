@@ -95,6 +95,17 @@ EMPTY_SAFE = [
     "graph_two_hop_min_plus",
     "store_incremental_join",
     "agg_bridge_price_volume",
+    "ab_ratio_delta_method",
+    "ts_slo_burn_rate",
+    "ml_mann_whitney_u",
+    "ml_runs_test",
+    "ts_theil_sen_slope",
+    "ts_lead_lag_xcorr",
+    "ts_seasonal_decompose_additive",
+    "curation_source_overlap_matrix",
+    "curation_embedding_diversity",
+    "ml_roc_curve",
+    "sql_join_hint_broadcast",
 ]
 
 
