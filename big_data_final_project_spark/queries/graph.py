@@ -1081,3 +1081,111 @@ def graph_two_hop_min_plus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+@query(
+    "graph_item_item_cosine",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    deg AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM op GROUP BY 1
+    ),
+    co AS (
+        SELECT a.l_partkey AS i, b.l_partkey AS j,
+               CAST(count(*) AS BIGINT) AS cij
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT co.i, co.j, co.cij,
+               CAST(co.cij AS DOUBLE)
+                   / sqrt(CAST(di.c AS DOUBLE) * CAST(dj.c AS DOUBLE))
+                   AS cosine
+        FROM co
+        JOIN deg di ON co.i = di.l_partkey
+        JOIN deg dj ON co.j = dj.l_partkey
+    ),
+    ranked AS (
+        SELECT i, j, cij, cosine,
+               CAST(row_number() OVER (PARTITION BY i
+                   ORDER BY cosine DESC, j ASC) AS BIGINT) AS rnk
+        FROM scored
+    )
+    SELECT i AS item, j AS neighbor, cij AS co_count, cosine, rnk
+    FROM ranked WHERE rnk <= 5
+    ORDER BY item, rnk
+    """,
+    tags=("graph", "recommender", "cosine", "engine-addition"),
+)
+def graph_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filter model build: cosine similarity
+    over binary co-occurrence (orders containing both items) with
+    each item's top-5 neighbors — the classic 'customers who bought
+    X also bought' model, built entirely from counts: cij exact
+    integers from the wedge join through the shared order, the
+    cosine cij/sqrt(ci*cj) one identically-staged double per pair,
+    and per-item neighbor lists by windowed rank (ties to the
+    smaller item id). Complements graph_copurchase_topk (global top
+    pairs): this is the per-item normalized MODEL a recommender
+    serves.
+
+    Scale: the wedge join fans out sum(items-per-order^2) — bounded
+    by basket size, not catalog size; degree vectors broadcast; the
+    rank window runs per item on <= its neighbor count. Hub
+    suppression (cap items-per-order) is the standard guard when
+    baskets are unbounded."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    deg = op.groupBy("l_partkey").agg(F.count("*").cast("bigint").alias("c"))
+    a, b = op.alias("a"), op.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("i"), F.col("b.l_partkey").alias("j")
+        )
+        .agg(F.count("*").cast("bigint").alias("cij"))
+    )
+    di = deg.select(F.col("l_partkey").alias("i"), F.col("c").alias("ci"))
+    dj = deg.select(F.col("l_partkey").alias("j"), F.col("c").alias("cj"))
+    scored = (
+        co.join(di, "i")
+        .join(dj, "j")
+        .select(
+            "i",
+            "j",
+            "cij",
+            (
+                F.col("cij").cast("double")
+                / F.sqrt(F.col("ci").cast("double") * F.col("cj").cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rnk",
+        F.row_number()
+        .over(
+            Window.partitionBy("i").orderBy(
+                F.col("cosine").desc(), F.col("j").asc()
+            )
+        )
+        .cast("bigint"),
+    )
+    return (
+        ranked.filter(F.col("rnk") <= 5)
+        .select(
+            F.col("i").alias("item"),
+            F.col("j").alias("neighbor"),
+            F.col("cij").alias("co_count"),
+            "cosine",
+            "rnk",
+        )
+        .orderBy("item", "rnk")
+    )

@@ -15,7 +15,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..data import sf_dir_tag
@@ -555,3 +555,90 @@ def streaming_ohlc_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("volume"),
     )
     return run_to_memory(bars, spark, "streaming_ohlc_live_sink", complete=True)
+
+
+@query(
+    "streaming_slo_burn_live",
+    oracle="""
+    WITH ev AS (
+        SELECT date_trunc('hour', ts) AS bucket,
+               CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) < 10
+                    THEN 1 ELSE 0 END AS err
+        FROM events
+    ),
+    hourly AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(err) AS BIGINT) AS errors
+        FROM ev GROUP BY bucket
+    ),
+    windowed AS (
+        SELECT bucket, n, errors,
+               CAST(sum(n) OVER w6 AS BIGINT) AS n6,
+               CAST(sum(errors) OVER w6 AS BIGINT) AS errors6,
+               row_number() OVER (ORDER BY bucket) AS rn
+        FROM hourly
+        WINDOW w6 AS (ORDER BY bucket ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+    )
+    SELECT bucket, n, errors,
+           CAST(errors * 100000 // n AS BIGINT) AS burn_1h_x1000,
+           CAST(errors6 * 100000 // n6 AS BIGINT) AS burn_6h_x1000,
+           CASE WHEN errors * 100000 // n > 6000
+                 AND errors6 * 100000 // n6 > 6000
+                THEN 1 ELSE 0 END AS page_alert
+    FROM windowed WHERE rn >= 6
+    ORDER BY bucket
+    """,
+    tags=("streaming", "live", "slo", "engine-addition"),
+)
+def streaming_slo_burn_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts_slo_burn_rate running LIVE: the hourly (total, error)
+    counters are maintained incrementally by a real Structured
+    Streaming aggregate over the staged JSON stream (per-bucket
+    state is two bigints — the mergeable-partials story), and the
+    multi-window burn-rate + paging conjunction is evaluated over
+    the drained state store — exactly how production SLO monitors
+    are built (counters stream in; alert rules read the store). The
+    oracle is the one-shot batch SQL, so the green hash proves
+    incremental counter maintenance ≡ batch."""
+    valid = _staged_valid(spark, sf_dir)
+    ev = valid.select(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        F.when(
+            F.get_json_object(F.col("props"), "$.k").cast("bigint") < 10, 1
+        )
+        .otherwise(0)
+        .alias("err"),
+    )
+    hourly = ev.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("err").cast("bigint").alias("errors"),
+    )
+    sunk = run_to_memory(
+        hourly, spark, "streaming_slo_live_sink", complete=True
+    )
+    wb = Window.orderBy("bucket")
+    w6 = wb.rowsBetween(-5, 0)
+    windowed = sunk.select(
+        "bucket",
+        "n",
+        "errors",
+        F.sum("n").over(w6).cast("bigint").alias("n6"),
+        F.sum("errors").over(w6).cast("bigint").alias("errors6"),
+        F.row_number().over(wb).alias("rn"),
+    )
+    burn1 = F.expr("errors * 100000 div n")
+    burn6 = F.expr("errors6 * 100000 div n6")
+    return (
+        windowed.filter(F.col("rn") >= 6)
+        .select(
+            "bucket",
+            "n",
+            "errors",
+            burn1.cast("bigint").alias("burn_1h_x1000"),
+            burn6.cast("bigint").alias("burn_6h_x1000"),
+            F.when((burn1 > 6000) & (burn6 > 6000), 1)
+            .otherwise(0)
+            .alias("page_alert"),
+        )
+        .orderBy("bucket")
+    )

@@ -559,3 +559,33 @@ def test_lead_lag_xcorr_shape(spark, sf_dir):
         assert r["n_hours"] > 0
         if r["xcorr"] is not None:
             assert -1.0000001 <= r["xcorr"] <= 1.0000001
+
+
+def test_item_item_cosine_consistency(spark, sf_dir):
+    rows = _run(spark, sf_dir, "graph_item_item_cosine").collect()
+    assert rows
+    seen: dict = {}
+    for r in rows:
+        assert 0 < r["cosine"] <= 1.0000001
+        ranks = seen.setdefault(r["item"], [])
+        ranks.append(r["rnk"])
+    for item, ranks in seen.items():
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_streaming_slo_equals_batch(spark, sf_dir):
+    live = {
+        r["bucket"]: r
+        for r in _run(spark, sf_dir, "streaming_slo_burn_live").collect()
+    }
+    batch = {
+        r["bucket"]: r for r in _run(spark, sf_dir, "ts_slo_burn_rate").collect()
+    }
+    assert live.keys() == batch.keys()
+    for k, b in batch.items():
+        l = live[k]
+        assert (l["n"], l["errors"], l["page_alert"]) == (
+            b["n"],
+            b["errors"],
+            b["page_alert"],
+        )
