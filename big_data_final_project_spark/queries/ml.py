@@ -2015,3 +2015,124 @@ def ml_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "runs", "n1", "n2", expected.alias("expected_runs"), z.alias("z")
     )
+
+
+# NDCG log2 discounts as shared LITERALS: computing 1/log2(rank+1) at
+# query time would hand the comparison to each engine's libm (log2 is
+# not required to be correctly rounded, so Spark's JVM and DuckDB may
+# disagree in the last ulp); baking the 17-significant-digit literals
+# into BOTH SQL texts makes every downstream float op start from
+# bit-identical constants.
+import math as _math
+
+_NDCG_K = 10
+_NDCG_DISCOUNTS = tuple(1.0 / _math.log2(r + 1) for r in range(1, _NDCG_K + 1))
+_DISC_CASE = " ".join(
+    f"WHEN {r} THEN {d!r}" for r, d in enumerate(_NDCG_DISCOUNTS, start=1)
+)
+
+
+@query(
+    "ml_ndcg_at_k",
+    oracle=f"""
+    WITH scored AS (
+        SELECT l_orderkey,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS score,
+               CAST(l_quantity AS BIGINT) AS rel,
+               l_linenumber, l_partkey
+        FROM lineitem
+    ),
+    ranked AS (
+        SELECT l_orderkey, rel,
+               row_number() OVER (PARTITION BY l_orderkey
+                   ORDER BY score DESC, l_linenumber ASC, l_partkey ASC)
+                   AS rnk,
+               row_number() OVER (PARTITION BY l_orderkey
+                   ORDER BY rel DESC, score DESC, l_linenumber ASC,
+                            l_partkey ASC) AS ideal_rnk
+        FROM scored
+    ),
+    per AS (
+        SELECT l_orderkey,
+               sum(CASE WHEN rnk <= {_NDCG_K} THEN
+                   CAST(rel AS DOUBLE) * (CASE rnk {_DISC_CASE} END)
+                   ELSE 0 END) AS dcg,
+               sum(CASE WHEN ideal_rnk <= {_NDCG_K} THEN
+                   CAST(rel AS DOUBLE) * (CASE ideal_rnk {_DISC_CASE} END)
+                   ELSE 0 END) AS idcg
+        FROM ranked GROUP BY l_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(CAST(SUM(CAST(dcg / idcg AS DECIMAL(18,9))) AS VARCHAR)
+                AS DOUBLE) / count(*) AS mean_ndcg
+    FROM per WHERE idcg > 0
+    """,
+    tags=("ml", "ranking", "ndcg", "engine-addition"),
+)
+def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean NDCG@10 — the graded-relevance ranking metric (MRR sees
+    the first hit; NDCG credits the whole ranked list): per query
+    (order), the score ranking's discounted gain over the IDEAL
+    ranking's. The log2 position discounts are PRECOMPUTED 17-digit
+    literals embedded in both engines' plans — computed at query
+    time they would go through each engine's (not-correctly-rounded)
+    libm log2 and drift in the last ulp; as shared constants every
+    product is IEEE-identical, per-query NDCG matches bit-for-bit,
+    and the corpus mean goes through a decimal(18,9) sum so the
+    reduction is order-independent. Ranking ties break on
+    (linenumber, partkey) — duplicated line numbers exist in the
+    data, a bare ORDER BY score would be nondeterministic.
+
+    Scale: two windows over one per-query partition sort, one
+    map-side-combinable final aggregate. Relevance = quantity,
+    score = price cents (a deterministic stand-in for model scores
+    vs human labels)."""
+    scored = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("score"),
+        F.col("l_quantity").cast("bigint").alias("rel"),
+        "l_linenumber",
+        "l_partkey",
+    )
+    wrank = Window.partitionBy("l_orderkey").orderBy(
+        F.col("score").desc(), F.col("l_linenumber").asc(), F.col("l_partkey").asc()
+    )
+    wideal = Window.partitionBy("l_orderkey").orderBy(
+        F.col("rel").desc(),
+        F.col("score").desc(),
+        F.col("l_linenumber").asc(),
+        F.col("l_partkey").asc(),
+    )
+    ranked = scored.select(
+        "l_orderkey",
+        "rel",
+        F.row_number().over(wrank).alias("rnk"),
+        F.row_number().over(wideal).alias("ideal_rnk"),
+    )
+    disc = f"CASE rnk {_DISC_CASE} END"
+    disc_i = f"CASE ideal_rnk {_DISC_CASE} END"
+    per = ranked.groupBy("l_orderkey").agg(
+        F.sum(
+            F.expr(
+                f"CASE WHEN rnk <= {_NDCG_K} THEN"
+                f" CAST(rel AS DOUBLE) * ({disc}) ELSE 0 END"
+            )
+        ).alias("dcg"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN ideal_rnk <= {_NDCG_K} THEN"
+                f" CAST(rel AS DOUBLE) * ({disc_i}) ELSE 0 END"
+            )
+        ).alias("idcg"),
+    )
+    return per.filter(F.col("idcg") > 0).agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        (
+            F.sum((F.col("dcg") / F.col("idcg")).cast("decimal(18,9)"))
+            .cast("double")
+            / F.count("*")
+        ).alias("mean_ndcg"),
+    )

@@ -589,3 +589,32 @@ def test_streaming_slo_equals_batch(spark, sf_dir):
             b["errors"],
             b["page_alert"],
         )
+
+
+def test_ndcg_pandas_replay(spark, sf_dir):
+    import math
+
+    row = _run(spark, sf_dir, "ml_ndcg_at_k").collect()[0]
+    li = load_table(spark, sf_dir, "lineitem").toPandas()
+    li["score"] = (
+        (li.l_extendedprice.astype("float64") * 100).round().astype("int64")
+    )
+    li["rel"] = li.l_quantity.astype("int64")
+    disc = [1.0 / math.log2(r + 1) for r in range(1, 11)]
+    total, nq = 0.0, 0
+    for _, g in li.groupby("l_orderkey"):
+        by_score = g.sort_values(
+            ["score", "l_linenumber", "l_partkey"],
+            ascending=[False, True, True],
+        ).rel.to_numpy()
+        ideal = g.sort_values(
+            ["rel", "score", "l_linenumber", "l_partkey"],
+            ascending=[False, False, True, True],
+        ).rel.to_numpy()
+        dcg = sum(r * d for r, d in zip(by_score[:10], disc))
+        idcg = sum(r * d for r, d in zip(ideal[:10], disc))
+        if idcg > 0:
+            total += dcg / idcg
+            nq += 1
+    assert row["n_queries"] == nq
+    assert abs(row["mean_ndcg"] - total / nq) < 1e-9
