@@ -23,7 +23,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -263,3 +263,95 @@ def mm_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("long").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+CHUNK_BYTES = 64
+
+
+@query(
+    "mm_payload_chunk_manifest",
+    oracle=f"""
+    -- payloads are ASCII (synthetic vocab), so character substring
+    -- == byte slicing and md5(VARCHAR) == md5 of the chunk bytes
+    WITH base AS (
+        SELECT doc_id AS asset_id, text,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    ),
+    chunks AS (
+        SELECT asset_id, n_bytes, i.i AS chunk_idx,
+               CAST(i.i * {CHUNK_BYTES} AS BIGINT) AS offset_bytes,
+               substring(text, CAST(i.i * {CHUNK_BYTES} + 1 AS BIGINT),
+                         {CHUNK_BYTES}) AS chunk
+        FROM base,
+             unnest(range(0, CAST((n_bytes + {CHUNK_BYTES} - 1)
+                                  // {CHUNK_BYTES} AS BIGINT))) AS i(i)
+    )
+    SELECT asset_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, offset_bytes,
+           CAST(octet_length(encode(chunk)) AS BIGINT) AS chunk_bytes,
+           md5(chunk) AS chunk_md5,
+           CAST(count(*) OVER (PARTITION BY asset_id) AS BIGINT) AS n_chunks,
+           CAST(sum(octet_length(encode(chunk)))
+                OVER (PARTITION BY asset_id) AS BIGINT) AS reassembled_bytes
+    FROM chunks
+    ORDER BY asset_id, chunk_idx
+    """,
+    tags=("multimodal", "chunking", "manifest", "engine-addition"),
+)
+def mm_payload_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk manifest for large binary payloads — the unit of
+    parallelism for blob processing (chunked upload, parallel
+    decode, content-defined dedup all start here): fixed 64-byte
+    chunks with offset, length and per-chunk checksum, plus the
+    reassembly accounting (chunk count and summed bytes per asset)
+    that proves the split is lossless. The payload is the ASCII text
+    stand-in, so character slicing equals byte slicing on both
+    engines and the manifest is fully oracle-checked.
+
+    Scale: chunking is a narrow per-partition flat map (explode over
+    the chunk-index sequence) — payload bytes never shuffle; only
+    manifest rows (checksums + offsets) move, and the reassembly
+    windows run per asset on its chunk rows. Real blobs swap the
+    substring for a binary slice; the dataflow is unchanged."""
+    base = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        "text",
+        F.octet_length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+    )
+    chunks = base.select(
+        "asset_id",
+        "n_bytes",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.expr(f"CAST((n_bytes + {CHUNK_BYTES} - 1) div {CHUNK_BYTES}"
+                       " - 1 AS INT)"),
+            )
+        ).alias("chunk_idx"),
+    ).select(
+        "asset_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        (F.col("chunk_idx").cast("bigint") * CHUNK_BYTES).alias(
+            "offset_bytes"
+        ),
+        F.expr(
+            f"substring(text, chunk_idx * {CHUNK_BYTES} + 1, {CHUNK_BYTES})"
+        ).alias("chunk"),
+    )
+    wasset = Window.partitionBy("asset_id")
+    out = chunks.select(
+        "asset_id",
+        "chunk_idx",
+        "offset_bytes",
+        F.octet_length(F.encode("chunk", "utf-8"))
+        .cast("bigint")
+        .alias("chunk_bytes"),
+        F.md5(F.encode("chunk", "utf-8")).alias("chunk_md5"),
+        F.count("*").over(wasset).cast("bigint").alias("n_chunks"),
+        F.sum(F.octet_length(F.encode("chunk", "utf-8")))
+        .over(wasset)
+        .cast("bigint")
+        .alias("reassembled_bytes"),
+    )
+    return out.orderBy("asset_id", "chunk_idx")

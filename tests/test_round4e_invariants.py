@@ -618,3 +618,22 @@ def test_ndcg_pandas_replay(spark, sf_dir):
             nq += 1
     assert row["n_queries"] == nq
     assert abs(row["mean_ndcg"] - total / nq) < 1e-9
+
+
+def test_chunk_manifest_reassembles(spark, sf_dir):
+    rows = _run(spark, sf_dir, "mm_payload_chunk_manifest").collect()
+    docs = load_table(spark, sf_dir, "documents").toPandas()
+    sizes = docs.set_index("doc_id").text.str.encode("utf-8").str.len()
+    per: dict = {}
+    for r in rows:
+        per.setdefault(r["asset_id"], []).append(r)
+    assert len(per) == len(docs)
+    for asset, chunks in per.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        total = int(sizes[asset])
+        assert chunks[0]["n_chunks"] == len(chunks) == (total + 63) // 64
+        assert chunks[0]["reassembled_bytes"] == total
+        for i, c in enumerate(chunks):
+            assert c["chunk_idx"] == i and c["offset_bytes"] == i * 64
+            expect = min(64, total - i * 64)
+            assert c["chunk_bytes"] == expect
