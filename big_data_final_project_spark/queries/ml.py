@@ -2136,3 +2136,98 @@ def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("mean_ndcg"),
     )
+
+
+@query(
+    "ml_cohens_kappa",
+    oracle="""
+    WITH meds AS (
+        SELECT quantile_disc(o_totalprice, 0.5) AS mp
+        FROM orders
+    ),
+    cls AS (
+        SELECT CASE WHEN o.o_totalprice > m.mp THEN 1 ELSE 0 END AS a,
+               CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS b
+        FROM orders o CROSS JOIN meds m
+    ),
+    cm AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(a * b) AS BIGINT) AS n11,
+               CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+               CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+               CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+        FROM cls
+    )
+    SELECT n, n11, n10, n01, n00,
+           (CAST(n11 AS DOUBLE) + CAST(n00 AS DOUBLE)) / n AS po,
+           ((CAST(n11 AS DOUBLE) + CAST(n10 AS DOUBLE))
+                * (CAST(n11 AS DOUBLE) + CAST(n01 AS DOUBLE))
+            + (CAST(n01 AS DOUBLE) + CAST(n00 AS DOUBLE))
+                * (CAST(n10 AS DOUBLE) + CAST(n00 AS DOUBLE)))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe,
+           ((CAST(n11 AS DOUBLE) + CAST(n00 AS DOUBLE)) / n
+            - ((CAST(n11 AS DOUBLE) + CAST(n10 AS DOUBLE))
+                   * (CAST(n11 AS DOUBLE) + CAST(n01 AS DOUBLE))
+               + (CAST(n01 AS DOUBLE) + CAST(n00 AS DOUBLE))
+                   * (CAST(n10 AS DOUBLE) + CAST(n00 AS DOUBLE)))
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+           / (1 - ((CAST(n11 AS DOUBLE) + CAST(n10 AS DOUBLE))
+                       * (CAST(n11 AS DOUBLE) + CAST(n01 AS DOUBLE))
+                   + (CAST(n01 AS DOUBLE) + CAST(n00 AS DOUBLE))
+                       * (CAST(n10 AS DOUBLE) + CAST(n00 AS DOUBLE)))
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+               AS kappa
+    FROM cm
+    """,
+    tags=("ml", "agreement", "statistics", "engine-addition"),
+)
+def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two
+    labelers (here two deterministic rules: price above the discrete
+    median vs urgent/high priority), the metric every labeling /
+    LLM-judge pipeline needs before trusting its annotations (raw
+    agreement flatters imbalanced labels; kappa subtracts the
+    chance term). The 2x2 confusion counts are exact integers from
+    ONE conditional-aggregate pass over the broadcast median;
+    po, pe and kappa are identically-staged double expressions.
+
+    Scale: one threshold aggregate to a single broadcast row + one
+    confusion aggregate — two map-side-combinable scans, state is
+    five integers."""
+    o = load_table(spark, sf_dir, "orders")
+    meds = o.agg(
+        F.expr(f"percentile_approx(o_totalprice, 0.5D, {1 << 20})").alias(
+            "mp"
+        )
+    )
+    cls = o.crossJoin(F.broadcast(meds)).select(
+        F.when(F.col("o_totalprice") > F.col("mp"), 1).otherwise(0).alias("a"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("b"),
+    )
+    cm = cls.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("bigint").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("bigint").alias("n00"),
+    )
+    n = F.col("n").cast("double")
+    n11, n10 = F.col("n11").cast("double"), F.col("n10").cast("double")
+    n01, n00 = F.col("n01").cast("double"), F.col("n00").cast("double")
+    po = (n11 + n00) / F.col("n")
+    pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / (n * n)
+    return cm.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        po.alias("po"),
+        pe.alias("pe"),
+        ((po - pe) / (1 - pe)).alias("kappa"),
+    )

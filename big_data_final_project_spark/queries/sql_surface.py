@@ -556,3 +556,53 @@ def sql_join_hint_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name ORDER BY nation
         """
     )
+
+
+@query(
+    "sql_view_stack_pushdown",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 1000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("sql", "views", "pushdown", "engine-addition"),
+)
+def sql_view_stack_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three stacked views — base projection, status filter, price
+    filter — queried through the top: the view layer every analytics
+    platform accumulates, and it must cost NOTHING: Catalyst inlines
+    views at analysis time, so both filters and the 3-column
+    projection reach the parquet scan through all three layers (the
+    plan-shape test asserts PushedFilters through the stack). The
+    oracle is the flattened query, proving view composition is pure
+    abstraction.
+
+    Scale: at 100 TB the difference between a pushed and un-pushed
+    view stack is the whole fact scan; this query + its plan
+    assertion pin the contract."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("vs_base0")
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW vs_projected AS "
+        "SELECT o_orderpriority, o_orderstatus, o_totalprice FROM vs_base0"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW vs_finished AS "
+        "SELECT * FROM vs_projected WHERE o_orderstatus = 'F'"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW vs_large AS "
+        "SELECT * FROM vs_finished WHERE o_totalprice > 1000"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS revenue
+        FROM vs_large GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )

@@ -637,3 +637,16 @@ def test_chunk_manifest_reassembles(spark, sf_dir):
             assert c["chunk_idx"] == i and c["offset_bytes"] == i * 64
             expect = min(64, total - i * 64)
             assert c["chunk_bytes"] == expect
+
+
+def test_view_stack_filters_reach_scan(spark, sf_dir):
+    p = _plan(spark, sf_dir, "sql_view_stack_pushdown")
+    assert p.pushed_filters("EqualTo(o_orderstatus,F)"), p.text
+    assert p.pushed_filters("GreaterThan(o_totalprice,1000"), p.text
+
+
+def test_cohens_kappa_identity(spark, sf_dir):
+    r = _run(spark, sf_dir, "ml_cohens_kappa").collect()[0]
+    assert r["n"] == r["n11"] + r["n10"] + r["n01"] + r["n00"]
+    assert abs(r["kappa"] - (r["po"] - r["pe"]) / (1 - r["pe"])) < 1e-15
+    assert -1.0 <= r["kappa"] <= 1.0
