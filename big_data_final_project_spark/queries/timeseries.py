@@ -3454,3 +3454,172 @@ def ts_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_hours"),
         xcorr.alias("xcorr"),
     ).orderBy("lag_hours")
+
+
+@query(
+    "ts_piecewise_fit_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT day, y,
+               CAST(day - (min(day) OVER ()) AS BIGINT) AS x,
+               CAST(count(*) OVER () AS BIGINT) AS n_days
+        FROM daily
+    ),
+    pre AS (
+        SELECT day, x, y, n_days,
+               CAST(row_number() OVER w AS BIGINT) AS nl,
+               CAST(sum(x) OVER w AS BIGINT) AS sxl,
+               CAST(sum(y) OVER w AS BIGINT) AS syl,
+               CAST(sum(x * x) OVER w AS BIGINT) AS sxxl,
+               CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                    OVER w AS DECIMAL(38,0)) AS sxyl,
+               CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                    OVER w AS DECIMAL(38,0)) AS syyl,
+               CAST(sum(x) OVER () AS BIGINT) AS sxt,
+               CAST(sum(y) OVER () AS BIGINT) AS syt,
+               CAST(sum(x * x) OVER () AS BIGINT) AS sxxt,
+               CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                    OVER () AS DECIMAL(38,0)) AS sxyt,
+               CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                    OVER () AS DECIMAL(38,0)) AS syyt
+        FROM idx
+        WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ),
+    ev AS (
+        SELECT day AS break_day, nl, n_days - nl AS nr,
+               (CAST(CAST(syyl AS VARCHAR) AS DOUBLE)
+                - CAST(syl AS DOUBLE) * syl / nl
+                - (CAST(nl AS DOUBLE) * CAST(CAST(sxyl AS VARCHAR) AS DOUBLE)
+                   - CAST(sxl AS DOUBLE) * syl)
+                  * (CAST(nl AS DOUBLE) * CAST(CAST(sxyl AS VARCHAR) AS DOUBLE)
+                     - CAST(sxl AS DOUBLE) * syl)
+                  / (CAST(nl AS DOUBLE)
+                     * (CAST(nl AS DOUBLE) * sxxl
+                        - CAST(sxl AS DOUBLE) * sxl))) AS sse_l,
+               (CAST(CAST(syyt AS VARCHAR) AS DOUBLE)
+                    - CAST(CAST(syyl AS VARCHAR) AS DOUBLE)
+                - CAST(syt - syl AS DOUBLE) * (syt - syl) / (n_days - nl)
+                - (CAST(n_days - nl AS DOUBLE)
+                       * (CAST(CAST(sxyt AS VARCHAR) AS DOUBLE)
+                          - CAST(CAST(sxyl AS VARCHAR) AS DOUBLE))
+                   - CAST(sxt - sxl AS DOUBLE) * (syt - syl))
+                  * (CAST(n_days - nl AS DOUBLE)
+                         * (CAST(CAST(sxyt AS VARCHAR) AS DOUBLE)
+                            - CAST(CAST(sxyl AS VARCHAR) AS DOUBLE))
+                     - CAST(sxt - sxl AS DOUBLE) * (syt - syl))
+                  / (CAST(n_days - nl AS DOUBLE)
+                     * (CAST(n_days - nl AS DOUBLE) * (sxxt - sxxl)
+                        - CAST(sxt - sxl AS DOUBLE) * (sxt - sxl)))) AS sse_r
+        FROM pre
+        WHERE nl >= 2 AND n_days - nl >= 2
+    ),
+    ranked AS (
+        SELECT break_day, nl AS n_left, nr AS n_right,
+               sse_l + sse_r AS sse_total,
+               row_number() OVER (ORDER BY sse_l + sse_r ASC, break_day ASC)
+                   AS rk
+        FROM ev
+    )
+    SELECT break_day, n_left, n_right, sse_total
+    FROM ranked WHERE rk = 1
+    """,
+    tags=("timeseries", "changepoint", "regression", "engine-addition"),
+)
+def ts_piecewise_fit_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented-regression changepoint: fit separate least-squares
+    lines to the daily revenue series before and after EVERY
+    candidate breakpoint and pick the split minimizing total SSE —
+    the slope-change detector (CUSUM catches mean shifts; this
+    catches 'growth rate changed on day X'), and the regression
+    analogue of the decision stump: cumulative moment sums
+    (n, Sx, Sy, Sxx, Sxy, Syy; squares/cross-products in
+    decimal(38,0)) make each side's SSE a CLOSED FORM via the
+    ml_regression_metrics identity, so evaluating all n breakpoints
+    costs one window pass, not n regressions. Both engines stage the
+    identical double expressions, wide decimals re-enter through the
+    VARCHAR route, and only breakpoints with >= 2 points per side
+    compete (deterministic tie to the earliest day).
+
+    Scale: the fact scan collapses to daily grain; the moment
+    windows share ONE sort of the |days| series. Per-series form =
+    add the key to every PARTITION BY."""
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(cents).cast("bigint").alias("y"))
+    )
+    wall = Window.partitionBy()
+    idx = daily.select(
+        "day",
+        "y",
+        F.expr("CAST(datediff(day, min(day) OVER ()) AS BIGINT)").alias("x"),
+        F.count("*").over(wall).cast("bigint").alias("n_days"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    pre = idx.select(
+        "day",
+        "n_days",
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("nl"),
+        F.sum("x").over(w).cast("bigint").alias("sxl"),
+        F.sum("y").over(w).cast("bigint").alias("syl"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxxl"),
+        F.sum(xd * yd).over(w).cast("decimal(38,0)").alias("sxyl"),
+        F.sum(yd * yd).over(w).cast("decimal(38,0)").alias("syyl"),
+        F.sum("x").over(wall).cast("bigint").alias("sxt"),
+        F.sum("y").over(wall).cast("bigint").alias("syt"),
+        F.sum(F.col("x") * F.col("x")).over(wall).cast("bigint").alias("sxxt"),
+        F.sum(xd * yd).over(wall).cast("decimal(38,0)").alias("sxyt"),
+        F.sum(yd * yd).over(wall).cast("decimal(38,0)").alias("syyt"),
+    )
+
+    def sse(n, sx, sy, sxx, sxy, syy):
+        num = n * sxy - sx * sy
+        return syy - sy * sy / n - num * num / (n * (n * sxx - sx * sx))
+
+    nl = F.col("nl").cast("double")
+    nr = (F.col("n_days") - F.col("nl")).cast("double")
+    sse_l = sse(
+        nl,
+        F.col("sxl").cast("double"),
+        F.col("syl").cast("double"),
+        F.col("sxxl").cast("double"),
+        F.col("sxyl").cast("double"),
+        F.col("syyl").cast("double"),
+    )
+    sse_r = sse(
+        nr,
+        (F.col("sxt") - F.col("sxl")).cast("double"),
+        (F.col("syt") - F.col("syl")).cast("double"),
+        (F.col("sxxt") - F.col("sxxl")).cast("double"),
+        (F.col("sxyt").cast("double") - F.col("sxyl").cast("double")),
+        (F.col("syyt").cast("double") - F.col("syyl").cast("double")),
+    )
+    ev = pre.filter(
+        (F.col("nl") >= 2) & (F.col("n_days") - F.col("nl") >= 2)
+    ).select(
+        F.col("day").alias("break_day"),
+        F.col("nl").alias("n_left"),
+        (F.col("n_days") - F.col("nl")).alias("n_right"),
+        (sse_l + sse_r).alias("sse_total"),
+    )
+    ranked = ev.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("sse_total").asc(), F.col("break_day").asc())
+        ),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "break_day", "n_left", "n_right", "sse_total"
+    )

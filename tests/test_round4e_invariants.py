@@ -650,3 +650,30 @@ def test_cohens_kappa_identity(spark, sf_dir):
     assert r["n"] == r["n11"] + r["n10"] + r["n01"] + r["n00"]
     assert abs(r["kappa"] - (r["po"] - r["pe"]) / (1 - r["pe"])) < 1e-15
     assert -1.0 <= r["kappa"] <= 1.0
+
+
+def test_piecewise_changepoint_brute_force(spark, sf_dir):
+    import numpy as np
+
+    row = _run(spark, sf_dir, "ts_piecewise_fit_changepoint").collect()[0]
+    o = load_table(spark, sf_dir, "orders").toPandas()
+    o["cents"] = (o.o_totalprice.astype("float64") * 100).round().astype("int64")
+    daily = o.groupby(o.o_orderdate.dt.floor("d")).cents.sum().sort_index()
+    x = (daily.index - daily.index.min()).days.to_numpy().astype("float64")
+    y = daily.to_numpy().astype("float64")
+
+    def sse(xs, ys):
+        n = len(xs)
+        b = ((n * (xs * ys).sum() - xs.sum() * ys.sum())
+             / (n * (xs * xs).sum() - xs.sum() ** 2))
+        a = (ys.sum() - b * xs.sum()) / n
+        return float(((ys - a - b * xs) ** 2).sum())
+
+    best, best_day = None, None
+    for k in range(2, len(x) - 1):
+        tot = sse(x[:k], y[:k]) + sse(x[k:], y[k:])
+        if best is None or tot < best - 1e-9:
+            best, best_day = tot, daily.index[k - 1].date()
+    assert row["break_day"] == best_day
+    assert abs(row["sse_total"] - best) < 1e-6 * max(1.0, best)
+    assert row["n_left"] + row["n_right"] == len(daily)
