@@ -15,7 +15,7 @@ systematic versions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..data import load_table
@@ -674,4 +674,125 @@ def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").cast("bigint").alias("hi_cents"),
         )
         .orderBy("event_type", "log2_bucket")
+    )
+
+
+@query(
+    "agg_cramers_v",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type,
+               CASE WHEN value >= 50 THEN 'high' ELSE 'low' END AS band,
+               CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, band, o,
+               CAST(SUM(o) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS row_tot,
+               CAST(SUM(o) OVER (PARTITION BY band) AS BIGINT) AS col_tot,
+               CAST(SUM(o) OVER () AS BIGINT) AS n
+        FROM cells
+    ),
+    chi AS (
+        -- fold the per-cell terms in (event_type, band) order: a
+        -- plain SUM(double) is summation-order-dependent and the
+        -- two engines disagree by 1 ulp
+        SELECT max(n) AS n,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+               CAST(count(DISTINCT band) AS BIGINT) AS c,
+               list_reduce(
+                   list((CAST(o AS DOUBLE)
+                         - CAST(row_tot * col_tot AS DOUBLE)
+                           / CAST(n AS DOUBLE))
+                        * (CAST(o AS DOUBLE)
+                           - CAST(row_tot * col_tot AS DOUBLE)
+                             / CAST(n AS DOUBLE))
+                        / (CAST(row_tot * col_tot AS DOUBLE)
+                           / CAST(n AS DOUBLE))
+                        ORDER BY event_type, band),
+                   (a, x) -> a + x) AS chi2
+        FROM tot
+    )
+    SELECT CAST(n AS BIGINT) AS n, r, c, chi2,
+           sqrt(chi2 / (CAST(n AS DOUBLE)
+                        * CAST(least(r - 1, c - 1) AS DOUBLE))) AS cramers_v
+    FROM chi
+    """,
+    tags=("profiling", "statistics", "association", "engine-addition"),
+)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V — the normalized effect size for the
+    agg_chi_square_cells contingency table (chi-square grows with n;
+    V in [0,1] answers 'is this association MEANINGFUL', the
+    feature-selection filter for categorical pairs). Observed counts
+    and marginals are exact integers; expected values, chi-square
+    and V are identically-staged double expressions (one fsum of
+    per-cell terms, |cells| rows, so no large-cancellation hazard).
+
+    Scale: one (type, band) count shuffle; everything else runs on
+    the contingency table."""
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.when(F.col("value") >= 50, "high").otherwise("low").alias("band"),
+        )
+        .agg(F.count("*").cast("bigint").alias("o"))
+    )
+    tot = cells.select(
+        "event_type",
+        "band",
+        "o",
+        F.sum("o")
+        .over(Window.partitionBy("event_type"))
+        .cast("bigint")
+        .alias("row_tot"),
+        F.sum("o")
+        .over(Window.partitionBy("band"))
+        .cast("bigint")
+        .alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    expected = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col(
+        "n"
+    ).cast("double")
+    term = (
+        (F.col("o").cast("double") - expected)
+        * (F.col("o").cast("double") - expected)
+        / expected
+    )
+    # deterministic summation order (a bare SUM(double) differs from
+    # the oracle's by 1 ulp): collect the |cells| terms keyed by the
+    # cell id, sort, fold — model-sized by construction
+    chi = tot.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("event_type").cast("bigint").alias("r"),
+        F.countDistinct("band").cast("bigint").alias("c"),
+        F.collect_list(
+            F.struct(
+                F.col("event_type"), F.col("band"), term.alias("term")
+            )
+        ).alias("cells"),
+    ).select(
+        "n",
+        "r",
+        "c",
+        F.expr(
+            "aggregate(array_sort(cells), CAST(0 AS DOUBLE),"
+            " (a, x) -> a + x.term)"
+        ).alias("chi2"),
+    )
+    return chi.select(
+        F.col("n").cast("bigint").alias("n"),
+        "r",
+        "c",
+        "chi2",
+        F.sqrt(
+            F.col("chi2")
+            / (
+                F.col("n").cast("double")
+                * F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+            )
+        ).alias("cramers_v"),
     )

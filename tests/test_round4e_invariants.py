@@ -677,3 +677,10 @@ def test_piecewise_changepoint_brute_force(spark, sf_dir):
     assert row["break_day"] == best_day
     assert abs(row["sse_total"] - best) < 1e-6 * max(1.0, best)
     assert row["n_left"] + row["n_right"] == len(daily)
+
+
+def test_cramers_v_range_and_chi2(spark, sf_dir):
+    r = _run(spark, sf_dir, "agg_cramers_v").collect()[0]
+    assert 0 <= r["cramers_v"] <= 1
+    assert r["chi2"] >= 0
+    assert r["r"] >= 2 and r["c"] == 2
