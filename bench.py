@@ -80,6 +80,9 @@ HEADLINE = [
     "dedup_prefix_filter_join",
     "ml_decision_stump",
     "store_incremental_join",
+    # round-4e4: all-breakpoints changepoint, graded ranking eval
+    "ts_piecewise_fit_changepoint",
+    "ml_ndcg_at_k",
 ]
 
 
