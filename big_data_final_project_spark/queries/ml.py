@@ -2231,3 +2231,222 @@ def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         pe.alias("pe"),
         ((po - pe) / (1 - pe)).alias("kappa"),
     )
+
+
+@query(
+    "ml_spearman_rho",
+    oracle="""
+    WITH vals AS (
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS x,
+               CAST(l_quantity AS BIGINT) AS y
+        FROM lineitem
+    ),
+    rx AS (
+        SELECT x, CAST(count(*) AS BIGINT) AS t,
+               CAST(coalesce(sum(count(*)) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cb
+        FROM vals GROUP BY x
+    ),
+    ry AS (
+        SELECT y, CAST(count(*) AS BIGINT) AS t,
+               CAST(coalesce(sum(count(*)) OVER (ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cb
+        FROM vals GROUP BY y
+    ),
+    ranked AS (
+        -- 2*avg_rank keeps tie half-ranks integer
+        SELECT (2 * rx.cb + rx.t + 1) AS rx2, (2 * ry.cb + ry.t + 1) AS ry2
+        FROM vals v JOIN rx ON v.x = rx.x JOIN ry ON v.y = ry.y
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(CAST(sum(CAST(rx2 AS DECIMAL(19,0))) AS VARCHAR)
+                    AS DOUBLE) AS sx,
+               CAST(CAST(sum(CAST(ry2 AS DECIMAL(19,0))) AS VARCHAR)
+                    AS DOUBLE) AS sy,
+               CAST(CAST(sum(CAST(rx2 AS DECIMAL(19,0))
+                             * CAST(rx2 AS DECIMAL(19,0))) AS VARCHAR)
+                    AS DOUBLE) AS sxx,
+               CAST(CAST(sum(CAST(ry2 AS DECIMAL(19,0))
+                             * CAST(ry2 AS DECIMAL(19,0))) AS VARCHAR)
+                    AS DOUBLE) AS syy,
+               CAST(CAST(sum(CAST(rx2 AS DECIMAL(19,0))
+                             * CAST(ry2 AS DECIMAL(19,0))) AS VARCHAR)
+                    AS DOUBLE) AS sxy
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           (n * sxy - sx * sy)
+           / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS spearman_rho
+    FROM mom
+    """,
+    tags=("ml", "statistics", "rank-correlation", "engine-addition"),
+)
+def ml_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (price vs quantity) — the monotonic
+    association measure that ignores scale and outliers: Pearson on
+    AVERAGE RANKS, with ranks computed distributively from each
+    value's histogram (2*avg_rank = 2*cum_before + t + 1 keeps tie
+    half-ranks integer — the Mann-Whitney machinery applied to both
+    columns). Doubling both rank vectors leaves the correlation
+    invariant, so every moment is an exact decimal integer sum
+    (VARCHAR-routed: rank sums reach ~n^2) and only the final
+    Pearson combination runs in double, identically staged.
+
+    Scale: two per-value histogram shuffles, a rank-assignment join
+    back (the 50-value quantity table broadcasts; the price table
+    joins on its value key), one moment aggregate — no global sort,
+    no n^2 anything."""
+    vals = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("x"),
+        F.col("l_quantity").cast("bigint").alias("y"),
+    )
+
+    def rank_table(col: str):
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return (
+            vals.groupBy(col)
+            .agg(F.count("*").cast("bigint").alias("t"))
+            .withColumn(
+                "cb", F.coalesce(F.sum("t").over(w), F.lit(0)).cast("bigint")
+            )
+            .withColumn("r2", 2 * F.col("cb") + F.col("t") + 1)
+            .select(col, "r2")
+        )
+
+    rx = rank_table("x").withColumnRenamed("r2", "rx2")
+    ry = rank_table("y").withColumnRenamed("r2", "ry2")
+    ranked = vals.join(rx, "x").join(F.broadcast(ry), "y")
+    d19 = "decimal(19,0)"
+    mom = ranked.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("rx2").cast(d19)).cast("decimal(38,0)").cast("double").alias("sx"),
+        F.sum(F.col("ry2").cast(d19)).cast("decimal(38,0)").cast("double").alias("sy"),
+        F.sum(F.col("rx2").cast(d19) * F.col("rx2").cast(d19))
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("ry2").cast(d19) * F.col("ry2").cast(d19))
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("syy"),
+        F.sum(F.col("rx2").cast(d19) * F.col("ry2").cast(d19))
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    rho = (n * F.col("sxy") - sx * sy) / F.sqrt(
+        (n * F.col("sxx") - sx * sx) * (n * F.col("syy") - sy * sy)
+    )
+    return mom.select(
+        n.cast("bigint").alias("n"), rho.alias("spearman_rho")
+    )
+
+
+@query(
+    "ml_brier_decomposition",
+    oracle="""
+    WITH f AS (
+        SELECT CAST(o_custkey % 11 AS BIGINT) AS k,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    bins AS (
+        SELECT k, CAST(count(*) AS BIGINT) AS nk,
+               CAST(sum(y) AS BIGINT) AS pk,
+               CAST(sum((k - 10 * y) * (k - 10 * y)) AS BIGINT) AS sq
+        FROM f GROUP BY k
+    ),
+    tot AS (
+        SELECT CAST(sum(nk) AS BIGINT) AS n, CAST(sum(pk) AS BIGINT) AS p,
+               CAST(sum(sq) AS BIGINT) AS sq_all,
+               list(k ORDER BY k) AS ks,
+               list(nk ORDER BY k) AS nks,
+               list(pk ORDER BY k) AS pks
+        FROM bins
+    )
+    SELECT n, CAST(p AS BIGINT) AS n_pos,
+           CAST(sq_all AS DOUBLE) / (100 * CAST(n AS DOUBLE)) AS brier,
+           list_reduce(list_transform(range(1, len(ks) + 1), i ->
+               CAST((ks[i] * nks[i] - 10 * pks[i])
+                    * (ks[i] * nks[i] - 10 * pks[i]) AS DOUBLE)
+               / (100 * CAST(nks[i] AS DOUBLE))), (a, x) -> a + x)
+               / CAST(n AS DOUBLE) AS reliability,
+           list_reduce(list_transform(range(1, len(ks) + 1), i ->
+               CAST((pks[i] * n - p * nks[i])
+                    * (pks[i] * n - p * nks[i]) AS DOUBLE)
+               / (CAST(nks[i] AS DOUBLE) * CAST(n AS DOUBLE)
+                  * CAST(n AS DOUBLE))), (a, x) -> a + x)
+               / CAST(n AS DOUBLE) AS resolution,
+           CAST(p AS DOUBLE) * (n - p)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS uncertainty
+    FROM tot
+    """,
+    tags=("ml", "evaluation", "calibration", "engine-addition"),
+)
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score — Brier = reliability
+    - resolution + uncertainty — the readout that separates 'the
+    probabilities are miscalibrated' (reliability) from 'the model
+    can't discriminate' (resolution) against the irreducible base-
+    rate term. The forecast is DISCRETE (11 levels k/10 from a
+    deterministic key residue), so the identity holds exactly, not
+    just in the binned limit — and the invariant test asserts it to
+    1e-12. Per-bin pieces are exact integers ((k-10y)^2 for the
+    direct Brier; (k*nk - 10*pk)^2 and (pk*n - p*nk)^2 numerators);
+    each term does ONE double division and the 11 terms fold in bin
+    order on both engines (the SUM(double) order lesson from
+    agg_cramers_v).
+
+    Scale: one map-side-combinable bin aggregate; the decomposition
+    runs on 11 rows collected into arrays inside the engine (never
+    the driver)."""
+    f = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 11).cast("bigint").alias("k"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    bins = f.groupBy("k").agg(
+        F.count("*").cast("bigint").alias("nk"),
+        F.sum("y").cast("bigint").alias("pk"),
+        F.sum(
+            (F.col("k") - 10 * F.col("y")) * (F.col("k") - 10 * F.col("y"))
+        )
+        .cast("bigint")
+        .alias("sq"),
+    )
+    tot = bins.agg(
+        F.sum("nk").cast("bigint").alias("n"),
+        F.sum("pk").cast("bigint").alias("p"),
+        F.sum("sq").cast("bigint").alias("sq_all"),
+        F.array_sort(
+            F.collect_list(F.struct("k", "nk", "pk"))
+        ).alias("cells"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("p").cast("double")
+    rel = F.expr(
+        "aggregate(cells, CAST(0 AS DOUBLE), (a, x) ->"
+        " a + CAST((x.k * x.nk - 10 * x.pk) * (x.k * x.nk - 10 * x.pk)"
+        " AS DOUBLE) / (100 * CAST(x.nk AS DOUBLE)))"
+    ) / n
+    res = F.expr(
+        "aggregate(cells, CAST(0 AS DOUBLE), (a, x) ->"
+        " a + CAST((x.pk * n - p * x.nk) * (x.pk * n - p * x.nk)"
+        " AS DOUBLE) / (CAST(x.nk AS DOUBLE) * CAST(n AS DOUBLE)"
+        " * CAST(n AS DOUBLE)))"
+    ) / n
+    return tot.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("p").cast("bigint").alias("n_pos"),
+        (F.col("sq_all").cast("double") / (100 * n)).alias("brier"),
+        rel.alias("reliability"),
+        res.alias("resolution"),
+        (p * (n - p) / (n * n)).alias("uncertainty"),
+    )

@@ -106,6 +106,15 @@ EMPTY_SAFE = [
     "curation_embedding_diversity",
     "ml_roc_curve",
     "sql_join_hint_broadcast",
+    "ml_spearman_rho",
+    "ml_brier_decomposition",
+    "ml_cohens_kappa",
+    "ml_ndcg_at_k",
+    "agg_cramers_v",
+    "ts_piecewise_fit_changepoint",
+    "mm_payload_chunk_manifest",
+    "graph_item_item_cosine",
+    "sql_view_stack_pushdown",
 ]
 
 

@@ -684,3 +684,26 @@ def test_cramers_v_range_and_chi2(spark, sf_dir):
     assert 0 <= r["cramers_v"] <= 1
     assert r["chi2"] >= 0
     assert r["r"] >= 2 and r["c"] == 2
+
+
+def test_spearman_matches_pandas(spark, sf_dir):
+    row = _run(spark, sf_dir, "ml_spearman_rho").collect()[0]
+    li = load_table(spark, sf_dir, "lineitem").toPandas()
+    li["cents"] = (
+        (li.l_extendedprice.astype("float64") * 100).round().astype("int64")
+    )
+    ref = li.cents.rank(method="average").corr(
+        li.l_quantity.astype("int64").rank(method="average")
+    )
+    assert row["n"] == len(li)
+    assert abs(row["spearman_rho"] - ref) < 1e-9
+
+
+def test_brier_murphy_identity(spark, sf_dir):
+    r = _run(spark, sf_dir, "ml_brier_decomposition").collect()[0]
+    assert r["reliability"] >= 0 and r["resolution"] >= 0
+    assert 0 <= r["uncertainty"] <= 0.25
+    assert (
+        abs(r["brier"] - (r["reliability"] - r["resolution"] + r["uncertainty"]))
+        < 1e-12
+    )
