@@ -3623,3 +3623,177 @@ def ts_piecewise_fit_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rk") == 1).select(
         "break_day", "n_left", "n_right", "sse_total"
     )
+
+
+@query(
+    "events_new_vs_returning",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS first_day
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    daily AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT d.day,
+           CAST(count(*) AS BIGINT) AS active_users,
+           CAST(sum(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(sum(CASE WHEN d.day > f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_users,
+           CAST(sum(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS new_share_ppm
+    FROM daily d JOIN firsts f ON d.user_id = f.user_id
+    GROUP BY d.day ORDER BY d.day
+    """,
+    tags=("events", "growth", "engagement", "engine-addition"),
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into NEW vs RETURNING — the growth
+    accounting every product review opens with (is usage growing
+    from acquisition or retention?): per-user first-seen day joined
+    back onto the distinct (user, day) activity grid, counted per
+    day with the new-share in integer ppm. first_day comes from the
+    data itself (min over the full history — at 100 TB this is the
+    incrementally-maintained user dimension, a merge of min
+    partials).
+
+    Scale: one user-grain min shuffle, one (user, day) dedup
+    shuffle, one user-keyed join (both sides user-partitioned — no
+    extra exchange), one day rollup."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("first_day")
+    )
+    daily = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    joined = daily.join(firsts, "user_id")
+    return (
+        joined.groupBy("day")
+        .agg(
+            F.count("*").cast("bigint").alias("active_users"),
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("new_users"),
+            F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("returning_users"),
+        )
+        .select(
+            "day",
+            "active_users",
+            "new_users",
+            "returning_users",
+            F.expr(
+                "CAST(new_users * 1000000 div active_users AS BIGINT)"
+            ).alias("new_share_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "ts_occupancy_profile",
+    oracle="""
+    WITH iv AS (
+        SELECT o_orderdate AS s,
+               o_orderdate + to_days(CAST(o_orderkey % 30 + 1 AS INTEGER))
+                   AS e
+        FROM orders
+    ),
+    deltas AS (
+        SELECT s AS t, CAST(1 AS BIGINT) AS delta FROM iv
+        UNION ALL
+        SELECT e AS t, CAST(-1 AS BIGINT) AS delta FROM iv
+    ),
+    sweep AS (
+        SELECT t, delta,
+               CAST(sum(delta) OVER (ORDER BY t, delta
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS conc,
+               lead(t) OVER (ORDER BY t, delta) AS next_t
+        FROM deltas
+    ),
+    spans AS (
+        SELECT conc,
+               CAST(epoch_us(next_t) - epoch_us(t) AS BIGINT) AS dur_us
+        FROM sweep WHERE next_t IS NOT NULL
+    )
+    SELECT CAST(conc // 100 AS BIGINT) AS conc_band_x100,
+           CAST(sum(dur_us) AS BIGINT) AS total_us,
+           CAST(count(*) AS BIGINT) AS n_spans
+    FROM spans WHERE dur_us > 0
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("timeseries", "sweep-line", "occupancy", "engine-addition"),
+)
+def ts_occupancy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-state occupancy profile — how LONG the system spends
+    at each concurrency level (ts_max_concurrency reports the peak;
+    capacity planning needs the whole distribution): the same
+    +1/-1 sweep, with each sweep step's level weighted by the exact
+    microsecond duration until the next event (zero-length spans
+    from simultaneous events are dropped — they contribute no time;
+    within a simultaneity group only the last ordering matters and
+    the half-open end-before-start order pins it). Levels are
+    banded by hundreds to keep the profile model-sized.
+
+    Scale: one global sweep sort (per-key in the multi-tenant form),
+    lead() rides the same sort, and the profile is a band rollup —
+    duration accounting adds nothing to the concurrency sweep's
+    cost."""
+    o = load_table(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_orderdate").alias("s"),
+        F.expr(
+            "o_orderdate + make_interval(0, 0, 0,"
+            " CAST(o_orderkey % 30 + 1 AS INT), 0, 0, 0)"
+        ).alias("e"),
+    )
+    deltas = iv.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s").alias("t"),
+                    F.lit(1).cast("bigint").alias("delta"),
+                ),
+                F.struct(
+                    F.col("e").alias("t"),
+                    F.lit(-1).cast("bigint").alias("delta"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.t", "x.delta")
+    wsweep = Window.orderBy("t", "delta")
+    sweep = deltas.select(
+        "t",
+        F.sum("delta")
+        .over(wsweep.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("conc"),
+        F.lead("t").over(wsweep).alias("next_t"),
+    )
+    spans = sweep.filter(F.col("next_t").isNotNull()).select(
+        "conc",
+        # orderdate is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP —
+        # the UTC session tz makes the cast value-stable
+        (
+            F.unix_micros(F.col("next_t").cast("timestamp"))
+            - F.unix_micros(F.col("t").cast("timestamp"))
+        )
+        .cast("bigint")
+        .alias("dur_us"),
+    )
+    return (
+        spans.filter(F.col("dur_us") > 0)
+        .groupBy(F.expr("CAST(conc div 100 AS BIGINT)").alias("conc_band_x100"))
+        .agg(
+            F.sum("dur_us").cast("bigint").alias("total_us"),
+            F.count("*").cast("bigint").alias("n_spans"),
+        )
+        .orderBy("conc_band_x100")
+    )

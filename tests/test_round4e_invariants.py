@@ -707,3 +707,36 @@ def test_brier_murphy_identity(spark, sf_dir):
         abs(r["brier"] - (r["reliability"] - r["resolution"] + r["uncertainty"]))
         < 1e-12
     )
+
+
+def test_new_vs_returning_accounting(spark, sf_dir):
+    rows = _run(spark, sf_dir, "events_new_vs_returning").collect()
+    n_users = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    # every user is new exactly once
+    assert sum(r["new_users"] for r in rows) == n_users
+    for r in rows:
+        assert r["new_users"] + r["returning_users"] == r["active_users"]
+
+
+def test_occupancy_total_time_is_weighted_interval_sum(spark, sf_dir):
+    rows = _run(spark, sf_dir, "ts_occupancy_profile").collect()
+    o = load_table(spark, sf_dir, "orders").toPandas()
+    # sum over bands of (level-weighted time) == integral of conc dt
+    # == sum of interval lengths (each interval contributes its own
+    # duration at +1 concurrency); bands coarsen levels, so check the
+    # un-banded identity instead: total time span coverage is bounded
+    total_us = sum(r["total_us"] for r in rows)
+    span_us = int(
+        (
+            (o.o_orderdate + pd.to_timedelta(o.o_orderkey % 30 + 1, unit="D")).max()
+            - o.o_orderdate.min()
+        ).total_seconds()
+        * 1_000_000
+    )
+    assert total_us == span_us  # spans tile the sweep range exactly
