@@ -2524,3 +2524,81 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "raw_mean_cents",
         "n_clamped",
     ).orderBy("l_returnflag")
+
+
+@query(
+    "agg_tukey_fences",
+    oracle="""
+    WITH vals AS (
+        SELECT l_returnflag AS g,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS v
+        FROM lineitem
+    ),
+    th AS (
+        SELECT g, quantile_disc(v, 0.25) AS q1, quantile_disc(v, 0.75) AS q3
+        FROM vals GROUP BY g
+    )
+    SELECT v.g AS l_returnflag, t.q1 AS q1_cents, t.q3 AS q3_cents,
+           t.q3 - t.q1 AS iqr_cents,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN 2 * v.v < 5 * t.q1 - 3 * t.q3
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+           CAST(sum(CASE WHEN 2 * v.v > 5 * t.q3 - 3 * t.q1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+    FROM vals v JOIN th t ON v.g = t.g
+    GROUP BY v.g, t.q1, t.q3
+    ORDER BY v.g
+    """,
+    tags=("agg", "robust", "outliers", "engine-addition"),
+)
+def agg_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey boxplot fences per group: Q1/Q3 (discrete percentiles —
+    actual data values, GK-exact regime == quantile_disc), the IQR,
+    and outlier counts beyond Q1 - 1.5*IQR / Q3 + 1.5*IQR — the
+    third robust-outlier lens next to ts_anomaly_zscore (parametric)
+    and agg_mad_robust (median-based). The 1.5x fence comparison is
+    PURE INTEGERS: v < Q1 - 1.5*IQR is rewritten 2v < 5*Q1 - 3*Q3,
+    so no float threshold ever decides membership.
+
+    Scale: one threshold aggregate to |groups| broadcast rows + one
+    counting pass — same two-scan shape as agg_winsorized_mean."""
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    vals = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"), cents.alias("v")
+    )
+    th = vals.groupBy("g").agg(
+        F.expr(f"percentile_approx(v, 0.25D, {1 << 20})").alias("q1"),
+        F.expr(f"percentile_approx(v, 0.75D, {1 << 20})").alias("q3"),
+    )
+    return (
+        vals.join(F.broadcast(th), "g")
+        .groupBy("g", "q1", "q3")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(
+                F.when(2 * F.col("v") < 5 * F.col("q1") - 3 * F.col("q3"), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_low_outliers"),
+            F.sum(
+                F.when(2 * F.col("v") > 5 * F.col("q3") - 3 * F.col("q1"), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_high_outliers"),
+        )
+        .select(
+            F.col("g").alias("l_returnflag"),
+            F.col("q1").alias("q1_cents"),
+            F.col("q3").alias("q3_cents"),
+            (F.col("q3") - F.col("q1")).alias("iqr_cents"),
+            "n",
+            "n_low_outliers",
+            "n_high_outliers",
+        )
+        .orderBy("l_returnflag")
+    )
