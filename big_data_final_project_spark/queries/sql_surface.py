@@ -606,3 +606,50 @@ def sql_view_stack_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM vs_large GROUP BY o_orderpriority ORDER BY o_orderpriority
         """
     )
+
+
+@query(
+    "sql_join_hint_shuffle",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY c.c_mktsegment, n.n_name
+    ORDER BY segment, nation
+    """,
+    tags=("sql", "hints", "surface", "engine-addition"),
+)
+def sql_join_hint_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER two join-strategy hints: /*+ MERGE(c) */ forces a
+    sort-merge join on the fact-to-customer edge and
+    /*+ SHUFFLE_HASH(n) */ forces a shuffled hash join on the nation
+    edge (which the planner would otherwise broadcast). Together with
+    ``sql_join_hint_broadcast`` this completes the strategy-hint
+    surface users reach for when the 100 TB build side spills under a
+    hash join (MERGE degrades gracefully — sort + streaming merge)
+    or when a medium dimension is too big to broadcast but small
+    enough to hash (SHUFFLE_HASH skips the sort entirely).
+
+    Results are identical under any strategy — only the physical
+    plan differs — so the oracle is the plain double join; the
+    plan-shape test asserts BOTH forced operators actually appear."""
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"shint_{t}")
+    return spark.sql(
+        """
+        SELECT /*+ MERGE(c), SHUFFLE_HASH(n) */
+               c.c_mktsegment AS segment, n.n_name AS nation,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS revenue
+        FROM shint_orders o
+        JOIN shint_customer c ON o.o_custkey = c.c_custkey
+        JOIN shint_nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY c.c_mktsegment, n.n_name
+        ORDER BY segment, nation
+        """
+    )

@@ -3797,3 +3797,116 @@ def ts_occupancy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("conc_band_x100")
     )
+
+
+@query(
+    "events_attribution_position",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_id, event_type,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS journey
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    j AS (
+        SELECT user_id, journey FROM e WHERE event_type = 'purchase'
+    ),
+    r AS (
+        SELECT e.event_type AS channel,
+               row_number() OVER (PARTITION BY e.user_id, e.journey
+                                  ORDER BY e.ts, e.event_id) AS pos,
+               count(*) OVER (PARTITION BY e.user_id, e.journey) AS n
+        FROM e JOIN j ON e.user_id = j.user_id AND e.journey = j.journey
+        WHERE e.event_type IN ('view', 'click')
+    ),
+    c AS (
+        SELECT channel,
+               CASE WHEN n = 1 THEN 1000000
+                    WHEN n = 2 THEN 500000
+                    WHEN pos = 1 OR pos = n THEN 400000
+                    ELSE 200000 // (n - 2)
+                         + CASE WHEN pos - 1 <= 200000 % (n - 2)
+                                THEN 1 ELSE 0 END
+               END AS credit_ppm
+        FROM r
+    )
+    SELECT channel,
+           CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm_total,
+           CAST(count(*) AS BIGINT) AS n_credits
+    FROM c GROUP BY channel ORDER BY channel
+    """,
+    tags=("attribution", "window", "behavior", "engine-addition"),
+)
+def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: each
+    purchase's journey is the run of view/click touches since the
+    user's previous purchase; credit splits 40% to the first touch,
+    40% to the last, and the middle 20% evenly across interior
+    touches — apportioned in integer ppm by largest remainder
+    (earliest interior touches get the +1s), so every journey's
+    credits sum to EXACTLY 1,000,000 and the cross-engine hash is
+    exact (completing the attribution family: last-touch,
+    time-decay, position). Degenerate journeys: one touch takes the
+    full 1e6, two touches split 500k/500k.
+
+    Scale shape: journey segmentation is a running purchase count
+    over ONE user_id shuffle; the journey join is an equi-join on
+    (user_id, journey) — same key, so AQE coalesces it onto the
+    existing partitioning; all credit math is per-row integer
+    arithmetic. No join ever sees more than the touch rows."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "click", "purchase"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.count(F.when(F.col("event_type") == "purchase", F.lit(1)))
+            .over(
+                Window.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            .alias("journey"),
+        )
+    )
+    j = e.where(F.col("event_type") == "purchase").select("user_id", "journey")
+    r = (
+        e.where(F.col("event_type").isin("view", "click"))
+        .join(j, ["user_id", "journey"])
+        .select(
+            F.col("event_type").alias("channel"),
+            F.row_number()
+            .over(Window.partitionBy("user_id", "journey").orderBy("ts", "event_id"))
+            .alias("pos"),
+            F.count("*")
+            .over(Window.partitionBy("user_id", "journey"))
+            .alias("n"),
+        )
+    )
+    c = r.select(
+        "channel",
+        F.expr(
+            """
+            CASE WHEN n = 1 THEN 1000000
+                 WHEN n = 2 THEN 500000
+                 WHEN pos = 1 OR pos = n THEN 400000
+                 ELSE 200000 div (n - 2)
+                      + CASE WHEN pos - 1 <= 200000 % (n - 2)
+                             THEN 1 ELSE 0 END
+            END
+            """
+        ).alias("credit_ppm"),
+    )
+    return (
+        c.groupBy("channel")
+        .agg(
+            F.sum("credit_ppm").cast("bigint").alias("credit_ppm_total"),
+            F.count("*").cast("bigint").alias("n_credits"),
+        )
+        .orderBy("channel")
+    )
