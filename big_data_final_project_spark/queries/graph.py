@@ -1189,3 +1189,103 @@ def graph_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item", "rnk")
     )
+
+
+def _walk_step_sql(prev: str, out: str, step: int) -> str:
+    """One unrolled walk step for the DuckDB oracle: from each
+    walk's current node ``cur``, hop to the neighbor minimizing
+    md5(seed|step|cur|neighbor) — a deterministic stand-in for a
+    uniform-random choice that both engines reproduce exactly."""
+    return f"""
+    {out} AS (
+        SELECT start_node, seed, v AS cur FROM (
+            SELECT p.start_node, p.seed, a.v,
+                   row_number() OVER (
+                       PARTITION BY p.start_node, p.seed
+                       ORDER BY md5(concat_ws('|', p.seed, {step},
+                                              p.cur, a.v)), a.v) AS rn
+            FROM {prev} p JOIN adj a ON a.u = p.cur
+        ) WHERE rn = 1
+    )"""
+
+
+@query(
+    "graph_random_walks",
+    oracle=f"""
+    WITH {_KNN_EDGES_SQL},
+    adj AS MATERIALIZED (
+        SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
+    ),
+    w0 AS (
+        SELECT DISTINCT u AS start_node, s.seed, u AS cur
+        FROM adj, (VALUES (0), (1)) s(seed)
+    ),
+    {_walk_step_sql('w0', 'w1', 1)},
+    {_walk_step_sql('w1', 'w2', 2)},
+    {_walk_step_sql('w2', 'w3', 3)}
+    SELECT w0.start_node, CAST(w0.seed AS BIGINT) AS seed,
+           w1.cur AS n1, w2.cur AS n2, w3.cur AS n3
+    FROM w0
+    JOIN w1 ON w1.start_node = w0.start_node AND w1.seed = w0.seed
+    JOIN w2 ON w2.start_node = w0.start_node AND w2.seed = w0.seed
+    JOIN w3 ON w3.start_node = w0.start_node AND w3.seed = w0.seed
+    """,
+    tags=("graph", "walks", "embedding", "engine-addition"),
+)
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk/node2vec corpus generation: two fixed-length-3 walks
+    from every node of the co-purchase kNN graph — the sampling step
+    that turns a 100 TB graph into skip-gram training sequences for
+    embedding models. The 'random' neighbor choice is DERANDOMIZED
+    the same way the Poisson bootstrap and hash samplers here are:
+    step s from node u walks to argmin_v md5(seed|s|u|v) —
+    uniform-random in distribution across (seed, step, node), yet
+    reproducible bit-for-bit across engines, retries, and partition
+    layouts, which seeded RNG walks are NOT (their draw order depends
+    on row order).
+
+    Scale shape: each step is one equi-join walk-front x adjacency
+    (degree bounded by the kNN construction, so fan-out per walk is
+    O(k) and the per-step rank window partitions on the walk id —
+    skew-free), then rn = 1 keeps one row per walk. Three steps =
+    three bounded joins; walk count is 2|V|, linear in nodes."""
+    e = _knn_edges(spark, sf_dir)  # materialized by the shared cache
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    seeds = spark.range(2).select(F.col("id").cast("int").alias("seed"))
+    w0 = (
+        adj.select(F.col("u").alias("start_node"))
+        .distinct()
+        .crossJoin(F.broadcast(seeds))
+        .select("start_node", "seed", F.col("start_node").alias("cur"))
+    )
+    frontier = w0
+    hops = []
+    for step in (1, 2, 3):
+        ranked = frontier.join(adj, frontier["cur"] == adj["u"]).select(
+            "start_node",
+            "seed",
+            "v",
+            F.row_number()
+            .over(
+                Window.partitionBy("start_node", "seed").orderBy(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.col("seed"), F.lit(step), F.col("cur"), F.col("v")
+                        )
+                    ),
+                    F.asc("v"),
+                )
+            )
+            .alias("rn"),
+        )
+        frontier = ranked.where(F.col("rn") == 1).select(
+            "start_node", "seed", F.col("v").alias("cur")
+        )
+        hops.append(frontier.select("start_node", "seed", F.col("cur").alias(f"n{step}")))
+    out = w0.select("start_node", F.col("seed").cast("bigint").alias("seed"))
+    for h in hops:
+        out = out.join(h.withColumn("seed", F.col("seed").cast("bigint")),
+                       ["start_node", "seed"])
+    return out

@@ -17,7 +17,7 @@ long counts cast to double — results are bit-identical.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..data import load_table
@@ -817,3 +817,212 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         den.cast("bigint").alias("burst_den"),
         (num.cast("double") / den.cast("double")).alias("burstiness"),
     ).orderBy(F.desc("df"), F.asc("term"))
+
+
+def _bpe_pair_counts(tokens: DataFrame) -> DataFrame:
+    """Adjacent-pair counts over a (word, cnt, pos, tok) token table,
+    weighted by word frequency — one window pass + one bounded-key
+    aggregate (the pair domain is |vocab_tokens|^2)."""
+    w = Window.partitionBy("word").orderBy("pos")
+    return (
+        tokens.select(
+            "cnt", F.col("tok").alias("x"), F.lead("tok").over(w).alias("y")
+        )
+        .where(F.col("y").isNotNull())
+        .groupBy("x", "y")
+        .agg(F.sum("cnt").cast("bigint").alias("pc"))
+    )
+
+
+def _bpe_merge(tokens: DataFrame, best: DataFrame) -> DataFrame:
+    """Apply one BPE merge (the 1-row ``best`` = (x, y)) to the token
+    table with greedy-leftmost semantics, expressed relationally:
+    for x != y matches never overlap; for x == y the winners inside a
+    run of x's are the even offsets from the run start (exactly what
+    iterative leftmost-first merging selects). Consumed right-hand
+    tokens drop, survivors renumber — positions stay contiguous so
+    the next round's run arithmetic remains valid."""
+    w = Window.partitionBy("word").orderBy("pos")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    a = tokens.crossJoin(F.broadcast(best)).select(
+        "word",
+        "cnt",
+        "pos",
+        "tok",
+        "x",
+        "y",
+        F.lag("tok").over(w).alias("lag_tok"),
+        F.lead("tok").over(w).alias("lead_tok"),
+    )
+    b = a.select(
+        "*",
+        F.last(
+            F.when(
+                (F.col("tok") == F.col("x"))
+                & ~F.col("lag_tok").eqNullSafe(F.col("x")),
+                F.col("pos"),
+            ),
+            ignorenulls=True,
+        )
+        .over(wcum)
+        .alias("run_start"),
+    )
+    c = b.select(
+        "*",
+        (
+            (F.col("tok") == F.col("x"))
+            & (F.col("lead_tok") == F.col("y"))
+            & (
+                (F.col("x") != F.col("y"))
+                | ((F.col("pos") - F.col("run_start")) % 2 == 0)
+            )
+        ).alias("mg"),
+    )
+    d = c.select("*", F.lag("mg").over(w).alias("consumed"))
+    return (
+        d.where(~F.coalesce(F.col("consumed"), F.lit(False)))
+        .select(
+            "word",
+            "cnt",
+            F.row_number().over(w).alias("pos"),
+            F.when(F.col("mg"), F.concat("x", "y")).otherwise(F.col("tok")).alias(
+                "tok"
+            ),
+        )
+    )
+
+
+def _bpe_round_sql(prev: str, r: int) -> str:
+    """One unrolled BPE round for the DuckDB oracle: pair counts from
+    ``prev``, 1-row argmax ``b{r}``, merged token table ``m{r}``."""
+    return f"""
+    p{r} AS (
+        SELECT x, y, CAST(sum(cnt) AS BIGINT) AS pc FROM (
+            SELECT cnt, tok AS x,
+                   lead(tok) OVER (PARTITION BY word ORDER BY pos) AS y
+            FROM {prev}
+        ) WHERE y IS NOT NULL GROUP BY x, y
+    ),
+    b{r} AS (
+        SELECT x, y, pc FROM p{r} ORDER BY pc DESC, x ASC, y ASC LIMIT 1
+    ),
+    m{r} AS MATERIALIZED (
+        SELECT word, cnt,
+               row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+               CASE WHEN mg THEN x || y ELSE tok END AS tok
+        FROM (
+            SELECT *, lag(mg) OVER (PARTITION BY word ORDER BY pos)
+                        AS consumed
+            FROM (
+                SELECT *,
+                       (tok = x AND lead_tok IS NOT DISTINCT FROM y
+                        AND (x <> y OR (pos - run_start) % 2 = 0)) AS mg
+                FROM (
+                    SELECT *,
+                           last_value(CASE WHEN tok = x
+                                           AND lag_tok IS DISTINCT FROM x
+                                      THEN pos END IGNORE NULLS)
+                             OVER (PARTITION BY word ORDER BY pos
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS run_start
+                    FROM (
+                        SELECT t.word, t.cnt, t.pos, t.tok, b.x, b.y,
+                               lag(t.tok) OVER (PARTITION BY t.word
+                                                ORDER BY t.pos) AS lag_tok,
+                               lead(t.tok) OVER (PARTITION BY t.word
+                                                 ORDER BY t.pos) AS lead_tok
+                        FROM {prev} t CROSS JOIN b{r} b
+                    )
+                )
+            )
+        )
+        WHERE NOT coalesce(consumed, FALSE)
+    )"""
+
+
+@query(
+    "text_bpe_train_rounds",
+    oracle=f"""
+    WITH words AS MATERIALIZED (
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest({_TOKS_SQL}) AS w FROM documents)
+        WHERE w <> '' GROUP BY w
+    ),
+    t0 AS MATERIALIZED (
+        SELECT word, cnt, CAST(i AS BIGINT) AS pos, substr(word, i, 1) AS tok
+        FROM words, UNNEST(range(1, length(word) + 1)) AS u(i)
+    ),
+    {_bpe_round_sql('t0', 1)},
+    {_bpe_round_sql('m1', 2)},
+    {_bpe_round_sql('m2', 3)}
+    SELECT merge_round, x, y, x || y AS merged, pc AS pair_cnt FROM (
+        SELECT CAST(1 AS BIGINT) AS merge_round, * FROM b1
+        UNION ALL SELECT CAST(2 AS BIGINT), * FROM b2
+        UNION ALL SELECT CAST(3 AS BIGINT), * FROM b3
+    ) ORDER BY merge_round
+    """,
+    tags=("text", "tokenizer", "bpe", "iterative", "engine-addition"),
+)
+def text_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, three full merge rounds — the
+    iterative loop ``text_bpe_merge_candidates`` stops short of. Each
+    round counts adjacent token pairs over the word-frequency table
+    (weighted by corpus occurrences, exactly how production BPE
+    trainers scale: corpus-sized work happens once in the word
+    count; every round after runs on the vocabulary), picks the
+    argmax pair (ties: count desc, pair asc), and re-tokenizes with
+    greedy-leftmost merge semantics expressed RELATIONALLY — no
+    per-word loop: x!=y matches cannot overlap, and for x==y the
+    winners are the even offsets from each run start, which is
+    provably the leftmost-first iterative result. Output is the
+    learned merge table (round, pair, merged token, weighted count),
+    bit-identical across engines because every quantity is an
+    integer and every tie-break is total.
+
+    Scale shape: ONE corpus-sized explode+count shuffle builds the
+    word table; each round is windows over one word-partitioned
+    exchange (all specs share the sort) plus a bounded-key pair
+    aggregate and a 1-row broadcast argmax. localCheckpoint per
+    round cuts the 3-round lineage diamond (each round's tokens are
+    read twice: pair count + merge).
+
+    Cites the reference's text handling: the reference has no
+    tokenizer; this is a SURVEY §2.6 engine addition for LLM
+    training-data pipelines."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(_toks(F.col("text"))).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    tokens = words.select(
+        "word",
+        "cnt",
+        F.posexplode(
+            F.expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))")
+        ).alias("pos0", "tok"),
+    ).select("word", "cnt", (F.col("pos0") + 1).cast("bigint").alias("pos"), "tok")
+    tokens = tokens.localCheckpoint(eager=True)
+    outs = []
+    for r in (1, 2, 3):
+        best = (
+            _bpe_pair_counts(tokens)
+            .orderBy(F.desc("pc"), F.asc("x"), F.asc("y"))
+            .limit(1)
+        ).localCheckpoint(eager=True)
+        outs.append(
+            best.select(
+                F.lit(r).cast("bigint").alias("merge_round"),
+                "x",
+                "y",
+                F.concat("x", "y").alias("merged"),
+                F.col("pc").alias("pair_cnt"),
+            )
+        )
+        if r < 3:
+            tokens = _bpe_merge(tokens, best).localCheckpoint(eager=True)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("merge_round")
