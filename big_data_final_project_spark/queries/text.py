@@ -1026,3 +1026,146 @@ def text_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out.orderBy("merge_round")
+
+
+CDC_DIVISOR = 32  # boundary when shingle-hash % 32 == 0 => ~32-char chunks
+
+
+@query(
+    "text_cdc_chunks",
+    oracle=f"""
+    WITH docs AS MATERIALIZED (
+        SELECT doc_id, source, t, length(t) AS len FROM (
+            SELECT doc_id, source, {_NORM_SQL} AS t FROM documents
+        ) WHERE length(t) > 0
+    ),
+    bpos AS (
+        SELECT doc_id, i
+        FROM docs, UNNEST(range(2, greatest(len - 6, 2))) AS u(i)
+        WHERE CAST(('0x' || substring(md5(substr(t, i, 8)), 1, 8))
+                   AS UBIGINT) % {CDC_DIVISOR} = 0
+    ),
+    starts AS (
+        SELECT doc_id, 1 AS start FROM docs
+        UNION ALL SELECT doc_id, i FROM bpos
+    ),
+    spans AS (
+        SELECT doc_id, start,
+               lead(start) OVER (PARTITION BY doc_id ORDER BY start) AS nxt
+        FROM starts
+    ),
+    chunks AS MATERIALIZED (
+        SELECT s.doc_id, d.source,
+               md5(substr(d.t, s.start,
+                          coalesce(s.nxt, d.len + 1) - s.start)) AS h,
+               CAST(coalesce(s.nxt, d.len + 1) - s.start AS BIGINT) AS l
+        FROM spans s JOIN docs d ON d.doc_id = s.doc_id
+    ),
+    per_chunk AS (
+        SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(l) AS BIGINT) AS total_chars
+        FROM chunks GROUP BY source
+    ),
+    per_distinct AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS distinct_chunks,
+               CAST(sum(l) AS BIGINT) AS unique_chars
+        FROM (SELECT DISTINCT source, h, l FROM chunks) GROUP BY source
+    )
+    SELECT c.source, c.n_docs, c.n_chunks, d.distinct_chunks,
+           c.total_chars, d.unique_chars,
+           CAST((c.total_chars - d.unique_chars) * 1000000
+                // c.total_chars AS BIGINT) AS dup_ppm
+    FROM per_chunk c JOIN per_distinct d ON c.source = d.source
+    ORDER BY c.source
+    """,
+    tags=("text", "dedup", "chunking", "engine-addition"),
+)
+def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the backup/dedup-system primitive,
+    and the sub-document dedup unit for training corpora): a chunk
+    boundary opens wherever the 8-char shingle hash at that position
+    is ≡ 0 mod 32, so boundaries move WITH the content — insert one
+    word and only the containing chunk's hash changes, unlike
+    fixed-size blocks where everything downstream shifts. Emits the
+    per-source chunk-level dedup ledger: chunk counts, distinct
+    chunks, and chars saved by chunk dedup (integer ppm).
+
+    Scale shape: the per-char shingle explode is narrow and immediately
+    filtered to the ~1/32 boundary positions, so only boundaries
+    shuffle; spans come from one lead() window per doc; chunk text
+    materializes once per span via substr on the doc row (an equi-join
+    on doc_id, never a cross product). Hash gating uses the shared
+    md5-hex-prefix idiom so both engines pick identical boundaries."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", _norm(F.col("text")).alias("t"))
+        .withColumn("len", F.length("t"))
+        .where(F.col("len") > 0)
+    )
+    bpos = (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(2, greatest(length(t) - 7, 1)),"
+                    " i -> substr(t, i, 8))"
+                )
+            ).alias("i0", "sh"),
+        )
+        .select("doc_id", (F.col("i0") + 2).alias("start"), "sh")
+        .where(
+            F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
+            % CDC_DIVISOR
+            == 0
+        )
+        .select("doc_id", "start")
+    )
+    starts = d.select("doc_id", F.lit(1).alias("start")).unionByName(bpos)
+    spans = starts.select(
+        "doc_id",
+        "start",
+        F.lead("start")
+        .over(Window.partitionBy("doc_id").orderBy("start"))
+        .alias("nxt"),
+    )
+    chunks = spans.join(d, "doc_id").select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.expr("substr(t, start, coalesce(nxt, len + 1) - start)")
+        ).alias("h"),
+        (F.coalesce("nxt", F.col("len") + 1) - F.col("start"))
+        .cast("bigint")
+        .alias("l"),
+    )
+    per_chunk = chunks.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum("l").cast("bigint").alias("total_chars"),
+    )
+    per_distinct = (
+        chunks.select("source", "h", "l")
+        .distinct()
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("distinct_chunks"),
+            F.sum("l").cast("bigint").alias("unique_chars"),
+        )
+    )
+    return (
+        per_chunk.join(per_distinct, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_chunks",
+            "distinct_chunks",
+            "total_chars",
+            "unique_chars",
+            F.expr(
+                "CAST((total_chars - unique_chars) * 1000000"
+                " div total_chars AS BIGINT)"
+            ).alias("dup_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -3910,3 +3910,122 @@ def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "ts_holt_linear",
+    oracle="""
+    WITH RECURSIVE daily AS MATERIALIZED (
+        SELECT o_orderpriority AS series, CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS BIGINT) AS y
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) >=
+              (SELECT max(CAST(o_orderdate AS DATE)) - INTERVAL 119 DAY
+               FROM orders)
+        GROUP BY 1, 2
+    ),
+    seq AS MATERIALIZED (
+        SELECT series, y,
+               CAST(row_number() OVER (PARTITION BY series ORDER BY d)
+                    AS BIGINT) AS rn,
+               CAST(count(*) OVER (PARTITION BY series) AS BIGINT) AS n
+        FROM daily
+    ),
+    rec AS (
+        SELECT series, rn, n, lvl, tr, sae, mxe FROM (
+            SELECT series, rn, n, y AS lvl, CAST(0 AS BIGINT) AS tr,
+                   CAST(0 AS BIGINT) AS sae, CAST(0 AS BIGINT) AS mxe
+            FROM seq WHERE rn = 1
+        )
+        UNION ALL
+        SELECT s.series, s.rn, s.n,
+               (s.y + r.lvl + r.tr) // 2,
+               (r.tr + ((s.y + r.lvl + r.tr) // 2 - r.lvl)) // 2,
+               r.sae + abs(s.y - r.lvl - r.tr),
+               greatest(r.mxe, abs(s.y - r.lvl - r.tr))
+        FROM rec r JOIN seq s ON s.series = r.series AND s.rn = r.rn + 1
+    )
+    SELECT series, n AS n_obs, lvl AS level_cents, tr AS trend_cents,
+           lvl + tr AS forecast_cents, sae AS sum_abs_err_cents,
+           mxe AS max_abs_err_cents
+    FROM rec WHERE rn = n ORDER BY series
+    """,
+    tags=("timeseries", "forecast", "stateful", "pandas-udf", "engine-addition"),
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing (alpha = beta
+    = 1/2) over the last 120 days of daily revenue per order
+    priority, in EXACT integer cents: level/trend update with
+    truncating integer halving (Spark `div` and DuckDB `//` both
+    truncate toward zero — probed), so the sequential recursion is
+    bit-identical across engines. Emits the fitted terminal state,
+    the one-step-ahead forecast, and the in-sample one-step absolute
+    error totals — the forecast-quality readout next to
+    ts_seasonal_naive_error's baseline.
+
+    This operator is inherently SEQUENTIAL per series (each state
+    depends on the previous), so it is the showcase for the custom
+    stateful path: Spark runs it as an applyInPandas per-series
+    integer loop (Arrow-batched, one shuffle on the series key; state
+    is O(1) per series regardless of length), while the oracle walks
+    the same recurrence as a recursive CTE. At 100 TB the shuffle
+    moves only (series, day, cents) rollup rows — the raw scan
+    collapses first, and series process independently so the stage
+    parallelizes across every executor."""
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(
+        F.date_sub(F.max(F.to_date("o_orderdate")), 119).alias("lo")
+    )
+    daily = (
+        o.crossJoin(F.broadcast(anchor))
+        .where(F.to_date("o_orderdate") >= F.col("lo"))
+        .groupBy(
+            F.col("o_orderpriority").alias("series"),
+            F.to_date("o_orderdate").alias("d"),
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+
+    def holt(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("d")
+        ys = [int(v) for v in pdf["y"]]
+
+        def tdiv2(a: int) -> int:
+            return a // 2 if a >= 0 else -((-a) // 2)
+
+        lvl, tr, sae, mxe = ys[0], 0, 0, 0
+        for y in ys[1:]:
+            pred = lvl + tr
+            err = abs(y - pred)
+            sae += err
+            mxe = max(mxe, err)
+            new_lvl = tdiv2(y + pred)
+            tr = tdiv2(tr + (new_lvl - lvl))
+            lvl = new_lvl
+        return pd.DataFrame(
+            {
+                "series": [pdf["series"].iloc[0]],
+                "n_obs": [len(ys)],
+                "level_cents": [lvl],
+                "trend_cents": [tr],
+                "forecast_cents": [lvl + tr],
+                "sum_abs_err_cents": [sae],
+                "max_abs_err_cents": [mxe],
+            }
+        )
+
+    schema = (
+        "series string, n_obs bigint, level_cents bigint, trend_cents bigint,"
+        " forecast_cents bigint, sum_abs_err_cents bigint,"
+        " max_abs_err_cents bigint"
+    )
+    return daily.groupBy("series").applyInPandas(holt, schema).orderBy("series")
