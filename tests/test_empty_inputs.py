@@ -115,6 +115,13 @@ EMPTY_SAFE = [
     "mm_payload_chunk_manifest",
     "graph_item_item_cosine",
     "sql_view_stack_pushdown",
+    # round-4f families
+    "sql_join_hint_shuffle",
+    "events_attribution_position",
+    "text_bpe_train_rounds",
+    "graph_random_walks",
+    "ts_holt_linear",
+    "text_cdc_chunks",
 ]
 
 

@@ -1,0 +1,229 @@
+"""Semantic invariants of the round-4f operators — properties the
+oracle differential can't state (it proves Spark == DuckDB; these
+prove both engines mean what the operator claims)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import duckdb
+import pandas as pd
+
+from big_data_final_project_spark.data import load_table
+from big_data_final_project_spark.plans.audit import audit
+from big_data_final_project_spark.registry import catalog
+
+
+def _run(spark, sf_dir, name):
+    return catalog()[name].fn(spark, sf_dir)
+
+
+def _plan(spark, sf_dir, name):
+    return audit(catalog()[name].fn(spark, sf_dir))
+
+
+# ---------------------------------------------------------------- BPE
+
+
+def _bpe_reference(words: dict[str, int], rounds: int = 3):
+    """Textbook greedy-leftmost BPE trainer (per-word scan loop) —
+    the imperative semantics the relational run-parity formulation
+    claims to reproduce."""
+    toks = {w: list(w) for w in words}
+    merges = []
+    for r in range(rounds):
+        counts: dict[tuple[str, str], int] = {}
+        for w, cnt in words.items():
+            t = toks[w]
+            for i in range(len(t) - 1):
+                counts[(t[i], t[i + 1])] = counts.get((t[i], t[i + 1]), 0) + cnt
+        if not counts:
+            break
+        (x, y), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((r + 1, x, y, x + y, c))
+        for w, t in toks.items():
+            out, i = [], 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == x and t[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            toks[w] = out
+    return merges
+
+
+def test_bpe_train_rounds_match_textbook_trainer(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("text").toPandas()
+    words: dict[str, int] = {}
+    for t in docs.text.dropna():
+        for w in re.sub(r"\s+", " ", t.lower()).strip().split(" "):
+            if w:
+                words[w] = words.get(w, 0) + 1
+    expect = _bpe_reference(words, rounds=3)
+    got = [
+        (r["merge_round"], r["x"], r["y"], r["merged"], r["pair_cnt"])
+        for r in _run(spark, sf_dir, "text_bpe_train_rounds").collect()
+    ]
+    assert got == expect
+
+
+# -------------------------------------------------- position attribution
+
+
+def test_position_attribution_conserves_journey_credit(spark, sf_dir):
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where("event_type IN ('view', 'click', 'purchase')")
+        .select("user_id", "ts", "event_id", "event_type")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    credited_journeys = 0
+    credited_touches = 0
+    for _, g in ev.groupby("user_id"):
+        touches = 0
+        for et in g.event_type:
+            if et == "purchase":
+                if touches:
+                    credited_journeys += 1
+                    credited_touches += touches
+                touches = 0
+            else:
+                touches += 1
+    rows = _run(spark, sf_dir, "events_attribution_position").collect()
+    assert sum(r["credit_ppm_total"] for r in rows) == 1_000_000 * credited_journeys
+    assert sum(r["n_credits"] for r in rows) == credited_touches
+
+
+# ------------------------------------------------------- random walks
+
+
+def test_random_walks_follow_edges_and_hash_argmin(spark, sf_dir):
+    from big_data_final_project_spark.queries.graph import _knn_edges
+
+    edges = _knn_edges(spark, sf_dir).collect()
+    adj: dict[int, list[int]] = {}
+    for r in edges:
+        adj.setdefault(r["a"], []).append(r["b"])
+        adj.setdefault(r["b"], []).append(r["a"])
+    walks = _run(spark, sf_dir, "graph_random_walks").collect()
+    assert len(walks) == 2 * len(adj)
+
+    def pick(seed: int, step: int, cur: int) -> int:
+        return min(
+            adj[cur],
+            key=lambda v: (
+                hashlib.md5(f"{seed}|{step}|{cur}|{v}".encode()).hexdigest(),
+                v,
+            ),
+        )
+
+    for w in walks:
+        cur = w["start_node"]
+        for step, col in ((1, "n1"), (2, "n2"), (3, "n3")):
+            nxt = w[col]
+            assert nxt in adj[cur]
+            assert nxt == pick(w["seed"], step, cur)
+            cur = nxt
+
+
+# ------------------------------------------------------------- Holt
+
+
+def test_holt_linear_matches_python_recursion(spark, sf_dir):
+    con = duckdb.connect()
+    daily = con.execute(
+        f"""
+        SELECT o_orderpriority AS series, CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS BIGINT) AS y
+        FROM '{sf_dir}/orders.parquet'
+        WHERE CAST(o_orderdate AS DATE) >=
+              (SELECT max(CAST(o_orderdate AS DATE)) - INTERVAL 119 DAY
+               FROM '{sf_dir}/orders.parquet')
+        GROUP BY 1, 2 ORDER BY series, d
+        """
+    ).df()
+
+    def tdiv2(a: int) -> int:
+        return a // 2 if a >= 0 else -((-a) // 2)
+
+    got = {r["series"]: r for r in _run(spark, sf_dir, "ts_holt_linear").collect()}
+    assert set(got) == set(daily.series.unique())
+    for series, g in daily.groupby("series"):
+        ys = [int(v) for v in g.y]
+        lvl, tr, sae, mxe = ys[0], 0, 0, 0
+        for y in ys[1:]:
+            pred = lvl + tr
+            err = abs(y - pred)
+            sae += err
+            mxe = max(mxe, err)
+            new_lvl = tdiv2(y + pred)
+            tr = tdiv2(tr + (new_lvl - lvl))
+            lvl = new_lvl
+        r = got[series]
+        assert (
+            r["n_obs"],
+            r["level_cents"],
+            r["trend_cents"],
+            r["forecast_cents"],
+            r["sum_abs_err_cents"],
+            r["max_abs_err_cents"],
+        ) == (len(ys), lvl, tr, lvl + tr, sae, mxe)
+
+
+# -------------------------------------------------------- CDC chunks
+
+
+def test_cdc_chunks_partition_every_document(spark, sf_dir):
+    con = duckdb.connect()
+    norm_lens = con.execute(
+        f"""
+        SELECT source, CAST(sum(length(t)) AS BIGINT) AS chars,
+               CAST(count(*) AS BIGINT) AS docs
+        FROM (SELECT source,
+                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+              FROM '{sf_dir}/documents.parquet')
+        WHERE length(t) > 0 GROUP BY source
+        """
+    ).df()
+    expect = {
+        r.source: (int(r.chars), int(r.docs)) for r in norm_lens.itertuples()
+    }
+    rows = _run(spark, sf_dir, "text_cdc_chunks").collect()
+    assert {r["source"] for r in rows} == set(expect)
+    for r in rows:
+        chars, docs = expect[r["source"]]
+        # chunks tile each doc exactly: char totals and doc counts match
+        assert r["total_chars"] == chars
+        assert r["n_docs"] == docs
+        assert 0 < r["unique_chars"] <= r["total_chars"]
+        assert r["distinct_chunks"] <= r["n_chunks"]
+        assert (
+            r["dup_ppm"]
+            == (r["total_chars"] - r["unique_chars"]) * 1_000_000 // r["total_chars"]
+        )
+
+
+# ------------------------------------------------------- plan shapes
+
+
+def test_round4f_plan_shapes(spark, sf_dir):
+    # forced strategies: both hinted operators actually appear
+    p = _plan(spark, sf_dir, "sql_join_hint_shuffle")
+    assert p.sortmerge_joins >= 1, p.text
+    assert "ShuffledHashJoin" in p.text, p.text
+    # attribution: equi-joins only, no cartesian
+    p = _plan(spark, sf_dir, "events_attribution_position")
+    assert p.cartesian_products == 0
+    # walks: the only cross join is the 2-row seed broadcast
+    p = _plan(spark, sf_dir, "graph_random_walks")
+    assert p.cartesian_products == 0
+    # CDC chunking: narrow explode + one window + equi-join, no cartesian
+    p = _plan(spark, sf_dir, "text_cdc_chunks")
+    assert p.cartesian_products == 0
