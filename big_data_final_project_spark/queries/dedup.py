@@ -1509,3 +1509,182 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
+
+
+# LSH tuning sweep: (bands, rows/band) configurations over the SAME
+# 8-permutation signatures. Labels sort loosest -> strictest.
+LSH_CONFIGS = (("b4r2", 4, 2), ("b2r4", 2, 4), ("b1r8", 1, 8))
+TUNE_JACCARD_NUM, TUNE_JACCARD_DEN = 1, 2  # truth threshold J >= 1/2
+
+
+def _tuning_band_sql(label: str, b: int, r: int) -> str:
+    parts = ", ".join(f"sig[{r} * j + {k + 1}]" for k in range(r))
+    return f"""
+    hashed_{label} AS (
+        SELECT doc_id, j AS band_idx, md5(concat_ws('|', {parts})) AS h
+        FROM sig, UNNEST(range({b})) AS u(j)
+    ),
+    cand_{label} AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM hashed_{label} a JOIN hashed_{label} b
+          ON a.band_idx = b.band_idx AND a.h = b.h AND a.doc_id < b.doc_id
+    )"""
+
+
+def _tuning_agg_sql(label: str) -> str:
+    return f"""
+        SELECT '{label}' AS config, CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(sum(CASE WHEN t.da IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS true_pos
+        FROM cand_{label} c
+        LEFT JOIN truth t ON c.da = t.da AND c.db = t.db"""
+
+
+@query(
+    "dedup_lsh_tuning",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+    sig AS MATERIALIZED (
+        SELECT doc_id,
+               list_transform({_SEEDS_SQL}, s ->
+                   list_aggregate(
+                       list_transform(sh, x -> md5(s || '#' || x)),
+                       'min')) AS sig
+        FROM t
+    ),
+    ex AS MATERIALIZED (
+        SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM t
+    ),
+    overlap AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS nc,
+               any_value(a.n) AS na, any_value(b.n) AS nb
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS MATERIALIZED (
+        SELECT da, db FROM overlap
+        WHERE {TUNE_JACCARD_DEN} * nc >= {TUNE_JACCARD_NUM} * (na + nb - nc)
+    ),
+    {",".join(_tuning_band_sql(l, b, r) for l, b, r in LSH_CONFIGS)},
+    agg AS ({" UNION ALL ".join(_tuning_agg_sql(l) for l, _, _ in LSH_CONFIGS)}),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
+    SELECT config, n_candidates, n_truth, true_pos,
+           n_truth - true_pos AS false_neg,
+           CASE WHEN n_truth > 0
+                THEN true_pos * 1000000 // n_truth ELSE 0 END AS recall_ppm,
+           CASE WHEN n_candidates > 0
+                THEN true_pos * 1000000 // n_candidates
+                ELSE 0 END AS precision_ppm
+    FROM agg CROSS JOIN tot
+    ORDER BY config
+    """,
+    tags=("dedup", "minhash", "lsh", "tuning", "engine-addition"),
+)
+def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH parameter tuning table — the S-curve study every 100 TB
+    dedup deployment runs before committing a (bands × rows) config:
+    three bandings of the SAME 8-permutation minhash signatures
+    (4x2 loose, 2x4, 1x8 strict) graded against integer-exact ground
+    truth (pairs with n-gram Jaccard >= 1/2, tested as
+    2*|A∩B| >= |A∪B| so no float threshold edge exists). Emits
+    candidate volume, recall, and precision in integer ppm per
+    config — the cost/recall trade-off curve, cross-engine exact.
+
+    Scale shape: signatures compute once (shared eager table);
+    each banding is a skew-free self-join on uniform md5 band keys
+    producing only bucket-collision pairs; ground truth uses the
+    inverted-index join (only pairs sharing a shingle materialize),
+    not the n² pair space. The strictness ordering
+    recall(b4r2) >= recall(b2r4) >= recall(b1r8) is asserted by the
+    invariant suite — band subsets make looser configs supersets."""
+    sigs = _banded_sig_table(spark, sf_dir).dropDuplicates(["doc_id"]).select(
+        "doc_id", "sig"
+    )
+    cands = {}
+    for label, b, r in LSH_CONFIGS:
+        hashes = F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.element_at("sig", r * j + k + 1) for k in range(r)],
+                    )
+                )
+                for j in range(b)
+            ]
+        )
+        hashed = sigs.select(
+            "doc_id", F.posexplode(hashes).alias("band_idx", "h")
+        )
+        a, bb = hashed.alias("a"), hashed.alias("b")
+        cands[label] = (
+            a.join(
+                bb,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.h") == F.col("b.h"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+            )
+            .distinct()
+        )
+    # ground truth: inverted-index exact Jaccard, integer threshold
+    sh = _shingled(load_table(spark, sf_dir, "documents"), "doc_id")
+    ex = (
+        sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s0"))
+        .withColumn("s", F.xxhash64("s0"))
+        .drop("s0")
+        .localCheckpoint(eager=True)
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    overlap = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(
+            F.count("*").alias("nc"),
+            F.first("a.n").alias("na"),
+            F.first("b.n").alias("nb"),
+        )
+    )
+    truth = overlap.where(
+        TUNE_JACCARD_DEN * F.col("nc")
+        >= TUNE_JACCARD_NUM * (F.col("na") + F.col("nb") - F.col("nc"))
+    ).select("da", "db").localCheckpoint(eager=True)
+    tot = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+    aggs = []
+    for label, _, _ in LSH_CONFIGS:
+        c = cands[label].join(
+            truth.withColumn("is_true", F.lit(1)), ["da", "db"], "left"
+        )
+        aggs.append(
+            c.agg(
+                F.count("*").cast("bigint").alias("n_candidates"),
+                F.sum(F.coalesce("is_true", F.lit(0)))
+                .cast("bigint")
+                .alias("true_pos"),
+            ).select(F.lit(label).alias("config"), "n_candidates", "true_pos")
+        )
+    agg = aggs[0]
+    for x in aggs[1:]:
+        agg = agg.unionAll(x)
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "config",
+            "n_candidates",
+            "n_truth",
+            "true_pos",
+            (F.col("n_truth") - F.col("true_pos")).alias("false_neg"),
+            F.expr(
+                "CASE WHEN n_truth > 0 THEN true_pos * 1000000 div n_truth"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).alias("recall_ppm"),
+            F.expr(
+                "CASE WHEN n_candidates > 0"
+                " THEN true_pos * 1000000 div n_candidates"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).alias("precision_ppm"),
+        )
+        .orderBy("config")
+    )

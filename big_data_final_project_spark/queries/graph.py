@@ -1289,3 +1289,83 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.join(h.withColumn("seed", F.col("seed").cast("bigint")),
                        ["start_node", "seed"])
     return out
+
+
+def _lpa_round_sql(prev: str, out: str) -> str:
+    """One synchronous LPA round: each node adopts its neighbors'
+    most frequent label, ties to the smallest label."""
+    return f"""
+    {out} AS MATERIALIZED (
+        SELECT node, lbl FROM (
+            SELECT a.u AS node, p.lbl,
+                   row_number() OVER (
+                       PARTITION BY a.u
+                       ORDER BY count(*) DESC, p.lbl ASC) AS rn
+            FROM adj a JOIN {prev} p ON p.node = a.v
+            GROUP BY a.u, p.lbl
+        ) WHERE rn = 1
+    )"""
+
+
+@query(
+    "graph_lpa_communities",
+    oracle=f"""
+    WITH {_KNN_EDGES_SQL},
+    adj AS MATERIALIZED (
+        SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
+    ),
+    l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM adj),
+    {_lpa_round_sql('l0', 'l1')},
+    {_lpa_round_sql('l1', 'l2')}
+    SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+    FROM l2 GROUP BY lbl ORDER BY community
+    """,
+    tags=("graph", "community", "lpa", "engine-addition"),
+)
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation, two
+    rounds, fully deterministic: every node starts as its own label
+    and adopts its neighbors' most frequent label each round (ties
+    to the smallest label — classic LPA leaves tie-breaking random,
+    which is exactly what a reproducible 100 TB pipeline cannot
+    have). Two synchronized rounds bound the work; convergence-style
+    LPA loops the same dataflow with the scalar-only round check
+    used by dedup_clusters. Output is the community-size histogram.
+
+    Scale shape per round: ONE equi-join (adjacency x label table,
+    both partitioned on the node key), a (node, label) count with
+    map-side partials, and a per-node argmax window — degree is
+    bounded by the kNN construction so no node fans out more than
+    O(k), and labels never leave the executors (contrast: GraphX
+    Pregel does the identical message pattern)."""
+    e = _knn_edges(spark, sf_dir)  # materialized by the shared cache
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    ).localCheckpoint(eager=True)
+    labels = adj.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(2):
+        counted = (
+            adj.join(labels, adj["v"] == labels["node"])
+            .groupBy(F.col("u"), F.col("lbl"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            counted.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("u").orderBy(
+                        F.desc("cnt"), F.asc("lbl")
+                    )
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .select(F.col("u").alias("node"), "lbl")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count("*").cast("bigint").alias("n_members"))
+        .orderBy("community")
+    )

@@ -653,3 +653,45 @@ def sql_join_hint_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY segment, nation
         """
     )
+
+
+@query(
+    "sql_pivot_syntax",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT)
+               AS status_o,
+           CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT)
+               AS status_f,
+           CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT)
+               AS status_p
+    FROM orders GROUP BY o_orderpriority ORDER BY priority
+    """,
+    tags=("sql", "pivot", "surface", "engine-addition"),
+)
+def sql_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL PIVOT clause itself (the relational-API twin is
+    pivot_status): an explicit IN value list keeps the output schema
+    static — the form that scales, because a distinct-scan pivot
+    would need an extra pass over 100 TB just to discover columns
+    and breaks schema stability between runs. Cells that have no
+    rows surface as NULL from PIVOT and are coalesced to 0 to match
+    the conditional-aggregation oracle (the rewrite Catalyst itself
+    performs internally).
+
+    Plan shape: one scan, one partial-agg shuffle — identical to the
+    hand-written conditional aggregate; the PIVOT clause is pure
+    surface syntax."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("pv_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS priority,
+               CAST(coalesce(status_o, 0) AS BIGINT) AS status_o,
+               CAST(coalesce(status_f, 0) AS BIGINT) AS status_f,
+               CAST(coalesce(status_p, 0) AS BIGINT) AS status_p
+        FROM (SELECT o_orderpriority, o_orderstatus FROM pv_orders)
+        PIVOT (count(*) FOR o_orderstatus
+               IN ('O' AS status_o, 'F' AS status_f, 'P' AS status_p))
+        ORDER BY priority
+        """
+    )
