@@ -122,6 +122,9 @@ EMPTY_SAFE = [
     "graph_random_walks",
     "ts_holt_linear",
     "text_cdc_chunks",
+    "dedup_lsh_tuning",
+    "graph_lpa_communities",
+    "sql_pivot_syntax",
 ]
 
 

@@ -227,3 +227,69 @@ def test_round4f_plan_shapes(spark, sf_dir):
     # CDC chunking: narrow explode + one window + equi-join, no cartesian
     p = _plan(spark, sf_dir, "text_cdc_chunks")
     assert p.cartesian_products == 0
+
+
+# ----------------------------------------------------- LSH tuning
+
+
+def test_lsh_tuning_band_subset_monotonicity(spark, sf_dir):
+    rows = {r["config"]: r for r in _run(spark, sf_dir, "dedup_lsh_tuning").collect()}
+    assert set(rows) == {"b4r2", "b2r4", "b1r8"}
+    # a b1r8 collision needs all 8 hashes equal => implies b2r4 and
+    # b4r2 collisions; candidate sets are nested, so counts and
+    # recall are monotone loose -> strict
+    assert (
+        rows["b4r2"]["n_candidates"]
+        >= rows["b2r4"]["n_candidates"]
+        >= rows["b1r8"]["n_candidates"]
+    )
+    assert (
+        rows["b4r2"]["recall_ppm"]
+        >= rows["b2r4"]["recall_ppm"]
+        >= rows["b1r8"]["recall_ppm"]
+    )
+    for r in rows.values():
+        assert r["true_pos"] <= min(r["n_truth"], r["n_candidates"])
+        assert r["false_neg"] == r["n_truth"] - r["true_pos"]
+        if r["n_candidates"]:
+            assert (
+                r["precision_ppm"]
+                == r["true_pos"] * 1_000_000 // r["n_candidates"]
+            )
+
+
+# ------------------------------------------------------------- LPA
+
+
+def test_lpa_matches_python_propagation(spark, sf_dir):
+    from big_data_final_project_spark.queries.graph import _knn_edges
+
+    edges = _knn_edges(spark, sf_dir).collect()
+    adj: dict[int, list[int]] = {}
+    for r in edges:
+        adj.setdefault(r["a"], []).append(r["b"])
+        adj.setdefault(r["b"], []).append(r["a"])
+    labels = {n: n for n in adj}
+    for _ in range(2):
+        new = {}
+        for n, nbrs in adj.items():
+            counts: dict[int, int] = {}
+            for v in nbrs:
+                counts[labels[v]] = counts.get(labels[v], 0) + 1
+            new[n] = min(counts, key=lambda l: (-counts[l], l))
+        labels = new
+    expect: dict[int, int] = {}
+    for l in labels.values():
+        expect[l] = expect.get(l, 0) + 1
+    got = {
+        r["community"]: r["n_members"]
+        for r in _run(spark, sf_dir, "graph_lpa_communities").collect()
+    }
+    assert got == expect
+    assert sum(got.values()) == len(adj)
+
+
+def test_pivot_syntax_plan_is_one_aggregate(spark, sf_dir):
+    p = _plan(spark, sf_dir, "sql_pivot_syntax")
+    assert p.broadcast_joins == 0 and p.sortmerge_joins == 0
+    assert p.cartesian_products == 0
