@@ -2450,3 +2450,75 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         res.alias("resolution"),
         (p * (n - p) / (n * n)).alias("uncertainty"),
     )
+
+
+@query(
+    "ml_pr_curve",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(l_quantity AS BIGINT) AS score,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+        FROM lineitem
+    ),
+    per AS (
+        SELECT score, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pos) AS BIGINT) AS n_pos
+        FROM s GROUP BY score
+    ),
+    c AS (
+        SELECT score,
+               CAST(sum(n_pos) OVER (ORDER BY score DESC) AS BIGINT) AS tp,
+               CAST(sum(n) OVER (ORDER BY score DESC) AS BIGINT) AS n_pred,
+               CAST(sum(n_pos) OVER () AS BIGINT) AS total_pos
+        FROM per
+    )
+    SELECT score AS threshold, tp, n_pred - tp AS fp,
+           CAST(tp * 1000000 // n_pred AS BIGINT) AS precision_ppm,
+           CAST(tp * 1000000 // total_pos AS BIGINT) AS recall_ppm,
+           CAST(2 * tp * 1000000 // (n_pred + total_pos) AS BIGINT)
+               AS f1_ppm
+    FROM c ORDER BY threshold DESC
+    """,
+    tags=("ml", "evaluation", "precision-recall", "engine-addition"),
+)
+def ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full precision-recall curve at every distinct score,
+    plus per-threshold F1 — the curve that matters when positives
+    are rare and ROC flatters (the 100 TB fraud/defect regime).
+    Same exact construction as ml_roc_curve: one histogram shuffle,
+    cumulative windows over the model-sized support, integer-ppm
+    rates. F1 uses the identity 2tp/(n_pred + total_pos) — single
+    integer division, no float precision/recall intermediates, so
+    the cross-engine hash is exact.
+
+    Scale: |distinct scores| rows after the first aggregate; the
+    window pass is driver-scale. Continuous scores get bucketed
+    first (gains pattern), same caveat as ROC."""
+    s = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("score"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("pos"),
+    )
+    per = s.groupBy("score").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+    )
+    wc = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    c = per.select(
+        "score",
+        F.sum("n_pos").over(wc).cast("bigint").alias("tp"),
+        F.sum("n").over(wc).cast("bigint").alias("n_pred"),
+        F.sum("n_pos").over(wall).cast("bigint").alias("total_pos"),
+    )
+    return c.select(
+        F.col("score").alias("threshold"),
+        "tp",
+        (F.col("n_pred") - F.col("tp")).alias("fp"),
+        F.expr("CAST(tp * 1000000 div n_pred AS BIGINT)").alias("precision_ppm"),
+        F.expr("CAST(tp * 1000000 div total_pos AS BIGINT)").alias("recall_ppm"),
+        F.expr(
+            "CAST(2 * tp * 1000000 div (n_pred + total_pos) AS BIGINT)"
+        ).alias("f1_ppm"),
+    ).orderBy(F.col("threshold").desc())

@@ -1169,3 +1169,140 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_vocab_growth",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    nonempty AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    first_seen AS MATERIALIZED (
+        SELECT tok, min(doc_id) AS first_doc FROM nonempty GROUP BY tok
+    ),
+    per_doc AS MATERIALIZED (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks
+        FROM nonempty GROUP BY doc_id
+    ),
+    ranked AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS r,
+               CAST(count(*) OVER () AS BIGINT) AS nd
+        FROM per_doc
+    ),
+    thresholds AS (
+        SELECT k, doc_id AS thr, r AS n_docs_cum
+        FROM ranked JOIN (SELECT unnest(range(1, 11)) AS k) ks
+          ON r = greatest(1, k * nd // 10)
+    ),
+    vocab AS (
+        SELECT t.k, CAST(count(*) AS BIGINT) AS vocab_size
+        FROM thresholds t JOIN first_seen f ON f.first_doc <= t.thr
+        GROUP BY t.k
+    ),
+    corpus AS (
+        SELECT t.k, CAST(sum(p.n_toks) AS BIGINT) AS corpus_tokens
+        FROM thresholds t JOIN per_doc p ON p.doc_id <= t.thr
+        GROUP BY t.k
+    )
+    SELECT CAST(t.k AS BIGINT) AS checkpoint, t.n_docs_cum,
+           c.corpus_tokens, v.vocab_size,
+           CAST(v.vocab_size * 1000000 // c.corpus_tokens AS BIGINT)
+               AS type_token_ppm
+    FROM thresholds t JOIN vocab v ON v.k = t.k
+    JOIN corpus c ON c.k = t.k
+    ORDER BY checkpoint
+    """,
+    tags=("text", "vocabulary", "heaps", "engine-addition"),
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: distinct-token vocabulary size
+    and corpus token count at ten equal document-count checkpoints —
+    the curve that sizes a tokenizer's vocab and predicts how many
+    new types another 10 TB of corpus will add. The classic
+    formulation (re-count distinct per prefix) is quadratic; this
+    one is a single pass: a token's contribution to EVERY checkpoint
+    is determined by its FIRST occurrence (min doc_id), so vocab at
+    checkpoint t is just |{{tok : first_doc <= thr_t}}|.
+
+    Scale shape: one explode + min-aggregate shuffle on token (the
+    vocabulary table), one per-doc count, then every checkpoint op
+    is a 10-row broadcast theta join against model-sized tables.
+    Type-token ratios in integer ppm; checkpoint thresholds are
+    exact rank selections, so both engines pick identical docs.
+    Document ranks come from the pipeline_global_rank recipe —
+    bucketed prefix counts plus within-bucket row_number — so no
+    window ever sees more than one doc_id bucket (the oracle's
+    single ORDER BY row_number is the same total order)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(_toks(F.col("text"))).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    first_seen = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_toks")
+    )
+    # distributed exact rank: bucket by doc_id range, cumulate bucket
+    # counts (model-sized window), add within-bucket row_number
+    bucketed = per_doc.withColumn("bkt", F.expr("doc_id div 1024"))
+    bcnt = bucketed.groupBy("bkt").agg(F.count("*").cast("bigint").alias("c"))
+    boff = bcnt.select(
+        "bkt",
+        F.coalesce(
+            F.sum("c").over(
+                Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("off"),
+        F.sum("c").over(Window.partitionBy()).cast("bigint").alias("nd"),
+    )
+    ranked = bucketed.join(F.broadcast(boff), "bkt").select(
+        "doc_id",
+        (
+            F.col("off")
+            + F.row_number().over(Window.partitionBy("bkt").orderBy("doc_id"))
+        )
+        .cast("bigint")
+        .alias("r"),
+        "nd",
+    )
+    ks = spark.range(1, 11).select(F.col("id").alias("k"))
+    thresholds = (
+        ranked.crossJoin(F.broadcast(ks))
+        .where(
+            F.col("r")
+            == F.greatest(F.lit(1), F.expr("k * nd div 10").cast("bigint"))
+        )
+        .select("k", F.col("doc_id").alias("thr"), F.col("r").alias("n_docs_cum"))
+        .localCheckpoint(eager=True)
+    )
+    vocab = (
+        first_seen.crossJoin(F.broadcast(thresholds))
+        .where(F.col("first_doc") <= F.col("thr"))
+        .groupBy("k")
+        .agg(F.count("*").cast("bigint").alias("vocab_size"))
+    )
+    corpus = (
+        per_doc.crossJoin(F.broadcast(thresholds))
+        .where(F.col("doc_id") <= F.col("thr"))
+        .groupBy("k")
+        .agg(F.sum("n_toks").cast("bigint").alias("corpus_tokens"))
+    )
+    return (
+        thresholds.join(vocab, "k")
+        .join(corpus, "k")
+        .select(
+            F.col("k").cast("bigint").alias("checkpoint"),
+            "n_docs_cum",
+            "corpus_tokens",
+            "vocab_size",
+            F.expr(
+                "CAST(vocab_size * 1000000 div corpus_tokens AS BIGINT)"
+            ).alias("type_token_ppm"),
+        )
+        .orderBy("checkpoint")
+    )
