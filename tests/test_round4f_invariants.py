@@ -293,3 +293,35 @@ def test_pivot_syntax_plan_is_one_aggregate(spark, sf_dir):
     p = _plan(spark, sf_dir, "sql_pivot_syntax")
     assert p.broadcast_joins == 0 and p.sortmerge_joins == 0
     assert p.cartesian_products == 0
+
+
+# ----------------------------------------------------- live SCD2
+
+
+def test_scd2_live_history_invariants(spark, sf_dir):
+    import os
+    import tempfile
+
+    from big_data_final_project_spark.data import sf_dir_tag
+
+    rows = _run(spark, sf_dir, "streaming_scd2_live").collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for u, h in by_user.items():
+        # dense version chain 1..n, exactly one current row (the max)
+        versions = sorted(r["version"] for r in h)
+        assert versions == list(range(1, len(h) + 1))
+        current = [r for r in h if r["is_current"]]
+        assert len(current) == 1
+        assert current[0]["version"] == len(h)
+    # the maintenance really was incremental: the checkpoint shows
+    # multiple micro-batches (one per staged file)
+    ckpt = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_stream_{sf_dir_tag(sf_dir)}_{os.getpid()}",
+        "scd2_ckpt",
+        "offsets",
+    )
+    batches = [f for f in os.listdir(ckpt) if not f.startswith(".")]
+    assert len(batches) >= 2, batches
