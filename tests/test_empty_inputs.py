@@ -125,6 +125,8 @@ EMPTY_SAFE = [
     "dedup_lsh_tuning",
     "graph_lpa_communities",
     "sql_pivot_syntax",
+    "ml_pr_curve",
+    "text_vocab_growth",
 ]
 
 
