@@ -4029,3 +4029,110 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         " max_abs_err_cents bigint"
     )
     return daily.groupBy("series").applyInPandas(holt, schema).orderBy("series")
+
+
+@query(
+    "ts_bollinger_breakouts",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority AS series, CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    mom AS (
+        SELECT series, day, cents,
+               row_number() OVER w AS rn,
+               CAST(sum(cents) OVER (w ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+                    AS BIGINT) AS s,
+               CAST(sum(CAST(cents AS DECIMAL(19,0))
+                        * CAST(cents AS DECIMAL(19,0)))
+                    OVER (w ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+                    AS DECIMAL(38,0)) AS q
+        FROM daily
+        WINDOW w AS (PARTITION BY series ORDER BY day)
+    ),
+    t AS (
+        SELECT series, day, cents,
+               CAST(7 * cents - s AS BIGINT) AS dev7x,
+               CAST(7 * q - CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))
+                    AS DECIMAL(38,0)) AS var49x
+        FROM mom WHERE rn >= 8
+    )
+    SELECT series, day, cents, dev7x,
+           CAST(CAST(var49x AS VARCHAR) AS DOUBLE) AS var49x,
+           dev7x > 0 AND CAST(dev7x AS DECIMAL(19,0))
+                         * CAST(dev7x AS DECIMAL(19,0)) > 4 * var49x
+               AS breakout_up,
+           dev7x < 0 AND CAST(dev7x AS DECIMAL(19,0))
+                         * CAST(dev7x AS DECIMAL(19,0)) > 4 * var49x
+               AS breakout_down
+    FROM t ORDER BY series, day
+    """,
+    tags=("timeseries", "anomaly", "bollinger", "engine-addition"),
+)
+def ts_bollinger_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breakouts (today's revenue vs trailing-7-day
+    mean ± 2σ) decided in EXACT arithmetic: |x - mean| > 2σ is
+    algebraically (7x - S)² > 4·(7Q - S²) over the trailing frame's
+    integer sum S and decimal(38,0) square-sum Q — no sqrt, no float
+    mean, no threshold that two engines could round differently.
+    The band width itself ships as var49x (49·σ², re-read through
+    the decimal→VARCHAR→double route both engines share); the
+    FLAGS — the operational output — are pure integer comparisons,
+    so the cross-engine hash is exact where every float Bollinger
+    implementation is 1-ulp fragile. Trailing frame excludes the
+    current day (a breakout is judged against yesterday's band) and
+    warmup rows with partial frames are suppressed.
+
+    Scale: the scan collapses to |series|x|days| daily rows in one
+    map-side aggregate; both window sums share one per-series sort."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("series"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("series").orderBy("day")
+    wf = w.rowsBetween(-7, -1)
+    mom = daily.select(
+        "series",
+        "day",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.sum("cents").over(wf).cast("bigint").alias("s"),
+        F.sum(
+            F.col("cents").cast("decimal(19,0)") * F.col("cents").cast("decimal(19,0)")
+        )
+        .over(wf)
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    t = mom.where(F.col("rn") >= 8).select(
+        "series",
+        "day",
+        "cents",
+        (7 * F.col("cents") - F.col("s")).cast("bigint").alias("dev7x"),
+        F.expr(
+            "CAST(7 * q - CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))"
+            " AS DECIMAL(38,0))"
+        ).alias("var49x"),
+    )
+    d2 = F.expr("CAST(dev7x AS DECIMAL(19,0)) * CAST(dev7x AS DECIMAL(19,0))")
+    return t.select(
+        "series",
+        "day",
+        "cents",
+        "dev7x",
+        F.expr("CAST(CAST(var49x AS STRING) AS DOUBLE)").alias("var49x"),
+        ((F.col("dev7x") > 0) & (d2 > 4 * F.col("var49x"))).alias("breakout_up"),
+        ((F.col("dev7x") < 0) & (d2 > 4 * F.col("var49x"))).alias("breakout_down"),
+    ).orderBy("series", "day")

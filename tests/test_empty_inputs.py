@@ -127,6 +127,7 @@ EMPTY_SAFE = [
     "sql_pivot_syntax",
     "ml_pr_curve",
     "text_vocab_growth",
+    "ts_bollinger_breakouts",
 ]
 
 

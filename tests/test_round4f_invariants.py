@@ -325,3 +325,24 @@ def test_scd2_live_history_invariants(spark, sf_dir):
     )
     batches = [f for f in os.listdir(ckpt) if not f.startswith(".")]
     assert len(batches) >= 2, batches
+
+
+# ------------------------------------------------- Bollinger flags
+
+
+def test_bollinger_flags_match_float_bands(spark, sf_dir):
+    rows = _run(spark, sf_dir, "ts_bollinger_breakouts").collect()
+    daily: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r["series"], r["day"])):
+        daily.setdefault(r["series"], []).append(r)
+    for r in rows:
+        assert not (r["breakout_up"] and r["breakout_down"])
+        # integer decision == float band decision (away from the
+        # 1-ulp edge, which the integer form is immune to)
+        lhs = float(r["dev7x"]) ** 2
+        rhs = 4.0 * r["var49x"]
+        if abs(lhs - rhs) > 1e-6 * max(lhs, rhs, 1.0):
+            expect = lhs > rhs
+            assert (r["breakout_up"] or r["breakout_down"]) == (
+                expect and r["dev7x"] != 0
+            )
