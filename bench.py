@@ -83,6 +83,12 @@ HEADLINE = [
     # round-4e4: all-breakpoints changepoint, graded ranking eval
     "ts_piecewise_fit_changepoint",
     "ml_ndcg_at_k",
+    # round-4f families: iterative BPE training, LSH tuning sweep,
+    # deterministic walk corpus, content-defined chunking
+    "text_bpe_train_rounds",
+    "dedup_lsh_tuning",
+    "graph_random_walks",
+    "text_cdc_chunks",
 ]
 
 

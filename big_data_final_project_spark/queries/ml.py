@@ -2522,3 +2522,145 @@ def ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(2 * tp * 1000000 div (n_pred + total_pos) AS BIGINT)"
         ).alias("f1_ppm"),
     ).orderBy(F.col("threshold").desc())
+
+
+@query(
+    "ml_drift_ks_all_features",
+    oracle="""
+    WITH bounds AS (
+        SELECT (epoch_us(min(l_shipdate)) + epoch_us(max(l_shipdate))) // 2
+               AS pivot_us
+        FROM lineitem
+    ),
+    melted AS (
+        SELECT f.feature, f.val,
+               CASE WHEN epoch_us(l.l_shipdate) <= b.pivot_us
+                    THEN 1 ELSE 0 END AS in_a
+        FROM lineitem l CROSS JOIN bounds b, LATERAL (VALUES
+            ('quantity', CAST(l_quantity AS BIGINT)),
+            ('discount_x100', CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                                   AS BIGINT)),
+            ('tax_x100', CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT))
+        ) AS f(feature, val)
+    ),
+    per AS (
+        SELECT feature, val,
+               CAST(sum(in_a) AS BIGINT) AS na,
+               CAST(sum(1 - in_a) AS BIGINT) AS nb
+        FROM melted GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT feature, val,
+               CAST(sum(na) OVER (PARTITION BY feature ORDER BY val)
+                    AS DECIMAL(38,0)) AS ca,
+               CAST(sum(nb) OVER (PARTITION BY feature ORDER BY val)
+                    AS DECIMAL(38,0)) AS cb,
+               CAST(sum(na) OVER (PARTITION BY feature) AS DECIMAL(38,0))
+                   AS n_a,
+               CAST(sum(nb) OVER (PARTITION BY feature) AS DECIMAL(38,0))
+                   AS n_b
+        FROM per
+    ),
+    d AS (
+        SELECT feature, val, n_a, n_b,
+               abs(ca * n_b - cb * n_a) AS diff
+        FROM cum
+    ),
+    m AS (
+        SELECT feature, CAST(max(n_a) AS BIGINT) AS n_a,
+               CAST(max(n_b) AS BIGINT) AS n_b,
+               max(diff) AS d_num
+        FROM d GROUP BY feature
+    )
+    SELECT m.feature, m.n_a, m.n_b,
+           CAST(CAST(m.d_num AS HUGEINT) * 1000000
+                // (CAST(m.n_a AS HUGEINT) * CAST(m.n_b AS HUGEINT))
+                AS BIGINT) AS ks_ppm,
+           (SELECT min(val) FROM d
+            WHERE d.feature = m.feature AND d.diff = m.d_num) AS ks_at_value
+    FROM m ORDER BY m.feature
+    """,
+    tags=("ml", "drift", "ks-test", "monitoring", "engine-addition"),
+)
+def ml_drift_ks_all_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production drift monitor: exact two-sample KS for EVERY
+    feature in one melted scan (the ml_split_gain_all_features trick
+    applied to ml_ks_two_sample's integer prefix-sum KS) — early
+    period vs late period split at the data's own time midpoint, so
+    the comparison is anchor-deterministic. Per feature: D's
+    numerator max|ca*n_b - cb*n_a| in decimal(38,0) (a 100 TB
+    lineitem's cross product overflows int64), the KS statistic in
+    integer ppm, and the feature value where the gap peaks (min such
+    value — tie-safe) for the drill-down.
+
+    Scale shape: ONE fact scan melts to 3 rows/record with map-side
+    (feature, val) partial counts; every window partitions BY FEATURE
+    over the per-feature value support (bounded: these are
+    histogram-sized tables), so no single-partition global window
+    exists. Adding a feature = adding a stack row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.expr(
+            "(unix_micros(CAST(min(l_shipdate) AS TIMESTAMP))"
+            " + unix_micros(CAST(max(l_shipdate) AS TIMESTAMP))) div 2"
+        ).alias("pivot_us")
+    )
+    melted = li.crossJoin(F.broadcast(bounds)).selectExpr(
+        """CASE WHEN unix_micros(CAST(l_shipdate AS TIMESTAMP)) <= pivot_us
+           THEN 1 ELSE 0 END AS in_a""",
+        """stack(3,
+           'quantity', CAST(l_quantity AS BIGINT),
+           'discount_x100',
+           CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT),
+           'tax_x100',
+           CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS (feature, val)""",
+    )
+    per = melted.groupBy("feature", "val").agg(
+        F.sum("in_a").cast("bigint").alias("na"),
+        F.sum(1 - F.col("in_a")).cast("bigint").alias("nb"),
+    )
+    wv = Window.partitionBy("feature").orderBy("val")
+    wf = Window.partitionBy("feature")
+    cum = per.select(
+        "feature",
+        "val",
+        F.sum("na").over(wv).cast("decimal(38,0)").alias("ca"),
+        F.sum("nb").over(wv).cast("decimal(38,0)").alias("cb"),
+        F.sum("na").over(wf).cast("decimal(38,0)").alias("n_a"),
+        F.sum("nb").over(wf).cast("decimal(38,0)").alias("n_b"),
+    )
+    d = cum.select(
+        "feature",
+        "val",
+        "n_a",
+        "n_b",
+        F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")).alias(
+            "diff"
+        ),
+    ).localCheckpoint(eager=True)  # max + argmax both read it
+    m = d.groupBy("feature").agg(
+        F.max("n_a").cast("bigint").alias("n_a"),
+        F.max("n_b").cast("bigint").alias("n_b"),
+        F.max("diff").alias("d_num"),
+    )
+    arg = (
+        d.join(m.select("feature", "d_num"), "feature")
+        .where(F.col("diff") == F.col("d_num"))
+        .groupBy("feature")
+        .agg(F.min("val").alias("ks_at_value"))
+    )
+    return (
+        m.join(arg, "feature")
+        .select(
+            "feature",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(d_num * 1000000 div"
+                " (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+            ).alias("ks_ppm"),
+            "ks_at_value",
+        )
+        .orderBy("feature")
+    )

@@ -579,3 +579,155 @@ def store_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.col("rev").cast("double").alias("revenue"),
     ).orderBy("nationkey")
+
+
+THETA_K = 256
+THETA_ONE = 281474976710656  # 2^48: sampling probability 1.0
+
+
+@query(
+    "agg_theta_sketch_ops",
+    oracle=f"""
+    WITH ha AS MATERIALIZED (
+        SELECT DISTINCT CAST(CAST(('0x' || substring(
+                   md5(CAST(user_id AS VARCHAR)), 1, 12)) AS UBIGINT)
+               AS BIGINT) AS h
+        FROM events WHERE event_type = 'view' AND user_id IS NOT NULL
+    ),
+    hb AS MATERIALIZED (
+        SELECT DISTINCT CAST(CAST(('0x' || substring(
+                   md5(CAST(user_id AS VARCHAR)), 1, 12)) AS UBIGINT)
+               AS BIGINT) AS h
+        FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    ),
+    sa AS MATERIALIZED (SELECT h FROM ha ORDER BY h LIMIT {THETA_K}),
+    sb AS MATERIALIZED (SELECT h FROM hb ORDER BY h LIMIT {THETA_K}),
+    th AS (
+        SELECT least(
+                 CASE WHEN (SELECT count(*) FROM sa) < {THETA_K}
+                      THEN {THETA_ONE} ELSE (SELECT max(h) FROM sa) END,
+                 CASE WHEN (SELECT count(*) FROM sb) < {THETA_K}
+                      THEN {THETA_ONE} ELSE (SELECT max(h) FROM sb) END
+               ) AS theta
+    ),
+    inter AS (
+        SELECT CAST(count(*) AS BIGINT) AS cnt
+        FROM sa JOIN sb ON sa.h = sb.h CROSS JOIN th
+        WHERE sa.h < th.theta
+    ),
+    uni AS (
+        SELECT CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT h FROM sa UNION SELECT h FROM sb) u CROSS JOIN th
+        WHERE u.h < th.theta
+    ),
+    ex AS (
+        SELECT CAST((SELECT count(*) FROM ha JOIN hb ON ha.h = hb.h)
+                    AS BIGINT) AS exact_inter,
+               CAST((SELECT count(*)
+                     FROM (SELECT h FROM ha UNION SELECT h FROM hb))
+                    AS BIGINT) AS exact_union
+    )
+    SELECT CAST({THETA_K} AS BIGINT) AS k, th.theta,
+           CAST(inter.cnt * {THETA_ONE} // th.theta AS BIGINT)
+               AS est_intersection,
+           ex.exact_inter AS exact_intersection,
+           CAST(uni.cnt * {THETA_ONE} // th.theta AS BIGINT) AS est_union,
+           ex.exact_union
+    FROM th, inter, uni, ex
+    """,
+    tags=("sketch", "distinct", "theta", "set-ops", "engine-addition"),
+)
+def agg_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET ALGEBRA — what bitmap set ops
+    (agg_bitmap_set_ops, exact) cost too much for at 100 TB key
+    domains: audience overlap estimated from two KMV/theta sketches
+    (k smallest content hashes; an unsaturated sketch has theta = 1,
+    i.e. 2^48). Intersection and union estimates follow the standard
+    theta rule — count sketch entries below theta = min(theta_a,
+    theta_b), scale by 2^48/theta — and because the 'random' hashes
+    are content-derived md5 prefixes, the ESTIMATES themselves are
+    deterministic and oracle-paired exactly (same property that made
+    agg_kmv_distinct pairable where HLL was not). Exact counts ride
+    along for the observed error.
+
+    Scale: each sketch is one distinct-hash shuffle +
+    TakeOrderedAndProject top-k; the set ops run on 256-row sketch
+    tables — constant state no matter the audience size, and sketch
+    merge is associative, so partial sketches combine across
+    partitions/days without re-reading history."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+
+    def hashes(event_type: str) -> DataFrame:
+        return (
+            e.where(F.col("event_type") == event_type)
+            .select(
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 12),
+                    16,
+                    10,
+                )
+                .cast("bigint")
+                .alias("h")
+            )
+            .distinct()
+        )
+
+    ha = hashes("view").localCheckpoint(eager=True)
+    hb = hashes("purchase").localCheckpoint(eager=True)
+    sa = ha.orderBy("h").limit(THETA_K).localCheckpoint(eager=True)
+    sb = hb.orderBy("h").limit(THETA_K).localCheckpoint(eager=True)
+
+    def theta_of(s: DataFrame) -> DataFrame:
+        return s.agg(
+            F.when(F.count("*") < THETA_K, F.lit(THETA_ONE))
+            .otherwise(F.max("h"))
+            .cast("bigint")
+            .alias("t")
+        )
+
+    th = (
+        theta_of(sa)
+        .withColumnRenamed("t", "ta")
+        .crossJoin(theta_of(sb).withColumnRenamed("t", "tb"))
+        .select(F.least("ta", "tb").alias("theta"))
+        .localCheckpoint(eager=True)
+    )
+    inter = (
+        sa.join(sb, "h")
+        .crossJoin(F.broadcast(th))
+        .where(F.col("h") < F.col("theta"))
+        .agg(F.count("*").cast("bigint").alias("inter_cnt"))
+    )
+    uni = (
+        sa.unionByName(sb)
+        .distinct()
+        .crossJoin(F.broadcast(th))
+        .where(F.col("h") < F.col("theta"))
+        .agg(F.count("*").cast("bigint").alias("uni_cnt"))
+    )
+    ex = (
+        ha.join(hb, "h")
+        .agg(F.count("*").cast("bigint").alias("exact_intersection"))
+        .crossJoin(
+            ha.unionByName(hb)
+            .distinct()
+            .agg(F.count("*").cast("bigint").alias("exact_union"))
+        )
+    )
+    return (
+        th.crossJoin(inter)
+        .crossJoin(uni)
+        .crossJoin(ex)
+        .select(
+            F.lit(THETA_K).cast("bigint").alias("k"),
+            "theta",
+            F.expr(
+                f"CAST(inter_cnt * {THETA_ONE} div theta AS BIGINT)"
+            ).alias("est_intersection"),
+            "exact_intersection",
+            F.expr(f"CAST(uni_cnt * {THETA_ONE} div theta AS BIGINT)").alias(
+                "est_union"
+            ),
+            "exact_union",
+        )
+    )

@@ -128,6 +128,8 @@ EMPTY_SAFE = [
     "ml_pr_curve",
     "text_vocab_growth",
     "ts_bollinger_breakouts",
+    "agg_theta_sketch_ops",
+    "ml_drift_ks_all_features",
 ]
 
 

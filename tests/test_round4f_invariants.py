@@ -346,3 +346,40 @@ def test_bollinger_flags_match_float_bands(spark, sf_dir):
             assert (r["breakout_up"] or r["breakout_down"]) == (
                 expect and r["dev7x"] != 0
             )
+
+
+# ------------------------------------------- theta sketch / KS drift
+
+
+def test_theta_sketch_exact_in_unsaturated_regime(spark, sf_dir):
+    r = _run(spark, sf_dir, "agg_theta_sketch_ops").collect()[0]
+    assert r["exact_intersection"] <= r["exact_union"]
+    assert r["est_intersection"] <= r["est_union"]
+    if r["theta"] == 281474976710656:
+        # both sketches unsaturated => the sketch IS the set: exact
+        assert r["est_intersection"] == r["exact_intersection"]
+        assert r["est_union"] == r["exact_union"]
+
+
+def test_ks_drift_matches_numpy_recompute(spark, sf_dir):
+    import numpy as np
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .selectExpr(
+            "CAST(l_quantity AS BIGINT) AS q",
+            "unix_micros(CAST(l_shipdate AS TIMESTAMP)) AS us",
+        )
+        .toPandas()
+    )
+    pivot = (int(li.us.min()) + int(li.us.max())) // 2
+    a = np.sort(li.q[li.us <= pivot].to_numpy())
+    b = np.sort(li.q[li.us > pivot].to_numpy())
+    vals = np.unique(li.q.to_numpy())
+    ca = np.searchsorted(a, vals, side="right").astype(object)
+    cb = np.searchsorted(b, vals, side="right").astype(object)
+    d_num = max(abs(int(x) * len(b) - int(y) * len(a)) for x, y in zip(ca, cb))
+    rows = {r["feature"]: r for r in _run(spark, sf_dir, "ml_drift_ks_all_features").collect()}
+    r = rows["quantity"]
+    assert (r["n_a"], r["n_b"]) == (len(a), len(b))
+    assert r["ks_ppm"] == d_num * 1_000_000 // (len(a) * len(b))
