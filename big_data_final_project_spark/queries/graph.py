@@ -1244,52 +1244,70 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     layouts, which seeded RNG walks are NOT (their draw order depends
     on row order).
 
-    Scale shape: each step is one equi-join walk-front x adjacency
-    (degree bounded by the kNN construction, so fan-out per walk is
-    O(k) and the per-step rank window partitions on the walk id —
-    skew-free), then rn = 1 keeps one row per walk. Three steps =
-    three bounded joins; walk count is 2|V|, linear in nodes."""
+    Scale shape: the hash argmin depends only on (cur, seed, step) —
+    NOT on which walk is standing there — so the next-hop choice is
+    a shared TRANSITION TABLE (|V| x seeds x steps rows), computed
+    in ONE spread aggregate over the edge list with map-side combine
+    (MIN(struct(hash, v)) — same total order as the rank window it
+    replaced, but combinable). Each walk step is then a plain
+    equi-join against the transition table; the walk table carries
+    its hops so there is no final assembly join. First cut ran the
+    md5 fan-out once per step inside a rank window: AQE coalesced
+    the small partitions to ONE task for the CPU-bound hash stage —
+    5.9s; transition-table form ~2.3s warm at sf0.1 (incl. the
+    per-process kNN cache share)."""
+    from ..operators.scale import spread
+
     e = _knn_edges(spark, sf_dir)  # materialized by the shared cache
     adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         e.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
     seeds = spark.range(2).select(F.col("id").cast("int").alias("seed"))
-    w0 = (
+    steps = spark.range(1, 4).select(F.col("id").cast("int").alias("step"))
+    trans = (
+        spread(adj)
+        .crossJoin(F.broadcast(seeds))
+        .crossJoin(F.broadcast(steps))
+        .select(
+            "u",
+            "seed",
+            "step",
+            F.struct(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("seed"), F.col("step"), F.col("u"), F.col("v")
+                    )
+                ).alias("h"),
+                F.col("v").alias("v"),
+            ).alias("hv"),
+        )
+        .groupBy("u", "seed", "step")
+        .agg(F.min("hv").alias("hv"))
+        .select("u", "seed", "step", F.col("hv.v").alias("nxt"))
+        .localCheckpoint(eager=True)
+    )
+    walk = (
         adj.select(F.col("u").alias("start_node"))
         .distinct()
         .crossJoin(F.broadcast(seeds))
         .select("start_node", "seed", F.col("start_node").alias("cur"))
     )
-    frontier = w0
-    hops = []
+    carried = ["start_node", "seed"]
     for step in (1, 2, 3):
-        ranked = frontier.join(adj, frontier["cur"] == adj["u"]).select(
-            "start_node",
-            "seed",
-            "v",
-            F.row_number()
-            .over(
-                Window.partitionBy("start_node", "seed").orderBy(
-                    F.md5(
-                        F.concat_ws(
-                            "|", F.col("seed"), F.lit(step), F.col("cur"), F.col("v")
-                        )
-                    ),
-                    F.asc("v"),
-                )
-            )
-            .alias("rn"),
+        t = trans.where(F.col("step") == step).select(
+            F.col("u").alias("cur"), "seed", "nxt"
         )
-        frontier = ranked.where(F.col("rn") == 1).select(
-            "start_node", "seed", F.col("v").alias("cur")
+        walk = walk.join(t, ["cur", "seed"]).select(
+            *carried, F.col("nxt").alias(f"n{step}"), F.col("nxt").alias("cur")
         )
-        hops.append(frontier.select("start_node", "seed", F.col("cur").alias(f"n{step}")))
-    out = w0.select("start_node", F.col("seed").cast("bigint").alias("seed"))
-    for h in hops:
-        out = out.join(h.withColumn("seed", F.col("seed").cast("bigint")),
-                       ["start_node", "seed"])
-    return out
-
+        carried.append(f"n{step}")
+    return walk.select(
+        "start_node",
+        F.col("seed").cast("bigint").alias("seed"),
+        "n1",
+        "n2",
+        "n3",
+    )
 
 def _lpa_round_sql(prev: str, out: str) -> str:
     """One synchronous LPA round: each node adopts its neighbors'

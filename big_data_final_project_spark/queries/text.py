@@ -1097,11 +1097,20 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes once per span via substr on the doc row (an equi-join
     on doc_id, never a cross product). Hash gating uses the shared
     md5-hex-prefix idiom so both engines pick identical boundaries."""
+    from ..operators.scale import spread
+
     d = (
-        load_table(spark, sf_dir, "documents")
+        # spread: the per-char shingle md5 is CPU-bound and the
+        # byte-small corpus file otherwise pins it to 2 scan
+        # partitions (measured 3.6s -> 1.3s warm at sf0.1)
+        spread(load_table(spark, sf_dir, "documents"))
         .select("doc_id", "source", _norm(F.col("text")).alias("t"))
         .withColumn("len", F.length("t"))
         .where(F.col("len") > 0)
+        # staged once: read by the boundary explode, the span anchor
+        # rows, AND the chunk-substr join (plan audit showed 5
+        # same-path scans re-normalizing the corpus each time)
+        .localCheckpoint(eager=True)
     )
     bpos = (
         d.select(
@@ -1129,15 +1138,20 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("doc_id").orderBy("start"))
         .alias("nxt"),
     )
-    chunks = spans.join(d, "doc_id").select(
-        "doc_id",
-        "source",
-        F.md5(
-            F.expr("substr(t, start, coalesce(nxt, len + 1) - start)")
-        ).alias("h"),
-        (F.coalesce("nxt", F.col("len") + 1) - F.col("start"))
-        .cast("bigint")
-        .alias("l"),
+    chunks = (
+        spans.join(d, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.md5(
+                F.expr("substr(t, start, coalesce(nxt, len + 1) - start)")
+            ).alias("h"),
+            (F.coalesce("nxt", F.col("len") + 1) - F.col("start"))
+            .cast("bigint")
+            .alias("l"),
+        )
+        # the ledger reads the chunk table twice (raw + distinct)
+        .localCheckpoint(eager=True)
     )
     per_chunk = chunks.groupBy("source").agg(
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
