@@ -1043,3 +1043,180 @@ def curation_embedding_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+MATRYOSHKA_WIDTHS = (16, 32, 64)  # prefix dims evaluated; 64 = full
+
+
+def _mat_prefix_sql(w: int) -> str:
+    """Oracle CTEs for one prefix width: prefix slice, prefix norm,
+    scored pairs, global top-10."""
+    return f"""
+    n{w} AS (
+        SELECT vec_id, qv[1:{w}] AS v,
+               {ql2_sql(f'qv[1:{w}]')} AS nrm
+        FROM q0
+    ),
+    top{w} AS (
+        SELECT query_id, neighbor_id, rnk FROM (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_QDOT_SQL.format(a="q.v", b="n.v",
+                                                  na="q.nrm", nb="n.nrm")}
+                           DESC,
+                       n.vec_id) AS rnk
+            FROM n{w} q JOIN n{w} n ON q.vec_id <> n.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rnk <= {TOP_K}
+    ),
+    agg{w} AS (
+        SELECT CAST({w} AS BIGINT) AS width,
+               CAST((SELECT count(DISTINCT query_id) FROM top{w})
+                    AS BIGINT) AS n_queries,
+               CAST((SELECT count(*) FROM top{w} a JOIN top64 f
+                     ON a.query_id = f.query_id
+                    AND a.neighbor_id = f.neighbor_id
+                    AND a.rnk = 1 AND f.rnk = 1) AS BIGINT) AS top1_matches,
+               CAST((SELECT count(*) FROM top{w} a JOIN top64 f
+                     ON a.query_id = f.query_id
+                    AND a.neighbor_id = f.neighbor_id) AS BIGINT) AS overlap10
+    )"""
+
+
+@query(
+    "sim_matryoshka_recall",
+    oracle=f"""
+    WITH q0 AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
+    {",".join(_mat_prefix_sql(w) for w in MATRYOSHKA_WIDTHS)}
+    SELECT width, n_queries, top1_matches,
+           CASE WHEN n_queries > 0
+                THEN top1_matches * 1000000 // n_queries
+                ELSE 0 END AS recall1_ppm,
+           overlap10,
+           CASE WHEN n_queries > 0
+                THEN overlap10 * 1000000 // (n_queries * {TOP_K})
+                ELSE 0 END AS overlap10_ppm
+    FROM ({" UNION ALL ".join(f"SELECT * FROM agg{w}"
+                              for w in MATRYOSHKA_WIDTHS)})
+    ORDER BY width
+    """,
+    tags=("similarity", "matryoshka", "evaluation", "engine-addition"),
+)
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (prefix-dimension) retrieval evaluation — the
+    modern embedding-cost lever: store/search only the first W dims
+    of each vector and measure what that truncation costs. For
+    W in (16, 32, 64): exact top-10 under prefix-W cosine, graded
+    against the full-width truth — top-1 recall and top-10 overlap
+    in integer ppm. All dot products are fixed-point integer matmuls
+    (FXP_SCALE machinery: exact, partition-order-independent), so
+    even this EVALUATION is oracle-paired bit-for-bit; width 64 is
+    the self-check row (recall 1e6 by construction).
+
+    Scale shape: same as sim_bruteforce_topk — the query block is
+    broadcast pre-quantized, each corpus partition runs THREE prefix
+    matmuls on its Arrow batch and emits 3*nq*k local-top rows; the
+    merge shuffle carries only those. On a 100 TB corpus the point
+    of the curve is deciding whether the 4x memory cut (W=16) keeps
+    enough recall to serve the first ANN stage."""
+    import numpy as np
+
+    e = spread(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    qrows = e.where(F.col("vec_id") < N_QUERIES).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [],
+            "width bigint, n_queries bigint, top1_matches bigint,"
+            " recall1_ppm bigint, overlap10 bigint, overlap10_ppm bigint",
+        )
+    qrows = sorted(qrows, key=lambda r: r["vec_id"])
+    qids = np.array([r["vec_id"] for r in qrows], dtype="int64")
+    qmat = quantize_fxp(
+        np.stack([np.asarray(r["embedding"], dtype="float64") for r in qrows])
+    )
+    widths = MATRYOSHKA_WIDTHS
+
+    def scorer(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            qn = quantize_fxp(np.stack(pdf["embedding"].to_numpy())[order])
+            for w in widths:
+                qq, nn = qmat[:, :w], qn[:, :w]
+                qnrm = np.sqrt((qq * qq).sum(axis=1))
+                nnrm = np.sqrt((nn * nn).sum(axis=1))
+                sims = (qq @ nn.T) / (qnrm[:, None] * nnrm[None, :])
+                for qi, qid in enumerate(qids):
+                    row = sims[qi]
+                    cand = np.flatnonzero(ids != qid)
+                    sel = cand[np.lexsort((ids[cand], -row[cand]))[:TOP_K]]
+                    yield pd.DataFrame(
+                        {
+                            "width": np.int64(w),
+                            "query_id": qid,
+                            "neighbor_id": ids[sel],
+                            "cosine": row[sel],
+                        }
+                    )
+
+    local = e.mapInPandas(
+        scorer,
+        schema="width long, query_id long, neighbor_id long, cosine double",
+    )
+    wr = Window.partitionBy("width", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    topk = (
+        local.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .where(F.col("rnk") <= TOP_K)
+        .select("width", "query_id", "neighbor_id", "rnk")
+        .localCheckpoint(eager=True)  # every width compares against width 64
+    )
+    full = topk.where(F.col("width") == 64).select(
+        F.col("query_id").alias("fq"),
+        F.col("neighbor_id").alias("fn"),
+        F.col("rnk").alias("frnk"),
+    )
+    joined = topk.join(
+        full,
+        (F.col("query_id") == F.col("fq")) & (F.col("neighbor_id") == F.col("fn")),
+    )
+    overlap = joined.groupBy("width").agg(
+        F.count("*").cast("bigint").alias("overlap10"),
+        F.sum(
+            F.when((F.col("rnk") == 1) & (F.col("frnk") == 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("top1_matches"),
+    )
+    nq = topk.groupBy("width").agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries")
+    )
+    return (
+        nq.join(overlap, "width")
+        .select(
+            F.col("width").cast("bigint").alias("width"),
+            "n_queries",
+            "top1_matches",
+            F.expr(
+                "CASE WHEN n_queries > 0"
+                " THEN top1_matches * 1000000 div n_queries"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).alias("recall1_ppm"),
+            "overlap10",
+            F.expr(
+                f"CASE WHEN n_queries > 0"
+                f" THEN overlap10 * 1000000 div (n_queries * {TOP_K})"
+                f" ELSE CAST(0 AS BIGINT) END"
+            ).alias("overlap10_ppm"),
+        )
+        .orderBy("width")
+    )

@@ -130,6 +130,7 @@ EMPTY_SAFE = [
     "ts_bollinger_breakouts",
     "agg_theta_sketch_ops",
     "ml_drift_ks_all_features",
+    "sim_matryoshka_recall",
 ]
 
 

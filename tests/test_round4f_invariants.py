@@ -383,3 +383,52 @@ def test_ks_drift_matches_numpy_recompute(spark, sf_dir):
     r = rows["quantity"]
     assert (r["n_a"], r["n_b"]) == (len(a), len(b))
     assert r["ks_ppm"] == d_num * 1_000_000 // (len(a) * len(b))
+
+
+# ------------------------------------------------ Matryoshka recall
+
+
+def test_matryoshka_recall_matches_numpy_recompute(spark, sf_dir):
+    import numpy as np
+
+    from big_data_final_project_spark.queries.dedup import quantize_fxp
+    from big_data_final_project_spark.queries.similarity import (
+        MATRYOSHKA_WIDTHS,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    rows = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    rows = sorted(rows, key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    q = quantize_fxp(np.stack([np.asarray(r["embedding"]) for r in rows]))
+    qidx = np.flatnonzero(ids < N_QUERIES)
+
+    def topk(w):
+        m = q[:, :w]
+        nrm = np.sqrt((m * m).sum(axis=1))
+        out = {}
+        for qi in qidx:
+            sims = (m[qi] @ m.T) / (nrm[qi] * nrm)
+            cand = np.flatnonzero(ids != ids[qi])
+            sel = cand[np.lexsort((ids[cand], -sims[cand]))[:TOP_K]]
+            out[int(ids[qi])] = [int(x) for x in ids[sel]]
+        return out
+
+    full = topk(64)
+    got = {r["width"]: r for r in _run(spark, sf_dir, "sim_matryoshka_recall").collect()}
+    for w in MATRYOSHKA_WIDTHS:
+        t = topk(w)
+        top1 = sum(1 for qid in t if t[qid][0] == full[qid][0])
+        ov = sum(len(set(t[qid]) & set(full[qid])) for qid in t)
+        r = got[w]
+        assert (r["n_queries"], r["top1_matches"], r["overlap10"]) == (
+            len(t),
+            top1,
+            ov,
+        )
+    # the full-width row is the self-check: perfect by construction
+    assert got[64]["recall1_ppm"] == 1_000_000
+    assert got[64]["overlap10_ppm"] == 1_000_000
