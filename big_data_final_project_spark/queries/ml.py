@@ -2664,3 +2664,101 @@ def ml_drift_ks_all_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("feature")
     )
+
+
+NEG_PER_POS = 2  # negative samples drawn per positive pair
+
+
+@query(
+    "ml_negative_sampling",
+    oracle=f"""
+    WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM part),
+    pos AS (
+        SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS item
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    drawn AS (
+        SELECT p.user_id, p.item, j.j,
+               CAST(CAST(('0x' || substring(md5(
+                       p.user_id || '|' || p.item || '|' || j.j), 1, 8))
+                    AS UBIGINT) % m.n_items AS BIGINT) AS neg
+        FROM pos p CROSS JOIN m,
+             (SELECT unnest(range({NEG_PER_POS})) AS j) j
+    )
+    SELECT user_id,
+           CAST(count(DISTINCT item) AS BIGINT) AS n_pos,
+           CAST(sum(CASE WHEN neg <> item THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_neg,
+           CAST(sum(CASE WHEN neg = item THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_collisions,
+           CAST(sum(CASE WHEN neg <> item THEN neg ELSE 0 END) AS BIGINT)
+               AS neg_key_sum
+    FROM drawn GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("ml", "sampling", "contrastive", "engine-addition"),
+)
+def ml_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive / two-tower
+    training: for every positive (user, item) purchase pair, draw
+    NEG_PER_POS uniform negatives as md5(user|item|slot) mod |catalog| —
+    the hash-derandomization pattern again (Poisson bootstrap, hash
+    samplers, random walks), because RNG-based negative sampling is
+    irreproducible across retries and partition layouts, and
+    reproducibility is exactly what a debuggable training pipeline
+    needs. Accidental hits (negative == its own positive) are
+    counted and skipped, the standard in-batch correction. Output is
+    the per-user sampling ledger (positives, negatives, collisions,
+    negative-key checksum) — compact, and any nondeterminism anywhere
+    breaks the checksum hash.
+
+    Scale shape: positives dedup in one shuffle; the draw is a
+    per-row map against a broadcast 1-row catalog count (TPC-H part
+    keys are dense 0..M-1, so hash mod M IS a catalog key — a sparse
+    catalog would first build the dense index with the bucketed
+    prefix-rank recipe); the ledger aggregates with map-side
+    partials. No join against the catalog ever happens."""
+    m = load_table(spark, sf_dir, "part").agg(
+        F.count("*").cast("bigint").alias("n_items")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pos = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    js = spark.range(NEG_PER_POS).select(F.col("id").cast("int").alias("j"))
+    drawn = (
+        pos.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(js))
+        .select(
+            "user_id",
+            "item",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("|", "user_id", "item", "j")), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("n_items")
+            ).alias("neg"),
+        )
+    )
+    return (
+        drawn.groupBy("user_id")
+        .agg(
+            F.countDistinct("item").cast("bigint").alias("n_pos"),
+            F.sum(F.when(F.col("neg") != F.col("item"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_neg"),
+            F.sum(F.when(F.col("neg") == F.col("item"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_collisions"),
+            F.sum(F.when(F.col("neg") != F.col("item"), F.col("neg")).otherwise(0))
+            .cast("bigint")
+            .alias("neg_key_sum"),
+        )
+        .orderBy("user_id")
+    )

@@ -131,6 +131,7 @@ EMPTY_SAFE = [
     "agg_theta_sketch_ops",
     "ml_drift_ks_all_features",
     "sim_matryoshka_recall",
+    "ml_negative_sampling",
 ]
 
 

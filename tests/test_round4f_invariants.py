@@ -432,3 +432,21 @@ def test_matryoshka_recall_matches_numpy_recompute(spark, sf_dir):
     # the full-width row is the self-check: perfect by construction
     assert got[64]["recall1_ppm"] == 1_000_000
     assert got[64]["overlap10_ppm"] == 1_000_000
+
+
+# -------------------------------------------- negative sampling
+
+
+def test_negative_sampling_ledger_accounting(spark, sf_dir):
+    from big_data_final_project_spark.queries.ml import NEG_PER_POS
+
+    rows = _run(spark, sf_dir, "ml_negative_sampling").collect()
+    assert rows
+    for r in rows:
+        # every positive draws exactly NEG_PER_POS slots, split into
+        # emitted negatives + skipped collisions
+        assert r["n_neg"] + r["n_collisions"] == NEG_PER_POS * r["n_pos"]
+        assert r["n_collisions"] >= 0 and r["n_neg"] >= 0
+    # determinism: a second run produces the identical ledger
+    again = _run(spark, sf_dir, "ml_negative_sampling").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
