@@ -1320,3 +1320,110 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("checkpoint")
     )
+
+
+@query(
+    "text_bpe_apply_compression",
+    oracle=f"""
+    WITH words AS MATERIALIZED (
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest({_TOKS_SQL}) AS w FROM documents)
+        WHERE w <> '' GROUP BY w
+    ),
+    t0 AS MATERIALIZED (
+        SELECT word, cnt, CAST(i AS BIGINT) AS pos, substr(word, i, 1) AS tok
+        FROM words, UNNEST(range(1, length(word) + 1)) AS u(i)
+    ),
+    {_bpe_round_sql('t0', 1)},
+    {_bpe_round_sql('m1', 2)},
+    {_bpe_round_sql('m2', 3)},
+    counts AS (
+        SELECT CAST(0 AS BIGINT) AS merge_round,
+               CAST(coalesce(sum(cnt), 0) AS BIGINT) AS corpus_tokens
+        FROM t0
+        UNION ALL SELECT 1, CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM m1
+        UNION ALL SELECT 2, CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM m2
+        UNION ALL SELECT 3, CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM m3
+    ),
+    base AS (SELECT corpus_tokens AS t0_tokens FROM counts
+             WHERE merge_round = 0)
+    SELECT merge_round, corpus_tokens,
+           CASE WHEN base.t0_tokens > 0
+                THEN CAST((base.t0_tokens - corpus_tokens) * 1000000
+                          // base.t0_tokens AS BIGINT)
+                ELSE 0 END AS compression_ppm
+    FROM counts CROSS JOIN base ORDER BY merge_round
+    """,
+    tags=("text", "tokenizer", "bpe", "engine-addition"),
+)
+def text_bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY side of BPE training: re-tokenize the corpus under
+    each of the three learned merges and report corpus token counts
+    and the cumulative compression (ppm saved vs character
+    tokenization) — the number that decides whether another merge
+    round is worth a vocab slot. Corpus-weighted counting is free on
+    the word-frequency representation: tokens after round r =
+    sum(cnt) over the merged token table, so the whole curve costs
+    one aggregate per round on vocabulary-sized data.
+
+    Shares the exact relational merge machinery (and its greedy-
+    leftmost run-parity semantics) with text_bpe_train_rounds; the
+    invariant suite checks the counts against the imperative trainer
+    applied per word."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(_toks(F.col("text"))).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    tokens = words.select(
+        "word",
+        "cnt",
+        F.posexplode(
+            F.expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))")
+        ).alias("pos0", "tok"),
+    ).select("word", "cnt", (F.col("pos0") + 1).cast("bigint").alias("pos"), "tok")
+    tokens = tokens.localCheckpoint(eager=True)
+    counts = [
+        tokens.agg(
+            F.lit(0).cast("bigint").alias("merge_round"),
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias(
+                "corpus_tokens"
+            ),
+        )
+    ]
+    for r in (1, 2, 3):
+        best = (
+            _bpe_pair_counts(tokens)
+            .orderBy(F.desc("pc"), F.asc("x"), F.asc("y"))
+            .limit(1)
+        ).localCheckpoint(eager=True)
+        tokens = _bpe_merge(tokens, best).localCheckpoint(eager=True)
+        counts.append(
+            tokens.agg(
+                F.lit(r).cast("bigint").alias("merge_round"),
+                F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias(
+                    "corpus_tokens"
+                ),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    base = out.where(F.col("merge_round") == 0).select(
+        F.col("corpus_tokens").alias("t0_tokens")
+    )
+    return (
+        out.crossJoin(F.broadcast(base))
+        .select(
+            "merge_round",
+            "corpus_tokens",
+            F.expr(
+                "CASE WHEN t0_tokens > 0 THEN"
+                " CAST((t0_tokens - corpus_tokens) * 1000000"
+                " div t0_tokens AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            ).alias("compression_ppm"),
+        )
+        .orderBy("merge_round")
+    )

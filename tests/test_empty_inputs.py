@@ -132,6 +132,7 @@ EMPTY_SAFE = [
     "ml_drift_ks_all_features",
     "sim_matryoshka_recall",
     "ml_negative_sampling",
+    "text_bpe_apply_compression",
 ]
 
 

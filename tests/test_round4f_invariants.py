@@ -450,3 +450,43 @@ def test_negative_sampling_ledger_accounting(spark, sf_dir):
     # determinism: a second run produces the identical ledger
     again = _run(spark, sf_dir, "ml_negative_sampling").collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_bpe_apply_compression_matches_trainer_tokenization(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("text").toPandas()
+    words: dict[str, int] = {}
+    for t in docs.text.dropna():
+        for w in re.sub(r"\s+", " ", t.lower()).strip().split(" "):
+            if w:
+                words[w] = words.get(w, 0) + 1
+    # replay the trainer and count corpus tokens after each merge
+    toks = {w: list(w) for w in words}
+    expect = [sum(len(t) * words[w] for w, t in toks.items())]
+    for _ in range(3):
+        counts: dict[tuple[str, str], int] = {}
+        for w, cnt in words.items():
+            t = toks[w]
+            for i in range(len(t) - 1):
+                counts[(t[i], t[i + 1])] = counts.get((t[i], t[i + 1]), 0) + cnt
+        if not counts:
+            break
+        (x, y), _c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        for w, t in toks.items():
+            out, i = [], 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == x and t[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            toks[w] = out
+        expect.append(sum(len(t) * words[w] for w, t in toks.items()))
+    got = {
+        r["merge_round"]: r["corpus_tokens"]
+        for r in _run(spark, sf_dir, "text_bpe_apply_compression").collect()
+    }
+    for r, tokens in enumerate(expect):
+        assert got[r] == tokens
