@@ -1,0 +1,947 @@
+"""Model calibration, uncertainty quantification, sequential testing,
+and privacy-mechanism operators (engine additions).
+
+The reference dashboard surfaces point estimates (app.py:268 summary
+stats); a training/serving platform additionally needs to know *how
+much to trust* them: isotonic calibration (are the scores honest?),
+conformal intervals (what band actually covers?), sequential tests
+(can the experiment stop early?), local-DP collection (can we count
+without seeing raw values?), and Shapley attribution (why did the
+model say that?). Each is expressed as exact integer / staged-double
+arithmetic so the DuckDB differential pins it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..functions.numeric import dsum, dsum_prod, dsum_prod_sql, dsum_sql
+from ..registry import query
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration (pool-adjacent-violators via the minimax identity)
+# ---------------------------------------------------------------------------
+
+_ISO_BIN_W = 25000  # o_totalprice in [1.3k, 500k] -> ~20 bins at every SF
+
+
+@query(
+    "ml_isotonic_calibration",
+    oracle=f"""
+    WITH bins AS (
+        SELECT CAST(FLOOR(o_totalprice / {_ISO_BIN_W}.0) AS BIGINT) AS bin_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pos
+        FROM orders GROUP BY 1
+    ),
+    pref AS (
+        SELECT bin_id, n, pos,
+               CAST(SUM(n) OVER (ORDER BY bin_id) AS BIGINT) AS cn,
+               CAST(SUM(pos) OVER (ORDER BY bin_id) AS BIGINT) AS cp
+        FROM bins
+    ),
+    rng AS (
+        SELECT lo.bin_id AS j, hi.bin_id AS k,
+               CAST((hi.cp - (lo.cp - lo.pos)) * 1000000
+                    // (hi.cn - (lo.cn - lo.n)) AS BIGINT) AS a_ppm
+        FROM pref lo JOIN pref hi ON hi.bin_id >= lo.bin_id
+    ),
+    inner_min AS (
+        SELECT b.bin_id AS i, r.j, MIN(r.a_ppm) AS mn
+        FROM bins b JOIN rng r ON r.j <= b.bin_id AND r.k >= b.bin_id
+        GROUP BY 1, 2
+    ),
+    iso AS (SELECT i, MAX(mn) AS iso_ppm FROM inner_min GROUP BY 1)
+    SELECT b.bin_id, b.n, b.pos,
+           CAST(b.pos * 1000000 // b.n AS BIGINT) AS raw_ppm,
+           CAST(iso.iso_ppm AS BIGINT) AS iso_ppm
+    FROM bins b JOIN iso ON iso.i = b.bin_id
+    ORDER BY b.bin_id
+    """,
+    tags=("ml", "calibration", "isotonic", "engine-addition"),
+)
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone) calibration of the score->probability map:
+    the pool-adjacent-violators fit over the reliability-diagram bins
+    of ml_calibration_bins, computed RELATIONALLY via the minimax
+    identity  iso(i) = max_{j<=i} min_{k>=i} avg(pos over bins j..k).
+    Because floor is monotone it commutes with min/max, so evaluating
+    every range average as an exact integer-ppm floor division yields
+    exactly floor_ppm of the true rational PAV solution — no float in
+    any comparison, hence oracle-pairable.
+
+    Scale shape: ONE map-side-combinable aggregate over the fact
+    table reduces everything to B~20 bin rows; the O(B^3) minimax
+    solve then runs on that model-sized frame (tiny windows and
+    inequality joins — a driver-scale cost, kept relational so the
+    whole query stays one plan). At 100 TB only the first aggregate
+    grows."""
+    o = load_table(spark, sf_dir, "orders")
+    pos = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    bins = o.groupBy(
+        F.floor(F.col("o_totalprice") / float(_ISO_BIN_W))
+        .cast("bigint")
+        .alias("bin_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(pos).cast("bigint").alias("pos"),
+    )
+    w = Window.orderBy("bin_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pref = bins.select(
+        "bin_id",
+        "n",
+        "pos",
+        F.sum("n").over(w).cast("bigint").alias("cn"),
+        F.sum("pos").over(w).cast("bigint").alias("cp"),
+    )
+    lo = pref.select(
+        F.col("bin_id").alias("j"),
+        (F.col("cn") - F.col("n")).alias("nj"),
+        (F.col("cp") - F.col("pos")).alias("pj"),
+    )
+    hi = pref.select(
+        F.col("bin_id").alias("k"),
+        F.col("cn").alias("nk"),
+        F.col("cp").alias("pk"),
+    )
+    rng = lo.join(hi, F.col("k") >= F.col("j")).select(
+        "j", "k", F.expr("CAST((pk - pj) * 1000000 div (nk - nj) AS BIGINT)").alias("a_ppm")
+    )
+    inner = (
+        bins.select(F.col("bin_id").alias("i"))
+        .join(rng, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
+        .groupBy("i", "j")
+        .agg(F.min("a_ppm").alias("mn"))
+    )
+    iso = inner.groupBy("i").agg(F.max("mn").alias("iso_ppm"))
+    return (
+        bins.join(iso, bins.bin_id == iso.i)
+        .select(
+            "bin_id",
+            "n",
+            "pos",
+            F.expr("CAST(pos * 1000000 div n AS BIGINT)").alias("raw_ppm"),
+            "iso_ppm",
+        )
+        .orderBy("bin_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction interval
+# ---------------------------------------------------------------------------
+
+@query(
+    "ml_conformal_interval",
+    oracle=f"""
+    WITH split AS (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+               CAST(CAST(('0x' || substring(md5('cp-' ||
+                        CAST(l_orderkey AS VARCHAR) || '-' ||
+                        CAST(l_linenumber AS VARCHAR)), 1, 8))
+                    AS UBIGINT) % 3 AS BIGINT) AS grp
+        FROM lineitem
+    ),
+    model AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_train,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               {dsum_sql("l_quantity")} AS sx,
+               {dsum_sql("l_extendedprice")} AS sy,
+               {dsum_prod_sql("l_quantity", "l_quantity")} AS sxx,
+               {dsum_prod_sql("l_quantity", "l_extendedprice")} AS sxy
+        FROM split WHERE grp = 0
+    ),
+    fitted AS (
+        SELECT n_train,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+               (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                   AS intercept
+        FROM model
+    ),
+    calib AS (
+        SELECT s.l_orderkey, s.l_linenumber,
+               abs(s.l_extendedprice
+                   - (f.slope * s.l_quantity + f.intercept)) AS a
+        FROM split s, fitted f WHERE s.grp = 1
+    ),
+    kk AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+               CAST(LEAST((9 * (COUNT(*) + 1) + 9) // 10, COUNT(*))
+                    AS BIGINT) AS k
+        FROM calib
+    ),
+    ranked AS (
+        SELECT a, ROW_NUMBER() OVER (
+                   ORDER BY a, l_orderkey, l_linenumber) AS rn
+        FROM calib
+    ),
+    qrow AS (
+        SELECT kk.n_cal, kk.k, r.a AS q_hat
+        FROM ranked r, kk WHERE r.rn = kk.k
+    ),
+    test AS (
+        SELECT abs(s.l_extendedprice
+                   - (f.slope * s.l_quantity + f.intercept)) AS a
+        FROM split s, fitted f WHERE s.grp = 2
+    )
+    SELECT f.n_train, q.n_cal, q.k, q.q_hat,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN t.a <= q.q_hat THEN 1 ELSE 0 END)
+                AS BIGINT) AS covered,
+           CAST(SUM(CASE WHEN t.a <= q.q_hat THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS coverage_ppm
+    FROM test t, qrow q, fitted f
+    GROUP BY f.n_train, q.n_cal, q.k, q.q_hat
+    """,
+    tags=("ml", "uncertainty", "conformal", "engine-addition"),
+)
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval at alpha=0.1 for the
+    price~quantity regression: fit on the train split, take the
+    ceil((1-alpha)(n+1))-th smallest absolute residual on the
+    calibration split as the interval half-width q_hat, then audit
+    empirical coverage on the held-out test split — the
+    distribution-free guarantee is coverage >= 90% in expectation.
+
+    Determinism: the 3-way split is hash-gated (md5 of the row key,
+    never RNG); slope/intercept come from exact decimal moments (the
+    ml_linreg_closed_form construction) and every residual is staged
+    through the identical double expression on both engines, so the
+    order statistic — selected by (residual, key) rank — is
+    bit-identical. The conformal rank k is pure integer arithmetic.
+
+    Scale shape: moments + coverage are map-side-combined aggregates;
+    the only sort is over the calibration split's residuals, and at
+    100 TB that global rank-k selection would swap to the counting
+    bisection of agg_median_bisect (same answer, no sort) — the
+    interval math is unchanged."""
+    li = load_table(spark, sf_dir, "lineitem")
+    grp = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        F.lit("cp"),
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 3
+    )
+    split = li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        grp.alias("grp"),
+    )
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    model = split.filter(F.col("grp") == 0).agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum_prod(x, x).alias("sxx"),
+        dsum_prod(x, y).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    fitted = model.select(
+        "n_train",
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    )
+    resid = F.abs(
+        F.col("l_extendedprice")
+        - (F.col("slope") * F.col("l_quantity") + F.col("intercept"))
+    )
+    calib = (
+        split.filter(F.col("grp") == 1)
+        .crossJoin(F.broadcast(fitted))
+        .select("l_orderkey", "l_linenumber", resid.alias("a"))
+    )
+    kk = calib.agg(
+        F.count(F.lit(1)).alias("n_cal"),
+        F.least(
+            F.expr("(9 * (count(1) + 1) + 9) div 10"), F.count(F.lit(1))
+        )
+        .cast("bigint")
+        .alias("k"),
+    )
+    rn = F.row_number().over(
+        Window.orderBy("a", "l_orderkey", "l_linenumber")
+    )
+    ranked = calib.select("a", rn.alias("rn"))
+    qrow = (
+        ranked.crossJoin(F.broadcast(kk))
+        .filter(F.col("rn") == F.col("k"))
+        .select("n_cal", "k", F.col("a").alias("q_hat"))
+    )
+    test = (
+        split.filter(F.col("grp") == 2)
+        .crossJoin(F.broadcast(fitted.select("n_train", "slope", "intercept")))
+        .select(F.col("n_train"), resid.alias("a"))
+    )
+    covered = F.sum(F.when(F.col("a") <= F.col("q_hat"), 1).otherwise(0))
+    return (
+        test.crossJoin(F.broadcast(qrow))
+        .groupBy("n_train", "n_cal", "k", "q_hat")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            covered.cast("bigint").alias("covered"),
+        )
+        .select(
+            "n_train", "n_cal", "k", "q_hat", "n_test", "covered",
+            F.expr("CAST(covered * 1000000 div n_test AS BIGINT)").alias(
+                "coverage_ppm"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequential probability ratio test (anytime-valid experimentation)
+# ---------------------------------------------------------------------------
+
+# H0: p = 0.20 vs H1: p = 0.25, alpha = beta = 0.05. The only floats
+# are these pinned literals — the LLR at step n is reconstructed from
+# integer cumulative counts as s*C1 + (n-s)*C0, never accumulated in
+# float, so it is identical on every engine / partitioning / replay.
+_SPRT_C1 = 0.22314355131420976  # ln(0.25/0.20)
+_SPRT_C0 = -0.06453852113757118  # ln(0.75/0.80)
+_SPRT_A = 2.9444389791664403  # ln((1-beta)/alpha) = ln(19)
+_SPRT_B = -2.9444389791664403  # ln(beta/(1-alpha))
+
+
+@query(
+    "ab_sprt_sequential",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT ts, event_id,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    OVER (ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s,
+               CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id)
+                    AS BIGINT) AS n
+        FROM events
+    ),
+    flagged AS (
+        SELECT n, s,
+               CAST(s AS DOUBLE) * {_SPRT_C1!r}
+                 + CAST(n - s AS DOUBLE) * {_SPRT_C0!r} AS llr
+        FROM ordered
+    ),
+    dec AS (
+        SELECT n AS n_seen, s AS s_seen, llr,
+               CASE WHEN llr >= {_SPRT_A!r} THEN 'reject_h0'
+                    ELSE 'accept_h0' END AS decision
+        FROM flagged
+        WHERE llr >= {_SPRT_A!r} OR llr <= {_SPRT_B!r}
+        ORDER BY n_seen LIMIT 1
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS s_total
+        FROM events
+    )
+    SELECT d.decision, d.n_seen, d.s_seen, d.llr, t.n_total, t.s_total
+    FROM dec d, tot t
+    """,
+    tags=("experimentation", "sequential", "sprt", "engine-addition"),
+)
+def ab_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test over the event stream
+    (H0: purchase rate 0.20 vs H1: 0.25, alpha=beta=0.05): the
+    anytime-valid early-stopping rule — report the FIRST point in
+    (ts, event_id) order where the log-likelihood ratio leaves
+    (ln(1/19), ln 19), with the decision and the stream totals.
+
+    Exactness: LLR_n is a linear function of the integer cumulative
+    success count, so it is rebuilt per row from (s, n) with two
+    pinned 17-digit literals — no float accumulation, no drift. The
+    crossing row is then a pure double-vs-literal comparison plus a
+    deterministic top-1.
+
+    Scale shape: the cumulative counts use the two-level prefix-sum
+    (per-hour bucket totals, exclusive running sum over the ~O(hours)
+    bucket frame, in-bucket window) — no single-partition global
+    window; the crossing is TakeOrderedAndProject(1), never a full
+    sort."""
+    e = load_table(spark, sf_dir, "events")
+    succ = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    rows = e.select(
+        "ts", "event_id", succ.alias("s01"),
+        F.date_trunc("hour", F.col("ts")).alias("bkt"),
+    )
+    perb = rows.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("n_b"), F.sum("s01").alias("s_b")
+    )
+    wb = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cums = perb.select(
+        "bkt",
+        (F.sum("n_b").over(wb) - F.col("n_b")).alias("base_n"),
+        (F.sum("s_b").over(wb) - F.col("s_b")).alias("base_s"),
+    )
+    win = Window.partitionBy("bkt").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seq = rows.join(F.broadcast(cums), "bkt").select(
+        "ts",
+        "event_id",
+        (F.col("base_n") + F.count(F.lit(1)).over(win)).cast("bigint").alias("n"),
+        (F.col("base_s") + F.sum("s01").over(win)).cast("bigint").alias("s"),
+    )
+    llr = (
+        F.col("s").cast("double") * F.lit(_SPRT_C1)
+        + (F.col("n") - F.col("s")).cast("double") * F.lit(_SPRT_C0)
+    )
+    flagged = seq.select(
+        "ts", "event_id",
+        F.col("n").alias("n_seen"),
+        F.col("s").alias("s_seen"),
+        llr.alias("llr"),
+    ).filter((F.col("llr") >= _SPRT_A) | (F.col("llr") <= _SPRT_B))
+    first = (
+        flagged.orderBy("n_seen")
+        .limit(1)
+        .select(
+            F.when(F.col("llr") >= _SPRT_A, "reject_h0")
+            .otherwise("accept_h0")
+            .alias("decision"),
+            "n_seen", "s_seen", "llr",
+        )
+    )
+    tot = e.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(succ).cast("bigint").alias("s_total"),
+    )
+    return first.crossJoin(F.broadcast(tot))
+
+
+# ---------------------------------------------------------------------------
+# Local differential privacy: generalized randomized response
+# ---------------------------------------------------------------------------
+
+_RR_CATS = ("click", "error", "purchase", "signup", "view")  # pinned, k=5
+_RR_CASE_IDX = (
+    "CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1 "
+    "WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 WHEN 'view' THEN 4 END"
+)
+_RR_CASE_NAME = (
+    "CASE cat_idx WHEN 0 THEN 'click' WHEN 1 THEN 'error' "
+    "WHEN 2 THEN 'purchase' WHEN 3 THEN 'signup' WHEN 4 THEN 'view' END"
+)
+
+
+@query(
+    "privacy_randomized_response",
+    oracle=f"""
+    WITH base AS (
+        SELECT {_RR_CASE_IDX} AS idx,
+               CAST(CAST(('0x' || substring(md5('rr1-' ||
+                        CAST(event_id AS VARCHAR)), 1, 8))
+                    AS UBIGINT) % 1048576 AS BIGINT) AS u1,
+               CAST(CAST(('0x' || substring(md5('rr2-' ||
+                        CAST(event_id AS VARCHAR)), 1, 8))
+                    AS UBIGINT) % 4 AS BIGINT) AS u2
+        FROM events
+        WHERE event_type IN ('click','error','purchase','signup','view')
+    ),
+    coded AS (
+        SELECT idx,
+               CASE WHEN u1 < 786432 THEN idx
+                    ELSE (idx + 1 + u2) % 5 END AS rep_idx
+        FROM base
+    ),
+    truec AS (SELECT idx AS cat_idx, CAST(COUNT(*) AS BIGINT) AS true_n
+              FROM coded GROUP BY 1),
+    obsc AS (SELECT rep_idx AS cat_idx, CAST(COUNT(*) AS BIGINT) AS obs_n
+             FROM coded GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM coded)
+    SELECT t.cat_idx, {_RR_CASE_NAME.replace("cat_idx", "t.cat_idx")} AS category,
+           t.true_n, o.obs_n,
+           16 * o.obs_n - x.n_all AS est_num,
+           CAST(16 * o.obs_n - x.n_all AS DOUBLE) / 11.0 AS estimate,
+           (16 * o.obs_n - x.n_all) - 11 * t.true_n AS bias_x11
+    FROM truec t JOIN obsc o ON o.cat_idx = t.cat_idx, tot x
+    ORDER BY t.cat_idx
+    """,
+    tags=("privacy", "differential-privacy", "randomized-response",
+          "engine-addition"),
+)
+def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-DP frequency estimation by generalized randomized
+    response over the pinned k=5 event-type alphabet: each report
+    keeps the true category with p=3/4, else one of the other four
+    uniformly (q=1/16) — epsilon = ln(p/q) = ln 12. The debiased
+    estimate (obs - n*q)/(p - q) reduces to the exact integer
+    numerator 16*obs - n over the constant denominator 11, so the
+    estimator, its single-division float rendering, and the
+    per-category residual vs the true count (bias_x11, an exact
+    integer) are all oracle-pairable. Sum of est_num over categories
+    is identically 11*n — the mass-conservation invariant the test
+    suite asserts.
+
+    The coin flips are hash-gated (md5 of the event id with two
+    domain-separated salts), which is what a real LDP client does
+    with a PRG — and what makes the whole mechanism replayable.
+
+    Scale shape: one narrow projection, two k-key aggregates, a
+    broadcast total; nothing grows with data but the first scan."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.filter(F.col("event_type").isin(*_RR_CATS)).select(
+        F.expr(_RR_CASE_IDX).cast("bigint").alias("idx"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("rr1-"), F.col("event_id").cast("string"))),
+                    1, 8,
+                ), 16, 10,
+            ).cast("long") % 1048576
+        ).alias("u1"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("rr2-"), F.col("event_id").cast("string"))),
+                    1, 8,
+                ), 16, 10,
+            ).cast("long") % 4
+        ).alias("u2"),
+    )
+    coded = base.select(
+        "idx",
+        F.when(F.col("u1") < 786432, F.col("idx"))
+        .otherwise((F.col("idx") + 1 + F.col("u2")) % 5)
+        .alias("rep_idx"),
+    )
+    truec = coded.groupBy(F.col("idx").alias("cat_idx")).agg(
+        F.count(F.lit(1)).alias("true_n")
+    )
+    obsc = coded.groupBy(F.col("rep_idx").alias("cat_idx")).agg(
+        F.count(F.lit(1)).alias("obs_n")
+    )
+    tot = coded.agg(F.count(F.lit(1)).alias("n_all"))
+    est_num = 16 * F.col("obs_n") - F.col("n_all")
+    return (
+        truec.join(obsc, "cat_idx")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cat_idx",
+            F.expr(_RR_CASE_NAME).alias("category"),
+            "true_n",
+            "obs_n",
+            est_num.alias("est_num"),
+            (est_num.cast("double") / 11.0).alias("estimate"),
+            (est_num - 11 * F.col("true_n")).alias("bias_x11"),
+        )
+        .orderBy("cat_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact Shapley attribution for a two-feature lookup model
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ml_shapley_two_features",
+    oracle=f"""
+    WITH g AS (
+        SELECT {dsum_sql("l_extendedprice")} / COUNT(*) AS m0 FROM lineitem
+    ),
+    g1 AS (
+        SELECT l_returnflag,
+               {dsum_sql("l_extendedprice")} / COUNT(*) AS m1
+        FROM lineitem GROUP BY 1
+    ),
+    g2 AS (
+        SELECT l_linestatus,
+               {dsum_sql("l_extendedprice")} / COUNT(*) AS m2
+        FROM lineitem GROUP BY 1
+    ),
+    g12 AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {dsum_sql("l_extendedprice")} / COUNT(*) AS m12
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT c.l_returnflag, c.l_linestatus, c.n, c.m12 AS cell_mean,
+           ((c.m12 - b.m2) + (a.m1 - g.m0)) / 2.0 AS phi_returnflag,
+           ((c.m12 - a.m1) + (b.m2 - g.m0)) / 2.0 AS phi_linestatus,
+           c.m12 - g.m0 AS lift
+    FROM g12 c
+    JOIN g1 a ON a.l_returnflag = c.l_returnflag
+    JOIN g2 b ON b.l_linestatus = c.l_linestatus, g
+    ORDER BY c.l_returnflag, c.l_linestatus
+    """,
+    tags=("ml", "explanation", "shapley", "engine-addition"),
+)
+def ml_shapley_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley values for a two-feature conditional-mean model
+    f(returnflag, linestatus) = E[price | cell]: with two players the
+    Shapley sum has just two orderings, so
+    phi_1 = ((m12 - m2) + (m1 - m0)) / 2 exactly — per cell, the
+    model-explanation readout (which feature moved this prediction,
+    and by how much) with the efficiency property
+    phi_1 + phi_2 = f(cell) - E[y] holding by construction.
+
+    Exactness: all four conditional means are decimal-exact sums over
+    counts; the Shapley combination is staged through the identical
+    double expression on both engines.
+
+    Scale shape: four map-side-combined aggregates over one scan
+    (Spark shares the scan via the cached mirror), then broadcast
+    joins of model-sized frames — at 100 TB the cost is one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y = F.col("l_extendedprice")
+    g = li.agg((dsum(y) / F.count(F.lit(1))).alias("m0"))
+    g1 = li.groupBy("l_returnflag").agg(
+        (dsum(y) / F.count(F.lit(1))).alias("m1")
+    )
+    g2 = li.groupBy("l_linestatus").agg(
+        (dsum(y) / F.count(F.lit(1))).alias("m2")
+    )
+    g12 = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        (dsum(y) / F.count(F.lit(1))).alias("m12"),
+    )
+    m0, m1, m2, m12 = F.col("m0"), F.col("m1"), F.col("m2"), F.col("m12")
+    return (
+        g12.join(F.broadcast(g1), "l_returnflag")
+        .join(F.broadcast(g2), "l_linestatus")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "n",
+            m12.alias("cell_mean"),
+            (((m12 - m2) + (m1 - m0)) / 2.0).alias("phi_returnflag"),
+            (((m12 - m1) + (m2 - m0)) / 2.0).alias("phi_linestatus"),
+            (m12 - m0).alias("lift"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Learning curve (scaling-law readout) over nested hash subsets
+# ---------------------------------------------------------------------------
+
+_LC_FRACS = (10, 25, 50, 100)
+
+
+@query(
+    "ml_learning_curve",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT l_returnflag,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS y_cents,
+               CAST(CAST(('0x' || substring(md5('lc-t-' ||
+                        CAST(l_orderkey AS VARCHAR) || '-' ||
+                        CAST(l_linenumber AS VARCHAR)), 1, 8))
+                    AS UBIGINT) % 5 AS BIGINT) AS u_t,
+               CAST(CAST(('0x' || substring(md5('lc-b-' ||
+                        CAST(l_orderkey AS VARCHAR) || '-' ||
+                        CAST(l_linenumber AS VARCHAR)), 1, 8))
+                    AS UBIGINT) % 100 AS BIGINT) AS b
+        FROM lineitem
+    ),
+    partials AS (
+        SELECT l_returnflag, b,
+               CAST(SUM(y_cents) AS BIGINT) AS s_cents,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM keyed WHERE u_t <> 0 GROUP BY 1, 2
+    ),
+    models AS (
+        SELECT f.frac, p.l_returnflag,
+               CAST(SUM(p.s_cents) // SUM(p.cnt) AS BIGINT) AS pred_cents,
+               CAST(SUM(p.cnt) AS BIGINT) AS n_train_g
+        FROM partials p JOIN (VALUES (10),(25),(50),(100)) AS f(frac)
+             ON p.b < f.frac
+        GROUP BY 1, 2
+    ),
+    test AS (
+        SELECT l_returnflag, y_cents FROM keyed WHERE u_t = 0
+    )
+    SELECT m.frac,
+           CAST(MIN(tr.n_train) AS BIGINT) AS n_train,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(ABS(t.y_cents - m.pred_cents)) * 1000
+                // COUNT(*) AS BIGINT) AS mae_milli_cents
+    FROM test t
+    JOIN models m ON m.l_returnflag = t.l_returnflag
+    JOIN (SELECT frac, CAST(SUM(n_train_g) AS BIGINT) AS n_train
+          FROM models GROUP BY 1) tr ON tr.frac = m.frac
+    GROUP BY m.frac
+    ORDER BY m.frac
+    """,
+    tags=("ml", "learning-curve", "scaling-law", "engine-addition"),
+)
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning curve / scaling-law readout: train the per-returnflag
+    mean-price predictor on NESTED 10/25/50/100% subsets of the train
+    pool and report exact-integer MAE (milli-cents) on one fixed
+    held-out test split — does more data help, and how fast does the
+    error fall? Nesting comes free from hash bucketing (b < frac), so
+    each curve point trains on a superset of the previous one, the
+    property a real data-scaling study needs.
+
+    Exactness: prices enter as exact integer cents; each model's
+    prediction is an integer floor division; MAE is an integer sum
+    over the test split with one final floor-ppm-style division —
+    no float anywhere, so all four curve points hash-match DuckDB.
+
+    Scale shape: ONE scan builds (flag, bucket) partials (400 rows);
+    models for every fraction are rollups of those partials — the
+    fact table is never re-read per curve point. Evaluation is one
+    broadcast join (12 model rows) over the test split."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def h(salt: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt),
+                        F.col("l_orderkey").cast("string"),
+                        F.lit("-"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1, 8,
+            ), 16, 10,
+        ).cast("long")
+
+    keyed = li.select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("y_cents"),
+        (h("lc-t-") % 5).alias("u_t"),
+        (h("lc-b-") % 100).alias("b"),
+    )
+    partials = (
+        keyed.filter(F.col("u_t") != 0)
+        .groupBy("l_returnflag", "b")
+        .agg(
+            F.sum("y_cents").cast("bigint").alias("s_cents"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    fracs = spark.createDataFrame([(f,) for f in _LC_FRACS], "frac int")
+    models = (
+        partials.join(F.broadcast(fracs), F.col("b") < F.col("frac"))
+        .groupBy("frac", "l_returnflag")
+        .agg(
+            F.expr("CAST(sum(s_cents) div sum(cnt) AS BIGINT)").alias(
+                "pred_cents"
+            ),
+            F.sum("cnt").cast("bigint").alias("n_train_g"),
+        )
+    )
+    per_frac = models.groupBy("frac").agg(
+        F.sum("n_train_g").cast("bigint").alias("n_train")
+    )
+    test = keyed.filter(F.col("u_t") == 0).select("l_returnflag", "y_cents")
+    return (
+        test.join(F.broadcast(models), "l_returnflag")
+        .join(F.broadcast(per_frac), "frac")
+        .groupBy("frac")
+        .agg(
+            F.min("n_train").alias("n_train"),
+            F.count(F.lit(1)).alias("n_test"),
+            F.expr(
+                "CAST(sum(abs(y_cents - pred_cents)) * 1000 div count(1)"
+                " AS BIGINT)"
+            ).alias("mae_milli_cents"),
+        )
+        .orderBy("frac")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes apply: exact integer argmax scoring (train -> decide loop)
+# ---------------------------------------------------------------------------
+
+_NB_CMP = (
+    "(({na} + 1) * ({af} + 1) * ({bf} + 1)) * (({nb} + 5) * ({nb} + 7))"
+    " - (({nb} + 1) * ({ag} + 1) * ({bg} + 1)) * (({na} + 5) * ({na} + 7))"
+)
+
+
+@query(
+    "ml_naive_bayes_apply",
+    oracle="""
+    WITH feat AS (
+        SELECT o_orderstatus AS c, o_orderpriority AS f1,
+               CAST(date_part('dow', o_orderdate) AS BIGINT) AS f2
+        FROM orders
+    ),
+    nc AS (
+        SELECT CAST(SUM(CASE WHEN c = 'F' THEN 1 ELSE 0 END) AS HUGEINT) AS ncF,
+               CAST(SUM(CASE WHEN c = 'O' THEN 1 ELSE 0 END) AS HUGEINT) AS ncO,
+               CAST(SUM(CASE WHEN c = 'P' THEN 1 ELSE 0 END) AS HUGEINT) AS ncP
+        FROM feat
+    ),
+    a AS (
+        SELECT f1,
+               CAST(SUM(CASE WHEN c = 'F' THEN 1 ELSE 0 END) AS HUGEINT) AS aF,
+               CAST(SUM(CASE WHEN c = 'O' THEN 1 ELSE 0 END) AS HUGEINT) AS aO,
+               CAST(SUM(CASE WHEN c = 'P' THEN 1 ELSE 0 END) AS HUGEINT) AS aP
+        FROM feat GROUP BY 1
+    ),
+    b AS (
+        SELECT f2,
+               CAST(SUM(CASE WHEN c = 'F' THEN 1 ELSE 0 END) AS HUGEINT) AS bF,
+               CAST(SUM(CASE WHEN c = 'O' THEN 1 ELSE 0 END) AS HUGEINT) AS bO,
+               CAST(SUM(CASE WHEN c = 'P' THEN 1 ELSE 0 END) AS HUGEINT) AS bP
+        FROM feat GROUP BY 1
+    ),
+    cells AS (
+        SELECT f1, f2, CAST(COUNT(*) AS BIGINT) AS n_cell,
+               CAST(SUM(CASE WHEN c = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cF,
+               CAST(SUM(CASE WHEN c = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cO,
+               CAST(SUM(CASE WHEN c = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS cP
+        FROM feat GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT c.f1, c.f2, c.n_cell, c.cF, c.cO, c.cP,
+               ((nc.ncF + 1) * (a.aF + 1) * (b.bF + 1))
+                 * ((nc.ncO + 5) * (nc.ncO + 7))
+               - ((nc.ncO + 1) * (a.aO + 1) * (b.bO + 1))
+                 * ((nc.ncF + 5) * (nc.ncF + 7)) AS cmpFO,
+               ((nc.ncF + 1) * (a.aF + 1) * (b.bF + 1))
+                 * ((nc.ncP + 5) * (nc.ncP + 7))
+               - ((nc.ncP + 1) * (a.aP + 1) * (b.bP + 1))
+                 * ((nc.ncF + 5) * (nc.ncF + 7)) AS cmpFP,
+               ((nc.ncO + 1) * (a.aO + 1) * (b.bO + 1))
+                 * ((nc.ncP + 5) * (nc.ncP + 7))
+               - ((nc.ncP + 1) * (a.aP + 1) * (b.bP + 1))
+                 * ((nc.ncO + 5) * (nc.ncO + 7)) AS cmpOP
+        FROM cells c
+        JOIN a ON a.f1 = c.f1
+        JOIN b ON b.f2 = c.f2, nc
+    )
+    SELECT f1, f2, n_cell,
+           CASE WHEN cmpFO >= 0 AND cmpFP >= 0 THEN 'F'
+                WHEN cmpOP >= 0 THEN 'O' ELSE 'P' END AS pred_class,
+           CAST(CASE WHEN cmpFO >= 0 AND cmpFP >= 0 THEN cF
+                     WHEN cmpOP >= 0 THEN cO ELSE cP END
+                AS BIGINT) AS n_correct,
+           CAST((CASE WHEN cmpFO >= 0 AND cmpFP >= 0 THEN cF
+                      WHEN cmpOP >= 0 THEN cO ELSE cP END) * 1000000
+                // n_cell AS BIGINT) AS acc_ppm
+    FROM scored
+    ORDER BY f1, f2
+    """,
+    tags=("ml", "naive-bayes", "classification", "engine-addition"),
+)
+def ml_naive_bayes_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive Bayes DECIDE step (the apply side ml_naive_bayes_train
+    stops short of): smoothed class scores
+    P(c)·P(priority|c)·P(weekday|c) compared via exact integer
+    cross-multiplication — score ratios are rationals, so the argmax
+    over the 3 order-status classes is decided by sign of
+    num_a·den_b − num_b·den_a with Laplace(+1) smoothing, never by a
+    float log-sum. Output is the full 35-cell decision table with
+    per-cell in-sample accuracy (integer ppm).
+
+    Spark stages the products through decimal(38,0) (exact up to
+    ~1e7-row classes — past that, the standard move is log-space
+    scoring, which trades the exactness this query is demonstrating);
+    DuckDB uses HUGEINT. Both fit the ≤1e35 worst case here.
+
+    Scale shape: three conditional-aggregate passes (class totals,
+    class×priority, class×weekday) + the cell table — all map-side
+    combined, all broadcastable model frames; the decision itself
+    never touches the fact table again."""
+    o = load_table(spark, sf_dir, "orders")
+    feat = o.select(
+        F.col("o_orderstatus").alias("c"),
+        F.col("o_orderpriority").alias("f1"),
+        (F.dayofweek("o_orderdate") - 1).cast("bigint").alias("f2"),
+    )
+
+    def cnt(cls: str) -> F.Column:
+        return F.sum(F.when(F.col("c") == cls, 1).otherwise(0))
+
+    dec = "decimal(7,0)"
+    nc = feat.agg(
+        cnt("F").cast(dec).alias("ncF"),
+        cnt("O").cast(dec).alias("ncO"),
+        cnt("P").cast(dec).alias("ncP"),
+    )
+    a = feat.groupBy("f1").agg(
+        cnt("F").cast(dec).alias("aF"),
+        cnt("O").cast(dec).alias("aO"),
+        cnt("P").cast(dec).alias("aP"),
+    )
+    b = feat.groupBy("f2").agg(
+        cnt("F").cast(dec).alias("bF"),
+        cnt("O").cast(dec).alias("bO"),
+        cnt("P").cast(dec).alias("bP"),
+    )
+    cells = feat.groupBy("f1", "f2").agg(
+        F.count(F.lit(1)).alias("n_cell"),
+        cnt("F").cast("bigint").alias("cF"),
+        cnt("O").cast("bigint").alias("cO"),
+        cnt("P").cast("bigint").alias("cP"),
+    )
+
+    def cmp(x: str, y: str) -> F.Column:
+        return F.expr(
+            _NB_CMP.format(
+                na=f"nc{x}", af=f"a{x}", bf=f"b{x}",
+                nb=f"nc{y}", ag=f"a{y}", bg=f"b{y}",
+            )
+        )
+
+    scored = (
+        cells.join(F.broadcast(a), "f1")
+        .join(F.broadcast(b), "f2")
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "f1", "f2", "n_cell", "cF", "cO", "cP",
+            cmp("F", "O").alias("cmpFO"),
+            cmp("F", "P").alias("cmpFP"),
+            cmp("O", "P").alias("cmpOP"),
+        )
+    )
+    is_f = (F.col("cmpFO") >= 0) & (F.col("cmpFP") >= 0)
+    is_o = F.col("cmpOP") >= 0
+    n_correct = (
+        F.when(is_f, F.col("cF"))
+        .when(is_o, F.col("cO"))
+        .otherwise(F.col("cP"))
+    )
+    return (
+        scored.select(
+            "f1", "f2", "n_cell",
+            F.when(is_f, "F").when(is_o, "O").otherwise("P").alias(
+                "pred_class"
+            ),
+            n_correct.cast("bigint").alias("n_correct"),
+            (n_correct * 1000000)
+            .cast("bigint")
+            .alias("_num"),
+        )
+        .select(
+            "f1", "f2", "n_cell", "pred_class", "n_correct",
+            F.expr("CAST(_num div n_cell AS BIGINT)").alias("acc_ppm"),
+        )
+        .orderBy("f1", "f2")
+    )

@@ -85,6 +85,7 @@ def _load_all() -> None:
         geo,
         privacy,
         bloom,
+        uncertainty,
     )
 
 
