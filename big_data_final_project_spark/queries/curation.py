@@ -920,3 +920,106 @@ def curation_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("source_a", "source_b")
     )
+
+
+_SWEEP_LADDER = (50, 100, 200, 300, 400)
+
+
+@query(
+    "curation_filter_sweep",
+    oracle="""
+    WITH bucketed AS (
+        SELECT CASE WHEN n_chars >= 400 THEN 400
+                    WHEN n_chars >= 300 THEN 300
+                    WHEN n_chars >= 200 THEN 200
+                    WHEN n_chars >= 100 THEN 100
+                    WHEN n_chars >= 50 THEN 50
+                    ELSE 0 END AS bucket,
+               n_chars
+        FROM documents
+    ),
+    partials AS (
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS docs,
+               CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM bucketed GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(docs) AS BIGINT) AS all_docs,
+               CAST(SUM(chars) AS BIGINT) AS all_chars
+        FROM partials
+    )
+    SELECT l.min_chars,
+           CAST(COALESCE(SUM(p.docs), 0) AS BIGINT) AS kept_docs,
+           CAST(COALESCE(SUM(p.docs), 0) * 1000000 // MIN(t.all_docs)
+                AS BIGINT) AS kept_docs_ppm,
+           CAST(COALESCE(SUM(p.chars), 0) AS BIGINT) AS kept_chars,
+           CAST(COALESCE(SUM(p.chars), 0) * 1000000 // MIN(t.all_chars)
+                AS BIGINT) AS kept_chars_ppm
+    FROM (VALUES (50), (100), (200), (300), (400)) AS l(min_chars)
+    LEFT JOIN partials p ON p.bucket >= l.min_chars
+    CROSS JOIN tot t
+    GROUP BY l.min_chars
+    ORDER BY l.min_chars
+    """,
+    tags=("curation", "quality-filter", "tuning-sweep", "engine-addition"),
+)
+def curation_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter threshold sweep — the tuning curve a curation
+    pipeline reads before committing to a min-length cutoff: for each
+    candidate threshold, how many documents and how much character
+    mass survive (both in exact integer ppm). The companion study to
+    dedup_lsh_tuning: parameters are chosen from a measured curve,
+    not folklore.
+
+    Scale shape: ONE scan reduces the corpus to |ladder|+1 bucket
+    partials (bucket = largest threshold <= n_chars), and every curve
+    point is a rollup of those partials via a tiny range join — the
+    corpus is NOT re-scanned per threshold, the same
+    partial-then-rollup trick ml_learning_curve uses. Thresholds that
+    kill the whole corpus still emit a zero row (left join), so the
+    sweep's domain is stable across scale factors."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.when(F.col("n_chars") >= 400, 400)
+        .when(F.col("n_chars") >= 300, 300)
+        .when(F.col("n_chars") >= 200, 200)
+        .when(F.col("n_chars") >= 100, 100)
+        .when(F.col("n_chars") >= 50, 50)
+        .otherwise(0)
+    )
+    partials = docs.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+    tot = partials.agg(
+        F.sum("docs").cast("bigint").alias("all_docs"),
+        F.sum("chars").cast("bigint").alias("all_chars"),
+    )
+    ladder = spark.createDataFrame(
+        [(v,) for v in _SWEEP_LADDER], "min_chars int"
+    )
+    return (
+        ladder.join(
+            partials, F.col("bucket") >= F.col("min_chars"), "left"
+        )
+        .crossJoin(F.broadcast(tot))
+        .groupBy("min_chars")
+        .agg(
+            F.coalesce(F.sum("docs"), F.lit(0))
+            .cast("bigint")
+            .alias("kept_docs"),
+            F.expr(
+                "CAST(coalesce(sum(docs), 0) * 1000000 div min(all_docs)"
+                " AS BIGINT)"
+            ).alias("kept_docs_ppm"),
+            F.coalesce(F.sum("chars"), F.lit(0))
+            .cast("bigint")
+            .alias("kept_chars"),
+            F.expr(
+                "CAST(coalesce(sum(chars), 0) * 1000000 div min(all_chars)"
+                " AS BIGINT)"
+            ).alias("kept_chars_ppm"),
+        )
+        .orderBy("min_chars")
+    )

@@ -2762,3 +2762,550 @@ def ml_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4g batch 2: multiple regression, permutation importance,
+# multiclass F1, cost-optimal threshold
+# ---------------------------------------------------------------------------
+
+_OLS2_DETS = """
+           n * (s11 * s22 - s12 * s12)
+             - s1 * (s1 * s22 - s12 * s2)
+             + s2 * (s1 * s12 - s11 * s2) AS det,
+           sy * (s11 * s22 - s12 * s12)
+             - s1 * (s1y * s22 - s12 * s2y)
+             + s2 * (s1y * s12 - s11 * s2y) AS det0,
+           n * (s1y * s22 - s12 * s2y)
+             - sy * (s1 * s22 - s12 * s2)
+             + s2 * (s1 * s2y - s1y * s2) AS det1,
+           n * (s11 * s2y - s1y * s12)
+             - s1 * (s1 * s2y - s1y * s2)
+             + sy * (s1 * s12 - s11 * s2) AS det2
+"""
+
+
+@query(
+    "ml_linreg_two_features",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               {dsum_sql("l_quantity")} AS s1,
+               {dsum_sql("l_discount")} AS s2,
+               {dsum_sql("l_extendedprice")} AS sy,
+               {dsum_prod_sql("l_quantity", "l_quantity")} AS s11,
+               {dsum_prod_sql("l_quantity", "l_discount")} AS s12,
+               {dsum_prod_sql("l_discount", "l_discount")} AS s22,
+               {dsum_prod_sql("l_quantity", "l_extendedprice")} AS s1y,
+               {dsum_prod_sql("l_discount", "l_extendedprice")} AS s2y,
+               {dsum_prod_sql("l_extendedprice", "l_extendedprice")} AS syy
+        FROM lineitem
+    ),
+    d AS (
+        SELECT n_rows, n, sy, s1y, s2y, syy,
+               {_OLS2_DETS}
+        FROM m
+    ),
+    beta AS (
+        SELECT n_rows, n, sy, s1y, s2y, syy,
+               det0 / det AS beta0, det1 / det AS beta1, det2 / det AS beta2
+        FROM d
+    ),
+    fit AS (
+        SELECT n_rows, beta0, beta1, beta2,
+               syy - beta0 * sy - beta1 * s1y - beta2 * s2y AS sse,
+               syy - sy * sy / n AS sst
+        FROM beta
+    )
+    SELECT n_rows, beta0, beta1, beta2, 1.0 - sse / sst AS r2
+    FROM fit
+    """,
+    tags=("ml", "regression", "multivariate", "engine-addition"),
+)
+def ml_linreg_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature multiple regression (price ~ quantity + discount)
+    solved in closed form by Cramer's rule on the 3x3 normal
+    equations — the d-feature generalization ml_linreg_closed_form's
+    docstring promises: training is ONE aggregation pass producing
+    the d^2 moment matrix (all exact decimal sums), and the solve is
+    O(d^3) arithmetic on a single row, staged through identical
+    intermediate columns (dets -> betas -> sse/sst -> r2) so the
+    fitted model and its R^2 are bit-identical cross-engine.
+
+    Scale shape: at 100 TB this is still one map-side-combined
+    shuffle of 10 decimal accumulators; nothing else grows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x1, x2, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x1).alias("s1"),
+        dsum(x2).alias("s2"),
+        dsum(y).alias("sy"),
+        dsum_prod(x1, x1).alias("s11"),
+        dsum_prod(x1, x2).alias("s12"),
+        dsum_prod(x2, x2).alias("s22"),
+        dsum_prod(x1, y).alias("s1y"),
+        dsum_prod(x2, y).alias("s2y"),
+        dsum_prod(y, y).alias("syy"),
+    )
+    d = m.selectExpr(
+        "n_rows", "n", "sy", "s1y", "s2y", "syy", *(
+            e.strip().rstrip(",")
+            for e in _OLS2_DETS.strip().split(",\n")
+        ),
+    )
+    beta = d.selectExpr(
+        "n_rows", "n", "sy", "s1y", "s2y", "syy",
+        "det0 / det AS beta0", "det1 / det AS beta1", "det2 / det AS beta2",
+    )
+    fit = beta.selectExpr(
+        "n_rows", "beta0", "beta1", "beta2",
+        "syy - beta0 * sy - beta1 * s1y - beta2 * s2y AS sse",
+        "syy - sy * sy / n AS sst",
+    )
+    return fit.selectExpr(
+        "n_rows", "beta0", "beta1", "beta2", "1.0 - sse / sst AS r2"
+    )
+
+
+_PI_BUCKETS = 64  # derangement cycles per hash bucket; at 100 TB raise
+# so per-bucket windows stay executor-local (any power works — the
+# union of per-bucket cycles is a permutation of the whole dataset)
+
+
+@query(
+    "ml_permutation_importance",
+    oracle=f"""
+    WITH rows_ AS (
+        SELECT l_orderkey AS k1, l_linenumber AS k2,
+               l_returnflag AS f1, l_linestatus AS f2,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS y,
+               CAST(CAST(('0x' || substring(md5('pi-' ||
+                        CAST(l_orderkey AS VARCHAR) || '-' ||
+                        CAST(l_linenumber AS VARCHAR)), 1, 8))
+                    AS UBIGINT) % {_PI_BUCKETS} AS BIGINT) AS bkt
+        FROM lineitem
+    ),
+    idx AS (
+        -- (k1, k2) is NOT unique in the synthetic lineitem; the full
+        -- payload tie-break makes row_number deterministic UP TO
+        -- swapping identical rows, which the MAE aggregate can't see
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY bkt
+                                  ORDER BY k1, k2, f1, f2, y) AS rn,
+               COUNT(*) OVER (PARTITION BY bkt) AS cnt
+        FROM rows_
+    ),
+    model AS (
+        SELECT f1, f2,
+               CAST(SUM(y) // COUNT(*) AS BIGINT) AS pred
+        FROM rows_ GROUP BY 1, 2
+    ),
+    permuted AS (
+        SELECT a.f1, a.f2, a.y,
+               d1.f1 AS f1p, d2.f2 AS f2p
+        FROM idx a
+        JOIN idx d1 ON d1.bkt = a.bkt AND d1.rn = (a.rn % a.cnt) + 1
+        JOIN idx d2 ON d2.bkt = a.bkt AND d2.rn = ((a.rn + 1) % a.cnt) + 1
+    ),
+    scored AS (
+        SELECT p.y,
+               mb.pred AS pred_base, m1.pred AS pred_p1, m2.pred AS pred_p2
+        FROM permuted p
+        JOIN model mb ON mb.f1 = p.f1 AND mb.f2 = p.f2
+        JOIN model m1 ON m1.f1 = p.f1p AND m1.f2 = p.f2
+        JOIN model m2 ON m2.f1 = p.f1 AND m2.f2 = p.f2p
+    ),
+    wide AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(ABS(y - pred_base)) * 1000 // COUNT(*) AS BIGINT)
+                   AS mae_base,
+               CAST(SUM(ABS(y - pred_p1)) * 1000 // COUNT(*) AS BIGINT)
+                   AS mae_p1,
+               CAST(SUM(ABS(y - pred_p2)) * 1000 // COUNT(*) AS BIGINT)
+                   AS mae_p2
+        FROM scored
+    )
+    SELECT f.feature, f.mae_milli_cents,
+           f.mae_milli_cents - w.mae_base AS importance_milli
+    FROM wide w, LATERAL (
+        VALUES ('none', w.mae_base),
+               ('l_returnflag', w.mae_p1),
+               ('l_linestatus', w.mae_p2)
+    ) AS f(feature, mae_milli_cents)
+    ORDER BY f.feature
+    """,
+    tags=("ml", "explanation", "permutation-importance", "engine-addition"),
+)
+def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation feature importance for the two-feature cell-mean
+    model of ml_shapley_two_features: break each feature's pairing
+    with the target by a DETERMINISTIC derangement — a cyclic shift
+    within hash buckets (the union of per-bucket cycles is a valid
+    permutation of the dataset) — and report how much the exact
+    integer-cents MAE degrades. Hash-derived cycles replace the usual
+    seeded shuffle, which is what makes a permutation test
+    oracle-pairable at all; shifts of 1 and 2 decorrelate the two
+    features' donors.
+
+    Scale shape: windows partition by the hash bucket (executor-local
+    at any scale — raise _PI_BUCKETS with the cluster), the donor
+    joins are co-partitioned self-joins on (bucket, rank), and the
+    model is a 6-row broadcast; no global sort anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("pi-"),
+                    F.col("l_orderkey").cast("string"),
+                    F.lit("-"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ), 1, 8,
+        ), 16, 10,
+    ).cast("long")
+    rows = li.select(
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").alias("k2"),
+        F.col("l_returnflag").alias("f1"),
+        F.col("l_linestatus").alias("f2"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+        (h % _PI_BUCKETS).alias("bkt"),
+    )
+    # (k1, k2) is NOT unique in the synthetic lineitem; the full
+    # payload tie-break makes row_number deterministic up to swapping
+    # identical rows, which the MAE aggregate can't see
+    wb = Window.partitionBy("bkt")
+    idx = rows.select(
+        "*",
+        F.row_number()
+        .over(wb.orderBy("k1", "k2", "f1", "f2", "y"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wb).alias("cnt"),
+    )
+    model = rows.groupBy("f1", "f2").agg(
+        F.expr("CAST(sum(y) div count(1) AS BIGINT)").alias("pred")
+    )
+    d1 = idx.select(
+        F.col("bkt").alias("b1"), F.col("rn").alias("rn1"),
+        F.col("f1").alias("f1p"),
+    )
+    d2 = idx.select(
+        F.col("bkt").alias("b2"), F.col("rn").alias("rn2"),
+        F.col("f2").alias("f2p"),
+    )
+    permuted = (
+        idx.join(
+            d1,
+            (F.col("b1") == F.col("bkt"))
+            & (F.col("rn1") == (F.col("rn") % F.col("cnt")) + 1),
+        )
+        .join(
+            d2,
+            (F.col("b2") == F.col("bkt"))
+            & (F.col("rn2") == ((F.col("rn") + 1) % F.col("cnt")) + 1),
+        )
+        .select("f1", "f2", "y", "f1p", "f2p")
+    )
+    mb = model.select(
+        F.col("f1").alias("mf1"), F.col("f2").alias("mf2"),
+        F.col("pred").alias("pred_base"),
+    )
+    m1 = model.select(
+        F.col("f1").alias("pf1"), F.col("f2").alias("pf2"),
+        F.col("pred").alias("pred_p1"),
+    )
+    m2 = model.select(
+        F.col("f1").alias("qf1"), F.col("f2").alias("qf2"),
+        F.col("pred").alias("pred_p2"),
+    )
+    scored = (
+        permuted.join(
+            F.broadcast(mb),
+            (F.col("mf1") == F.col("f1")) & (F.col("mf2") == F.col("f2")),
+        )
+        .join(
+            F.broadcast(m1),
+            (F.col("pf1") == F.col("f1p")) & (F.col("pf2") == F.col("f2")),
+        )
+        .join(
+            F.broadcast(m2),
+            (F.col("qf1") == F.col("f1")) & (F.col("qf2") == F.col("f2p")),
+        )
+    )
+    wide = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(sum(abs(y - pred_base)) * 1000 div count(1) AS BIGINT)")
+        .alias("mae_base"),
+        F.expr("CAST(sum(abs(y - pred_p1)) * 1000 div count(1) AS BIGINT)")
+        .alias("mae_p1"),
+        F.expr("CAST(sum(abs(y - pred_p2)) * 1000 div count(1) AS BIGINT)")
+        .alias("mae_p2"),
+    )
+    return (
+        wide.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("none").alias("feature"),
+                        F.col("mae_base").alias("mae_milli_cents"),
+                    ),
+                    F.struct(
+                        F.lit("l_returnflag").alias("feature"),
+                        F.col("mae_p1").alias("mae_milli_cents"),
+                    ),
+                    F.struct(
+                        F.lit("l_linestatus").alias("feature"),
+                        F.col("mae_p2").alias("mae_milli_cents"),
+                    ),
+                )
+            ).alias("x"),
+            F.col("mae_base"),
+        )
+        .select(
+            F.col("x.feature").alias("feature"),
+            F.col("x.mae_milli_cents").alias("mae_milli_cents"),
+            (F.col("x.mae_milli_cents") - F.col("mae_base")).alias(
+                "importance_milli"
+            ),
+        )
+        .orderBy("feature")
+    )
+
+
+_MC_PRED = (
+    "CASE WHEN year(l_shipdate) <= 1996 THEN 'R' "
+    "WHEN year(l_shipdate) <= 1998 THEN 'A' ELSE 'N' END"
+)
+
+
+@query(
+    "ml_multiclass_f1",
+    oracle=f"""
+    WITH cells AS (
+        SELECT l_returnflag AS actual,
+               {_MC_PRED} AS pred,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1, 2
+    ),
+    per_class AS (
+        SELECT c.cls,
+               CAST(SUM(CASE WHEN cells.actual = c.cls
+                             AND cells.pred = c.cls
+                        THEN cells.n ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN cells.pred = c.cls
+                             AND cells.actual <> c.cls
+                        THEN cells.n ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN cells.actual = c.cls
+                             AND cells.pred <> c.cls
+                        THEN cells.n ELSE 0 END) AS BIGINT) AS fn
+        FROM cells, (VALUES ('A'), ('N'), ('R')) AS c(cls)
+        GROUP BY 1
+    ),
+    scored AS (
+        SELECT cls, tp, fp, fn,
+               CASE WHEN tp + fp > 0
+                    THEN CAST(tp * 1000000 // (tp + fp) AS BIGINT)
+                    ELSE 0 END AS prec_ppm,
+               CASE WHEN tp + fn > 0
+                    THEN CAST(tp * 1000000 // (tp + fn) AS BIGINT)
+                    ELSE 0 END AS rec_ppm,
+               CASE WHEN 2 * tp + fp + fn > 0
+                    THEN CAST(2 * tp * 1000000 // (2 * tp + fp + fn)
+                              AS BIGINT)
+                    ELSE 0 END AS f1_ppm
+        FROM per_class
+    )
+    SELECT cls, tp, fp, fn, prec_ppm, rec_ppm, f1_ppm FROM scored
+    UNION ALL
+    SELECT 'macro', CAST(SUM(tp) AS BIGINT), CAST(SUM(fp) AS BIGINT),
+           CAST(SUM(fn) AS BIGINT),
+           CAST(SUM(prec_ppm) // 3 AS BIGINT),
+           CAST(SUM(rec_ppm) // 3 AS BIGINT),
+           CAST(SUM(f1_ppm) // 3 AS BIGINT)
+    FROM scored
+    UNION ALL
+    SELECT 'micro', CAST(SUM(tp) AS BIGINT), CAST(SUM(fp) AS BIGINT),
+           CAST(SUM(fn) AS BIGINT),
+           CAST(SUM(tp) * 1000000 // (SUM(tp) + SUM(fp)) AS BIGINT),
+           CAST(SUM(tp) * 1000000 // (SUM(tp) + SUM(fn)) AS BIGINT),
+           CAST(2 * SUM(tp) * 1000000 // (2 * SUM(tp) + SUM(fp) + SUM(fn))
+                AS BIGINT)
+    FROM scored
+    ORDER BY cls
+    """,
+    tags=("ml", "evaluation", "multiclass", "engine-addition"),
+)
+def ml_multiclass_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass confusion readout — per-class precision / recall /
+    F1 plus macro (unweighted class mean) and micro (pooled) rows —
+    for a fixed ship-year rule classifier against the 3-class return
+    flag. ml_confusion_metrics / ml_cohens_kappa stop at binary; this
+    is the 3+-class completion every multiclass model eval needs, and
+    it pins the macro-vs-micro distinction (macro weights classes
+    equally; micro weights rows, and with single-label multiclass its
+    precision = recall = accuracy).
+
+    Exactness: the entire confusion lives in 9 integer cells from one
+    aggregate; every rate is an integer-ppm floor division; macro is
+    a floor-mean of the three per-class ppm values.
+
+    Scale shape: one map-side-combined 9-key aggregate over the scan;
+    the class expansion joins 9 rows x 3 classes — model-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("actual"),
+        F.expr(_MC_PRED).alias("pred"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    classes = spark.createDataFrame([("A",), ("N",), ("R",)], "cls string")
+    per_class = (
+        cells.crossJoin(F.broadcast(classes))
+        .groupBy("cls")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("actual") == F.col("cls"))
+                    & (F.col("pred") == F.col("cls")),
+                    F.col("n"),
+                ).otherwise(0)
+            ).cast("bigint").alias("tp"),
+            F.sum(
+                F.when(
+                    (F.col("pred") == F.col("cls"))
+                    & (F.col("actual") != F.col("cls")),
+                    F.col("n"),
+                ).otherwise(0)
+            ).cast("bigint").alias("fp"),
+            F.sum(
+                F.when(
+                    (F.col("actual") == F.col("cls"))
+                    & (F.col("pred") != F.col("cls")),
+                    F.col("n"),
+                ).otherwise(0)
+            ).cast("bigint").alias("fn"),
+        )
+    )
+    scored = per_class.selectExpr(
+        "cls", "tp", "fp", "fn",
+        "CASE WHEN tp + fp > 0 THEN CAST(tp * 1000000 div (tp + fp) AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END AS prec_ppm",
+        "CASE WHEN tp + fn > 0 THEN CAST(tp * 1000000 div (tp + fn) AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END AS rec_ppm",
+        "CASE WHEN 2 * tp + fp + fn > 0 THEN "
+        "CAST(2 * tp * 1000000 div (2 * tp + fp + fn) AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END AS f1_ppm",
+    )
+    macro = scored.selectExpr(
+        "'macro' AS cls",
+        "CAST(sum(tp) AS BIGINT) AS tp", "CAST(sum(fp) AS BIGINT) AS fp",
+        "CAST(sum(fn) AS BIGINT) AS fn",
+        "CAST(sum(prec_ppm) div 3 AS BIGINT) AS prec_ppm",
+        "CAST(sum(rec_ppm) div 3 AS BIGINT) AS rec_ppm",
+        "CAST(sum(f1_ppm) div 3 AS BIGINT) AS f1_ppm",
+    )
+    micro = scored.selectExpr(
+        "'micro' AS cls",
+        "CAST(sum(tp) AS BIGINT) AS tp", "CAST(sum(fp) AS BIGINT) AS fp",
+        "CAST(sum(fn) AS BIGINT) AS fn",
+        "CAST(sum(tp) * 1000000 div (sum(tp) + sum(fp)) AS BIGINT)"
+        " AS prec_ppm",
+        "CAST(sum(tp) * 1000000 div (sum(tp) + sum(fn)) AS BIGINT)"
+        " AS rec_ppm",
+        "CAST(2 * sum(tp) * 1000000 div (2 * sum(tp) + sum(fp) + sum(fn))"
+        " AS BIGINT) AS f1_ppm",
+    )
+    return scored.unionAll(macro).unionAll(micro).orderBy("cls")
+
+
+_COST_FP = 1
+_COST_FN = 5
+_COST_BIN_W = 25000
+
+
+@query(
+    "ml_cost_threshold",
+    oracle=f"""
+    WITH hist AS (
+        SELECT CAST(FLOOR(o_totalprice / {_COST_BIN_W}.0) AS BIGINT)
+                   AS bin_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pos
+        FROM orders GROUP BY 1
+    ),
+    suff AS (
+        SELECT bin_id,
+               CAST(SUM(n - pos) OVER (ORDER BY bin_id DESC) AS BIGINT)
+                   AS fp,
+               CAST(SUM(pos) OVER () - SUM(pos) OVER (ORDER BY bin_id DESC)
+                    AS BIGINT) AS fn
+        FROM hist
+    ),
+    costed AS (
+        SELECT bin_id, bin_id * {_COST_BIN_W} AS threshold, fp, fn,
+               fp * {_COST_FP} + fn * {_COST_FN} AS cost_units
+        FROM suff
+    )
+    SELECT bin_id, threshold, fp, fn, cost_units,
+           CAST(CASE WHEN cost_units = MIN(cost_units) OVER ()
+                THEN 1 ELSE 0 END AS INT) AS is_optimal
+    FROM costed
+    ORDER BY bin_id
+    """,
+    tags=("ml", "evaluation", "decision-threshold", "engine-addition"),
+)
+def ml_cost_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-sensitive operating-point selection: for every candidate
+    threshold t (bin lower edges of the score histogram), predicting
+    positive at score >= t costs FP(t)*{_COST_FP} + FN(t)*{_COST_FN}
+    — the decision-analysis step after ml_roc_curve, with the
+    asymmetric costs real alerting/fraud systems have. FP(t) is a
+    suffix sum of negatives, FN(t) a complementary suffix of
+    positives, so the whole curve is exact integers from ONE
+    histogram pass, and the argmin is flagged by an integer
+    comparison against the window minimum.
+
+    Scale shape: one map-side-combined ~20-key aggregate; suffix sums
+    and the min run on the bin frame."""
+    o = load_table(spark, sf_dir, "orders")
+    pos = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    hist = o.groupBy(
+        F.floor(F.col("o_totalprice") / float(_COST_BIN_W))
+        .cast("bigint")
+        .alias("bin_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(pos).cast("bigint").alias("pos"),
+    )
+    wdesc = Window.orderBy(F.col("bin_id").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    suff = hist.select(
+        "bin_id",
+        F.sum(F.col("n") - F.col("pos")).over(wdesc).cast("bigint").alias("fp"),
+        (F.sum("pos").over(wall) - F.sum("pos").over(wdesc))
+        .cast("bigint")
+        .alias("fn"),
+    )
+    costed = suff.select(
+        "bin_id",
+        (F.col("bin_id") * _COST_BIN_W).alias("threshold"),
+        "fp",
+        "fn",
+        (F.col("fp") * _COST_FP + F.col("fn") * _COST_FN).alias("cost_units"),
+    )
+    return costed.select(
+        "bin_id", "threshold", "fp", "fn", "cost_units",
+        F.when(
+            F.col("cost_units") == F.min("cost_units").over(wall), 1
+        ).otherwise(0).cast("int").alias("is_optimal"),
+    ).orderBy("bin_id")

@@ -4136,3 +4136,129 @@ def ts_bollinger_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("dev7x") > 0) & (d2 > 4 * F.col("var49x"))).alias("breakout_up"),
         ((F.col("dev7x") < 0) & (d2 > 4 * F.col("var49x"))).alias("breakout_down"),
     ).orderBy("series", "day")
+
+
+_DP_MAX_LAG = 14
+
+
+@query(
+    "ts_dominant_period",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                   AS idx,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+               CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS s
+        FROM daily
+    ),
+    den AS (
+        SELECT event_type, n AS n_days,
+               CAST(sum((n * x - s) * (n * x - s)) AS BIGINT) AS den
+        FROM stats GROUP BY 1, 2
+    ),
+    nums AS (
+        SELECT a.event_type, l.lag,
+               CAST(sum((a.n * a.x - a.s) * (b.n * b.x - b.s))
+                    AS BIGINT) AS num
+        FROM stats a
+        JOIN (SELECT * FROM range(1, {_DP_MAX_LAG} + 1)) AS l(lag)
+             ON 1 = 1
+        JOIN stats b ON b.event_type = a.event_type
+                    AND b.idx = a.idx + l.lag
+        GROUP BY 1, 2
+    ),
+    acfs AS (
+        SELECT n.event_type, CAST(n.lag AS BIGINT) AS lag, d.n_days,
+               n.num, d.den,
+               CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE) AS acf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n.event_type
+                   ORDER BY CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE)
+                            DESC, n.lag) AS rk
+        FROM nums n JOIN den d ON d.event_type = n.event_type
+    )
+    SELECT event_type, lag, n_days, num, den, acf
+    FROM acfs WHERE rk = 1
+    ORDER BY event_type
+    """,
+    tags=("timeseries", "seasonality", "period-detection",
+          "engine-addition"),
+)
+def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-period detection per event type: the lag in 1..14
+    (observed-day steps) maximizing the exact sample autocorrelation
+    — the step a forecasting pipeline runs to CHOOSE the seasonal
+    period ts_seasonal_index_dow / ts_seasonal_naive_error then
+    assume. Extends ts_autocorr_exact's n²-scaled integer identity
+    from 3 fixed lags to an argmax over 14, computed via a bounded
+    self-join on the day index instead of 14 lead columns; the only
+    floats are the final num/den divisions (identical bit patterns
+    both engines), and the argmax breaks ties toward the shorter lag.
+
+    Scale shape: the fact scan collapses to |types| x |days| rows;
+    the lag expansion is a 14-way bounded self-join on the series
+    table partitioned by series key; argmax is a per-key window on
+    14 rows — the per-series-diagnostic shape at any corpus size."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    wp = Window.partitionBy("event_type")
+    stats = daily.select(
+        "event_type",
+        "x",
+        F.row_number().over(wp.orderBy("day")).alias("idx"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n"),
+        F.sum("x").over(wp).cast("bigint").alias("s"),
+    )
+    dev = F.col("n") * F.col("x") - F.col("s")
+    den = stats.groupBy("event_type", F.col("n").alias("n_days")).agg(
+        F.sum(dev * dev).cast("bigint").alias("den")
+    )
+    lags = spark.range(1, _DP_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    b = stats.select(
+        F.col("event_type").alias("bet"),
+        F.col("idx").alias("bidx"),
+        (F.col("n") * F.col("x") - F.col("s")).alias("bdev"),
+    )
+    nums = (
+        stats.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("bet") == F.col("event_type"))
+            & (F.col("bidx") == F.col("idx") + F.col("lag")),
+        )
+        .groupBy("event_type", "lag")
+        .agg(F.sum(dev * F.col("bdev")).cast("bigint").alias("num"))
+    )
+    acf = (F.col("num").cast("double") / F.col("den").cast("double")).alias(
+        "acf"
+    )
+    acfs = nums.join(den, "event_type").select(
+        "event_type",
+        F.col("lag").cast("bigint").alias("lag"),
+        "n_days",
+        "num",
+        "den",
+        acf,
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.col("acf").desc(), F.col("lag")
+        )
+    )
+    return (
+        acfs.select("*", rk.alias("rk"))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+        .orderBy("event_type")
+    )

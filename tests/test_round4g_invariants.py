@@ -238,3 +238,194 @@ def test_round4g_plan_shapes(spark, sf_dir):
     # split, never once per curve point
     p = _plan(spark, sf_dir, "ml_learning_curve")
     assert p._nodes("Scan parquet") <= 3
+
+
+# ------------------------------------------------- two-feature OLS
+
+
+def test_linreg_two_features_matches_lstsq(spark, sf_dir):
+    import numpy as np
+
+    r = _run(spark, sf_dir, "ml_linreg_two_features").collect()[0]
+    li = (
+        catalog()["ml_linreg_two_features"]
+        .fn.__globals__["load_table"](spark, sf_dir, "lineitem")
+        .select("l_quantity", "l_discount", "l_extendedprice")
+        .toPandas()
+    )
+    X = np.column_stack(
+        [np.ones(len(li)), li.l_quantity.values, li.l_discount.values]
+    )
+    beta, *_ = np.linalg.lstsq(X, li.l_extendedprice.values, rcond=None)
+    assert abs(r.beta0 - beta[0]) < 1e-4 * max(1.0, abs(beta[0]))
+    assert abs(r.beta1 - beta[1]) < 1e-4 * max(1.0, abs(beta[1]))
+    assert abs(r.beta2 - beta[2]) < 1e-4 * max(1.0, abs(beta[2]))
+    assert 0.0 <= r.r2 <= 1.0
+    assert r.n_rows == len(li)
+
+
+# -------------------------------------------- permutation importance
+
+
+def test_permutation_importance_replay(spark, sf_dir):
+    rows = {
+        r.feature: r
+        for r in _run(spark, sf_dir, "ml_permutation_importance").collect()
+    }
+    assert set(rows) == {"none", "l_returnflag", "l_linestatus"}
+    assert rows["none"].importance_milli == 0
+    li = (
+        catalog()["ml_permutation_importance"]
+        .fn.__globals__["load_table"](spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag",
+                "l_linestatus", "l_extendedprice")
+        .toPandas()
+    )
+    li["y"] = (li.l_extendedprice.round(2) * 100).round().astype("int64")
+    key = li.l_orderkey.astype(str) + "-" + li.l_linenumber.astype(str)
+    li["bkt"] = key.map(lambda k: _h32("pi-" + k) % 64)
+    li = li.sort_values(
+        ["bkt", "l_orderkey", "l_linenumber", "l_returnflag",
+         "l_linestatus", "y"]
+    ).reset_index(drop=True)
+    li["rn"] = li.groupby("bkt").cumcount() + 1
+    cnt = li.groupby("bkt")["rn"].transform("max")
+    pred = (
+        li.groupby(["l_returnflag", "l_linestatus"])["y"]
+        .agg(["sum", "count"])
+        .assign(p=lambda d: d["sum"] // d["count"])["p"]
+    )
+    donor1 = li.set_index(["bkt", "rn"])["l_returnflag"]
+    donor2 = li.set_index(["bkt", "rn"])["l_linestatus"]
+    f1p = donor1.loc[
+        list(zip(li.bkt, (li.rn % cnt) + 1))
+    ].values
+    f2p = donor2.loc[
+        list(zip(li.bkt, ((li.rn + 1) % cnt) + 1))
+    ].values
+    n = len(li)
+
+    def mae(f1s, f2s):
+        p = pred.loc[list(zip(f1s, f2s))].values
+        return int((li.y.values - p).__abs__().sum()) * 1000 // n
+
+    assert rows["none"].mae_milli_cents == mae(
+        li.l_returnflag.values, li.l_linestatus.values
+    )
+    assert rows["l_returnflag"].mae_milli_cents == mae(
+        f1p, li.l_linestatus.values
+    )
+    assert rows["l_linestatus"].mae_milli_cents == mae(
+        li.l_returnflag.values, f2p
+    )
+
+
+# ------------------------------------------------------ multiclass F1
+
+
+def test_multiclass_f1_identities(spark, sf_dir):
+    rows = {r.cls: r for r in _run(spark, sf_dir, "ml_multiclass_f1").collect()}
+    assert set(rows) == {"A", "N", "R", "macro", "micro"}
+    # single-label multiclass: pooled FP == pooled FN, so micro
+    # precision == recall == F1 == accuracy
+    mi = rows["micro"]
+    assert mi.fp == mi.fn
+    assert mi.prec_ppm == mi.rec_ppm == mi.f1_ppm
+    per = [rows[c] for c in ("A", "N", "R")]
+    assert mi.tp == sum(r.tp for r in per)
+    # macro F1 is the floor-mean of the per-class F1s
+    assert rows["macro"].f1_ppm == sum(r.f1_ppm for r in per) // 3
+    # per-class support identity: tp + fn == class row count
+    li = catalog()["ml_multiclass_f1"].fn.__globals__["load_table"](
+        spark, sf_dir, "lineitem"
+    )
+    support = {
+        r["l_returnflag"]: r["cnt"]
+        for r in li.groupBy("l_returnflag").count()
+        .withColumnRenamed("count", "cnt").collect()
+    }
+    for c in ("A", "N", "R"):
+        assert rows[c].tp + rows[c].fn == support[c]
+
+
+# --------------------------------------------------- cost threshold
+
+
+def test_cost_threshold_is_argmin(spark, sf_dir):
+    rows = _run(spark, sf_dir, "ml_cost_threshold").collect()
+    assert rows
+    best = min(r.cost_units for r in rows)
+    for r in rows:
+        assert r.cost_units == r.fp * 1 + r.fn * 5
+        assert (r.is_optimal == 1) == (r.cost_units == best)
+    # fp falls and fn rises as the threshold climbs
+    by_bin = sorted(rows, key=lambda r: r.bin_id)
+    fps = [r.fp for r in by_bin]
+    fns = [r.fn for r in by_bin]
+    assert fps == sorted(fps, reverse=True)
+    assert fns == sorted(fns)
+
+
+# ------------------------------------------------- curation sweep
+
+
+def test_filter_sweep_monotone_and_exact(spark, sf_dir):
+    rows = sorted(
+        _run(spark, sf_dir, "curation_filter_sweep").collect(),
+        key=lambda r: r.min_chars,
+    )
+    assert [r.min_chars for r in rows] == [50, 100, 200, 300, 400]
+    docs = catalog()["curation_filter_sweep"].fn.__globals__["load_table"](
+        spark, sf_dir, "documents"
+    )
+    kept = [r.kept_docs for r in rows]
+    assert kept == sorted(kept, reverse=True)
+    # spot-check one point against a direct filter count
+    direct = docs.filter("n_chars >= 200").count()
+    assert {r.min_chars: r.kept_docs for r in rows}[200] == direct
+
+
+# --------------------------------------------------- dominant period
+
+
+def test_dominant_period_is_argmax_of_full_acf(spark, sf_dir):
+    import numpy as np
+
+    rows = {
+        r.event_type: r
+        for r in _run(spark, sf_dir, "ts_dominant_period").collect()
+    }
+    assert rows
+    ev = (
+        catalog()["ts_dominant_period"]
+        .fn.__globals__["load_table"](spark, sf_dir, "events")
+        .selectExpr("event_type", "to_date(ts) AS day")
+        .groupBy("event_type", "day")
+        .count()
+        .toPandas()
+    )
+    for et, r in rows.items():
+        x = (
+            ev[ev.event_type == et]
+            .sort_values("day")["count"]
+            .astype("int64")
+            .values
+        )
+        n, s = len(x), int(x.sum())
+        dev = n * x - s
+        den = int((dev * dev).sum())
+        best = None
+        for lag in range(1, 15):
+            if lag >= n:
+                break
+            num = int((dev[:-lag] * dev[lag:]).sum())
+            acf = num / den
+            if best is None or acf > best[1] + 0 or (
+                acf == best[1] and lag < best[0]
+            ):
+                if best is None or acf > best[1]:
+                    best = (lag, acf, num)
+        assert r.lag == best[0]
+        assert r.num == best[2]
+        assert r.den == den
+        assert r.acf <= 1.0 + 1e-12
