@@ -1387,3 +1387,93 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_members"))
         .orderBy("community")
     )
+
+
+_HITS_TOPK = 20
+
+
+@query(
+    "graph_hits_bounded",
+    oracle=f"""
+    WITH edges AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    a1 AS (
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS score FROM edges GROUP BY 1
+    ),
+    h1 AS (
+        SELECT e.s, CAST(SUM(a1.score) AS BIGINT) AS score
+        FROM edges e JOIN a1 ON a1.p = e.p GROUP BY 1
+    ),
+    a2 AS (
+        SELECT e.p, CAST(SUM(h1.score) AS BIGINT) AS score
+        FROM edges e JOIN h1 ON h1.s = e.s GROUP BY 1
+    ),
+    hubs AS (
+        SELECT 'hub' AS kind, s AS node_id, score,
+               ROW_NUMBER() OVER (ORDER BY score DESC, s) AS rk
+        FROM h1
+    ),
+    auths AS (
+        SELECT 'authority' AS kind, p AS node_id, score,
+               ROW_NUMBER() OVER (ORDER BY score DESC, p) AS rk
+        FROM a2
+    )
+    SELECT kind, node_id, score, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT * FROM hubs WHERE rk <= {_HITS_TOPK}
+          UNION ALL
+          SELECT * FROM auths WHERE rk <= {_HITS_TOPK})
+    ORDER BY kind, rk
+    """,
+    tags=("graph", "hits", "centrality", "engine-addition"),
+)
+def graph_hits_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS on the supplier→part bipartite graph, run for
+    one full mutual-reinforcement round from the uniform start and
+    reported UNNORMALIZED: authority¹ = in-degree, hub¹ = Σ authority
+    of neighbors, authority² = Σ hub of sources. Skipping the usual
+    L2 normalization keeps every score an exact integer — the
+    normalizer is a per-iteration constant, so the top-k RANKING
+    (which is what HITS is consumed for) is identical to the
+    normalized fixed-point's second iterate. Complements
+    graph_pagerank: PageRank ranks by random-walk mass, HITS
+    separates "connects to everything important" (hubs) from "is
+    what everything connects to" (authorities).
+
+    Scale shape: dedup + two hash-aggregate matrix-vector products
+    shuffled on the edge keys; both top-20s are
+    TakeOrderedAndProject — the plan never sorts the full node set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a1 = edges.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("score"))
+    h1 = (
+        edges.join(a1.withColumnRenamed("score", "a1s"), "p")
+        .groupBy("s")
+        .agg(F.sum("a1s").cast("bigint").alias("score"))
+    )
+    a2 = (
+        edges.join(h1.withColumnRenamed("score", "h1s"), "s")
+        .groupBy("p")
+        .agg(F.sum("h1s").cast("bigint").alias("score"))
+    )
+    hubs = h1.select(
+        F.lit("hub").alias("kind"),
+        F.col("s").alias("node_id"),
+        "score",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("s")))
+        .cast("bigint")
+        .alias("rk"),
+    ).filter(F.col("rk") <= _HITS_TOPK)
+    auths = a2.select(
+        F.lit("authority").alias("kind"),
+        F.col("p").alias("node_id"),
+        "score",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("p")))
+        .cast("bigint")
+        .alias("rk"),
+    ).filter(F.col("rk") <= _HITS_TOPK)
+    return hubs.unionAll(auths).orderBy("kind", "rk")

@@ -326,3 +326,139 @@ def store_backfill_missing_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_ZM_FILES = 64
+_ZM_LO_C = 10_000_000  # predicate: totalprice in [100k, 150k) as cents
+_ZM_HI_C = 15_000_000
+
+
+@query(
+    "store_zone_map_skipping",
+    oracle=f"""
+    WITH cents AS (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS c
+        FROM orders
+    ),
+    tagged AS (
+        SELECT c,
+               CAST(CAST(('0x' || substring(md5('zm-' ||
+                        CAST(o_orderkey AS VARCHAR)), 1, 8))
+                    AS UBIGINT) % {_ZM_FILES} AS BIGINT) AS f_hash,
+               CAST(c * {_ZM_FILES} // 50000000 AS BIGINT) AS f_clust
+        FROM cents
+    ),
+    files AS (
+        SELECT 'hash' AS layout, f_hash AS file_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(c) AS min_c, MAX(c) AS max_c,
+               CAST(SUM(CASE WHEN c >= {_ZM_LO_C} AND c < {_ZM_HI_C}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS matched
+        FROM tagged GROUP BY 2
+        UNION ALL
+        SELECT 'clustered' AS layout, f_clust AS file_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(c) AS min_c, MAX(c) AS max_c,
+               CAST(SUM(CASE WHEN c >= {_ZM_LO_C} AND c < {_ZM_HI_C}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS matched
+        FROM tagged GROUP BY 2
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN max_c >= {_ZM_LO_C} AND min_c < {_ZM_HI_C}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+           CAST(SUM(CASE WHEN max_c >= {_ZM_LO_C} AND min_c < {_ZM_HI_C}
+                    THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+           CAST(SUM(matched) AS BIGINT) AS rows_matching,
+           CAST((COUNT(*) - SUM(CASE WHEN max_c >= {_ZM_LO_C}
+                                     AND min_c < {_ZM_HI_C}
+                                THEN 1 ELSE 0 END)) * 1000000
+                // COUNT(*) AS BIGINT) AS files_skipped_ppm,
+           CAST(SUM(CASE WHEN max_c >= {_ZM_LO_C} AND min_c < {_ZM_HI_C}
+                    THEN n ELSE 0 END) * 1000000
+                // SUM(n) AS BIGINT) AS rows_scanned_ppm
+    FROM files
+    GROUP BY layout
+    ORDER BY layout
+    """,
+    tags=("storage", "zone-map", "scan-planning", "engine-addition"),
+)
+def store_zone_map_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max file statistics) skipping audit — the
+    quantified WHY behind store_zorder_layout: simulate the same
+    corpus laid out {_ZM_FILES} files two ways (hash-random vs
+    clustered on the filter column), build each file's min/max zone
+    map, and measure how many files and rows a range predicate
+    actually has to read. On the hash layout every file straddles
+    the full value range (zone maps skip ~nothing); on the clustered
+    layout the scan touches only the files whose range overlaps —
+    the IO ratio IS the argument for sort/Z-order before write at
+    100 TB.
+
+    Exactness: prices as integer cents, file ids from md5 / integer
+    scaling, all skip rates integer-ppm floor divisions.
+
+    Scale shape: one narrow projection feeds two map-side-combined
+    {_ZM_FILES}-key aggregates; the audit output is O(layouts)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("c"),
+    )
+    tagged = cents.select(
+        "c",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("zm-"), F.col("o_orderkey").cast("string"))),
+                    1, 8,
+                ), 16, 10,
+            ).cast("long") % _ZM_FILES
+        ).alias("f_hash"),
+        F.expr(f"CAST(c * {_ZM_FILES} div 50000000 AS BIGINT)").alias(
+            "f_clust"
+        ),
+    )
+    matched = F.sum(
+        F.when((F.col("c") >= _ZM_LO_C) & (F.col("c") < _ZM_HI_C), 1).otherwise(0)
+    ).cast("bigint")
+
+    def per_file(col: str, layout: str) -> DataFrame:
+        return tagged.groupBy(F.col(col).alias("file_id")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c").alias("min_c"),
+            F.max("c").alias("max_c"),
+            matched.alias("matched"),
+        ).select(F.lit(layout).alias("layout"), "*")
+
+    files = per_file("f_hash", "hash").unionAll(
+        per_file("f_clust", "clustered")
+    )
+    overlaps = (F.col("max_c") >= _ZM_LO_C) & (F.col("min_c") < _ZM_HI_C)
+    return (
+        files.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.when(overlaps, 1).otherwise(0))
+            .cast("bigint")
+            .alias("files_scanned"),
+            F.sum(F.when(overlaps, F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_scanned"),
+            F.sum("matched").cast("bigint").alias("rows_matching"),
+            F.sum(F.col("n")).cast("bigint").alias("_rows_total"),
+        )
+        .selectExpr(
+            "layout", "n_files", "files_scanned", "rows_scanned",
+            "rows_matching",
+            "CAST((n_files - files_scanned) * 1000000 div n_files AS BIGINT)"
+            " AS files_skipped_ppm",
+            "CAST(rows_scanned * 1000000 div _rows_total AS BIGINT)"
+            " AS rows_scanned_ppm",
+        )
+        .orderBy("layout")
+    )

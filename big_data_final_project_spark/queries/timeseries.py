@@ -4262,3 +4262,208 @@ def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rk")
         .orderBy("event_type")
     )
+
+
+_LTTB_BUCKET_H = 6
+
+
+@query(
+    "ts_downsample_lttb",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    pts AS (
+        SELECT event_type, h, y, h // {_LTTB_BUCKET_H} AS b FROM hourly
+    ),
+    bmeans AS (
+        SELECT event_type, b,
+               CAST(SUM(h) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM pts GROUP BY 1, 2
+    ),
+    anchors AS (
+        SELECT event_type, b,
+               lag(sx) OVER w AS sxl, lag(sy) OVER w AS syl,
+               lag(n) OVER w AS nl,
+               lead(sx) OVER w AS sxr, lead(sy) OVER w AS syr,
+               lead(n) OVER w AS nr
+        FROM bmeans
+        WINDOW w AS (PARTITION BY event_type ORDER BY b)
+    ),
+    scored AS (
+        SELECT p.event_type, p.b, p.h, p.y,
+               CASE WHEN a.nl IS NULL OR a.nr IS NULL THEN NULL
+                    ELSE ABS((a.sxl * a.nr - a.sxr * a.nl)
+                             * (p.y * a.nl - a.syl)
+                             - (a.sxl - p.h * a.nl)
+                             * (a.syr * a.nl - a.syl * a.nr))
+               END AS area2,
+               CASE WHEN a.nl IS NULL THEN p.h
+                    WHEN a.nr IS NULL THEN -p.h
+                    ELSE -ABS((a.sxl * a.nr - a.sxr * a.nl)
+                              * (p.y * a.nl - a.syl)
+                              - (a.sxl - p.h * a.nl)
+                              * (a.syr * a.nl - a.syl * a.nr))
+               END AS rank_key
+        FROM pts p JOIN anchors a
+             ON a.event_type = p.event_type AND a.b = p.b
+    ),
+    picked AS (
+        SELECT event_type, b, h, y,
+               CAST(COALESCE(area2, -1) AS BIGINT) AS area2,
+               ROW_NUMBER() OVER (PARTITION BY event_type, b
+                                  ORDER BY rank_key, h) AS rk
+        FROM scored
+    )
+    SELECT event_type, CAST(b AS BIGINT) AS bucket, h, y, area2
+    FROM picked WHERE rk = 1
+    ORDER BY event_type, bucket
+    """,
+    tags=("timeseries", "downsampling", "lttb", "engine-addition"),
+)
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB (largest-triangle-three-buckets) downsampling of each
+    event type's hourly series — the perceptual downsampler
+    dashboards use when M4 (ts_m4_downsample) keeps too little shape:
+    per {_LTTB_BUCKET_H}-hour bucket, keep the point forming the
+    largest triangle with the NEIGHBOR BUCKET MEANS (the fixed-anchor
+    LTTB variant — the classic algorithm anchors on the previously
+    selected point, a sequential dependency; fixed anchors keep the
+    selection embarrassingly parallel and measurably close).
+
+    Exactness: triangle areas are compared after clearing the anchor
+    means' denominators — within a bucket the common positive factor
+    nl²·nr cancels, so the scaled integer |cross product| preserves
+    the argmax exactly; edge buckets (no left/right anchor) keep the
+    series' first/last point by rule. No float enters any comparison.
+
+    Scale shape: the fact scan collapses to hours; bucket means +
+    lag/lead run on the bucket frame; the pick is a per-(series,
+    bucket) window — per-series-diagnostic shape, co-partitioned
+    throughout."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr(
+                "CAST(unix_timestamp(date_trunc('hour', ts)) AS BIGINT)"
+                " div 3600"
+            ).alias("h"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    pts = hourly.select(
+        "event_type", "h", "y", F.expr(f"h div {_LTTB_BUCKET_H}").alias("b")
+    )
+    bmeans = pts.groupBy("event_type", "b").agg(
+        F.sum("h").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    w = Window.partitionBy("event_type").orderBy("b")
+    anchors = bmeans.select(
+        "event_type",
+        "b",
+        F.lag("sx").over(w).alias("sxl"),
+        F.lag("sy").over(w).alias("syl"),
+        F.lag("n").over(w).alias("nl"),
+        F.lead("sx").over(w).alias("sxr"),
+        F.lead("sy").over(w).alias("syr"),
+        F.lead("n").over(w).alias("nr"),
+    )
+    area = F.abs(
+        (F.col("sxl") * F.col("nr") - F.col("sxr") * F.col("nl"))
+        * (F.col("y") * F.col("nl") - F.col("syl"))
+        - (F.col("sxl") - F.col("h") * F.col("nl"))
+        * (F.col("syr") * F.col("nl") - F.col("syl") * F.col("nr"))
+    )
+    edge = F.col("nl").isNull() | F.col("nr").isNull()
+    scored = pts.join(anchors, ["event_type", "b"]).select(
+        "event_type", "b", "h", "y",
+        F.when(edge, F.lit(None).cast("long")).otherwise(area).alias("area2"),
+        F.when(F.col("nl").isNull(), F.col("h"))
+        .when(F.col("nr").isNull(), -F.col("h"))
+        .otherwise(-area)
+        .alias("rank_key"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("event_type", "b").orderBy("rank_key", "h")
+    )
+    return (
+        scored.select(
+            "event_type",
+            F.col("b").cast("bigint").alias("bucket"),
+            "h",
+            "y",
+            F.coalesce("area2", F.lit(-1)).cast("bigint").alias("area2"),
+            rk.alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+        .orderBy("event_type", "bucket")
+    )
+
+
+_VEL_WINDOW_US = 600_000_000  # trailing 10 minutes
+_VEL_THRESHOLD = 5
+
+
+@query(
+    "events_velocity_flags",
+    oracle=f"""
+    WITH counted AS (
+        SELECT user_id,
+               count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                              RANGE BETWEEN {_VEL_WINDOW_US} PRECEDING
+                              AND CURRENT ROW) AS cnt
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MAX(cnt) AS BIGINT) AS peak_count
+        FROM counted GROUP BY 1
+    )
+    SELECT user_id, n_events, peak_count
+    FROM per_user
+    WHERE peak_count >= {_VEL_THRESHOLD}
+    ORDER BY peak_count DESC, user_id
+    LIMIT 100
+    """,
+    tags=("events", "risk-rules", "velocity", "engine-addition"),
+)
+def events_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity risk rule — the fraud/abuse primitive: flag users
+    whose trailing-10-minute event count ever reached
+    {_VEL_THRESHOLD}, reporting each flagged user's lifetime volume
+    and peak burst. The trailing count is a RANGE frame over exact
+    epoch microseconds (time-based, not row-based, so simultaneous
+    events are frame PEERS — the count is order-independent and
+    engine-independent even under timestamp ties).
+
+    Scale shape: one shuffle on user_id; the range window and the
+    per-user max are local to each user's partition; the final
+    report is TakeOrderedAndProject(100), never a global sort."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-_VEL_WINDOW_US, 0)
+    )
+    counted = e.select(
+        "user_id", F.count(F.lit(1)).over(w).alias("cnt")
+    )
+    per_user = counted.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("cnt").cast("bigint").alias("peak_count"),
+    )
+    return (
+        per_user.filter(F.col("peak_count") >= _VEL_THRESHOLD)
+        .orderBy(F.col("peak_count").desc(), "user_id")
+        .limit(100)
+    )

@@ -945,3 +945,82 @@ def ml_naive_bayes_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("f1", "f2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Expected calibration error (the scalar on top of the reliability bins)
+# ---------------------------------------------------------------------------
+
+_ECE_BIN_W = 25000
+_ECE_SCALE_C = 50_000_000  # full score scale (500k) in cents
+
+
+@query(
+    "ml_expected_calibration_error",
+    oracle=f"""
+    WITH bins AS (
+        SELECT CAST(FLOOR(o_totalprice / {_ECE_BIN_W}.0) AS BIGINT)
+                   AS bin_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pos,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS sum_c
+        FROM orders GROUP BY 1
+    ),
+    gaps AS (
+        SELECT n,
+               ABS(pos * 1000000 // n
+                   - sum_c * 1000000 // (CAST({_ECE_SCALE_C} AS BIGINT) * n))
+                   AS gap_ppm
+        FROM bins
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(SUM(n * gap_ppm) // SUM(n) AS BIGINT) AS ece_ppm,
+           CAST(MAX(gap_ppm) AS BIGINT) AS mce_ppm
+    FROM gaps
+    """,
+    tags=("ml", "calibration", "ece", "engine-addition"),
+)
+def ml_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error — the single number on top of
+    ml_calibration_bins / ml_isotonic_calibration: the row-weighted
+    mean (and max, MCE) absolute gap between each bin's predicted
+    confidence (mean score, normalized to [0,1]) and its observed
+    positive rate. The model-monitoring scalar that goes on the
+    dashboard while the reliability diagram goes in the postmortem.
+
+    Exactness: scores enter as integer cents; both the confidence
+    and accuracy of a bin become integer-ppm floor divisions (the
+    confidence normalizer is the fixed score scale in cents), so
+    every gap, the weighted mean, and the max are exact integers.
+
+    Scale shape: one map-side-combined ~20-key aggregate, then O(bins)
+    arithmetic — unchanged at any corpus size."""
+    o = load_table(spark, sf_dir, "orders")
+    pos = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    bins = o.groupBy(
+        F.floor(F.col("o_totalprice") / float(_ECE_BIN_W))
+        .cast("bigint")
+        .alias("bin_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(pos).cast("bigint").alias("pos"),
+        F.sum(cents).cast("bigint").alias("sum_c"),
+    )
+    gaps = bins.selectExpr(
+        "n",
+        f"ABS(pos * 1000000 div n"
+        f" - sum_c * 1000000 div (CAST({_ECE_SCALE_C} AS BIGINT) * n))"
+        " AS gap_ppm",
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.expr("CAST(sum(n * gap_ppm) div sum(n) AS BIGINT)").alias(
+            "ece_ppm"
+        ),
+        F.max("gap_ppm").cast("bigint").alias("mce_ppm"),
+    )
