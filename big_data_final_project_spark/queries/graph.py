@@ -1477,3 +1477,111 @@ def graph_hits_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rk"),
     ).filter(F.col("rk") <= _HITS_TOPK)
     return hubs.unionAll(auths).orderBy("kind", "rk")
+
+
+def _ppr_iter_sql(prev: str, out: str) -> str:
+    """One oracle-side personalized-PageRank iteration: teleport mass
+    returns to the SEED SET only (int64 fixed-point, like
+    _pr_iter_sql but with a seed-conditional base and a left join so
+    contribution-less nodes keep their teleport share)."""
+    return f"""
+    {out} AS (
+      SELECT deg.node,
+             CAST(CASE WHEN deg.node % 10 = 0 THEN {PR_BASE} ELSE 0 END
+                  + COALESCE(c.s, 0) AS BIGINT) AS r
+      FROM deg
+      LEFT JOIN (
+        SELECT adj.v AS node, SUM((p.r * 17) // (20 * d2.d)) AS s
+        FROM {prev} p
+        JOIN adj ON adj.u = p.node
+        JOIN deg d2 ON d2.node = p.node
+        GROUP BY 1) c ON c.node = deg.node)
+    """
+
+
+@query(
+    "graph_personalized_pagerank",
+    oracle=f"""
+    WITH {_KNN_EDGES_SQL},
+    adj AS (
+      SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT u AS node, count(*) AS d FROM adj GROUP BY 1),
+    p0 AS (
+      SELECT node,
+             CAST(CASE WHEN node % 10 = 0 THEN {PR_SCALE} ELSE 0 END
+                  AS BIGINT) AS r
+      FROM deg),
+    {_ppr_iter_sql("p0", "p1")},
+    {_ppr_iter_sql("p1", "p2")},
+    {_ppr_iter_sql("p2", "p3")}
+    SELECT node AS part, r AS rank_fp,
+           CAST(CASE WHEN node % 10 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS is_seed
+    FROM p3
+    ORDER BY r DESC, node ASC
+    LIMIT 20
+    """,
+    tags=("graph", "pagerank", "personalized", "recommendation"),
+)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a pinned seed set (parts with
+    part % 10 == 0) on the kNN co-purchase graph — the
+    recommendation primitive graph_pagerank can't express: teleport
+    mass restarts AT THE SEEDS instead of uniformly, so rank measures
+    proximity to the seed basket ("customers who bought these also
+    land on..."), and non-seed parts in the top-20 are the
+    recommendations.
+
+    Fixed-point contract (same as graph_pagerank): int64 ranks scaled
+    1e9, contributions (r * 17) div (20 * deg) — associative integer
+    arithmetic, bit-identical across engines/partitionings. The
+    per-iteration difference vs global PageRank: the base term is
+    seed-conditional, and ranks come from a LEFT join against the
+    node set so a contribution-less seed keeps its teleport share
+    (global PageRank's inner join is safe only because ITS base is
+    unconditional).
+
+    Scale shape per iteration: one shuffle join of ranks against the
+    degree-bounded adjacency + one sum shuffle on destination, then a
+    node-set left join. Iterations fixed at 3; lineage cut by the
+    cached edge materialization."""
+    e = _knn_edges(spark, sf_dir)  # materialized by the shared cache
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+    seed = (F.col("node") % 10 == 0)
+    ranks = deg.select(
+        "node",
+        F.when(seed, F.lit(PR_SCALE)).otherwise(0).cast("bigint").alias("r"),
+    )
+    adj_deg = adj.join(
+        deg.withColumnRenamed("node", "u2"), F.col("u") == F.col("u2")
+    ).select("u", "v", "d")
+    adj_deg = adj_deg.localCheckpoint(eager=True)
+    nodes = deg.select("node").localCheckpoint(eager=True)
+    for _ in range(3):
+        contrib = adj_deg.join(ranks, adj_deg["u"] == ranks["node"]).select(
+            F.col("v"), F.expr("(r * 17) div (20 * d)").alias("c")
+        )
+        csum = contrib.groupBy(F.col("v").alias("node")).agg(
+            F.sum("c").alias("s")
+        )
+        ranks = nodes.join(csum, "node", "left").select(
+            "node",
+            (
+                F.when(seed, F.lit(PR_BASE)).otherwise(0)
+                + F.coalesce(F.col("s"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("r"),
+        )
+    return (
+        ranks.select(
+            F.col("node").alias("part"),
+            F.col("r").alias("rank_fp"),
+            F.when(seed, 1).otherwise(0).cast("bigint").alias("is_seed"),
+        )
+        .orderBy(F.desc("rank_fp"), F.asc("part"))
+        .limit(20)
+    )

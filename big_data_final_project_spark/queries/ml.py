@@ -3309,3 +3309,187 @@ def ml_cost_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cost_units") == F.min("cost_units").over(wall), 1
         ).otherwise(0).cast("int").alias("is_optimal"),
     ).orderBy("bin_id")
+
+
+# Fixed-point PCA: one moment pass builds the exact scaled covariance
+# S = n*Sxx - Sx*Sx' (integers), then two power-iteration steps with
+# the vector renormalized to ppm-of-max-|component| between steps —
+# the renormalization keeps every product inside decimal(38,0)
+# (HUGEINT on the oracle side) while preserving direction exactly.
+_PCA_FEATURES = ("quantity", "discount_x100", "ship_month")
+
+
+@query(
+    "ml_pca_power_iteration",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x1) AS BIGINT) AS s1,
+               CAST(sum(x2) AS BIGINT) AS s2,
+               CAST(sum(x3) AS BIGINT) AS s3,
+               CAST(sum(x1*x1) AS BIGINT) AS s11,
+               CAST(sum(x1*x2) AS BIGINT) AS s12,
+               CAST(sum(x1*x3) AS BIGINT) AS s13,
+               CAST(sum(x2*x2) AS BIGINT) AS s22,
+               CAST(sum(x2*x3) AS BIGINT) AS s23,
+               CAST(sum(x3*x3) AS BIGINT) AS s33
+        FROM (
+            SELECT CAST(l_quantity AS BIGINT) AS x1,
+                   CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS x2,
+                   CAST(month(l_shipdate) AS BIGINT) AS x3
+            FROM lineitem)
+    ),
+    cov AS (
+        SELECT n,
+               CAST(n*s11 - s1*s1 AS HUGEINT) AS c11,
+               CAST(n*s12 - s1*s2 AS HUGEINT) AS c12,
+               CAST(n*s13 - s1*s3 AS HUGEINT) AS c13,
+               CAST(n*s22 - s2*s2 AS HUGEINT) AS c22,
+               CAST(n*s23 - s2*s3 AS HUGEINT) AS c23,
+               CAST(n*s33 - s3*s3 AS HUGEINT) AS c33
+        FROM m
+    ),
+    v1 AS (
+        SELECT *, c11 + c12 + c13 AS w1, c12 + c22 + c23 AS w2,
+               c13 + c23 + c33 AS w3
+        FROM cov
+    ),
+    u1 AS (
+        SELECT *,
+          CASE WHEN w1 < 0 THEN -1 ELSE 1 END
+            * (ABS(w1) * 1000000 // GREATEST(ABS(w1), ABS(w2), ABS(w3)))
+            AS u1_1,
+          CASE WHEN w2 < 0 THEN -1 ELSE 1 END
+            * (ABS(w2) * 1000000 // GREATEST(ABS(w1), ABS(w2), ABS(w3)))
+            AS u1_2,
+          CASE WHEN w3 < 0 THEN -1 ELSE 1 END
+            * (ABS(w3) * 1000000 // GREATEST(ABS(w1), ABS(w2), ABS(w3)))
+            AS u1_3
+        FROM v1
+    ),
+    v2 AS (
+        SELECT *, c11*u1_1 + c12*u1_2 + c13*u1_3 AS z1,
+               c12*u1_1 + c22*u1_2 + c23*u1_3 AS z2,
+               c13*u1_1 + c23*u1_2 + c33*u1_3 AS z3
+        FROM u1
+    ),
+    u2 AS (
+        SELECT *,
+          CASE WHEN z1 < 0 THEN -1 ELSE 1 END
+            * (ABS(z1) * 1000000 // GREATEST(ABS(z1), ABS(z2), ABS(z3)))
+            AS u2_1,
+          CASE WHEN z2 < 0 THEN -1 ELSE 1 END
+            * (ABS(z2) * 1000000 // GREATEST(ABS(z1), ABS(z2), ABS(z3)))
+            AS u2_2,
+          CASE WHEN z3 < 0 THEN -1 ELSE 1 END
+            * (ABS(z3) * 1000000 // GREATEST(ABS(z1), ABS(z2), ABS(z3)))
+            AS u2_3,
+          (u1_1*z1 + u1_2*z2 + u1_3*z3) * 1000000
+            // (u1_1*u1_1 + u1_2*u1_2 + u1_3*u1_3) AS lam
+        FROM v2
+    )
+    SELECT feature, CAST(u1_ppm AS BIGINT) AS u1_ppm,
+           CAST(u2_ppm AS BIGINT) AS u2_ppm,
+           CAST(lam AS BIGINT) AS rayleigh_lambda_ppm
+    FROM (
+        SELECT 'quantity' AS feature, u1_1 AS u1_ppm, u2_1 AS u2_ppm, lam
+        FROM u2
+        UNION ALL
+        SELECT 'discount_x100', u1_2, u2_2, lam FROM u2
+        UNION ALL
+        SELECT 'ship_month', u1_3, u2_3, lam FROM u2)
+    ORDER BY feature
+    """,
+    tags=("ml", "pca", "power-iteration", "fixed-point", "engine-addition"),
+)
+def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component by power iteration — the
+    dimensionality-reduction primitive, run EXACTLY: one moment pass
+    builds the integer scaled covariance S = n*Sxy - Sx*Sy over three
+    lineitem features (quantity, discount cents-of-percent, ship
+    month), then two power steps v -> S*v from the all-ones start,
+    renormalizing to ppm-of-max-|component| between steps so every
+    intermediate stays inside decimal(38,0) (HUGEINT oracle-side)
+    while the DIRECTION — all PCA consumes — is preserved bit-exactly.
+    The Rayleigh quotient u1'Su1 / u1'u1 (integer ppm) estimates the
+    top eigenvalue of the scaled covariance; u2 is the loadings
+    readout. Sign-safe renormalization: abs before the floor
+    division, sign reapplied — Spark div truncates toward zero and
+    DuckDB // floors, so a negative numerator would disagree by 1.
+
+    Scale shape: ONE map-side-combined 10-aggregate scan; the matrix
+    algebra runs on a single row. At 100 TB a d-feature PCA step is
+    one O(d^2)-wide aggregate, never a shuffle of the data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    feats = li.selectExpr(
+        "CAST(l_quantity AS BIGINT) AS x1",
+        "CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS x2",
+        "CAST(month(l_shipdate) AS BIGINT) AS x3",
+    )
+    m = feats.selectExpr(
+        "x1", "x2", "x3",
+        "x1*x1 AS p11", "x1*x2 AS p12", "x1*x3 AS p13",
+        "x2*x2 AS p22", "x2*x3 AS p23", "x3*x3 AS p33",
+    ).groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            F.sum(c).cast("bigint").alias("s" + c[1:])
+            for c in ("x1", "x2", "x3")
+        ],
+        *[
+            F.sum(c).cast("bigint").alias("s" + c[1:])
+            for c in ("p11", "p12", "p13", "p22", "p23", "p33")
+        ],
+    )
+    d38 = "decimal(38,0)"
+    cov = m.selectExpr(
+        "n",
+        f"CAST(n*s11 - s1*s1 AS {d38}) AS c11",
+        f"CAST(n*s12 - s1*s2 AS {d38}) AS c12",
+        f"CAST(n*s13 - s1*s3 AS {d38}) AS c13",
+        f"CAST(n*s22 - s2*s2 AS {d38}) AS c22",
+        f"CAST(n*s23 - s2*s3 AS {d38}) AS c23",
+        f"CAST(n*s33 - s3*s3 AS {d38}) AS c33",
+    )
+    v1 = cov.selectExpr(
+        "*",
+        "c11 + c12 + c13 AS w1",
+        "c12 + c22 + c23 AS w2",
+        "c13 + c23 + c33 AS w3",
+    )
+
+    def _norm(pre: str, out: str) -> list[str]:
+        g = f"GREATEST(ABS({pre}1), ABS({pre}2), ABS({pre}3))"
+        return [
+            f"CASE WHEN {pre}{i} < 0 THEN -1 ELSE 1 END"
+            f" * (ABS({pre}{i}) * 1000000 div {g}) AS {out}{i}"
+            for i in (1, 2, 3)
+        ]
+
+    u1 = v1.selectExpr("*", *_norm("w", "u1_"))
+    v2 = u1.selectExpr(
+        "*",
+        "c11*u1_1 + c12*u1_2 + c13*u1_3 AS z1",
+        "c12*u1_1 + c22*u1_2 + c23*u1_3 AS z2",
+        "c13*u1_1 + c23*u1_2 + c33*u1_3 AS z3",
+    )
+    u2 = v2.selectExpr(
+        "*",
+        *_norm("z", "u2_"),
+        "(u1_1*z1 + u1_2*z2 + u1_3*z3) * 1000000"
+        " div (u1_1*u1_1 + u1_2*u1_2 + u1_3*u1_3) AS lam",
+    )
+    return u2.selectExpr(
+        """stack(3,
+           'quantity', u1_1, u2_1,
+           'discount_x100', u1_2, u2_2,
+           'ship_month', u1_3, u2_3)
+           AS (feature, u1_raw, u2_raw)""",
+        "CAST(lam AS BIGINT) AS rayleigh_lambda_ppm",
+    ).selectExpr(
+        "feature",
+        "CAST(u1_raw AS BIGINT) AS u1_ppm",
+        "CAST(u2_raw AS BIGINT) AS u2_ppm",
+        "rayleigh_lambda_ppm",
+    ).orderBy("feature")

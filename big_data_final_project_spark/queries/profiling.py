@@ -796,3 +796,85 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cramers_v"),
     )
+
+
+@query(
+    "audit_sequence_gaps",
+    oracle="""
+    WITH k AS (
+        SELECT DISTINCT o_orderkey AS k FROM orders
+        WHERE o_orderstatus = 'F'
+    ),
+    isl AS (
+        SELECT k, k - row_number() OVER (ORDER BY k) AS g FROM k
+    ),
+    islands AS (
+        SELECT g, CAST(min(k) AS BIGINT) AS s, CAST(max(k) AS BIGINT) AS e
+        FROM isl GROUP BY g
+    ),
+    gaps AS (
+        SELECT e + 1 AS gap_start,
+               lead(s) OVER (ORDER BY s) - 1 AS gap_end,
+               CAST(count(*) OVER () AS BIGINT) AS n_islands
+        FROM islands
+    )
+    SELECT CAST(gap_start AS BIGINT) AS gap_start,
+           CAST(gap_end AS BIGINT) AS gap_end,
+           CAST(gap_end - gap_start + 1 AS BIGINT) AS gap_len,
+           n_islands
+    FROM gaps
+    WHERE gap_end IS NOT NULL
+    ORDER BY gap_len DESC, gap_start
+    LIMIT 20
+    """,
+    tags=("audit", "gaps-islands", "completeness", "engine-addition"),
+)
+def audit_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-completeness audit — the CDC/replication check: find
+    the holes in an expected-contiguous key sequence (here the
+    'F'-status slice of o_orderkey — a filtered replica whose
+    missing keys are exactly the non-F orders). Classic
+    gaps-and-islands: keys collapse to islands via the k - row_number
+    constant, gaps are the space between consecutive islands; the
+    top-20 largest gaps plus the island count give the triage view
+    ("one big hole" vs "shotgun loss").
+
+    Scale: one distinct shuffle; the global-ordered windows then run
+    over the ISLAND table, which is orders of magnitude smaller than
+    the keys (bounded by the number of contiguity breaks), so the
+    single-partition window never sees the raw data. The top-20 is
+    TakeOrderedAndProject."""
+    k = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    isl = k.select(
+        "k", (F.col("k") - F.row_number().over(Window.orderBy("k"))).alias("g")
+    )
+    islands = isl.groupBy("g").agg(
+        F.min("k").cast("bigint").alias("s"),
+        F.max("k").cast("bigint").alias("e"),
+    )
+    wg = Window.orderBy("s")
+    gaps = islands.select(
+        (F.col("e") + 1).alias("gap_start"),
+        (F.lead("s").over(wg) - 1).alias("gap_end"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias(
+            "n_islands"
+        ),
+    )
+    return (
+        gaps.where(F.col("gap_end").isNotNull())
+        .select(
+            F.col("gap_start").cast("bigint").alias("gap_start"),
+            F.col("gap_end").cast("bigint").alias("gap_end"),
+            (F.col("gap_end") - F.col("gap_start") + 1)
+            .cast("bigint")
+            .alias("gap_len"),
+            "n_islands",
+        )
+        .orderBy(F.desc("gap_len"), "gap_start")
+        .limit(20)
+    )

@@ -4410,7 +4410,10 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _VEL_WINDOW_US = 600_000_000  # trailing 10 minutes
-_VEL_THRESHOLD = 5
+# Threshold 2 (not 5): the synthetic stream's peak trailing-10-min
+# count is 3 at sf0.01, so any higher bar returns the degenerate
+# empty frame at driver scale — a hash match that verifies nothing.
+_VEL_THRESHOLD = 2
 
 
 @query(
@@ -4466,4 +4469,162 @@ def events_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_user.filter(F.col("peak_count") >= _VEL_THRESHOLD)
         .orderBy(F.col("peak_count").desc(), "user_id")
         .limit(100)
+    )
+
+
+_DUP_WINDOW_US = 600_000_000  # 10 minutes
+
+
+@query(
+    "events_duplicate_submissions",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        FROM events
+    ),
+    pairs AS (
+        SELECT a.user_id, a.event_type, b.us - a.us AS gap_us
+        FROM e a JOIN e b
+          ON b.user_id = a.user_id AND b.event_type = a.event_type
+         AND (b.us > a.us OR (b.us = a.us AND b.event_id > a.event_id))
+         AND b.us - a.us <= {_DUP_WINDOW_US}
+    )
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us
+    FROM pairs
+    GROUP BY 1, 2
+    ORDER BY n_pairs DESC, user_id, event_type
+    LIMIT 100
+    """,
+    tags=("events", "risk-rules", "duplicate-detection", "engine-addition"),
+)
+def events_duplicate_submissions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-submission audit — the double-click / retry-storm
+    primitive next to events_velocity_flags: every ORDERED pair of
+    same-user same-type events within 10 minutes, summarized per
+    (user, type) as pair count and min/max gap in exact microseconds.
+    Ties in time are ordered by event_id so each unordered pair
+    counts exactly once.
+
+    Scale shape: the oracle states the inequality join directly; the
+    Spark plan BUCKETIZES it — each event probes its own 10-minute
+    bucket and the next (explode x2), turning the range join into an
+    equi-join on (user, type, bucket) that hash-partitions cleanly
+    (same rewrite as join_range_bucketized). Candidate fan-out is
+    2 rows/event; the residual gap predicate filters inside the
+    join."""
+    e = load_table(spark, sf_dir, "events").selectExpr(
+        "event_id", "user_id", "event_type", "unix_micros(ts) AS us"
+    )
+    right = e.selectExpr(
+        "user_id", "event_type", "event_id AS b_id", "us AS b_us",
+        f"b_us div {_DUP_WINDOW_US} AS bk",
+    )
+    left = e.selectExpr(
+        "user_id", "event_type", "event_id AS a_id", "us AS a_us",
+        # reference `us`, not the lateral alias `a_us`: a lateral
+        # column alias inside a generator hits Spark's
+        # "Resolved plan should not contain any
+        # LateralColumnAliasReference" internal error
+        f"explode(array(us div {_DUP_WINDOW_US},"
+        f" us div {_DUP_WINDOW_US} + 1)) AS bk",
+    )
+    pairs = left.join(right, ["user_id", "event_type", "bk"]).where(
+        (
+            (F.col("b_us") > F.col("a_us"))
+            | ((F.col("b_us") == F.col("a_us")) & (F.col("b_id") > F.col("a_id")))
+        )
+        & (F.col("b_us") - F.col("a_us") <= _DUP_WINDOW_US)
+    )
+    return (
+        pairs.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.min(F.col("b_us") - F.col("a_us")).cast("bigint").alias("min_gap_us"),
+            F.max(F.col("b_us") - F.col("a_us")).cast("bigint").alias("max_gap_us"),
+        )
+        .orderBy(F.desc("n_pairs"), "user_id", "event_type")
+        .limit(100)
+    )
+
+
+@query(
+    "ts_peak_detection",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    ctx AS (
+        SELECT event_type, h, y,
+               lag(y) OVER w AS y_prev, lead(y) OVER w AS y_next,
+               CAST(sum(y) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS total,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_hours
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY h)
+    )
+    SELECT event_type, h, y, y_prev, y_next,
+           CAST(y * n_hours * 1000000 // total AS BIGINT)
+               AS height_vs_mean_ppm
+    FROM ctx
+    WHERE y_prev IS NOT NULL AND y_next IS NOT NULL
+      AND y > y_prev AND y > y_next
+      AND 4 * y * n_hours >= 5 * total
+    ORDER BY event_type, h
+    """,
+    tags=("timeseries", "peak-detection", "monitoring", "engine-addition"),
+)
+def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak detection on each event type's hourly series — the
+    monitoring primitive feeding alert review: an hour is a peak when
+    it is STRICTLY higher than both neighbors (series-edge hours have
+    no neighbor and never qualify) and at least 1.25x the series'
+    hourly mean, stated as the integer cross-multiplication
+    4*y*n_hours >= 5*total so no division enters the predicate.
+    Reported height is y/mean in integer ppm.
+
+    Scale shape: the fact scan collapses to (series, hour) counts;
+    lag/lead and the per-series totals run in one partitioned window
+    pass over the hourly table — co-partitioned with every other
+    per-series diagnostic."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr(
+                "CAST(unix_timestamp(date_trunc('hour', ts)) AS BIGINT)"
+                " div 3600"
+            ).alias("h"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    wall = Window.partitionBy("event_type")
+    ctx = hourly.select(
+        "event_type", "h", "y",
+        F.lag("y").over(w).alias("y_prev"),
+        F.lead("y").over(w).alias("y_next"),
+        F.sum("y").over(wall).cast("bigint").alias("total"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n_hours"),
+    )
+    return (
+        ctx.where(
+            F.col("y_prev").isNotNull()
+            & F.col("y_next").isNotNull()
+            & (F.col("y") > F.col("y_prev"))
+            & (F.col("y") > F.col("y_next"))
+            & (4 * F.col("y") * F.col("n_hours") >= 5 * F.col("total"))
+        )
+        .selectExpr(
+            "event_type", "h", "y", "y_prev", "y_next",
+            "CAST(y * n_hours * 1000000 div total AS BIGINT)"
+            " AS height_vs_mean_ppm",
+        )
+        .orderBy("event_type", "h")
     )

@@ -166,9 +166,9 @@ def test_velocity_flags_match_pandas_sliding_window(spark, sf_dir):
     for r in out.itertuples():
         n, peak = peaks[r.user_id]
         assert (r.n_events, r.peak_count) == (n, peak)
-        assert r.peak_count >= 5
+        assert r.peak_count >= 2
     flagged_true = sorted(
-        ((p, u) for u, (n, p) in peaks.items() if p >= 5),
+        ((p, u) for u, (n, p) in peaks.items() if p >= 2),
         key=lambda t: (-t[0], t[1]),
     )[:100]
     assert list(out.user_id) == [u for _, u in flagged_true]
