@@ -1585,3 +1585,73 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_fp"), F.asc("part"))
         .limit(20)
     )
+
+
+@query(
+    "graph_harmonic_centrality_2hop",
+    oracle=f"""
+    WITH {_KNN_EDGES_SQL},
+    adj AS (
+      SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+    two AS (
+      SELECT DISTINCT a1.u, a2.v AS w
+      FROM adj a1 JOIN adj a2 ON a2.u = a1.v
+      WHERE a2.v <> a1.u),
+    strict2 AS (
+      SELECT t.u, t.w FROM two t
+      LEFT JOIN adj d ON d.u = t.u AND d.v = t.w
+      WHERE d.u IS NULL),
+    d1 AS (SELECT u, CAST(count(*) AS BIGINT) AS n1 FROM adj GROUP BY 1),
+    d2 AS (SELECT u, CAST(count(*) AS BIGINT) AS n2 FROM strict2 GROUP BY 1)
+    SELECT d1.u AS part, d1.n1, COALESCE(d2.n2, 0) AS n2,
+           2 * d1.n1 + COALESCE(d2.n2, 0) AS harmonic_2x
+    FROM d1 LEFT JOIN d2 ON d2.u = d1.u
+    ORDER BY harmonic_2x DESC, part
+    LIMIT 20
+    """,
+    tags=("graph", "centrality", "harmonic", "engine-addition"),
+)
+def graph_harmonic_centrality_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded harmonic centrality — sum of 1/d(u,v) truncated at
+    radius 2, the standard web-scale compromise (full harmonic
+    centrality needs all-pairs BFS): nodes at distance 1 contribute
+    1, distance exactly 2 contribute 1/2, reported doubled
+    (harmonic_2x = 2*|N1| + |N2|) so the score stays an exact
+    integer. Distance-2 is STRICT: wedge-reachable minus direct
+    neighbors minus self — the anti-join states the minus.
+
+    Scale shape: the wedge join is degree-bounded by the kNN
+    sparsification (fan-out <= K^2 per node); dedup + anti-join +
+    two degree counts are hash shuffles on node id; top-20 is
+    TakeOrderedAndProject."""
+    e = _knn_edges(spark, sf_dir)  # materialized by the shared cache
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    ).localCheckpoint(eager=True)  # read 3x: wedge (x2) + anti + degree
+    a1, a2 = adj.alias("a1"), adj.alias("a2")
+    two = (
+        a1.join(a2, F.col("a2.u") == F.col("a1.v"))
+        .where(F.col("a2.v") != F.col("a1.u"))
+        .select(F.col("a1.u").alias("u"), F.col("a2.v").alias("w"))
+        .distinct()
+    )
+    strict2 = two.join(
+        adj.select(F.col("u").alias("u"), F.col("v").alias("w")),
+        ["u", "w"],
+        "left_anti",
+    )
+    d1 = adj.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
+    d2 = strict2.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("n2"))
+    return (
+        d1.join(d2, "u", "left")
+        .select(
+            F.col("u").alias("part"),
+            "n1",
+            F.coalesce("n2", F.lit(0)).cast("bigint").alias("n2"),
+            (2 * F.col("n1") + F.coalesce("n2", F.lit(0)))
+            .cast("bigint")
+            .alias("harmonic_2x"),
+        )
+        .orderBy(F.desc("harmonic_2x"), "part")
+        .limit(20)
+    )

@@ -3493,3 +3493,204 @@ def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(u2_raw AS BIGINT) AS u2_ppm",
         "rayleigh_lambda_ppm",
     ).orderBy("feature")
+
+
+# Depth-2 split search: scores are Brier-style purity sums scaled by
+# 1e12 — argmax of sum_side (pos^2 + neg^2)/n_side is argmin of the
+# weighted Gini, and staging it as integer floor divisions (identical
+# on both engines) removes every float from the comparison. Ties at
+# 1e-12 resolution break on the split value.
+_T2_SCALE = 1_000_000_000_000
+
+
+def _t2_score(pl: str, ql: str, nl: str, pr: str, qr: str, nr: str) -> str:
+    """Purity score of a binary partition, integer-staged (SQL shared
+    verbatim by Spark and DuckDB: div spelled by the caller)."""
+    return (
+        f"(({pl})*({pl}) + ({ql})*({ql})) * {_T2_SCALE} DIV ({nl})"
+        f" + (({pr})*({pr}) + ({qr})*({qr})) * {_T2_SCALE} DIV ({nr})"
+    )
+
+
+@query(
+    "ml_tree_depth2",
+    oracle=f"""
+    WITH rows_ AS (
+        SELECT CAST(l_quantity AS BIGINT) AS qty,
+               CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS disc,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+    ),
+    h0 AS (
+        SELECT qty, CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(y) AS HUGEINT) AS pos
+        FROM rows_ GROUP BY 1
+    ),
+    c0 AS (
+        SELECT qty,
+               sum(n) OVER (ORDER BY qty) AS nl,
+               sum(pos) OVER (ORDER BY qty) AS pl,
+               sum(n) OVER () AS nt, sum(pos) OVER () AS pt
+        FROM h0
+    ),
+    e0 AS (
+        SELECT qty, nl, pl, nt, pt,
+               {_t2_score('pl', 'nl - pl', 'nl',
+                          'pt - pl', '(nt - nl) - (pt - pl)', 'nt - nl')
+                .replace('DIV', '//')} AS score
+        FROM c0 WHERE nl < nt
+    ),
+    root AS (
+        SELECT * FROM e0
+        ORDER BY score DESC, qty LIMIT 1
+    ),
+    h1 AS (
+        SELECT CASE WHEN r.qty >= rows_.qty THEN 'left' ELSE 'right' END
+                   AS node,
+               disc, CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(y) AS HUGEINT) AS pos
+        FROM rows_, root r GROUP BY 1, 2
+    ),
+    c1 AS (
+        SELECT node, disc,
+               sum(n) OVER (PARTITION BY node ORDER BY disc) AS nl,
+               sum(pos) OVER (PARTITION BY node ORDER BY disc) AS pl,
+               sum(n) OVER (PARTITION BY node) AS nt,
+               sum(pos) OVER (PARTITION BY node) AS pt
+        FROM h1
+    ),
+    e1 AS (
+        SELECT node, disc, nl, pl, nt, pt,
+               {_t2_score('pl', 'nl - pl', 'nl',
+                          'pt - pl', '(nt - nl) - (pt - pl)', 'nt - nl')
+                .replace('DIV', '//')} AS score,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY {_t2_score(
+                                      'pl', 'nl - pl', 'nl',
+                                      'pt - pl',
+                                      '(nt - nl) - (pt - pl)',
+                                      'nt - nl').replace('DIV', '//')} DESC,
+                                  disc) AS rk
+        FROM c1 WHERE nl < nt
+    )
+    SELECT node, feature, split_val, n_node, pos_node,
+           n_left, pos_left, score_e12
+    FROM (
+        SELECT 'root' AS node, 'quantity' AS feature,
+               CAST(qty AS BIGINT) AS split_val,
+               CAST(nt AS BIGINT) AS n_node, CAST(pt AS BIGINT) AS pos_node,
+               CAST(nl AS BIGINT) AS n_left, CAST(pl AS BIGINT) AS pos_left,
+               CAST(score AS BIGINT) AS score_e12
+        FROM root
+        UNION ALL
+        SELECT node, 'discount_x100', CAST(disc AS BIGINT),
+               CAST(nt AS BIGINT), CAST(pt AS BIGINT),
+               CAST(nl AS BIGINT), CAST(pl AS BIGINT), CAST(score AS BIGINT)
+        FROM e1 WHERE rk = 1)
+    ORDER BY node
+    """,
+    tags=("ml", "tree", "split-search", "engine-addition"),
+)
+def ml_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy CART grown ONE level past ml_decision_stump: the best
+    root split on quantity, then — inside each resulting leaf — the
+    best split on the second feature (discount cents-of-percent).
+    Novelty vs the stump: the comparison is now FLOAT-FREE — argmin
+    of weighted Gini is argmax of sum_side (pos^2+neg^2)/n_side,
+    staged as integer floor divisions scaled 1e12, so the argmax is
+    a pure integer comparison on both engines (ties at 1e-12
+    resolution break on the split value; deterministic either way).
+
+    Scale shape: the canonical two-pass anchor pattern — pass 1
+    builds the ~50-key quantity histogram and reduces to a 1-row
+    root; pass 2 re-scans with the broadcast root and builds BOTH
+    leaves' second-feature histograms in one shuffle (node is just
+    another group key). Depth d costs d scans regardless of data
+    size; windows only ever run on histogram-sized frames."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rows_ = li.selectExpr(
+        "CAST(l_quantity AS BIGINT) AS qty",
+        "CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS disc",
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y",
+    )
+    d38 = "decimal(38,0)"
+    h0 = rows_.groupBy("qty").agg(
+        F.expr(f"CAST(count(*) AS {d38})").alias("n"),
+        F.expr(f"CAST(sum(y) AS {d38})").alias("pos"),
+    )
+    wq = Window.orderBy("qty").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    c0 = h0.select(
+        "qty",
+        F.sum("n").over(wq).alias("nl"),
+        F.sum("pos").over(wq).alias("pl"),
+        F.sum("n").over(wall).alias("nt"),
+        F.sum("pos").over(wall).alias("pt"),
+    )
+    score0 = _t2_score(
+        "pl", "nl - pl", "nl", "pt - pl", "(nt - nl) - (pt - pl)", "nt - nl"
+    ).replace("DIV", "div")
+    root = (
+        c0.where(F.col("nl") < F.col("nt"))
+        .selectExpr("qty", "nl", "pl", "nt", "pt", f"{score0} AS score")
+        .orderBy(F.desc("score"), "qty")
+        .limit(1)
+    )
+    tagged = rows_.crossJoin(
+        F.broadcast(root.selectExpr("qty AS root_qty"))
+    ).selectExpr(
+        "CASE WHEN qty <= root_qty THEN 'left' ELSE 'right' END AS node",
+        "disc",
+        "y",
+    )
+    h1 = tagged.groupBy("node", "disc").agg(
+        F.expr(f"CAST(count(*) AS {d38})").alias("n"),
+        F.expr(f"CAST(sum(y) AS {d38})").alias("pos"),
+    )
+    wd = (
+        Window.partitionBy("node")
+        .orderBy("disc")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("node")
+    c1 = h1.select(
+        "node",
+        "disc",
+        F.sum("n").over(wd).alias("nl"),
+        F.sum("pos").over(wd).alias("pl"),
+        F.sum("n").over(wn).alias("nt"),
+        F.sum("pos").over(wn).alias("pt"),
+    )
+    e1 = (
+        c1.where(F.col("nl") < F.col("nt"))
+        .selectExpr("node", "disc", "nl", "pl", "nt", "pt", f"{score0} AS score")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("node").orderBy(F.desc("score"), "disc")
+            ),
+        )
+        .where(F.col("rk") == 1)
+    )
+    out_root = root.selectExpr(
+        "'root' AS node",
+        "'quantity' AS feature",
+        "CAST(qty AS BIGINT) AS split_val",
+        "CAST(nt AS BIGINT) AS n_node",
+        "CAST(pt AS BIGINT) AS pos_node",
+        "CAST(nl AS BIGINT) AS n_left",
+        "CAST(pl AS BIGINT) AS pos_left",
+        "CAST(score AS BIGINT) AS score_e12",
+    )
+    out_leaves = e1.selectExpr(
+        "node",
+        "'discount_x100' AS feature",
+        "CAST(disc AS BIGINT) AS split_val",
+        "CAST(nt AS BIGINT) AS n_node",
+        "CAST(pt AS BIGINT) AS pos_node",
+        "CAST(nl AS BIGINT) AS n_left",
+        "CAST(pl AS BIGINT) AS pos_left",
+        "CAST(score AS BIGINT) AS score_e12",
+    )
+    return out_root.unionByName(out_leaves).orderBy("node")

@@ -1427,3 +1427,121 @@ def text_bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("merge_round")
     )
+
+
+_RAKE_CLEAN_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+
+@query(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               generate_subscripts(toks, 1) AS pos,
+               unnest(toks) AS w
+        FROM (SELECT doc_id, string_split({_RAKE_CLEAN_SQL}, ' ') AS toks
+              FROM documents)
+    ),
+    cand AS (
+        SELECT doc_id, pos, w,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS g
+        FROM tok WHERE w NOT IN {STOPWORDS!r}
+    ),
+    pw AS (
+        SELECT doc_id, g, pos, w,
+               count(*) OVER (PARTITION BY doc_id, g) AS plen
+        FROM cand
+    ),
+    ws AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(plen) AS BIGINT) AS deg
+        FROM pw GROUP BY 1
+    ),
+    scored AS (
+        SELECT pw.doc_id, pw.g,
+               string_agg(pw.w, ' ' ORDER BY pw.pos) AS phrase,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(ws.deg * 1000000 // ws.freq) AS BIGINT) AS score_ppm
+        FROM pw JOIN ws ON ws.w = pw.w
+        GROUP BY 1, 2
+    )
+    SELECT phrase, CAST(max(n_words) AS BIGINT) AS n_words,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(max(score_ppm) AS BIGINT) AS score_ppm
+    FROM scored
+    GROUP BY phrase
+    ORDER BY score_ppm DESC, phrase
+    LIMIT 20
+    """,
+    tags=("text", "keywords", "rake", "gaps-islands", "engine-addition"),
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) — the unsupervised
+    keyphrase baseline: candidate phrases are maximal stopword-free
+    token runs (gaps-and-islands on token positions: pos minus the
+    non-stop row_number is constant within a run), each word scores
+    degree/frequency over the whole corpus (degree = summed length
+    of phrases containing it), and a phrase scores the sum of its
+    words' scores. Scores stay exact integers: per-word
+    deg*1e6 // freq, summed — no float ranking. Top-20 distinct
+    phrases with occurrence counts.
+
+    Scale shape: tokenize + islands are one window per doc partition;
+    word stats are a map-side-combinable shuffle on the word; the
+    phrase rebuild groups on (doc, run) — co-partitioned with the
+    islands window; the final top-20 is TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")),
+        " ",
+    )
+    tok = d.select(
+        "doc_id", F.posexplode(toks).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    cand = tok.where(~F.col("w").isin(*STOPWORDS)).select(
+        "doc_id",
+        "pos",
+        "w",
+        (
+            F.col("pos")
+            - F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("pos")
+            )
+        ).alias("g"),
+    )
+    pw = cand.select(
+        "doc_id", "g", "pos", "w",
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id", "g")).alias("plen"),
+    )
+    ws = pw.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("deg"),
+    )
+    scored = (
+        pw.join(ws, "w")
+        .groupBy("doc_id", "g")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.expr("deg * 1000000 div freq")).cast("bigint").alias(
+                "score_ppm"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("phrase")
+        .agg(
+            F.max("n_words").cast("bigint").alias("n_words"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.max("score_ppm").cast("bigint").alias("score_ppm"),
+        )
+        .orderBy(F.desc("score_ppm"), "phrase")
+        .limit(20)
+    )

@@ -4628,3 +4628,84 @@ def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "h")
     )
+
+
+@query(
+    "events_bot_regularity",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id) AS gap
+        FROM events
+    ),
+    agg AS (
+        SELECT user_id,
+               CAST(count(gap) AS HUGEINT) AS n_gaps,
+               CAST(sum(gap) AS HUGEINT) AS sg,
+               sum(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS sg2
+        FROM g GROUP BY 1
+        HAVING count(gap) >= 3
+    )
+    SELECT user_id,
+           CAST(n_gaps AS BIGINT) AS n_gaps,
+           CAST(sg // n_gaps AS BIGINT) AS mean_gap_us,
+           CAST((n_gaps * sg2 - sg * sg) * 1000000 // (sg * sg)
+                AS BIGINT) AS cv2_ppm,
+           CAST(CASE WHEN 25 * (n_gaps * sg2 - sg * sg) <= sg * sg
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_regular
+    FROM agg
+    ORDER BY cv2_ppm, user_id
+    LIMIT 50
+    """,
+    tags=("events", "risk-rules", "bot-detection", "engine-addition"),
+)
+def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-regularity screen — the complement of
+    events_velocity_flags: humans are bursty, schedulers are
+    metronomes. Per user (>= 3 inter-arrival gaps): the squared
+    coefficient of variation of the gaps, computed EXACTLY as
+    cv^2 = (n*sum(g^2) - sum(g)^2) / sum(g)^2 in integer microsecond
+    arithmetic (decimal(38,0)/HUGEINT — a 30-day gap squared
+    overflows int64), reported in ppm with the flag stated as the
+    division-free cross-multiplication 25*var_num <= sg^2
+    (cv <= 0.2). Timestamp ties are ordered by event_id so the gap
+    sequence is deterministic. The 50 most-regular users surface
+    for review.
+
+    Scale shape: one shuffle on user_id; the lag window and the
+    moment aggregate are local to each user's partition; the report
+    is TakeOrderedAndProject(50)."""
+    e = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_id", "unix_micros(ts) AS us"
+    )
+    wu = Window.partitionBy("user_id").orderBy("us", "event_id")
+    g = e.select(
+        "user_id", (F.col("us") - F.lag("us").over(wu)).alias("gap")
+    )
+    d38 = "decimal(38,0)"
+    agg = (
+        g.groupBy("user_id")
+        .agg(
+            F.expr(f"CAST(count(gap) AS {d38})").alias("n_gaps"),
+            F.expr(f"CAST(sum(gap) AS {d38})").alias("sg"),
+            F.expr(
+                f"sum(CAST(gap AS {d38}) * CAST(gap AS {d38}))"
+            ).alias("sg2"),
+        )
+        .where(F.col("n_gaps") >= 3)
+    )
+    return (
+        agg.selectExpr(
+            "user_id",
+            "CAST(n_gaps AS BIGINT) AS n_gaps",
+            "CAST(sg div n_gaps AS BIGINT) AS mean_gap_us",
+            "CAST((n_gaps * sg2 - sg * sg) * 1000000 div (sg * sg)"
+            " AS BIGINT) AS cv2_ppm",
+            "CAST(CASE WHEN 25 * (n_gaps * sg2 - sg * sg) <= sg * sg"
+            " THEN 1 ELSE 0 END AS BIGINT) AS is_regular",
+        )
+        .orderBy("cv2_ppm", "user_id")
+        .limit(50)
+    )

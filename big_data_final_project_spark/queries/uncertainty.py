@@ -1024,3 +1024,158 @@ def ml_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         F.max("gap_ppm").cast("bigint").alias("mce_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DeLong variance of the exact AUC (the error bar on ml_auc_exact)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ml_auc_delong_variance",
+    oracle="""
+    WITH s AS (
+        SELECT o_totalprice AS score,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS HUGEINT) AS npos,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+                    AS HUGEINT) AS nneg
+        FROM orders GROUP BY o_totalprice
+    ),
+    c AS (
+        SELECT npos, nneg,
+               COALESCE(sum(nneg) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS negs_below,
+               COALESCE(sum(npos) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS pos_below,
+               sum(npos) OVER () AS n_pos, sum(nneg) OVER () AS n_neg
+        FROM s
+    ),
+    w AS (
+        SELECT npos, nneg, n_pos, n_neg,
+               2 * negs_below + nneg AS w10,
+               2 * (n_pos - pos_below - npos) + npos AS w01
+        FROM c
+    ),
+    t AS (
+        SELECT CAST(max(n_pos) AS HUGEINT) AS n_pos,
+               CAST(max(n_neg) AS HUGEINT) AS n_neg,
+               sum(npos * w10) AS sw10, sum(npos * w10 * w10) AS sw10_2,
+               sum(nneg * w01) AS sw01, sum(nneg * w01 * w01) AS sw01_2
+        FROM w
+    )
+    SELECT CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           CAST(sw10 AS BIGINT) AS u2,
+           CAST(sw10 * 1000000 // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm,
+           CAST((n_pos * sw10_2 - sw10 * sw10) * 1000000000000
+                // ((n_pos - 1) * n_pos * 4 * n_neg * n_neg * n_pos)
+                AS BIGINT) AS var10_e12,
+           CAST((n_neg * sw01_2 - sw01 * sw01) * 1000000000000
+                // ((n_neg - 1) * n_neg * 4 * n_pos * n_pos * n_neg)
+                AS BIGINT) AS var01_e12,
+           CAST((n_pos * sw10_2 - sw10 * sw10) * 1000000000000
+                // ((n_pos - 1) * n_pos * 4 * n_neg * n_neg * n_pos)
+              + (n_neg * sw01_2 - sw01 * sw01) * 1000000000000
+                // ((n_neg - 1) * n_neg * 4 * n_pos * n_pos * n_neg)
+                AS BIGINT) AS var_auc_e12
+    FROM t
+    """,
+    tags=("ml", "evaluation", "auc", "delong", "engine-addition"),
+)
+def ml_auc_delong_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeLong (1988) variance of the exact tie-aware AUC — the error
+    bar ml_auc_exact doesn't have. Per distinct score, the structural
+    components are tracked in half-units so ties stay integral:
+    w10 = 2*negs_below + nneg (per positive), w01 = 2*pos_above +
+    npos (per negative); AUC = sum(npos*w10)/(2*n_pos*n_neg), and
+    var(AUC) = s10^2/n_pos + s01^2/n_neg with each sample variance
+    computed from the exact integer identity n*sum(w^2) - sum(w)^2.
+    Everything through the final scaled floor divisions is
+    decimal(38,0)/HUGEINT; outputs are AUC in ppm and variances
+    scaled 1e12.
+
+    Scale shape: same as ml_auc_exact — the distinct-score table is
+    range-partitioned and BOTH running sums (negatives below,
+    positives below) come from per-partition windows plus a
+    P-element driver-side offset cumsum, so no global single-
+    partition window exists; the variance needs only 4 more
+    map-side-combinable aggregates on the same pass."""
+    from .ml import AUC_RANGE_PARTITIONS
+
+    o = load_table(spark, sf_dir, "orders")
+    pos = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    s = (
+        o.groupBy(F.col("o_totalprice").alias("score"))
+        .agg(F.sum(pos).alias("npos"), F.sum(1 - pos).alias("nneg"))
+        .repartitionByRange(AUC_RANGE_PARTITIONS, "score")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin (score -> pid) across reads
+    )
+    per_part = {
+        r["pid"]: (int(r["tn"]), int(r["tp"]))
+        for r in s.groupBy("pid")
+        .agg(F.sum("nneg").alias("tn"), F.sum("npos").alias("tp"))
+        .collect()
+    }
+    offsets, run_n, run_p = [], 0, 0
+    for pid in range(AUC_RANGE_PARTITIONS):
+        tn, tp = per_part.get(pid, (0, 0))
+        offsets.append((pid, run_n, run_p))
+        run_n += tn
+        run_p += tp
+    off = spark.createDataFrame(offsets, "pid int, off_n long, off_p long")
+    wc = (
+        Window.partitionBy("pid")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d38 = "decimal(38,0)"
+    c = (
+        s.join(F.broadcast(off), "pid")
+        .withColumn(
+            "negs_below",
+            F.coalesce(F.sum("nneg").over(wc), F.lit(0)) + F.col("off_n"),
+        )
+        .withColumn(
+            "pos_below",
+            F.coalesce(F.sum("npos").over(wc), F.lit(0)) + F.col("off_p"),
+        )
+        .withColumn("n_pos_t", F.lit(run_p))
+        .withColumn("n_neg_t", F.lit(run_n))
+    )
+    w = c.selectExpr(
+        f"CAST(npos AS {d38}) AS npos",
+        f"CAST(nneg AS {d38}) AS nneg",
+        f"CAST(n_pos_t AS {d38}) AS n_pos",
+        f"CAST(n_neg_t AS {d38}) AS n_neg",
+        f"CAST(2 * negs_below + nneg AS {d38}) AS w10",
+        f"CAST(2 * (n_pos_t - pos_below - npos) + npos AS {d38}) AS w01",
+    )
+    t = w.agg(
+        F.expr(f"CAST(max(n_pos) AS {d38})").alias("n_pos"),
+        F.expr(f"CAST(max(n_neg) AS {d38})").alias("n_neg"),
+        F.expr("sum(npos * w10)").alias("sw10"),
+        F.expr("sum(npos * w10 * w10)").alias("sw10_2"),
+        F.expr("sum(nneg * w01)").alias("sw01"),
+        F.expr("sum(nneg * w01 * w01)").alias("sw01_2"),
+    )
+    return t.selectExpr(
+        "CAST(n_pos AS BIGINT) AS n_pos",
+        "CAST(n_neg AS BIGINT) AS n_neg",
+        "CAST(sw10 AS BIGINT) AS u2",
+        "CAST(sw10 * 1000000 div (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm",
+        "CAST((n_pos * sw10_2 - sw10 * sw10) * 1000000000000"
+        " div ((n_pos - 1) * n_pos * 4 * n_neg * n_neg * n_pos)"
+        " AS BIGINT) AS var10_e12",
+        "CAST((n_neg * sw01_2 - sw01 * sw01) * 1000000000000"
+        " div ((n_neg - 1) * n_neg * 4 * n_pos * n_pos * n_neg)"
+        " AS BIGINT) AS var01_e12",
+        "CAST((n_pos * sw10_2 - sw10 * sw10) * 1000000000000"
+        " div ((n_pos - 1) * n_pos * 4 * n_neg * n_neg * n_pos)"
+        " + (n_neg * sw01_2 - sw01 * sw01) * 1000000000000"
+        " div ((n_neg - 1) * n_neg * 4 * n_pos * n_pos * n_neg)"
+        " AS BIGINT) AS var_auc_e12",
+    )
