@@ -361,3 +361,70 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("t_ppm"), "qi_nation", "qi_segment", "qi_band")
         .limit(10)
     )
+
+
+@query(
+    "privacy_geometric_noise_counts",
+    oracle="""
+    WITH per AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(CAST(('0x' || substring(md5('geo-' || event_type), 1, 8))
+                    AS UBIGINT) AS BIGINT) AS u
+        FROM events GROUP BY 1
+    ),
+    noised AS (
+        SELECT event_type, n,
+               CASE WHEN u = 0 THEN 32
+                    ELSE 32 - length(bin(CAST(u AS UBIGINT))) END AS mag,
+               CASE WHEN u % 2 = 0 THEN 1 ELSE -1 END AS sign
+        FROM per
+    )
+    SELECT event_type, n AS true_count,
+           CAST(sign * mag AS BIGINT) AS noise,
+           CAST(n + sign * mag AS BIGINT) AS noisy_count,
+           CAST(mag AS BIGINT) AS noise_magnitude
+    FROM noised ORDER BY event_type
+    """,
+    tags=("privacy", "differential-privacy", "geometric-mechanism",
+          "engine-addition"),
+)
+def privacy_geometric_noise_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided geometric (discrete Laplace) noise on per-category
+    counts — the release mechanism shape of an eps-DP counting query
+    (Ghosh et al. 2009: the geometric mechanism is the universally
+    optimal discrete noise). Noise magnitude is the leading-zero
+    count of a 32-bit draw — P(mag >= k) = 2^-k, i.e. Geometric(1/2),
+    matching eps = ln 2 — computed WITHOUT logarithms via
+    32 - length(bin(u)) (both engines print binary without leading
+    zeros); the sign is the draw's parity. The draw is a pinned md5
+    of the category, so the differential can verify the mechanism's
+    arithmetic end-to-end (a production release would substitute a
+    real entropy source at exactly this seam — determinism here is
+    for testability, NOT a DP guarantee).
+
+    Scale shape: one map-side-combined aggregate to category counts;
+    noise is O(categories) post-processing."""
+    per = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .selectExpr(
+            "event_type",
+            "n",
+            "CAST(conv(substring(md5(concat('geo-', event_type)), 1, 8),"
+            " 16, 10) AS BIGINT) AS u",
+        )
+    )
+    noised = per.selectExpr(
+        "event_type",
+        "n",
+        "CASE WHEN u = 0 THEN 32 ELSE 32 - length(bin(u)) END AS mag",
+        "CASE WHEN u % 2 = 0 THEN 1 ELSE -1 END AS sign",
+    )
+    return noised.selectExpr(
+        "event_type",
+        "n AS true_count",
+        "CAST(sign * mag AS BIGINT) AS noise",
+        "CAST(n + sign * mag AS BIGINT) AS noisy_count",
+        "CAST(mag AS BIGINT) AS noise_magnitude",
+    ).orderBy("event_type")

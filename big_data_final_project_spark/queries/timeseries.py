@@ -4709,3 +4709,130 @@ def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cv2_ppm", "user_id")
         .limit(50)
     )
+
+
+@query(
+    "ts_holt_winters_additive",
+    oracle="""
+    WITH RECURSIVE daily AS MATERIALIZED (
+        SELECT o_orderpriority AS series, CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS BIGINT) AS y
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) >=
+              (SELECT max(CAST(o_orderdate AS DATE)) - INTERVAL 119 DAY
+               FROM orders)
+        GROUP BY 1, 2
+    ),
+    seq AS MATERIALIZED (
+        SELECT series, y,
+               CAST(row_number() OVER (PARTITION BY series ORDER BY d)
+                    AS BIGINT) AS rn,
+               CAST(count(*) OVER (PARTITION BY series) AS BIGINT) AS n
+        FROM daily
+    ),
+    rec AS (
+        SELECT series, rn, n, y AS lvl,
+               [CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0] AS s,
+               CAST(0 AS BIGINT) AS sae, CAST(0 AS BIGINT) AS mxe
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT q.series, q.rn, q.n,
+               (q.y - r.s[((q.rn - 1) % 7) + 1] + r.lvl) // 2,
+               r.s[1:((q.rn - 1) % 7) + 1 - 1]
+                 || [(q.y - ((q.y - r.s[((q.rn - 1) % 7) + 1] + r.lvl) // 2)
+                      + r.s[((q.rn - 1) % 7) + 1]) // 2]
+                 || r.s[((q.rn - 1) % 7) + 1 + 1:7],
+               r.sae + abs(q.y - r.lvl - r.s[((q.rn - 1) % 7) + 1]),
+               greatest(r.mxe,
+                        abs(q.y - r.lvl - r.s[((q.rn - 1) % 7) + 1]))
+        FROM rec r JOIN seq q ON q.series = r.series AND q.rn = r.rn + 1
+    )
+    SELECT series, n AS n_obs, lvl AS level_cents,
+           lvl + s[(n % 7) + 1] AS forecast_cents,
+           sae AS sum_abs_err_cents, mxe AS max_abs_err_cents,
+           s[1] AS s1, s[2] AS s2, s[3] AS s3, s[4] AS s4,
+           s[5] AS s5, s[6] AS s6, s[7] AS s7
+    FROM rec WHERE rn = n ORDER BY series
+    """,
+    tags=("timeseries", "forecast", "seasonal", "stateful", "pandas-udf",
+          "engine-addition"),
+)
+def ts_holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing (alpha = gamma = 1/2,
+    period 7, no trend) over the last 120 days of daily revenue per
+    order priority — the seasonal upgrade of ts_holt_linear: the
+    state is (level, 7 seasonal offsets); each day updates the level
+    against the day-of-week offset and the offset against the new
+    level, all in exact integer cents with truncating halving (Spark
+    div and DuckDB // both truncate toward zero — re-probed:
+    -7//2 = -3). Emits the terminal level, the one-step-ahead
+    forecast (level + next slot's offset), the in-sample one-step
+    error totals, and the full seasonal profile s1..s7.
+
+    Same stateful-operator showcase as ts_holt_linear: Spark runs
+    the per-series recurrence as an applyInPandas integer loop
+    (O(1 + m) state, one shuffle on the series key, series
+    parallelize across executors), the oracle as a recursive CTE
+    carrying the seasonal LIST and rebuilding it by slice-concat
+    each step."""
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(
+        F.date_sub(F.max(F.to_date("o_orderdate")), 119).alias("lo")
+    )
+    daily = (
+        o.crossJoin(F.broadcast(anchor))
+        .where(F.to_date("o_orderdate") >= F.col("lo"))
+        .groupBy(
+            F.col("o_orderpriority").alias("series"),
+            F.to_date("o_orderdate").alias("d"),
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+
+    def hw(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("d")
+        ys = [int(v) for v in pdf["y"]]
+
+        def tdiv2(a: int) -> int:
+            return a // 2 if a >= 0 else -((-a) // 2)
+
+        lvl, s, sae, mxe = ys[0], [0] * 7, 0, 0
+        for rn, y in enumerate(ys[1:], start=2):
+            slot = (rn - 1) % 7  # 0-based
+            err = abs(y - lvl - s[slot])
+            sae += err
+            mxe = max(mxe, err)
+            new_lvl = tdiv2(y - s[slot] + lvl)
+            s[slot] = tdiv2(y - new_lvl + s[slot])
+            lvl = new_lvl
+        n = len(ys)
+        return pd.DataFrame(
+            {
+                "series": [pdf["series"].iloc[0]],
+                "n_obs": [n],
+                "level_cents": [lvl],
+                "forecast_cents": [lvl + s[n % 7]],
+                "sum_abs_err_cents": [sae],
+                "max_abs_err_cents": [mxe],
+                **{f"s{i + 1}": [s[i]] for i in range(7)},
+            }
+        )
+
+    schema = (
+        "series string, n_obs bigint, level_cents bigint,"
+        " forecast_cents bigint, sum_abs_err_cents bigint,"
+        " max_abs_err_cents bigint, s1 bigint, s2 bigint, s3 bigint,"
+        " s4 bigint, s5 bigint, s6 bigint, s7 bigint"
+    )
+    return daily.groupBy("series").applyInPandas(hw, schema).orderBy("series")

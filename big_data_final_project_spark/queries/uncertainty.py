@@ -1179,3 +1179,242 @@ def ml_auc_delong_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         " div ((n_neg - 1) * n_neg * 4 * n_pos * n_pos * n_neg)"
         " AS BIGINT) AS var_auc_e12",
     )
+
+
+# ---------------------------------------------------------------------------
+# Uplift evaluation (Qini-style cumulative uplift by score decile)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ml_uplift_qini",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(CAST(('0x' || substring(md5('t-' ||
+                      CAST(o_orderkey AS VARCHAR)), 1, 8)) AS UBIGINT) % 2
+                    AS BIGINT) AS treat,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+               ntile(10) OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                   AS decile
+        FROM orders
+    ),
+    per AS (
+        SELECT decile,
+               CAST(sum(treat) AS BIGINT) AS n_t,
+               CAST(sum(treat * y) AS BIGINT) AS pos_t,
+               CAST(sum(1 - treat) AS BIGINT) AS n_c,
+               CAST(sum((1 - treat) * y) AS BIGINT) AS pos_c
+        FROM base GROUP BY 1
+    ),
+    cum AS (
+        SELECT decile,
+               sum(n_t) OVER w AS cn_t, sum(pos_t) OVER w AS cpos_t,
+               sum(n_c) OVER w AS cn_c, sum(pos_c) OVER w AS cpos_c
+        FROM per
+        WINDOW w AS (ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(cn_t AS BIGINT) AS cn_t, CAST(cpos_t AS BIGINT) AS cpos_t,
+           CAST(cn_c AS BIGINT) AS cn_c, CAST(cpos_c AS BIGINT) AS cpos_c,
+           CAST(cpos_t * cn_c - cpos_c * cn_t AS BIGINT) AS qini_x,
+           CAST(CASE WHEN cpos_t * cn_c - cpos_c * cn_t < 0 THEN -1
+                     ELSE 1 END
+                * (abs(cpos_t * cn_c - cpos_c * cn_t) * 1000000
+                   // (cn_t * cn_c)) AS BIGINT) AS uplift_cum_ppm
+    FROM cum ORDER BY decile
+    """,
+    tags=("ml", "uplift", "causal", "evaluation", "engine-addition"),
+)
+def ml_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini-style uplift curve — the causal-inference evaluation a
+    targeting model ships with: units ranked by model score
+    (o_totalprice, pinned ties by key) into deciles, treatment
+    assigned by a deterministic hash bit, and the CUMULATIVE
+    treated-vs-control response gap reported per decile. qini_x =
+    cpos_t*cn_c - cpos_c*cn_t is the exact integer Qini numerator
+    (treated responders minus control responders rescaled to the
+    treated denominator); uplift_cum_ppm is the rate difference in
+    integer ppm. A random-score model flatlines; mass in early
+    deciles is targeting skill.
+
+    Scale shape: ntile needs a total order — at scale this is the
+    range-partitioned two-pass rank (pipeline_global_rank); here the
+    decile table after aggregation is 10 rows, so the cumulative
+    window is model-sized. One data shuffle total."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("t-"), F.col("o_orderkey").cast("string"))),
+                    1, 8,
+                ), 16, 10,
+            ).cast("long") % 2
+        ).alias("treat"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")))
+        .alias("decile"),
+    )
+    per = base.groupBy("decile").agg(
+        F.sum("treat").cast("bigint").alias("n_t"),
+        F.sum(F.col("treat") * F.col("y")).cast("bigint").alias("pos_t"),
+        F.sum(1 - F.col("treat")).cast("bigint").alias("n_c"),
+        F.sum((1 - F.col("treat")) * F.col("y")).cast("bigint").alias("pos_c"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "decile",
+        F.sum("n_t").over(wc).alias("cn_t"),
+        F.sum("pos_t").over(wc).alias("cpos_t"),
+        F.sum("n_c").over(wc).alias("cn_c"),
+        F.sum("pos_c").over(wc).alias("cpos_c"),
+    )
+    return cum.selectExpr(
+        "CAST(decile AS BIGINT) AS decile",
+        "CAST(cn_t AS BIGINT) AS cn_t",
+        "CAST(cpos_t AS BIGINT) AS cpos_t",
+        "CAST(cn_c AS BIGINT) AS cn_c",
+        "CAST(cpos_c AS BIGINT) AS cpos_c",
+        "CAST(cpos_t * cn_c - cpos_c * cn_t AS BIGINT) AS qini_x",
+        # sign-safe: Spark div truncates, DuckDB // floors — strip the
+        # sign before the floor division and reapply it after
+        "CAST(CASE WHEN cpos_t * cn_c - cpos_c * cn_t < 0 THEN -1 ELSE 1 END"
+        " * (abs(cpos_t * cn_c - cpos_c * cn_t) * 1000000"
+        " div (cn_t * cn_c)) AS BIGINT) AS uplift_cum_ppm",
+    ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction (pre-exposure covariate adjustment)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ab_cuped_adjustment",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(CAST(('0x' || substring(md5('c-' ||
+                      CAST(l_orderkey AS VARCHAR) || '-' ||
+                      CAST(l_linenumber AS VARCHAR)), 1, 8)) AS UBIGINT) % 2
+                    AS HUGEINT) AS t,
+               CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)
+                 * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                          AS HUGEINT)) AS y,
+               CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT) AS x
+        FROM lineitem
+    ),
+    m AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy,
+               sum(t) AS n_t, sum(t*x) AS sx_t, sum(t*y) AS sy_t
+        FROM base
+    ),
+    d AS (
+        SELECT n, n_t, n - n_t AS n_c,
+               sx - sx_t AS sx_c, sy - sy_t AS sy_c,
+               sx_t, sy_t,
+               n*sxy - sx*sy AS cov_num,
+               n*sxx - sx*sx AS varx_num,
+               n*syy - sy*sy AS vary_num
+        FROM m
+    ),
+    s AS (
+        SELECT *,
+               CASE WHEN cov_num < 0 THEN -1 ELSE 1 END
+                 * (abs(cov_num) * 1000000 // varx_num) AS theta_e6,
+               CASE WHEN cov_num < 0 THEN -1 ELSE 1 END
+                 * (abs(cov_num) * 1000000 // vary_num) AS b_e6,
+               sy_t * 1000000 // n_t - sy_c * 1000000 // n_c AS dy_e6,
+               sx_t * 1000000 // n_t - sx_c * 1000000 // n_c AS dx_e6
+        FROM d
+    )
+    SELECT CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+           CAST(theta_e6 AS BIGINT) AS theta_e6,
+           CAST(theta_e6 * b_e6 // 1000000 AS BIGINT) AS corr2_ppm,
+           CAST(dy_e6 AS BIGINT) AS raw_diff_cents_e6,
+           CAST(dy_e6 - (CASE WHEN theta_e6 * dx_e6 < 0 THEN -1 ELSE 1 END
+                         * (abs(theta_e6 * dx_e6) // 1000000))
+                AS BIGINT) AS adj_diff_cents_e6,
+           CAST(theta_e6 * b_e6 // 1000000 AS BIGINT) AS var_reduction_ppm
+    FROM s
+    """,
+    tags=("ab", "cuped", "variance-reduction", "engine-addition"),
+)
+def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Deng et al. 2013) — the experimentation platform's
+    variance-reduction workhorse: adjust the experiment metric Y
+    (net line revenue, exact integer cents-x100: ep_cents *
+    (100 - discount_pct)) by the pre-exposure covariate X (the
+    pre-discount line price in cents — the classic "same metric,
+    pre-period" covariate, corr ~0.998 here) via
+    theta = cov(Y,X)/var(X), shrinking metric variance
+    by corr(X,Y)^2. One exact decimal moment pass feeds everything;
+    theta and the correlation factors are integer-ppm floor divisions
+    with the sign stripped first and reapplied after (Spark div
+    truncates, DuckDB // floors — they disagree on negatives), and
+    corr^2 is staged as the PRODUCT of the two ppm factors (floor at
+    1e-6 resolution twice, then rescale) so the cross product
+    cov_num^2 — which would overflow decimal(38,0) at sf0.1 — never
+    materializes. Treatment is a deterministic hash bit; the readout
+    is the raw vs CUPED-adjusted treated-control gap and the expected
+    variance-reduction ppm.
+
+    Scale shape: ONE map-side-combinable 9-aggregate scan; the
+    adjustment algebra runs on a single row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    base = li.selectExpr(
+        f"""CAST(CAST(conv(substring(md5(concat('c-',
+            CAST(l_orderkey AS STRING), '-',
+            CAST(l_linenumber AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2
+            AS {d38}) AS t""",
+        f"CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        f" AS {d38})"
+        f" * (100 - CAST(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100"
+        f" AS BIGINT) AS {d38})) AS y",
+        f"CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        f" AS {d38}) AS x",
+    )
+    m = base.agg(
+        F.expr(f"CAST(count(*) AS {d38})").alias("n"),
+        F.expr("sum(x)").alias("sx"),
+        F.expr("sum(y)").alias("sy"),
+        F.expr("sum(x*x)").alias("sxx"),
+        F.expr("sum(x*y)").alias("sxy"),
+        F.expr("sum(y*y)").alias("syy"),
+        F.expr("sum(t)").alias("n_t"),
+        F.expr("sum(t*x)").alias("sx_t"),
+        F.expr("sum(t*y)").alias("sy_t"),
+    )
+    d = m.selectExpr(
+        "n", "n_t", "n - n_t AS n_c",
+        "sx - sx_t AS sx_c", "sy - sy_t AS sy_c", "sx_t", "sy_t",
+        "n*sxy - sx*sy AS cov_num",
+        "n*sxx - sx*sx AS varx_num",
+        "n*syy - sy*sy AS vary_num",
+    )
+    s = d.selectExpr(
+        "*",
+        "CASE WHEN cov_num < 0 THEN -1 ELSE 1 END"
+        " * (abs(cov_num) * 1000000 div varx_num) AS theta_e6",
+        "CASE WHEN cov_num < 0 THEN -1 ELSE 1 END"
+        " * (abs(cov_num) * 1000000 div vary_num) AS b_e6",
+        "sy_t * 1000000 div n_t - sy_c * 1000000 div n_c AS dy_e6",
+        "sx_t * 1000000 div n_t - sx_c * 1000000 div n_c AS dx_e6",
+    )
+    return s.selectExpr(
+        "CAST(n_t AS BIGINT) AS n_t",
+        "CAST(n_c AS BIGINT) AS n_c",
+        "CAST(theta_e6 AS BIGINT) AS theta_e6",
+        "CAST(theta_e6 * b_e6 div 1000000 AS BIGINT) AS corr2_ppm",
+        "CAST(dy_e6 AS BIGINT) AS raw_diff_cents_e6",
+        "CAST(dy_e6 - (CASE WHEN theta_e6 * dx_e6 < 0 THEN -1 ELSE 1 END"
+        " * (abs(theta_e6 * dx_e6) div 1000000))"
+        " AS BIGINT) AS adj_diff_cents_e6",
+        "CAST(theta_e6 * b_e6 div 1000000 AS BIGINT) AS var_reduction_ppm",
+    )
