@@ -20,7 +20,7 @@ case.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..data import load_table
@@ -427,4 +427,79 @@ def privacy_geometric_noise_counts(spark: SparkSession, sf_dir: str) -> DataFram
         "CAST(sign * mag AS BIGINT) AS noise",
         "CAST(n + sign * mag AS BIGINT) AS noisy_count",
         "CAST(mag AS BIGINT) AS noise_magnitude",
+    ).orderBy("event_type")
+
+
+@query(
+    "privacy_report_noisy_max",
+    oracle="""
+    WITH per AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(CAST(('0x' || substring(md5('rnm-' || event_type), 1, 8))
+                    AS UBIGINT) AS BIGINT) AS u
+        FROM events GROUP BY 1
+    ),
+    noised AS (
+        SELECT event_type, n,
+               (CASE WHEN u % 2 = 0 THEN 1 ELSE -1 END)
+                 * (CASE WHEN u = 0 THEN 32
+                         ELSE 32 - length(bin(CAST(u AS UBIGINT))) END)
+                 AS noise
+        FROM per
+    ),
+    ranked AS (
+        SELECT event_type, n, noise, n + noise AS noisy_score,
+               row_number() OVER (ORDER BY n + noise DESC, event_type)
+                   AS rk
+        FROM noised
+    )
+    SELECT event_type, noise, CAST(n + noise AS BIGINT) AS noisy_score,
+           CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_winner
+    FROM ranked ORDER BY event_type
+    """,
+    tags=("privacy", "differential-privacy", "noisy-max", "engine-addition"),
+)
+def privacy_report_noisy_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Report-noisy-max selection — the DP answer to "which category
+    is most frequent?": add independent two-sided geometric noise to
+    every category's count (same log-free leading-zero construction
+    as privacy_geometric_noise_counts, different salt) and report the
+    argmax. Crucially the released payload is the WINNER IDENTITY,
+    not the counts — noisy-max's privacy argument needs only one
+    noisy comparison to leak; the noisy scores are shown here for
+    the differential's benefit (draws pinned by md5 for testability;
+    a production release swaps the entropy source and drops the
+    score column at this seam).
+
+    Scale shape: one aggregate to category counts, O(categories)
+    post-processing, a model-sized window for the argmax."""
+    per = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .selectExpr(
+            "event_type",
+            "n",
+            "CAST(conv(substring(md5(concat('rnm-', event_type)), 1, 8),"
+            " 16, 10) AS BIGINT) AS u",
+        )
+    )
+    noised = per.selectExpr(
+        "event_type",
+        "n",
+        "(CASE WHEN u % 2 = 0 THEN 1 ELSE -1 END)"
+        " * (CASE WHEN u = 0 THEN 32 ELSE 32 - length(bin(u)) END) AS noise",
+    )
+    ranked = noised.select(
+        "event_type", "n", "noise",
+        (F.col("n") + F.col("noise")).alias("noisy_score"),
+        F.row_number()
+        .over(Window.orderBy(F.desc(F.col("n") + F.col("noise")), "event_type"))
+        .alias("rk"),
+    )
+    return ranked.selectExpr(
+        "event_type",
+        "noise",
+        "CAST(noisy_score AS BIGINT) AS noisy_score",
+        "CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_winner",
     ).orderBy("event_type")

@@ -4836,3 +4836,235 @@ def ts_holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
         " s4 bigint, s5 bigint, s6 bigint, s7 bigint"
     )
     return daily.groupBy("series").applyInPandas(hw, schema).orderBy("series")
+
+
+@query(
+    "ts_spc_western_electric",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, h, y,
+               CAST(count(*) OVER w AS BIGINT) AS n,
+               CAST(sum(y) OVER w AS BIGINT) AS sy,
+               CAST(sum(y * y) OVER w AS BIGINT) AS syy
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type)
+    ),
+    dev AS (
+        SELECT event_type, h, y,
+               n * y - sy AS d,
+               n * syy - sy * sy AS var_n2
+        FROM stats
+    ),
+    flags AS (
+        SELECT event_type, h, y,
+               CASE WHEN d * d > 9 * var_n2 THEN 1 ELSE 0 END AS beyond3,
+               CASE WHEN d * d > 4 * var_n2 AND d > 0 THEN 1 ELSE 0 END
+                   AS b2_up,
+               CASE WHEN d * d > 4 * var_n2 AND d < 0 THEN 1 ELSE 0 END
+                   AS b2_dn,
+               CASE WHEN d > 0 THEN 1 ELSE 0 END AS up,
+               CASE WHEN d < 0 THEN 1 ELSE 0 END AS dn
+        FROM dev
+    ),
+    runs AS (
+        SELECT event_type, h, y, beyond3,
+               CASE WHEN sum(b2_up) OVER w3 >= 2
+                      OR sum(b2_dn) OVER w3 >= 2 THEN 1 ELSE 0 END AS rule2,
+               CASE WHEN sum(up) OVER w9 = 9
+                      OR sum(dn) OVER w9 = 9 THEN 1 ELSE 0 END AS rule4
+        FROM flags
+        WINDOW w3 AS (PARTITION BY event_type ORDER BY h
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+               w9 AS (PARTITION BY event_type ORDER BY h
+                      ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, h, y,
+           CAST(beyond3 AS BIGINT) AS rule1_beyond_3sigma,
+           CAST(rule2 AS BIGINT) AS rule2_two_of_three_2sigma,
+           CAST(rule4 AS BIGINT) AS rule4_nine_one_side
+    FROM runs
+    WHERE beyond3 = 1 OR rule2 = 1 OR rule4 = 1
+    ORDER BY event_type, h
+    """,
+    tags=("timeseries", "spc", "control-chart", "monitoring",
+          "engine-addition"),
+)
+def ts_spc_western_electric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Western Electric control-chart rules on each event type's
+    hourly series — the SPC (statistical process control) monitor:
+    rule 1 = a point beyond 3 sigma, rule 2 = two of the last three
+    beyond 2 sigma on the SAME side, rule 4 = nine consecutive on one
+    side of the mean. Every sigma comparison is division- and
+    sqrt-free: with d = n*y - sum(y) and var_n2 = n*sum(y^2) -
+    sum(y)^2 (both exact integers), |y - mean| > k*sigma is exactly
+    d^2 > k^2 * var_n2. Points equal to the mean (d = 0) count for
+    neither side, matching the classic rule statement.
+
+    Scale shape: the fact scan collapses to (series, hour); the
+    per-series stats and both short ROWS frames run in one
+    partitioned window pass — no global window, co-partitioned with
+    the other per-series diagnostics."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr(
+                "CAST(unix_timestamp(date_trunc('hour', ts)) AS BIGINT)"
+                " div 3600"
+            ).alias("h"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    wall = Window.partitionBy("event_type")
+    stats = hourly.select(
+        "event_type", "h", "y",
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+        F.sum("y").over(wall).cast("bigint").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).over(wall).cast("bigint").alias("syy"),
+    )
+    dev = stats.selectExpr(
+        "event_type", "h", "y",
+        "n * y - sy AS d",
+        "n * syy - sy * sy AS var_n2",
+    )
+    flags = dev.selectExpr(
+        "event_type", "h", "y",
+        "CASE WHEN d * d > 9 * var_n2 THEN 1 ELSE 0 END AS beyond3",
+        "CASE WHEN d * d > 4 * var_n2 AND d > 0 THEN 1 ELSE 0 END AS b2_up",
+        "CASE WHEN d * d > 4 * var_n2 AND d < 0 THEN 1 ELSE 0 END AS b2_dn",
+        "CASE WHEN d > 0 THEN 1 ELSE 0 END AS up",
+        "CASE WHEN d < 0 THEN 1 ELSE 0 END AS dn",
+    )
+    w3 = Window.partitionBy("event_type").orderBy("h").rowsBetween(-2, 0)
+    w9 = Window.partitionBy("event_type").orderBy("h").rowsBetween(-8, 0)
+    runs = flags.select(
+        "event_type", "h", "y", "beyond3",
+        F.when(
+            (F.sum("b2_up").over(w3) >= 2) | (F.sum("b2_dn").over(w3) >= 2), 1
+        ).otherwise(0).alias("rule2"),
+        F.when(
+            (F.sum("up").over(w9) == 9) | (F.sum("dn").over(w9) == 9), 1
+        ).otherwise(0).alias("rule4"),
+    )
+    return (
+        runs.where(
+            (F.col("beyond3") == 1) | (F.col("rule2") == 1) | (F.col("rule4") == 1)
+        )
+        .selectExpr(
+            "event_type", "h", "y",
+            "CAST(beyond3 AS BIGINT) AS rule1_beyond_3sigma",
+            "CAST(rule2 AS BIGINT) AS rule2_two_of_three_2sigma",
+            "CAST(rule4 AS BIGINT) AS rule4_nine_one_side",
+        )
+        .orderBy("event_type", "h")
+    )
+
+
+# Kalman fixed-point parameters: random-walk process variance Q and
+# measurement variance R in count^2 units; gains carried in e6.
+_KF_Q = 4
+_KF_R = 64
+
+
+@query(
+    "ts_kalman_1d",
+    oracle=f"""
+    WITH RECURSIVE daily AS MATERIALIZED (
+        SELECT event_type AS series, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    seq AS MATERIALIZED (
+        SELECT series, y,
+               CAST(row_number() OVER (PARTITION BY series ORDER BY d)
+                    AS BIGINT) AS rn,
+               CAST(count(*) OVER (PARTITION BY series) AS BIGINT) AS n
+        FROM daily
+    ),
+    rec AS (
+        SELECT series, rn, n, y * 1000000 AS x_e6,
+               CAST({_KF_R} AS BIGINT) AS p,
+               CAST(0 AS BIGINT) AS k_e6,
+               CAST(0 AS BIGINT) AS sai_e6
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT q.series, q.rn, q.n,
+               r.x_e6 + ((r.p + {_KF_Q}) * 1000000 // (r.p + {_KF_Q} + {_KF_R}))
+                        * (q.y * 1000000 - r.x_e6) // 1000000,
+               (1000000 - (r.p + {_KF_Q}) * 1000000
+                          // (r.p + {_KF_Q} + {_KF_R}))
+                 * (r.p + {_KF_Q}) // 1000000,
+               (r.p + {_KF_Q}) * 1000000 // (r.p + {_KF_Q} + {_KF_R}),
+               r.sai_e6 + abs(q.y * 1000000 - r.x_e6)
+        FROM rec r JOIN seq q ON q.series = r.series AND q.rn = r.rn + 1
+    )
+    SELECT series, n AS n_obs, x_e6 AS estimate_e6, p AS p_terminal,
+           k_e6 AS gain_e6, sai_e6 AS sum_abs_innov_e6
+    FROM rec WHERE rn = n ORDER BY series
+    """,
+    tags=("timeseries", "kalman", "stateful", "fixed-point", "pandas-udf",
+          "engine-addition"),
+)
+def ts_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Kalman filter (random-walk state, pinned Q={_KF_Q},
+    R={_KF_R}) over each event type's daily count series, in integer
+    fixed point: the state estimate is carried in e6 units, the gain
+    K = P'/(P'+R) in e6, and every update is a truncating integer
+    division — both engines truncate toward zero, so the recursion is
+    bit-identical even when the innovation is negative. Emits the
+    terminal estimate, error variance, gain (converged for constant
+    Q/R), and the summed absolute innovation (the filter's residual
+    energy — an anomaly score for the series as a whole).
+
+    Same stateful-showcase shape as ts_holt_winters_additive: Spark
+    runs the per-series recurrence in applyInPandas (O(1) state, one
+    shuffle on the series key), the oracle as a recursive CTE."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("series"),
+            F.to_date("ts").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+
+    def kalman(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("d")
+        ys = [int(v) for v in pdf["y"]]
+
+        def tdiv(a: int, b: int) -> int:
+            q = abs(a) // b
+            return q if a >= 0 else -q
+
+        x_e6, p, k_e6, sai = ys[0] * 1_000_000, _KF_R, 0, 0
+        for y in ys[1:]:
+            pp = p + _KF_Q
+            k_e6 = pp * 1_000_000 // (pp + _KF_R)
+            innov = y * 1_000_000 - x_e6
+            sai += abs(innov)
+            x_e6 = x_e6 + tdiv(k_e6 * innov, 1_000_000)
+            p = (1_000_000 - k_e6) * pp // 1_000_000
+        return pd.DataFrame(
+            {
+                "series": [pdf["series"].iloc[0]],
+                "n_obs": [len(ys)],
+                "estimate_e6": [x_e6],
+                "p_terminal": [p],
+                "gain_e6": [k_e6],
+                "sum_abs_innov_e6": [sai],
+            }
+        )
+
+    schema = (
+        "series string, n_obs bigint, estimate_e6 bigint,"
+        " p_terminal bigint, gain_e6 bigint, sum_abs_innov_e6 bigint"
+    )
+    return daily.groupBy("series").applyInPandas(kalman, schema).orderBy("series")

@@ -1418,3 +1418,193 @@ def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS BIGINT) AS adj_diff_cents_e6",
         "CAST(theta_e6 * b_e6 div 1000000 AS BIGINT) AS var_reduction_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion power analysis (required sample size per arm)
+# ---------------------------------------------------------------------------
+
+# Pinned design constants: alpha=.05 two-sided (z=1.96) + 80% power
+# (z=0.84) -> (z_a + z_b)^2 = 2.80^2 = 784/100; MDE = +2 percentage
+# points absolute = 1/50.
+
+
+@query(
+    "ab_power_sample_size",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderpriority AS grp,
+               CAST(count(*) AS HUGEINT) AS b,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS HUGEINT) AS a
+        FROM orders GROUP BY 1
+    ),
+    calc AS (
+        SELECT grp, b, a,
+               2500 * a * (b - a) + (50 * a + b) * (49 * b - 50 * a)
+                   AS var_num
+        FROM base
+    )
+    SELECT grp,
+           CAST(b AS BIGINT) AS n,
+           CAST(a AS BIGINT) AS pos,
+           CAST(a * 1000000 // b AS BIGINT) AS p1_ppm,
+           CAST((784 * var_num + 100 * b * b - 1) // (100 * b * b)
+                AS BIGINT) AS n_required_per_arm,
+           CAST(CASE WHEN b >= 2 * ((784 * var_num + 100 * b * b - 1)
+                                    // (100 * b * b))
+                     THEN 1 ELSE 0 END AS BIGINT) AS powered_today
+    FROM calc ORDER BY grp
+    """,
+    tags=("ab", "power-analysis", "experiment-design", "engine-addition"),
+)
+def ab_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion power analysis — the experiment-design readout
+    that runs BEFORE ab_welch_ttest ever can: per segment, the
+    required per-arm sample size to detect a +2pp absolute lift on
+    the observed baseline rate at alpha=.05 / power 80%, via
+    n = (z_a+z_b)^2 (p1 q1 + p2 q2) / delta^2 computed as ONE exact
+    integer ceiling division — p1 enters as the rational pos/n,
+    p2 = p1 + 1/50, and clearing denominators gives
+    n = ceil(784 * [2500 a (b-a) + (50a+b)(49b-50a)] / (100 b^2))
+    with the pinned z-sum 2.80 as 784/100. `powered_today` flags
+    segments whose current volume already covers both arms.
+
+    Scale shape: one map-side-combined aggregate to segment counts;
+    the design algebra is O(segments)."""
+    o = load_table(spark, sf_dir, "orders")
+    d38 = "decimal(38,0)"
+    base = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.expr(f"CAST(count(*) AS {d38})").alias("b"),
+        F.expr(
+            f"CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)"
+            f" AS {d38})"
+        ).alias("a"),
+    )
+    calc = base.selectExpr(
+        "grp", "b", "a",
+        "2500 * a * (b - a) + (50 * a + b) * (49 * b - 50 * a) AS var_num",
+    )
+    return calc.selectExpr(
+        "grp",
+        "CAST(b AS BIGINT) AS n",
+        "CAST(a AS BIGINT) AS pos",
+        "CAST(a * 1000000 div b AS BIGINT) AS p1_ppm",
+        "CAST((784 * var_num + 100 * b * b - 1) div (100 * b * b)"
+        " AS BIGINT) AS n_required_per_arm",
+        "CAST(CASE WHEN b >= 2 * ((784 * var_num + 100 * b * b - 1)"
+        " div (100 * b * b)) THEN 1 ELSE 0 END AS BIGINT)"
+        " AS powered_today",
+    ).orderBy("grp")
+
+
+# ---------------------------------------------------------------------------
+# Bucketed jackknife variance of a ratio metric
+# ---------------------------------------------------------------------------
+
+_JK_BUCKETS = 10
+
+
+@query(
+    "ab_jackknife_buckets",
+    oracle=f"""
+    WITH rows_ AS (
+        SELECT CAST(CAST(('0x' || substring(md5('jk-' ||
+                      CAST(l_orderkey AS VARCHAR)), 1, 8)) AS UBIGINT)
+                    % {_JK_BUCKETS} AS BIGINT) AS bucket,
+               CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT) AS y,
+               CAST(CAST(l_quantity AS BIGINT) AS HUGEINT) AS x
+        FROM lineitem
+    ),
+    per AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_b,
+               sum(y) AS sy_b, sum(x) AS sx_b
+        FROM rows_ GROUP BY 1
+    ),
+    tot AS (
+        SELECT bucket, n_b, sy_b, sx_b,
+               sum(sy_b) OVER () AS sy, sum(sx_b) OVER () AS sx
+        FROM per
+    ),
+    loo AS (
+        SELECT bucket, n_b,
+               (sy - sy_b) * 1000000 // (sx - sx_b) AS r_loo_e6,
+               sy * 1000000 // sx AS ratio_full_e6
+        FROM tot
+    ),
+    jk AS (
+        SELECT bucket, n_b, r_loo_e6, ratio_full_e6,
+               CAST(count(*) OVER () AS HUGEINT) AS nb,
+               sum(r_loo_e6) OVER () AS sr,
+               sum(r_loo_e6 * r_loo_e6) OVER () AS sr2
+        FROM loo
+    )
+    SELECT bucket, n_b,
+           CAST(r_loo_e6 AS BIGINT) AS r_loo_e6,
+           CAST(ratio_full_e6 AS BIGINT) AS ratio_full_e6,
+           CAST((nb - 1) * (nb * sr2 - sr * sr) // (nb * nb) AS BIGINT)
+               AS jk_var_e12
+    FROM jk ORDER BY bucket
+    """,
+    tags=("ab", "jackknife", "variance", "ratio-metric", "engine-addition"),
+)
+def ab_jackknife_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed (delete-one-group) jackknife for a RATIO metric —
+    revenue-per-unit cents — the experimentation platform's standard
+    error for metrics whose numerator and denominator are both
+    random (complements ab_ratio_delta_method's closed form with the
+    resampling answer). Units land in {_JK_BUCKETS} deterministic
+    hash buckets on the randomization key (orderkey, so an order's
+    lines stay together); each leave-one-out ratio is an integer-ppm
+    floor division of exact decimal sums, and the jackknife variance
+    (B-1)/B * sum((r_b - rbar)^2) comes from the exact integer
+    identity (B-1)*(B*sum(r^2) - sum(r)^2) / B^2 on those ppm
+    integers.
+
+    Scale shape: one map-side-combined {_JK_BUCKETS}-key aggregate;
+    the leave-one-out algebra is O(B) post-processing on the bucket
+    table — the windows never see data rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    rows_ = li.selectExpr(
+        f"""CAST(CAST(conv(substring(md5(concat('jk-',
+            CAST(l_orderkey AS STRING))), 1, 8), 16, 10) AS BIGINT)
+            % {_JK_BUCKETS} AS BIGINT) AS bucket""",
+        f"CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        f" AS {d38}) AS y",
+        f"CAST(CAST(l_quantity AS BIGINT) AS {d38}) AS x",
+    )
+    per = rows_.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        F.expr("sum(y)").alias("sy_b"),
+        F.expr("sum(x)").alias("sx_b"),
+    )
+    wall = Window.partitionBy()
+    tot = per.select(
+        "bucket", "n_b", "sy_b", "sx_b",
+        F.sum("sy_b").over(wall).alias("sy"),
+        F.sum("sx_b").over(wall).alias("sx"),
+    )
+    loo = tot.selectExpr(
+        "bucket", "n_b",
+        # keep the ppm ratio in decimal(38,0): cents-per-unit * 1e6 is
+        # ~4e11, so its square inside the variance identity overflows
+        # int64 (ANSI mode faults, it doesn't wrap)
+        f"CAST((sy - sy_b) * 1000000 div (sx - sx_b) AS {d38})"
+        " AS r_loo_e6",
+        "sy * 1000000 div sx AS ratio_full_e6",
+    )
+    jk = loo.select(
+        "bucket", "n_b", "r_loo_e6", "ratio_full_e6",
+        F.count(F.lit(1)).over(wall).cast(d38).alias("nb"),
+        F.sum("r_loo_e6").over(wall).alias("sr"),
+        F.sum(F.expr("r_loo_e6 * r_loo_e6")).over(wall).alias("sr2"),
+    )
+    return jk.selectExpr(
+        "bucket", "n_b",
+        "CAST(r_loo_e6 AS BIGINT) AS r_loo_e6",
+        "CAST(ratio_full_e6 AS BIGINT) AS ratio_full_e6",
+        "CAST((nb - 1) * (nb * sr2 - sr * sr) div (nb * nb) AS BIGINT)"
+        " AS jk_var_e12",
+    ).orderBy("bucket")
