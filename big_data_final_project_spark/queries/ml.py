@@ -3386,12 +3386,13 @@ _PCA_FEATURES = ("quantity", "discount_x100", "ship_month")
             * (ABS(z3) * 1000000 // GREATEST(ABS(z1), ABS(z2), ABS(z3)))
             AS u2_3,
           (u1_1*z1 + u1_2*z2 + u1_3*z3) * 1000000
-            // (u1_1*u1_1 + u1_2*u1_2 + u1_3*u1_3) AS lam
+            // ((u1_1*u1_1 + u1_2*u1_2 + u1_3*u1_3)
+                * CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS lam
         FROM v2
     )
     SELECT feature, CAST(u1_ppm AS BIGINT) AS u1_ppm,
            CAST(u2_ppm AS BIGINT) AS u2_ppm,
-           CAST(lam AS BIGINT) AS rayleigh_lambda_ppm
+           CAST(lam AS BIGINT) AS rayleigh_per_row2_e6
     FROM (
         SELECT 'quantity' AS feature, u1_1 AS u1_ppm, u2_1 AS u2_ppm, lam
         FROM u2
@@ -3477,8 +3478,13 @@ def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     u2 = v2.selectExpr(
         "*",
         *_norm("z", "u2_"),
+        # normalized per row^2: the raw Rayleigh quotient of the
+        # n-scaled covariance grows ~n^2*var and overflows int64 at
+        # sf0.1 — dividing by n^2 reports the eigenvalue of the plain
+        # covariance (in e6), which is scale-stable
         "(u1_1*z1 + u1_2*z2 + u1_3*z3) * 1000000"
-        " div (u1_1*u1_1 + u1_2*u1_2 + u1_3*u1_3) AS lam",
+        " div ((u1_1*u1_1 + u1_2*u1_2 + u1_3*u1_3)"
+        f" * CAST(n AS {d38}) * CAST(n AS {d38})) AS lam",
     )
     return u2.selectExpr(
         """stack(3,
@@ -3486,12 +3492,12 @@ def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
            'discount_x100', u1_2, u2_2,
            'ship_month', u1_3, u2_3)
            AS (feature, u1_raw, u2_raw)""",
-        "CAST(lam AS BIGINT) AS rayleigh_lambda_ppm",
+        "CAST(lam AS BIGINT) AS rayleigh_per_row2_e6",
     ).selectExpr(
         "feature",
         "CAST(u1_raw AS BIGINT) AS u1_ppm",
         "CAST(u2_raw AS BIGINT) AS u2_ppm",
-        "rayleigh_lambda_ppm",
+        "rayleigh_per_row2_e6",
     ).orderBy("feature")
 
 
@@ -3694,3 +3700,283 @@ def ml_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(score AS BIGINT) AS score_e12",
     )
     return out_root.unionByName(out_leaves).orderBy("node")
+
+
+# One gradient-boosting round for regression: stage-1 stump on
+# quantity (SSE-optimal split via the integer cross-multiplied score
+# sum_side Sy^2/n), leaf-mean predictions floored to cents, stage-2
+# stump fit to the RESIDUALS on discount. The score quotient Sy^2/n
+# exceeds int64 (Sy is a cents sum), so the floor division must STAY
+# in wide-integer arithmetic: DuckDB's // keeps HUGEINT, while on the
+# Spark side `div` would materialize a long — the exact floor is
+# spelled (a - a % b) / b, which stays in decimal and is exact
+# because the numerator is a multiple of b.
+
+
+def _gbm_score(sl: str, nl: str, sr: str, nr: str) -> str:
+    a1, a2 = f"(({sl})*({sl}))", f"(({sr})*({sr}))"
+    return (
+        f"({a1} - {a1} % ({nl})) DIV ({nl})"
+        f" + ({a2} - {a2} % ({nr})) DIV ({nr})"
+    )
+
+
+@query(
+    "ml_gbm_one_boost_round",
+    oracle=f"""
+    WITH rows_ AS (
+        SELECT CAST(l_quantity AS BIGINT) AS qty,
+               CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS disc,
+               CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT) AS y
+        FROM lineitem
+    ),
+    h0 AS (
+        SELECT qty, CAST(count(*) AS HUGEINT) AS n, sum(y) AS sy
+        FROM rows_ GROUP BY 1
+    ),
+    c0 AS (
+        SELECT qty, sum(n) OVER (ORDER BY qty) AS nl,
+               sum(sy) OVER (ORDER BY qty) AS sl,
+               sum(n) OVER () AS nt, sum(sy) OVER () AS st
+        FROM h0
+    ),
+    root AS (
+        SELECT qty, nl, sl, nt, st,
+               {_gbm_score('sl', 'nl', 'st - sl', 'nt - nl')
+                .replace('DIV', '//')} AS score
+        FROM c0 WHERE nl < nt
+        ORDER BY score DESC, qty LIMIT 1
+    ),
+    resid AS (
+        SELECT rows_.disc,
+               rows_.y - (CASE WHEN rows_.qty <= r.qty
+                               THEN r.sl // r.nl
+                               ELSE (r.st - r.sl) // (r.nt - r.nl) END)
+                   AS rr
+        FROM rows_, root r
+    ),
+    h1 AS (
+        SELECT disc, CAST(count(*) AS HUGEINT) AS n, sum(rr) AS sr
+        FROM resid GROUP BY 1
+    ),
+    c1 AS (
+        SELECT disc, sum(n) OVER (ORDER BY disc) AS nl,
+               sum(sr) OVER (ORDER BY disc) AS sl,
+               sum(n) OVER () AS nt, sum(sr) OVER () AS st
+        FROM h1
+    ),
+    boost AS (
+        SELECT disc, nl, sl, nt, st,
+               {_gbm_score('sl', 'nl', 'st - sl', 'nt - nl')
+                .replace('DIV', '//')} AS score
+        FROM c1 WHERE nl < nt
+        ORDER BY score DESC, disc LIMIT 1
+    )
+    SELECT stage, feature, split_val, n_left, n_right,
+           mean_left_cents, mean_right_cents, score_per_row
+    FROM (
+        SELECT 'round1' AS stage, 'quantity' AS feature,
+               CAST(qty AS BIGINT) AS split_val,
+               CAST(nl AS BIGINT) AS n_left,
+               CAST(nt - nl AS BIGINT) AS n_right,
+               CAST(sl // nl AS BIGINT) AS mean_left_cents,
+               CAST((st - sl) // (nt - nl) AS BIGINT) AS mean_right_cents,
+               CAST(score // nt AS BIGINT) AS score_per_row
+        FROM root
+        UNION ALL
+        SELECT 'round2', 'discount_x100', CAST(disc AS BIGINT),
+               CAST(nl AS BIGINT), CAST(nt - nl AS BIGINT),
+               CAST(CASE WHEN sl < 0 THEN -((-sl) // nl)
+                         ELSE sl // nl END AS BIGINT),
+               CAST(CASE WHEN st - sl < 0
+                         THEN -((sl - st) // (nt - nl))
+                         ELSE (st - sl) // (nt - nl) END AS BIGINT),
+               CAST(score // nt AS BIGINT)
+        FROM boost)
+    ORDER BY stage
+    """,
+    tags=("ml", "boosting", "tree", "regression", "engine-addition"),
+)
+def ml_gbm_one_boost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full gradient-boosting round for REGRESSION (the additive
+    sibling of ml_tree_depth2's classifier): stage 1 fits the
+    SSE-optimal stump on quantity predicting line revenue —
+    minimizing SSE is maximizing sum_side Sy^2/n, staged as integer
+    floor divisions scaled 1e6 so the argmax is float-free — stage 2
+    re-fits on the RESIDUALS (y minus the leaf mean, floored to
+    cents) against discount. This is the boosting loop's exact inner
+    shape: predict, subtract, fit again. Negative residual means are
+    divided sign-safely (both engines truncate toward zero; the
+    explicit CASE keeps the floor semantics identical when DuckDB
+    sums are HUGEINT and Spark's are decimal).
+
+    Scale shape: each round is one histogram shuffle over the
+    active feature plus a model-sized window — the residual pass
+    re-scans the fact with the 1-row stage-1 model broadcast, so
+    round r costs r scans and zero data-sized windows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    rows_ = li.selectExpr(
+        "CAST(l_quantity AS BIGINT) AS qty",
+        "CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS disc",
+        f"CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        f" AS {d38}) AS y",
+    )
+    score_sql = _gbm_score("sl", "nl", "st - sl", "nt - nl")
+    # DuckDB: a // b on HUGEINT. Spark: (a - a%b)/b is exact on
+    # decimals (numerator is a multiple of b), avoiding div's long.
+    score = (
+        "CAST(" + score_sql.replace("DIV", "/") + " AS decimal(38,0))"
+    )
+
+    def best_split(hist, key):
+        wv = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, 0)
+        wall = Window.partitionBy()
+        c = hist.select(
+            key,
+            F.sum("n").over(wv).alias("nl"),
+            F.sum("s").over(wv).alias("sl"),
+            F.sum("n").over(wall).alias("nt"),
+            F.sum("s").over(wall).alias("st"),
+        )
+        return (
+            c.where(F.col("nl") < F.col("nt"))
+            .selectExpr(key, "nl", "sl", "nt", "st", f"{score} AS score")
+            .orderBy(F.desc("score"), key)
+            .limit(1)
+        )
+
+    h0 = rows_.groupBy("qty").agg(
+        F.expr(f"CAST(count(*) AS {d38})").alias("n"),
+        F.expr("sum(y)").alias("s"),
+    )
+    root = best_split(h0, "qty")
+    resid = rows_.crossJoin(
+        F.broadcast(
+            root.selectExpr(
+                "qty AS r_qty", "sl div nl AS ml",
+                "(st - sl) div (nt - nl) AS mr",
+            )
+        )
+    ).selectExpr(
+        "disc", "y - (CASE WHEN qty <= r_qty THEN ml ELSE mr END) AS rr"
+    )
+    h1 = resid.groupBy("disc").agg(
+        F.expr(f"CAST(count(*) AS {d38})").alias("n"),
+        F.expr("sum(rr)").alias("s"),
+    )
+    boost = best_split(h1, "disc")
+    out1 = root.selectExpr(
+        "'round1' AS stage", "'quantity' AS feature",
+        "CAST(qty AS BIGINT) AS split_val",
+        "CAST(nl AS BIGINT) AS n_left",
+        "CAST(nt - nl AS BIGINT) AS n_right",
+        "CAST(sl div nl AS BIGINT) AS mean_left_cents",
+        "CAST((st - sl) div (nt - nl) AS BIGINT) AS mean_right_cents",
+        "CAST(score div nt AS BIGINT) AS score_per_row",
+    )
+    out2 = boost.selectExpr(
+        "'round2' AS stage", "'discount_x100' AS feature",
+        "CAST(disc AS BIGINT) AS split_val",
+        "CAST(nl AS BIGINT) AS n_left",
+        "CAST(nt - nl AS BIGINT) AS n_right",
+        "CAST(sl div nl AS BIGINT) AS mean_left_cents",
+        "CAST((st - sl) div (nt - nl) AS BIGINT) AS mean_right_cents",
+        "CAST(score div nt AS BIGINT) AS score_per_row",
+    )
+    return out1.unionByName(out2).orderBy("stage")
+
+
+_FAIR_THRESHOLD_CENTS = 15_000_000  # classify positive when price > 150k
+
+
+@query(
+    "ml_threshold_fairness_audit",
+    oracle=f"""
+    WITH scored AS (
+        SELECT o_orderpriority AS grp,
+               CASE WHEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT) > {_FAIR_THRESHOLD_CENTS}
+                    THEN 1 ELSE 0 END AS yhat,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    per AS (
+        SELECT grp,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(yhat * y) AS BIGINT) AS tp,
+               CAST(sum(yhat * (1 - y)) AS BIGINT) AS fp,
+               CAST(sum((1 - yhat) * y) AS BIGINT) AS fn,
+               CAST(sum((1 - yhat) * (1 - y)) AS BIGINT) AS tn
+        FROM scored GROUP BY 1
+    ),
+    rates AS (
+        SELECT grp, n, tp, fp, fn, tn,
+               CAST(tp * 1000000 // (tp + fn) AS BIGINT) AS tpr_ppm,
+               CAST(fp * 1000000 // (fp + tn) AS BIGINT) AS fpr_ppm,
+               CAST((tp + fp) * 1000000 // n AS BIGINT) AS sel_ppm
+        FROM per
+    )
+    SELECT grp, n, tp, fp, fn, tn, tpr_ppm, fpr_ppm, sel_ppm,
+           CAST(max(tpr_ppm) OVER () - min(tpr_ppm) OVER () AS BIGINT)
+               AS tpr_gap_ppm,
+           CAST(max(fpr_ppm) OVER () - min(fpr_ppm) OVER () AS BIGINT)
+               AS fpr_gap_ppm,
+           CAST(max(sel_ppm) OVER () - min(sel_ppm) OVER () AS BIGINT)
+               AS selection_gap_ppm
+    FROM rates ORDER BY grp
+    """,
+    tags=("ml", "fairness", "audit", "equalized-odds", "engine-addition"),
+)
+def ml_threshold_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-fairness audit of a thresholded classifier — the
+    responsible-deployment gate: per protected group (order
+    priority stands in), the full confusion matrix at the pinned
+    decision threshold, TPR/FPR/selection rate in exact integer ppm,
+    and the EQUALIZED-ODDS gaps (max minus min TPR and FPR across
+    groups) plus the demographic-parity selection gap, repeated per
+    row so each group's row carries the audit verdict. All
+    arithmetic is integer counts and ppm floor divisions — an audit
+    whose numbers can be recomputed exactly is one that can be
+    disputed precisely.
+
+    Scale shape: one map-side-combined aggregate to |groups| rows;
+    the gap windows run on the group table."""
+    o = load_table(spark, sf_dir, "orders")
+    scored = o.selectExpr(
+        "o_orderpriority AS grp",
+        f"CASE WHEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+        f" AS BIGINT) > {_FAIR_THRESHOLD_CENTS} THEN 1 ELSE 0 END AS yhat",
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y",
+    )
+    per = scored.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("yhat * y")).cast("bigint").alias("tp"),
+        F.sum(F.expr("yhat * (1 - y)")).cast("bigint").alias("fp"),
+        F.sum(F.expr("(1 - yhat) * y")).cast("bigint").alias("fn"),
+        F.sum(F.expr("(1 - yhat) * (1 - y)")).cast("bigint").alias("tn"),
+    )
+    rates = per.selectExpr(
+        "grp", "n", "tp", "fp", "fn", "tn",
+        "CAST(tp * 1000000 div (tp + fn) AS BIGINT) AS tpr_ppm",
+        "CAST(fp * 1000000 div (fp + tn) AS BIGINT) AS fpr_ppm",
+        "CAST((tp + fp) * 1000000 div n AS BIGINT) AS sel_ppm",
+    )
+    wall = Window.partitionBy()
+    return (
+        rates.select(
+            "*",
+            (F.max("tpr_ppm").over(wall) - F.min("tpr_ppm").over(wall))
+            .cast("bigint")
+            .alias("tpr_gap_ppm"),
+            (F.max("fpr_ppm").over(wall) - F.min("fpr_ppm").over(wall))
+            .cast("bigint")
+            .alias("fpr_gap_ppm"),
+            (F.max("sel_ppm").over(wall) - F.min("sel_ppm").over(wall))
+            .cast("bigint")
+            .alias("selection_gap_ppm"),
+        )
+        .orderBy("grp")
+    )

@@ -2602,3 +2602,88 @@ def agg_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_log_histogram_percentiles",
+    oracle="""
+    WITH cents AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS c
+        FROM orders
+    ),
+    buckets AS (
+        SELECT length(bin(CAST(c AS UBIGINT))) AS b,
+               CAST(count(*) AS BIGINT) AS n
+        FROM cents WHERE c > 0 GROUP BY 1
+    ),
+    cum AS (
+        SELECT b, n,
+               CAST(sum(n) OVER (ORDER BY b) AS BIGINT) AS cn,
+               CAST(sum(n) OVER () AS BIGINT) AS total
+        FROM buckets
+    ),
+    picks AS (
+        SELECT p, b, n, cn, total,
+               row_number() OVER (PARTITION BY p ORDER BY b) AS rk
+        FROM (SELECT unnest([50, 95, 99]) AS p) ps
+        JOIN cum ON cum.cn * 100 >= ps.p * cum.total
+    )
+    SELECT CAST(p AS BIGINT) AS pct,
+           CAST(b AS BIGINT) AS bucket_bits,
+           CAST(1 << (b - 1) AS BIGINT) AS lower_cents,
+           CAST((1 << b) - 1 AS BIGINT) AS upper_cents,
+           cn AS n_at_or_below, total
+    FROM picks WHERE rk = 1
+    ORDER BY pct
+    """,
+    tags=("agg", "histogram", "percentile-sketch", "engine-addition"),
+)
+def agg_log_histogram_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-histogram-style percentile estimation — the
+    latency-dashboard sketch: values collapse into power-of-two
+    buckets (bucket id = bit length, computed log-free as
+    length(bin(x)) — same trick as the geometric noise draw), and
+    each percentile reports the first bucket whose cumulative count
+    covers it, with the bucket's exact [2^(b-1), 2^b) value bounds.
+    The estimate's relative error is bounded by 2x by construction —
+    stated honestly by returning BOTH bounds rather than a point.
+    Unlike agg_percentiles_approx (GK sketch, rank-accuracy), this
+    sketch is value-accuracy, O(64) memory, and trivially mergeable
+    across partitions/streams: counts just add.
+
+    Scale shape: one map-side-combined <=64-key aggregate; the
+    cumulative window and percentile picks run on the bucket table."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.selectExpr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c"
+    )
+    buckets = (
+        cents.where(F.col("c") > 0)
+        .groupBy(F.expr("length(bin(c))").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = buckets.select(
+        "b", "n",
+        F.sum("n").over(wb).cast("bigint").alias("cn"),
+        F.sum("n").over(wall).cast("bigint").alias("total"),
+    )
+    ps = spark.range(1).selectExpr("explode(array(50, 95, 99)) AS p")
+    picks = (
+        ps.join(cum, F.col("cn") * 100 >= F.col("p") * F.col("total"))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("p").orderBy("b")),
+        )
+        .where(F.col("rk") == 1)
+    )
+    return picks.selectExpr(
+        "CAST(p AS BIGINT) AS pct",
+        "CAST(b AS BIGINT) AS bucket_bits",
+        "CAST(shiftleft(1, b - 1) AS BIGINT) AS lower_cents",
+        "CAST(shiftleft(1, b) - 1 AS BIGINT) AS upper_cents",
+        "cn AS n_at_or_below",
+        "total",
+    ).orderBy("pct")

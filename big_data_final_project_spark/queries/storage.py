@@ -462,3 +462,136 @@ def store_zone_map_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+@query(
+    "store_write_audit_publish",
+    oracle="""
+    WITH anchor AS (
+        SELECT max(CAST(o_orderdate AS DATE)) AS hi FROM orders
+    ),
+    cand AS (
+        SELECT CAST(count(*) AS BIGINT) AS c_rows,
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c_nulls,
+               CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+                   AS c_dups,
+               CAST(max(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS BIGINT) AS c_maxp
+        FROM orders o, anchor a
+        WHERE CAST(o.o_orderdate AS DATE) = a.hi
+    ),
+    hist AS (
+        SELECT CAST(max(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS BIGINT) AS h_maxp
+        FROM orders o, anchor a
+        WHERE CAST(o.o_orderdate AS DATE) < a.hi
+    ),
+    daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+        FROM orders o, anchor a
+        WHERE CAST(o.o_orderdate AS DATE) < a.hi
+        GROUP BY 1
+    ),
+    vol AS (
+        SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(c) AS BIGINT) AS sc,
+               CAST(sum(c * c) AS BIGINT) AS scc
+        FROM daily
+    ),
+    one AS (SELECT * FROM cand, hist, vol),
+    checks AS (
+        SELECT 'volume_within_3_sigma' AS rule, c_rows AS observed,
+               CASE WHEN (nd * c_rows - sc) * (nd * c_rows - sc)
+                      <= 9 * (nd * scc - sc * sc) THEN 1 ELSE 0 END AS pass
+        FROM one
+        UNION ALL
+        SELECT 'no_null_keys', c_nulls,
+               CASE WHEN c_nulls = 0 THEN 1 ELSE 0 END
+        FROM one
+        UNION ALL
+        SELECT 'no_duplicate_keys', c_dups,
+               CASE WHEN c_dups = 0 THEN 1 ELSE 0 END
+        FROM one
+        UNION ALL
+        SELECT 'price_within_2x_history', c_maxp,
+               CASE WHEN c_maxp <= 2 * h_maxp THEN 1 ELSE 0 END
+        FROM one
+    )
+    SELECT rule, CAST(observed AS BIGINT) AS observed,
+           CAST(pass AS BIGINT) AS pass,
+           CAST((SELECT min(pass) FROM checks) AS BIGINT) AS publish
+    FROM checks
+    ORDER BY rule
+    """,
+    tags=("storage", "write-audit-publish", "data-quality", "ops",
+          "engine-addition"),
+)
+def store_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish gate — the data-reliability pattern from
+    lakehouse practice: the newest day of orders is the staged
+    \"branch\"; it publishes only if every audit passes against
+    history. Four audits, all exact-integer: volume within 3 sigma of
+    the historical daily distribution (cross-multiplied —
+    (nd*c - sum)^2 <= 9*(nd*sum_sq - sum^2), no sqrt), zero null
+    keys, zero duplicate keys, and max price within 2x the
+    historical max (integer cents). The `publish` column is the AND
+    over rules, repeated per row so the verdict travels with the
+    evidence.
+
+    Scale shape: candidate and history are one partition-pruned scan
+    each (at scale the day slice IS the staged partition); audits are
+    map-side-combinable aggregates; the gate is O(rules)."""
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max(F.to_date("o_orderdate")).alias("hi"))
+    with_a = o.crossJoin(F.broadcast(anchor))
+    cand = with_a.where(F.to_date("o_orderdate") == F.col("hi"))
+    hist = with_a.where(F.to_date("o_orderdate") < F.col("hi"))
+    cents = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    cstats = cand.selectExpr(
+        "o_orderkey", f"{cents} AS pc"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_rows"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_nulls"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("c_dups"),
+        F.max("pc").cast("bigint").alias("c_maxp"),
+    )
+    hstats = hist.selectExpr(f"{cents} AS pc").agg(
+        F.max("pc").cast("bigint").alias("h_maxp")
+    )
+    vol = (
+        hist.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nd"),
+            F.sum("c").cast("bigint").alias("sc"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("scc"),
+        )
+    )
+    one = cstats.crossJoin(hstats).crossJoin(vol)
+    checks = one.selectExpr(
+        """stack(4,
+           'volume_within_3_sigma', c_rows,
+             CASE WHEN (nd * c_rows - sc) * (nd * c_rows - sc)
+                    <= 9 * (nd * scc - sc * sc) THEN 1 ELSE 0 END,
+           'no_null_keys', c_nulls,
+             CASE WHEN c_nulls = 0 THEN 1 ELSE 0 END,
+           'no_duplicate_keys', c_dups,
+             CASE WHEN c_dups = 0 THEN 1 ELSE 0 END,
+           'price_within_2x_history', c_maxp,
+             CASE WHEN c_maxp <= 2 * h_maxp THEN 1 ELSE 0 END)
+           AS (rule, observed, pass)"""
+    )
+    wall = Window.partitionBy()
+    return (
+        checks.select(
+            "rule",
+            F.col("observed").cast("bigint").alias("observed"),
+            F.col("pass").cast("bigint").alias("pass"),
+            F.min("pass").over(wall).cast("bigint").alias("publish"),
+        )
+        .orderBy("rule")
+    )

@@ -5068,3 +5068,106 @@ def ts_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         " p_terminal bigint, gain_e6 bigint, sum_abs_innov_e6 bigint"
     )
     return daily.groupBy("series").applyInPandas(kalman, schema).orderBy("series")
+
+
+def _markov_step_sql(prev: str, out: str) -> str:
+    """One oracle-side stationary power step: pi_out(j) = sum_i
+    pi_prev(i) * c(i,j) // rowsum(i), integer ppm mass."""
+    return f"""
+    {out} AS (
+      SELECT t.dst AS state,
+             CAST(SUM(p.mass * t.c // rs.total) AS BIGINT) AS mass
+      FROM {prev} p
+      JOIN trans t ON t.src = p.state
+      JOIN rowsums rs ON rs.src = p.state
+      GROUP BY 1)
+    """
+
+
+@query(
+    "events_markov_stationary",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id)
+                   AS nxt
+        FROM events
+    ),
+    trans AS (
+        SELECT event_type AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS c
+        FROM ordered WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    rowsums AS (
+        SELECT src, CAST(sum(c) AS BIGINT) AS total FROM trans GROUP BY 1
+    ),
+    p0 AS (
+        SELECT src AS state, CAST(1000000 AS BIGINT) AS mass FROM rowsums
+    ),
+    {_markov_step_sql("p0", "p1")},
+    {_markov_step_sql("p1", "p2")}
+    SELECT p2.state,
+           CAST(rs.total AS BIGINT) AS n_out_transitions,
+           p1.mass AS pi1_mass, p2.mass AS pi2_mass
+    FROM p2
+    JOIN p1 ON p1.state = p2.state
+    JOIN rowsums rs ON rs.src = p2.state
+    ORDER BY p2.state
+    """,
+    tags=("events", "markov", "stationary", "power-iteration",
+          "engine-addition"),
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-journey Markov chain by
+    two exact power steps — the \"where do sessions settle\" readout
+    on top of events_transition_matrix: transition counts c(i,j) come
+    from each user's time-ordered event sequence (ties by event_id),
+    the start vector puts 1e6 mass on every state, and each step
+    moves mass as the integer flow mass*c // rowsum — truncating
+    division, so mass leaks slightly (conserved to within one unit
+    per edge) but the computation is associative and bit-identical
+    across engines.
+
+    Scale shape: the lead window shuffles once on user_id; the chain
+    itself is a states x states matrix (single-digit rows here), so
+    both power steps are model-sized joins, never data joins."""
+    e = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")), "event_id"
+    )
+    ordered = e.select(
+        "event_type", F.lead("event_type").over(wo).alias("nxt")
+    )
+    trans = (
+        ordered.where(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)  # read by both power steps
+    )
+    rowsums = trans.groupBy("src").agg(F.sum("c").cast("bigint").alias("total"))
+    pi = rowsums.select(
+        F.col("src").alias("state"), F.lit(1_000_000).cast("bigint").alias("mass")
+    )
+    steps = []
+    for _ in range(2):
+        pi = (
+            trans.join(pi, trans["src"] == pi["state"])
+            .join(rowsums.withColumnRenamed("src", "rs_src"),
+                  F.col("src") == F.col("rs_src"))
+            .selectExpr("dst", "mass * c div total AS flow")
+            .groupBy(F.col("dst").alias("state"))
+            .agg(F.sum("flow").cast("bigint").alias("mass"))
+        )
+        steps.append(pi)
+    p1, p2 = steps
+    return (
+        p2.withColumnRenamed("mass", "pi2_mass")
+        .join(p1.withColumnRenamed("mass", "pi1_mass"), "state")
+        .join(rowsums.withColumnRenamed("src", "state"), "state")
+        .selectExpr(
+            "state",
+            "CAST(total AS BIGINT) AS n_out_transitions",
+            "pi1_mass", "pi2_mass",
+        )
+        .orderBy("state")
+    )

@@ -86,14 +86,14 @@ def test_pca_matches_exact_python_replay(spark, sf_dir):
     u1 = norm(v1)
     v2 = [sum(S[i][j] * u1[j] for j in range(3)) for i in range(3)]
     u2 = norm(v2)
-    lam = (sum(a * b for a, b in zip(u1, v2)) * 1_000_000) // sum(
-        a * a for a in u1
+    lam = (sum(a * b for a, b in zip(u1, v2)) * 1_000_000) // (
+        sum(a * a for a in u1) * n * n
     )
     names = ("quantity", "discount_x100", "ship_month")
     for i, name in enumerate(names):
         assert out[name].u1_ppm == u1[i]
         assert out[name].u2_ppm == u2[i]
-        assert out[name].rayleigh_lambda_ppm == lam
+        assert out[name].rayleigh_per_row2_e6 == lam
     evals, evecs = np.linalg.eigh(np.array(S, dtype=float))
     top = evecs[:, np.argmax(evals)]
     u2v = np.array(u2, dtype=float)
