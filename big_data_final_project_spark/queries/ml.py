@@ -3980,3 +3980,84 @@ def ml_threshold_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@query(
+    "ml_pairwise_ranking_auc",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderpriority AS grp, o_totalprice AS score,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS npos,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+                    AS BIGINT) AS nneg
+        FROM orders GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT grp, npos, nneg,
+               COALESCE(sum(nneg) OVER (PARTITION BY grp ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS negs_below
+        FROM s
+    ),
+    per AS (
+        SELECT grp,
+               CAST(sum(npos) AS BIGINT) AS n_pos,
+               CAST(sum(nneg) AS BIGINT) AS n_neg,
+               CAST(sum(npos * (2 * negs_below + nneg)) AS BIGINT) AS u2
+        FROM c GROUP BY 1
+    )
+    SELECT grp, n_pos, n_neg, u2,
+           CAST(u2 * 1000000 // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm,
+           CAST(sum(u2) OVER () * 1000000
+                // sum(2 * n_pos * n_neg) OVER () AS BIGINT)
+               AS micro_auc_ppm
+    FROM per ORDER BY grp
+    """,
+    tags=("ml", "ranking", "auc", "learning-to-rank", "engine-addition"),
+)
+def ml_pairwise_ranking_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Groupwise pairwise-ranking concordance — the learning-to-rank
+    objective readout next to ml_ndcg_at_k and ml_mrr_hit_rate: per
+    query group (order priority), the tie-aware probability that a
+    relevant item outranks an irrelevant one (exactly ml_auc_exact's
+    U statistic, PARTITIONED), plus the micro average that weights
+    each group by its pair count — the quantity a pairwise loss
+    actually optimizes. All integers except nothing: both AUCs are
+    ppm floor divisions.
+
+    Scale shape: per-group distinct-score histograms shuffle once on
+    (grp, score); the prefix window partitions BY GROUP (no global
+    window); the micro rollup is O(groups)."""
+    o = load_table(spark, sf_dir, "orders")
+    pos = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    s = o.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("score"),
+    ).agg(F.sum(pos).alias("npos"), F.sum(1 - pos).alias("nneg"))
+    wc = (
+        Window.partitionBy("grp")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = s.withColumn(
+        "negs_below", F.coalesce(F.sum("nneg").over(wc), F.lit(0))
+    )
+    per = c.groupBy("grp").agg(
+        F.sum("npos").cast("bigint").alias("n_pos"),
+        F.sum("nneg").cast("bigint").alias("n_neg"),
+        F.sum(F.col("npos") * (2 * F.col("negs_below") + F.col("nneg")))
+        .cast("bigint")
+        .alias("u2"),
+    )
+    wall = Window.partitionBy()
+    return per.select(
+        "grp", "n_pos", "n_neg", "u2",
+        F.expr("CAST(u2 * 1000000 div (2 * n_pos * n_neg) AS BIGINT)").alias(
+            "auc_ppm"
+        ),
+        F.expr(
+            "CAST(sum(u2) OVER () * 1000000"
+            " div sum(2 * n_pos * n_neg) OVER () AS BIGINT)"
+        ).alias("micro_auc_ppm"),
+    ).orderBy("grp")

@@ -595,3 +595,97 @@ def store_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rule")
     )
+
+
+# Tiering plan constants: pinned monthly storage rates in
+# micro-dollars per MB (hot SSD-class, warm standard, cold archive)
+# and the age cutoffs in days relative to the table's own max date.
+_TIER_RATES = {"hot": 25_000, "warm": 10_000, "cold": 1_500}
+_TIER_HOT_D = 180
+_TIER_WARM_D = 365
+
+
+@query(
+    "store_tiering_plan",
+    oracle=f"""
+    WITH anchor AS (SELECT max(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+    sized AS (
+        SELECT CASE
+                 WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                (SELECT hi FROM anchor)) <= {_TIER_HOT_D}
+                   THEN 'hot'
+                 WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                (SELECT hi FROM anchor)) <= {_TIER_WARM_D}
+                   THEN 'warm'
+                 ELSE 'cold' END AS tier,
+               CAST(8 + 8 + 8 + 8
+                    + octet_length(encode(o_orderstatus))
+                    + octet_length(encode(o_orderpriority)) AS BIGINT)
+                   AS row_bytes
+        FROM orders
+    ),
+    per AS (
+        SELECT tier, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(row_bytes) AS BIGINT) AS est_bytes
+        FROM sized GROUP BY 1
+    )
+    SELECT tier, n_rows, est_bytes,
+           CAST(est_bytes * (CASE tier WHEN 'hot' THEN {_TIER_RATES['hot']}
+                             WHEN 'warm' THEN {_TIER_RATES['warm']}
+                             ELSE {_TIER_RATES['cold']} END)
+                // 1048576 AS BIGINT) AS monthly_cost_micro_usd,
+           CAST(est_bytes * {_TIER_RATES['hot']} // 1048576
+                - est_bytes * (CASE tier WHEN 'hot' THEN {_TIER_RATES['hot']}
+                               WHEN 'warm' THEN {_TIER_RATES['warm']}
+                               ELSE {_TIER_RATES['cold']} END)
+                  // 1048576 AS BIGINT) AS monthly_savings_micro_usd
+    FROM per ORDER BY tier
+    """,
+    tags=("storage", "tiering", "capacity-planning", "ops",
+          "engine-addition"),
+)
+def store_tiering_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot/warm/cold tiering plan — the capacity-planning pass a
+    lakehouse runs before lifecycle policies: rows bucket by age
+    against the table's own max date (<= {_TIER_HOT_D}d hot,
+    <= {_TIER_WARM_D}d warm, else cold), per-tier bytes are estimated
+    from the physical row layout (fixed-width columns + actual string
+    byte lengths), and monthly cost/savings come from pinned per-MB
+    rates in exact integer micro-dollars. The savings column is the
+    business case for the lifecycle policy, computed from the data
+    itself.
+
+    Scale shape: one scan with a map-side-combined 3-key aggregate;
+    at 100 TB this is a metadata-scale query if the table is
+    date-partitioned (the age predicate prunes to partition
+    boundaries)."""
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.expr("max(CAST(o_orderdate AS DATE))").alias("hi"))
+    sized = o.crossJoin(F.broadcast(anchor)).selectExpr(
+        f"""CASE
+             WHEN datediff(hi, CAST(o_orderdate AS DATE)) <= {_TIER_HOT_D}
+               THEN 'hot'
+             WHEN datediff(hi, CAST(o_orderdate AS DATE)) <= {_TIER_WARM_D}
+               THEN 'warm'
+             ELSE 'cold' END AS tier""",
+        "CAST(8 + 8 + 8 + 8 + octet_length(encode(o_orderstatus, 'utf-8'))"
+        " + octet_length(encode(o_orderpriority, 'utf-8')) AS BIGINT)"
+        " AS row_bytes",
+    )
+    per = sized.groupBy("tier").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("row_bytes").cast("bigint").alias("est_bytes"),
+    )
+    rate = (
+        f"(CASE tier WHEN 'hot' THEN {_TIER_RATES['hot']}"
+        f" WHEN 'warm' THEN {_TIER_RATES['warm']}"
+        f" ELSE {_TIER_RATES['cold']} END)"
+    )
+    return per.selectExpr(
+        "tier", "n_rows", "est_bytes",
+        f"CAST(est_bytes * {rate} div 1048576 AS BIGINT)"
+        " AS monthly_cost_micro_usd",
+        f"CAST(est_bytes * {_TIER_RATES['hot']} div 1048576"
+        f" - est_bytes * {rate} div 1048576 AS BIGINT)"
+        " AS monthly_savings_micro_usd",
+    ).orderBy("tier")

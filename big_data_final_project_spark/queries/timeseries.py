@@ -5171,3 +5171,176 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state")
     )
+
+
+@query(
+    "events_growth_accounting",
+    oracle="""
+    WITH active AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+        FROM events
+    ),
+    firsts AS (
+        SELECT user_id, min(w) AS w0 FROM active GROUP BY 1
+    ),
+    labeled AS (
+        SELECT a.user_id, a.w,
+               CASE WHEN f.w0 = a.w THEN 1 ELSE 0 END AS is_new,
+               CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END
+                   AS was_prev
+        FROM active a
+        JOIN firsts f ON f.user_id = a.user_id
+        LEFT JOIN active p
+          ON p.user_id = a.user_id AND p.w = a.w - INTERVAL 7 DAY
+    ),
+    churn AS (
+        SELECT CAST(a.w + INTERVAL 7 DAY AS DATE) AS w,
+               CAST(count(*) AS BIGINT) AS n_churned
+        FROM active a
+        LEFT JOIN active nxt
+          ON nxt.user_id = a.user_id AND nxt.w = a.w + INTERVAL 7 DAY
+        WHERE nxt.user_id IS NULL
+        GROUP BY 1
+    ),
+    weekly AS (
+        SELECT w,
+               CAST(count(*) AS BIGINT) AS n_active,
+               CAST(sum(is_new) AS BIGINT) AS n_new,
+               CAST(sum(CASE WHEN is_new = 0 AND was_prev = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+               CAST(sum(CASE WHEN is_new = 0 AND was_prev = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        FROM labeled GROUP BY 1
+    )
+    SELECT CAST(epoch(weekly.w) AS BIGINT) // 86400 AS week_day_epoch,
+           n_active, n_new, n_retained, n_resurrected,
+           COALESCE(c.n_churned, 0) AS n_churned
+    FROM weekly LEFT JOIN churn c ON c.w = weekly.w
+    ORDER BY week_day_epoch
+    """,
+    tags=("events", "growth-accounting", "retention", "engine-addition"),
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting — the weekly active-user ledger every
+    consumer dashboard runs: each week's actives decompose EXACTLY
+    into new (first-ever week), retained (also active last week), and
+    resurrected (seen before, but not last week); churned counts
+    last week's actives who didn't return, attributed to the week
+    they went missing. The identity active = new + retained +
+    resurrected holds by construction (pinned by the invariant
+    test) — the decomposition is a partition, not three estimates.
+
+    Scale shape: one distinct shuffle to (user, week); the
+    new/retained/resurrected labels are a broadcast-sized firsts
+    join plus a self-join on the week-shifted key — both
+    hash-partition on user_id, so the whole ledger is two shuffles
+    on the same key."""
+    e = load_table(spark, sf_dir, "events")
+    active = e.select(
+        "user_id", F.expr("CAST(date_trunc('week', ts) AS DATE)").alias("w")
+    ).distinct().localCheckpoint(eager=True)  # read 3x: label, prev, churn
+    firsts = active.groupBy("user_id").agg(F.min("w").alias("w0"))
+    prev = active.select(
+        "user_id", F.expr("w + INTERVAL 7 DAY").alias("w")
+    ).withColumn("was_prev", F.lit(1))
+    labeled = (
+        active.join(firsts, "user_id")
+        .join(prev, ["user_id", "w"], "left")
+        .select(
+            "w",
+            F.when(F.col("w0") == F.col("w"), 1).otherwise(0).alias("is_new"),
+            F.coalesce("was_prev", F.lit(0)).alias("was_prev"),
+        )
+    )
+    nxt = active.select(
+        "user_id", F.expr("w - INTERVAL 7 DAY").alias("w")
+    ).withColumn("has_next", F.lit(1))
+    churn = (
+        active.join(nxt, ["user_id", "w"], "left")
+        .where(F.col("has_next").isNull())
+        .groupBy(F.expr("w + INTERVAL 7 DAY").alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_churned"))
+    )
+    weekly = labeled.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active"),
+        F.sum("is_new").cast("bigint").alias("n_new"),
+        F.sum(F.expr("CASE WHEN is_new = 0 AND was_prev = 1 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(F.expr("CASE WHEN is_new = 0 AND was_prev = 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+    return (
+        weekly.join(churn, "w", "left")
+        .selectExpr(
+            "CAST(unix_date(w) AS BIGINT) AS week_day_epoch",
+            "n_active", "n_new", "n_retained", "n_resurrected",
+            "COALESCE(n_churned, CAST(0 AS BIGINT)) AS n_churned",
+        )
+        .orderBy("week_day_epoch")
+    )
+
+
+@query(
+    "ts_fano_factor",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS sc,
+               CAST(sum(c * c) AS BIGINT) AS scc
+        FROM hourly GROUP BY 1
+    )
+    SELECT event_type, n AS n_hours, sc AS n_events,
+           CAST((n * scc - sc * sc) * 1000000 // (n * sc) AS BIGINT)
+               AS fano_ppm,
+           CAST(CASE WHEN n * scc - sc * sc > n * sc THEN 1 ELSE 0 END
+                AS BIGINT) AS overdispersed
+    FROM m ORDER BY event_type
+    """,
+    tags=("timeseries", "burstiness", "fano", "engine-addition"),
+)
+def ts_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (index of dispersion) per event type's hourly
+    counts — the burstiness scalar: var/mean = 1 for a Poisson
+    process, > 1 for bursty traffic, < 1 for metronomes. Computed
+    exactly as (n*sum(c^2) - sum(c)^2) / (n*sum(c)) in integer ppm,
+    with the overdispersion flag as the division-free
+    cross-multiplication var_num > n*sc. The events-side sibling of
+    text_term_burstiness's VMR, and the distribution-level complement
+    of events_bot_regularity's per-user CV.
+
+    Scale shape: hourly rollup + one map-side-combined per-series
+    moment aggregate; O(series) output."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr(
+                "CAST(unix_timestamp(date_trunc('hour', ts)) AS BIGINT)"
+                " div 3600"
+            ).alias("h"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    m = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("scc"),
+    )
+    return m.selectExpr(
+        "event_type",
+        "n AS n_hours",
+        "sc AS n_events",
+        "CAST((n * scc - sc * sc) * 1000000 div (n * sc) AS BIGINT)"
+        " AS fano_ppm",
+        "CAST(CASE WHEN n * scc - sc * sc > n * sc THEN 1 ELSE 0 END"
+        " AS BIGINT) AS overdispersed",
+    ).orderBy("event_type")

@@ -1608,3 +1608,118 @@ def ab_jackknife_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((nb - 1) * (nb * sr2 - sr * sr) div (nb * nb) AS BIGINT)"
         " AS jk_var_e12",
     ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival with right-censoring
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ml_survival_kaplan_meier",
+    oracle="""
+    WITH RECURSIVE bounds AS (
+        SELECT CAST(max(ts) AS DATE) AS hi FROM events
+    ),
+    users AS (
+        SELECT user_id,
+               date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+                   AS dur,
+               CASE WHEN CAST(max(ts) AS DATE)
+                         <= (SELECT hi - INTERVAL 7 DAY FROM bounds)
+                    THEN 1 ELSE 0 END AS died
+        FROM events GROUP BY 1
+    ),
+    tbl AS (
+        SELECT dur AS t,
+               CAST(sum(died) AS BIGINT) AS d,
+               CAST(count(*) - sum(died) AS BIGINT) AS c
+        FROM users GROUP BY 1
+    ),
+    seq AS MATERIALIZED (
+        SELECT t, d, c,
+               CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS rn,
+               CAST(count(*) OVER () AS BIGINT) AS nrows,
+               CAST(sum(d + c) OVER (ORDER BY t DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS n_risk
+        FROM tbl
+    ),
+    rec AS (
+        SELECT rn, t, d, c, n_risk, nrows,
+               (1000000 * (n_risk - d)) // n_risk AS s_ppm
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT q.rn, q.t, q.d, q.c, q.n_risk, q.nrows,
+               (r.s_ppm * (q.n_risk - q.d)) // q.n_risk
+        FROM rec r JOIN seq q ON q.rn = r.rn + 1
+    )
+    SELECT t AS duration_days, n_risk, d AS n_events, c AS n_censored,
+           CAST(s_ppm AS BIGINT) AS survival_ppm
+    FROM rec ORDER BY t
+    """,
+    tags=("ml", "survival", "kaplan-meier", "stateful", "engine-addition"),
+)
+def ml_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve WITH right-censoring — the
+    retention analysis events_survival_table can't do honestly: a
+    user's duration is first-to-last event in days; users still
+    active in the stream's final week are CENSORED (they leave the
+    risk set without counting as churn). S(t) is the sequential
+    product of (n_risk - d)/n_risk, carried in integer ppm with a
+    truncating division per step — exact, engine-identical, and
+    monotone nonincreasing by construction. n_risk comes from a
+    reverse cumulative sum, not a per-t rescan.
+
+    Scale shape: one shuffle to per-user spans, one to the duration
+    table (bounded by the observation window in days); the recursion
+    runs on that model-sized table — applyInPandas over one group on
+    the Spark side, a recursive CTE in the oracle."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(F.expr("CAST(max(ts) AS DATE)").alias("hi"))
+    users = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "datediff(CAST(max(ts) AS DATE), CAST(min(ts) AS DATE))"
+            ).alias("dur"),
+            F.expr(
+                "CASE WHEN CAST(max(ts) AS DATE) <= date_sub(max(hi), 7)"
+                " THEN 1 ELSE 0 END"
+            ).alias("died"),
+        )
+    )
+    tbl = users.groupBy(F.col("dur").alias("t")).agg(
+        F.sum("died").cast("bigint").alias("d"),
+        (F.count(F.lit(1)) - F.sum("died")).cast("bigint").alias("c"),
+    )
+
+    def km(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("t")
+        total = int((pdf["d"] + pdf["c"]).sum())
+        out, s, at_risk = [], 1_000_000, total
+        for r in pdf.itertuples():
+            s = s * (at_risk - r.d) // at_risk
+            out.append((int(r.t), at_risk, int(r.d), int(r.c), s))
+            at_risk -= int(r.d) + int(r.c)
+        return pd.DataFrame(
+            out,
+            columns=[
+                "duration_days", "n_risk", "n_events", "n_censored",
+                "survival_ppm",
+            ],
+        )
+
+    schema = (
+        "duration_days bigint, n_risk bigint, n_events bigint,"
+        " n_censored bigint, survival_ppm bigint"
+    )
+    return (
+        tbl.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(lambda pdf: km(pdf), schema)
+        .orderBy("duration_days")
+    )
