@@ -355,3 +355,90 @@ def mm_payload_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("reassembled_bytes"),
     )
     return out.orderBy("asset_id", "chunk_idx")
+
+
+# aHash expressions are generated, not hand-written: byte j of the
+# 16-byte frame sets bit j-1 when 16*byte > sum(bytes) (strict
+# cross-multiplied "above the frame mean"). Shared verbatim by both
+# engines — ascii()/substring() agree on single-byte semantics here
+# because the payload is utf-8 of ASCII-range synthetic text.
+_AHASH_TOT = "ascii(substring(f, 1, 1)) + ascii(substring(f, 2, 1)) + ascii(substring(f, 3, 1)) + ascii(substring(f, 4, 1)) + ascii(substring(f, 5, 1)) + ascii(substring(f, 6, 1)) + ascii(substring(f, 7, 1)) + ascii(substring(f, 8, 1)) + ascii(substring(f, 9, 1)) + ascii(substring(f, 10, 1)) + ascii(substring(f, 11, 1)) + ascii(substring(f, 12, 1)) + ascii(substring(f, 13, 1)) + ascii(substring(f, 14, 1)) + ascii(substring(f, 15, 1)) + ascii(substring(f, 16, 1))"
+_AHASH_BITS = "(CASE WHEN 16 * ascii(substring(f, 1, 1)) > tot THEN 1 ELSE 0 END) + (CASE WHEN 16 * ascii(substring(f, 2, 1)) > tot THEN 2 ELSE 0 END) + (CASE WHEN 16 * ascii(substring(f, 3, 1)) > tot THEN 4 ELSE 0 END) + (CASE WHEN 16 * ascii(substring(f, 4, 1)) > tot THEN 8 ELSE 0 END) + (CASE WHEN 16 * ascii(substring(f, 5, 1)) > tot THEN 16 ELSE 0 END) + (CASE WHEN 16 * ascii(substring(f, 6, 1)) > tot THEN 32 ELSE 0 END) + (CASE WHEN 16 * ascii(substring(f, 7, 1)) > tot THEN 64 ELSE 0 END) + (CASE WHEN 16 * ascii(substring(f, 8, 1)) > tot THEN 128 ELSE 0 END) + (CASE WHEN 16 * ascii(substring(f, 9, 1)) > tot THEN 256 ELSE 0 END) + (CASE WHEN 16 * ascii(substring(f, 10, 1)) > tot THEN 512 ELSE 0 END) + (CASE WHEN 16 * ascii(substring(f, 11, 1)) > tot THEN 1024 ELSE 0 END) + (CASE WHEN 16 * ascii(substring(f, 12, 1)) > tot THEN 2048 ELSE 0 END) + (CASE WHEN 16 * ascii(substring(f, 13, 1)) > tot THEN 4096 ELSE 0 END) + (CASE WHEN 16 * ascii(substring(f, 14, 1)) > tot THEN 8192 ELSE 0 END) + (CASE WHEN 16 * ascii(substring(f, 15, 1)) > tot THEN 16384 ELSE 0 END) + (CASE WHEN 16 * ascii(substring(f, 16, 1)) > tot THEN 32768 ELSE 0 END)"
+
+
+@query(
+    "mm_frame_dedup_ahash",
+    oracle=f"""
+    WITH frames AS (
+        SELECT doc_id,
+               unnest(range(1, CAST(length(text) // 16 AS BIGINT) + 1))
+                   AS fi
+        FROM documents
+    ),
+    cut AS (
+        SELECT f.doc_id, f.fi,
+               substring(d.text, CAST((f.fi - 1) * 16 + 1 AS BIGINT), 16)
+                   AS f
+        FROM frames f JOIN documents d ON d.doc_id = f.doc_id
+    ),
+    hashed AS (
+        SELECT doc_id, fi,
+               (SELECT {_AHASH_BITS}
+                FROM (SELECT CAST({_AHASH_TOT} AS BIGINT) AS tot) t)
+                   AS ahash
+        FROM cut
+    )
+    SELECT CAST(ahash AS BIGINT) AS ahash,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_assets,
+           CAST(min(doc_id) AS BIGINT) AS canonical_asset
+    FROM hashed
+    GROUP BY 1
+    HAVING count(*) > 1
+    ORDER BY n_frames DESC, ahash
+    LIMIT 20
+    """,
+    tags=("multimodal", "dedup", "perceptual-hash", "engine-addition"),
+)
+def mm_frame_dedup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual frame dedup via average-hash — the multimodal
+    dedup primitive: every 16-byte "frame" of each asset's payload
+    (the same fake-frame convention as mm_frame_sample) hashes to a
+    16-bit aHash whose bit j is set when byte j is strictly above the
+    frame mean — stated division-free as 16*byte > sum(bytes). Equal
+    hashes across assets are near-duplicate frames; the report lists
+    the 20 most-repeated hashes with their spread (n_assets) and a
+    canonical exemplar. A real build swaps byte-mean for a decoded
+    luma grid at exactly this expression seam; the dataflow (chunk,
+    hash, group, rank) is the production shape.
+
+    Scale shape: frame explosion is a narrow generate (no shuffle);
+    one map-side-combined aggregate on the 16-bit hash space — the
+    group count is bounded by 65536 regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    cut = d.selectExpr(
+        "doc_id",
+        "explode(sequence(CAST(1 AS BIGINT),"
+        " CAST(length(text) div 16 AS BIGINT))) AS fi",
+        "text",
+    ).selectExpr(
+        "doc_id", "substring(text, CAST((fi - 1) * 16 + 1 AS INT), 16) AS f"
+    )
+    hashed = cut.selectExpr(
+        "doc_id", f"CAST({_AHASH_TOT} AS BIGINT) AS tot", "f"
+    ).selectExpr("doc_id", f"{_AHASH_BITS} AS ahash")
+    return (
+        hashed.groupBy("ahash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_assets"),
+            F.min("doc_id").cast("bigint").alias("canonical_asset"),
+        )
+        .where(F.col("n_frames") > 1)
+        .selectExpr(
+            "CAST(ahash AS BIGINT) AS ahash", "n_frames", "n_assets",
+            "canonical_asset",
+        )
+        .orderBy(F.desc("n_frames"), "ahash")
+        .limit(20)
+    )

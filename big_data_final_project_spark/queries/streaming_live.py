@@ -763,3 +763,73 @@ def streaming_scd2_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(store).select(
         "user_id", "event_id", "ts", "value", "version", "is_current"
     )
+
+
+@query(
+    "streaming_velocity_live",
+    oracle="""
+    WITH contrib AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               unnest([ (epoch_us(ts) // 300000000) * 300000000,
+                        (epoch_us(ts) // 300000000) * 300000000
+                          - 300000000 ]) AS w_start
+        FROM events
+    ),
+    per_window AS (
+        SELECT user_id, w_start, CAST(count(*) AS BIGINT) AS c
+        FROM contrib
+        WHERE us >= w_start AND us < w_start + 600000000
+        GROUP BY 1, 2
+    ),
+    per_user AS (
+        SELECT user_id,
+               CAST(max(c) AS BIGINT) AS peak_window_count,
+               CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hot_windows
+        FROM per_window GROUP BY 1
+    )
+    SELECT user_id, peak_window_count, n_hot_windows
+    FROM per_user
+    WHERE peak_window_count >= 2
+    ORDER BY peak_window_count DESC, user_id
+    LIMIT 100
+    """,
+    tags=("streaming", "live", "velocity", "risk-rules"),
+)
+def streaming_velocity_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The velocity risk rule (events_velocity_flags) as a REAL
+    stream: 10-minute windows sliding every 5 so every event is
+    scored against two overlapping horizons — the streaming-native
+    approximation of the batch rule's exact trailing-range frame
+    (a per-event RANGE window isn't incrementally maintainable;
+    sliding windows are THE production compromise, and the oracle
+    states their semantics exactly: each event contributes to the
+    two aligned windows covering it). Post-aggregation (per-user
+    peak + hot-window count, threshold, top-100) happens on the
+    drained sink output — the monitoring readout over the live
+    window table.
+
+    Scale shape: the stream shuffles once on (window, user); state
+    per key is one count bounded by the watermark horizon; the
+    batch post-agg runs on the window table, not the stream."""
+    valid = _staged_valid(spark, sf_dir)
+    win = F.window("ts", "10 minutes", "5 minutes")
+    per_window = (
+        valid.withWatermark("ts", "10 minutes")
+        .groupBy(win.alias("w"), "user_id")
+        .agg(F.count("*").alias("c"))
+    )
+    out = run_to_memory(
+        per_window, spark, "streaming_velocity_live_sink", complete=True
+    )
+    per_user = out.groupBy("user_id").agg(
+        F.max("c").cast("bigint").alias("peak_window_count"),
+        F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hot_windows"),
+    )
+    return (
+        per_user.where(F.col("peak_window_count") >= 2)
+        .orderBy(F.desc("peak_window_count"), "user_id")
+        .limit(100)
+    )

@@ -5344,3 +5344,112 @@ def ts_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(CASE WHEN n * scc - sc * sc > n * sc THEN 1 ELSE 0 END"
         " AS BIGINT) AS overdispersed",
     ).orderBy("event_type")
+
+
+# Shapley attribution: 4 channels -> bits (click=1, error=2,
+# signup=4, view=8); weights |S|!(n-|S|-1)! for n=4, i.e. x/24
+# scaled out: popcount 0 -> 6, 1 -> 2, 2 -> 2, 3 -> 6.
+_SHAP_CHANNELS = (("click", 1), ("error", 2), ("signup", 4), ("view", 8))
+_SHAP_W = {0: 6, 1: 2, 2: 2, 3: 6}
+
+
+@query(
+    "events_attribution_shapley",
+    oracle=f"""
+    WITH users AS (
+        SELECT user_id,
+               CAST(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  + max(CASE WHEN event_type = 'error' THEN 2 ELSE 0 END)
+                  + max(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END)
+                  + max(CASE WHEN event_type = 'view' THEN 8 ELSE 0 END)
+                    AS BIGINT) AS mask,
+               CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS conv
+        FROM events GROUP BY 1
+    ),
+    sets AS (
+        SELECT mask, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(conv) AS BIGINT) AS c
+        FROM users GROUP BY 1
+    ),
+    coalitions AS (
+        SELECT ch.name, ch.bit, s.s
+        FROM (SELECT unnest(['click','error','signup','view']) AS name,
+                     unnest([1, 2, 4, 8]) AS bit) ch
+        JOIN (SELECT unnest(range(16)) AS s) s
+          ON (CAST(s.s AS BIGINT) & ch.bit) = 0
+    ),
+    terms AS (
+        SELECT co.name,
+               (CASE bit_count(CAST(co.s AS BIGINT))
+                  WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END)
+               * (COALESCE(w.c * 1000000 // w.n, 0)
+                  - COALESCE(wo.c * 1000000 // wo.n, 0)) AS term
+        FROM coalitions co
+        LEFT JOIN sets w ON w.mask = CAST(co.s AS BIGINT) + co.bit
+        LEFT JOIN sets wo ON wo.mask = CAST(co.s AS BIGINT)
+    )
+    SELECT name AS channel,
+           CAST(sum(term) AS BIGINT) AS shapley_x24_e6
+    FROM terms GROUP BY 1 ORDER BY 1
+    """,
+    tags=("events", "attribution", "shapley", "engine-addition"),
+)
+def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value marketing attribution — the principled answer
+    the last-touch / position / time-decay family approximates: each
+    user contributes their EXACT pre-conversion channel set (bitmask
+    over click/error/signup/view), v(S) is the observed conversion
+    rate of users with precisely that set (unobserved coalitions
+    contribute 0 — the standard simplified marketing Shapley), and
+    each channel's value sums the weighted marginal contributions
+    |S|!(n-|S|-1)!/n! * (v(S u i) - v(S)) over all 8 coalitions per
+    channel. Factorial weights are scaled out by 4! = 24 and rates
+    floored at e6, so the whole game is integer arithmetic
+    (shapley_x24_e6 can be negative — 'error' exposure SHOULD hurt).
+
+    Scale shape: one shuffle to per-user masks, one to the 16-row
+    coalition table; the game itself is a model-sized join against a
+    generated lattice — at 100 TB only the first aggregate touches
+    data."""
+    e = load_table(spark, sf_dir, "events")
+    mask_expr = " + ".join(
+        f"max(CASE WHEN event_type = '{ch}' THEN {bit} ELSE 0 END)"
+        for ch, bit in _SHAP_CHANNELS
+    )
+    users = e.groupBy("user_id").agg(
+        F.expr(f"CAST({mask_expr} AS BIGINT)").alias("mask"),
+        F.expr(
+            "CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("conv"),
+    )
+    sets = users.groupBy("mask").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("c"),
+    )
+    ch = spark.createDataFrame(
+        list(_SHAP_CHANNELS), "name string, bit bigint"
+    )
+    lattice = spark.range(16).selectExpr("CAST(id AS BIGINT) AS s")
+    coalitions = ch.crossJoin(lattice).where(
+        F.expr("(s & bit) = 0")
+    )
+    w = sets.selectExpr("mask AS m_w", "c AS c_w", "n AS n_w")
+    wo = sets.selectExpr("mask AS m_wo", "c AS c_wo", "n AS n_wo")
+    terms = (
+        coalitions.join(w, F.expr("m_w = s + bit"), "left")
+        .join(wo, F.expr("m_wo = s"), "left")
+        .selectExpr(
+            "name",
+            "(CASE bit_count(s) WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2"
+            " ELSE 6 END)"
+            " * (COALESCE(c_w * 1000000 div n_w, 0)"
+            "    - COALESCE(c_wo * 1000000 div n_wo, 0)) AS term",
+        )
+    )
+    return (
+        terms.groupBy(F.col("name").alias("channel"))
+        .agg(F.sum("term").cast("bigint").alias("shapley_x24_e6"))
+        .orderBy("channel")
+    )

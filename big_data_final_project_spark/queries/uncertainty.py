@@ -1723,3 +1723,91 @@ def ml_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(lambda pdf: km(pdf), schema)
         .orderBy("duration_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified average treatment effect
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ab_stratified_ate",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderpriority AS stratum,
+               CAST(CAST(('0x' || substring(md5('st-' ||
+                      CAST(o_orderkey AS VARCHAR)), 1, 8)) AS UBIGINT) % 2
+                    AS BIGINT) AS t,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    per AS (
+        SELECT stratum,
+               CAST(sum(t) AS BIGINT) AS n_t,
+               CAST(sum(t * y) AS BIGINT) AS c_t,
+               CAST(sum(1 - t) AS BIGINT) AS n_c,
+               CAST(sum((1 - t) * y) AS BIGINT) AS c_c
+        FROM base GROUP BY 1
+    ),
+    ates AS (
+        SELECT stratum, n_t, c_t, n_c, c_c,
+               n_t + n_c AS n_s,
+               c_t * 1000000 // n_t - c_c * 1000000 // n_c AS ate_e6
+        FROM per
+    )
+    SELECT stratum, n_t, c_t, n_c, c_c,
+           CAST(ate_e6 AS BIGINT) AS stratum_ate_e6,
+           CAST(CASE WHEN sum(n_s * ate_e6) OVER () < 0 THEN -1 ELSE 1 END
+                * (abs(sum(n_s * ate_e6) OVER ()) // sum(n_s) OVER ())
+                AS BIGINT) AS pooled_ate_e6
+    FROM ates ORDER BY stratum
+    """,
+    tags=("ab", "causal", "stratification", "engine-addition"),
+)
+def ab_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified average treatment effect — the causal
+    estimator between ml_uplift_qini's curve and ab_cuped_adjustment's
+    covariate trick: within each stratum (order priority) the
+    treated-control conversion gap is an exact e6 rate difference,
+    and the pooled ATE reweights strata by their size — removing any
+    confounding carried by the stratification variable. The pooled
+    division is sign-stripped (the weighted sum can be negative under
+    a null effect — which a hash-bit treatment IS, so this query
+    doubles as an A/A sanity check: pooled_ate_e6 should hover near
+    zero).
+
+    Scale shape: one conditional-aggregate scan to |strata| rows;
+    the pooling is a window over the stratum table."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.selectExpr(
+        "o_orderpriority AS stratum",
+        "CAST(CAST(conv(substring(md5(concat('st-',"
+        " CAST(o_orderkey AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2"
+        " AS BIGINT) AS t",
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y",
+    )
+    per = base.groupBy("stratum").agg(
+        F.sum("t").cast("bigint").alias("n_t"),
+        F.sum(F.expr("t * y")).cast("bigint").alias("c_t"),
+        F.sum(F.expr("1 - t")).cast("bigint").alias("n_c"),
+        F.sum(F.expr("(1 - t) * y")).cast("bigint").alias("c_c"),
+    )
+    ates = per.selectExpr(
+        "stratum", "n_t", "c_t", "n_c", "c_c",
+        "n_t + n_c AS n_s",
+        "c_t * 1000000 div n_t - c_c * 1000000 div n_c AS ate_e6",
+    )
+    wall = Window.partitionBy()
+    return (
+        ates.select(
+            "stratum", "n_t", "c_t", "n_c", "c_c",
+            F.col("ate_e6").cast("bigint").alias("stratum_ate_e6"),
+            F.expr(
+                "CAST(CASE WHEN sum(n_s * ate_e6) OVER () < 0 THEN -1"
+                " ELSE 1 END"
+                " * (abs(sum(n_s * ate_e6) OVER ()) div sum(n_s) OVER ())"
+                " AS BIGINT)"
+            ).alias("pooled_ate_e6"),
+        )
+        .orderBy("stratum")
+    )
