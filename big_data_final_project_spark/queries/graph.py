@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..data import load_table
+from ..operators.scale import spread
 from ..registry import query
 
 # kNN sparsification fan-out. 8 keeps the sf0.1 graph at ~151k edges
@@ -1620,37 +1621,42 @@ def graph_harmonic_centrality_2hop(spark: SparkSession, sf_dir: str) -> DataFram
     integer. Distance-2 is STRICT: wedge-reachable minus direct
     neighbors minus self — the anti-join states the minus.
 
-    Scale shape: the wedge join is degree-bounded by the kNN
-    sparsification (fan-out <= K^2 per node); dedup + anti-join +
-    two degree counts are hash shuffles on node id; top-20 is
-    TakeOrderedAndProject."""
+    Scale shape (array-aggregated, round-4 rewrite): the naive
+    wedge self-join shuffles sum(deg^2) rows (16M at sf0.1 — it
+    benched 20 s); instead each node's neighbor ARRAY is built once
+    (one shuffle), broadcast back onto the edge list, and the
+    distance-2 set is array_except(array_distinct(flatten(...)))
+    inside whole-stage codegen — the only post-build shuffle moves
+    |E| array rows, and the dedup work happens per-row JVM-side.
+    Top-20 is TakeOrderedAndProject."""
     e = _knn_edges(spark, sf_dir)  # materialized by the shared cache
     adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
         e.select(F.col("b").alias("u"), F.col("a").alias("v"))
-    ).localCheckpoint(eager=True)  # read 3x: wedge (x2) + anti + degree
-    a1, a2 = adj.alias("a1"), adj.alias("a2")
-    two = (
-        a1.join(a2, F.col("a2.u") == F.col("a1.v"))
-        .where(F.col("a2.v") != F.col("a1.u"))
-        .select(F.col("a1.u").alias("u"), F.col("a2.v").alias("w"))
-        .distinct()
     )
-    strict2 = two.join(
-        adj.select(F.col("u").alias("u"), F.col("v").alias("w")),
-        ["u", "w"],
-        "left_anti",
+    nbrs = adj.groupBy("u").agg(F.collect_list("v").alias("ns"))
+    hop = adj.join(
+        F.broadcast(nbrs.select(F.col("u").alias("v"), F.col("ns").alias("vns"))),
+        "v",
     )
-    d1 = adj.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
-    d2 = strict2.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("n2"))
+    two_sets = hop.groupBy("u").agg(
+        F.flatten(F.collect_list("vns")).alias("flat")
+    )
+    joined = two_sets.join(F.broadcast(nbrs), "u")
     return (
-        d1.join(d2, "u", "left")
-        .select(
+        joined.select(
             F.col("u").alias("part"),
-            "n1",
-            F.coalesce("n2", F.lit(0)).cast("bigint").alias("n2"),
-            (2 * F.col("n1") + F.coalesce("n2", F.lit(0)))
+            F.size("ns").cast("bigint").alias("n1"),
+            F.size(
+                F.array_except(
+                    F.array_distinct("flat"),
+                    F.concat("ns", F.array(F.col("u"))),
+                )
+            )
             .cast("bigint")
-            .alias("harmonic_2x"),
+            .alias("n2"),
+        )
+        .withColumn(
+            "harmonic_2x", (2 * F.col("n1") + F.col("n2")).cast("bigint")
         )
         .orderBy(F.desc("harmonic_2x"), "part")
         .limit(20)
@@ -1695,34 +1701,39 @@ def graph_resource_allocation_index(spark: SparkSession, sf_dir: str) -> DataFra
     both engines, no float accumulation. Only NON-edges are reported
     (existing edges aren't predictions); top-20 by score.
 
-    Scale shape: candidates come from the wedge join grouped on the
-    CENTER z (fan-out <= K^2 per node under the kNN sparsification);
-    one shuffle to regroup on the pair, an anti-join against the edge
-    list, and a TakeOrderedAndProject top-20."""
+    Scale shape (array-pair rewrite, round-4): instead of a wedge
+    self-join that shuffles sum(deg^2) rows (benched 10.6 s at
+    sf0.1), each center's SORTED neighbor array generates its
+    (u < w) pairs in-row with the same slice/transform HOF as the
+    co-purchase basket build — the center's 1e6 div deg contribution
+    is a constant per array — so the only large shuffle is the
+    map-side-combinable groupBy on the pair. Anti-join against the
+    edge list, then TakeOrderedAndProject."""
     e = _knn_edges(spark, sf_dir)  # materialized by the shared cache
     adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
         e.select(F.col("b").alias("u"), F.col("a").alias("v"))
-    ).localCheckpoint(eager=True)  # read 2x for the wedge + degrees
-    deg = adj.groupBy(F.col("u").alias("node")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("d")
     )
-    a1, a2 = adj.alias("a1"), adj.alias("a2")
-    cand = (
-        a1.join(a2, F.col("a2.u") == F.col("a1.u"))
-        .where(F.col("a1.v") < F.col("a2.v"))
-        .select(
-            F.col("a1.v").alias("u"),
-            F.col("a2.v").alias("w"),
-            F.col("a1.u").alias("z"),
-        )
-    )
-    scored = (
-        cand.join(deg, cand["z"] == deg["node"])
-        .groupBy("u", "w")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_common"),
-            F.sum(F.expr("1000000 div d")).cast("bigint").alias("ra_ppm"),
-        )
+    nbrs = adj.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("ns"))
+    # the 20k-row array table is byte-small -> one partition; the
+    # in-row pair explosion is CPU-bound, so spread it first
+    nbrs = spread(nbrs)
+    contrib = nbrs.select(
+        F.expr("1000000 div size(ns)").alias("cz"),
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ns"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ns"), i + F.lit(2), F.size(F.col("ns"))),
+                        lambda y: F.struct(x.alias("u"), y.alias("w")),
+                    ),
+                )
+            )
+        ).alias("p"),
+    ).select(F.col("p.u").alias("u"), F.col("p.w").alias("w"), "cz")
+    scored = contrib.groupBy("u", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        F.sum("cz").cast("bigint").alias("ra_ppm"),
     )
     nonedge = scored.join(
         e.select(F.col("a").alias("u"), F.col("b").alias("w")),
