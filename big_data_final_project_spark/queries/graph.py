@@ -1747,3 +1747,101 @@ def graph_resource_allocation_index(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy(F.desc("ra_ppm"), "pa", "pb")
         .limit(20)
     )
+
+
+# Weighted PageRank over the DIRECTED kNN graph (support retained:
+# each node distributes rank proportional to co-purchase support).
+_WPR_EDGES_SQL = f"""
+    op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS support
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    directed AS (
+      SELECT pa AS u, pb AS v, support FROM pairs
+      UNION ALL
+      SELECT pb AS u, pa AS v, support FROM pairs),
+    wadj AS (
+      SELECT u, v, CAST(support AS BIGINT) AS w FROM (
+        SELECT u, v, support,
+               row_number() OVER (PARTITION BY u
+                                  ORDER BY support DESC, v ASC) AS rn
+        FROM directed) t
+      WHERE rn <= {K_NEIGHBORS}),
+    wsum AS (SELECT u AS node, CAST(sum(w) AS BIGINT) AS sw
+             FROM wadj GROUP BY 1)
+"""
+
+
+def _wpr_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT wadj.v AS node,
+             {PR_BASE} + sum(({prev}.r * 17 * wadj.w) // (20 * ws.sw)) AS r
+      FROM {prev}
+      JOIN wadj ON wadj.u = {prev}.node
+      JOIN wsum ws ON ws.node = {prev}.node
+      GROUP BY wadj.v)
+    """
+
+
+@query(
+    "graph_weighted_pagerank",
+    oracle=f"""
+    WITH {_WPR_EDGES_SQL},
+    r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM wsum),
+    {_wpr_iter_sql("r0", "r1")},
+    {_wpr_iter_sql("r1", "r2")},
+    {_wpr_iter_sql("r2", "r3")}
+    SELECT node AS part, CAST(r AS BIGINT) AS rank_fp
+    FROM r3
+    ORDER BY r DESC, node ASC
+    LIMIT 20
+    """,
+    tags=("graph", "pagerank", "weighted", "fixed-point"),
+)
+def graph_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-weighted PageRank — rank flows proportional to
+    co-purchase strength instead of splitting evenly: each iteration
+    moves (r * 17 * w) div (20 * sum_w(u)) along every retained
+    directed kNN edge (the top-K list per node KEEPS its supports
+    here, unlike the unweighted graph_pagerank's symmetrized set).
+    Still pure int64 fixed-point: the per-edge multiplier w/sum_w is
+    folded into one integer division, so partial sums stay
+    associative and engine-identical.
+
+    Scale shape per iteration: identical to graph_pagerank — a
+    shuffle join of ranks against the degree-bounded weighted
+    adjacency plus one sum shuffle; weights add zero extra shuffles."""
+    pairs = _copurchase_support(spark, sf_dir)  # cached
+    directed = pairs.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v"), "support"
+    ).unionByName(
+        pairs.select(F.col("pb").alias("u"), F.col("pa").alias("v"), "support")
+    )
+    wk = Window.partitionBy("u").orderBy(F.desc("support"), F.asc("v"))
+    wadj = (
+        directed.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= K_NEIGHBORS)
+        .select("u", "v", F.col("support").cast("bigint").alias("w"))
+    )
+    wsum = wadj.groupBy(F.col("u").alias("node")).agg(
+        F.sum("w").cast("bigint").alias("sw")
+    )
+    adj_w = wadj.join(
+        wsum.withColumnRenamed("node", "u2"), F.col("u") == F.col("u2")
+    ).select("u", "v", "w", "sw").localCheckpoint(eager=True)
+    ranks = wsum.select("node", F.lit(PR_SCALE).cast("bigint").alias("r"))
+    for _ in range(3):
+        contrib = adj_w.join(ranks, adj_w["u"] == ranks["node"]).select(
+            F.col("v"), F.expr("(r * 17 * w) div (20 * sw)").alias("c")
+        )
+        ranks = contrib.groupBy(F.col("v").alias("node")).agg(
+            (F.lit(PR_BASE) + F.sum("c")).alias("r")
+        )
+    return (
+        ranks.select(F.col("node").alias("part"), F.col("r").alias("rank_fp"))
+        .orderBy(F.desc("rank_fp"), F.asc("part"))
+        .limit(20)
+    )

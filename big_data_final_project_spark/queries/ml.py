@@ -4061,3 +4061,102 @@ def ml_pairwise_ranking_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div sum(2 * n_pos * n_neg) OVER () AS BIGINT)"
         ).alias("micro_auc_ppm"),
     ).orderBy("grp")
+
+
+_WOE_BIN_W = 50_000
+
+
+def _woe_oracle() -> str:
+    from ..functions.intlog import ln_ratio_e3_sql
+
+    pos = ln_ratio_e3_sql("gs * bs_tot", "bs * gs_tot").replace("DIV", "//")
+    neg = ln_ratio_e3_sql("bs * gs_tot", "gs * bs_tot").replace("DIV", "//")
+    return f"""
+    WITH bins AS (
+        SELECT CAST(FLOOR(o_totalprice / {_WOE_BIN_W}.0) AS BIGINT) AS bin_id,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+                    AS BIGINT) AS g,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b
+        FROM orders GROUP BY 1
+    ),
+    sm AS (
+        SELECT bin_id, g, b, g + 1 AS gs, b + 1 AS bs,
+               CAST(sum(g + 1) OVER () AS BIGINT) AS gs_tot,
+               CAST(sum(b + 1) OVER () AS BIGINT) AS bs_tot
+        FROM bins
+    ),
+    woe AS (
+        SELECT bin_id, g, b,
+               CASE WHEN gs * bs_tot >= bs * gs_tot
+                    THEN {pos} ELSE -({neg}) END AS woe_e3,
+               gs * 1000000 // gs_tot - bs * 1000000 // bs_tot AS rate_gap_e6
+        FROM sm
+    )
+    SELECT bin_id, g AS n_good, b AS n_bad,
+           CAST(woe_e3 AS BIGINT) AS woe_e3,
+           CAST(sum(rate_gap_e6 * woe_e3) OVER () AS BIGINT)
+               AS information_value_e9
+    FROM woe ORDER BY bin_id
+    """
+
+
+@query(
+    "ml_woe_binning",
+    oracle=_woe_oracle(),
+    tags=("ml", "scorecard", "woe", "binning", "engine-addition"),
+)
+def ml_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence binning + information value — the
+    credit-scorecard feature transform: per price bin, WoE =
+    ln((good_rate)/(bad_rate)) with +1 Laplace smoothing, computed
+    via the quantized integer log (functions.intlog) with the sign
+    handled by comparing the cross products gs*B vs bs*G first (the
+    log helper needs ratio >= 1). IV = sum over bins of
+    (good_share - bad_share) * WoE — the standard predictive-power
+    screen (IV > 0.3 ~ strong) — carried as an exact integer in e9
+    units on every row.
+
+    Scale shape: one map-side-combined ~20-key aggregate; smoothing
+    totals and IV are windows over the bin table."""
+    from ..functions.intlog import ln_ratio_e3_sql
+
+    o = load_table(spark, sf_dir, "orders")
+    bins = o.groupBy(
+        F.floor(F.col("o_totalprice") / float(_WOE_BIN_W))
+        .cast("bigint")
+        .alias("bin_id")
+    ).agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 0).otherwise(1))
+        .cast("bigint")
+        .alias("g"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+    )
+    wall = Window.partitionBy()
+    sm = bins.select(
+        "bin_id", "g", "b",
+        (F.col("g") + 1).alias("gs"),
+        (F.col("b") + 1).alias("bs"),
+        F.sum(F.col("g") + 1).over(wall).cast("bigint").alias("gs_tot"),
+        F.sum(F.col("b") + 1).over(wall).cast("bigint").alias("bs_tot"),
+    )
+    pos = ln_ratio_e3_sql("gs * bs_tot", "bs * gs_tot").replace("DIV", "div")
+    neg = ln_ratio_e3_sql("bs * gs_tot", "gs * bs_tot").replace("DIV", "div")
+    woe = sm.selectExpr(
+        "bin_id", "g", "b",
+        f"CASE WHEN gs * bs_tot >= bs * gs_tot THEN {pos}"
+        f" ELSE -({neg}) END AS woe_e3",
+        "gs * 1000000 div gs_tot - bs * 1000000 div bs_tot AS rate_gap_e6",
+    )
+    return woe.select(
+        "bin_id",
+        F.col("g").alias("n_good"),
+        F.col("b").alias("n_bad"),
+        F.col("woe_e3").cast("bigint").alias("woe_e3"),
+        F.sum(F.expr("rate_gap_e6 * woe_e3"))
+        .over(wall)
+        .cast("bigint")
+        .alias("information_value_e9"),
+    ).orderBy("bin_id")

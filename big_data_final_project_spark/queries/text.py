@@ -1545,3 +1545,190 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_ppm"), "phrase")
         .limit(20)
     )
+
+
+# BM25 constants: k1 = 6/5, b = 3/4 (the classic 1.2 / 0.75), scaled
+# out so each term's score is one exact integer division:
+#   score = idf_e3 * 44 * tf * SUMDL  DIV  (20*tf*SUMDL + 6*SUMDL + 18*dl*N)
+# (derived by multiplying BM25's numerator and denominator by
+# 20*SUMDL; idf is the octave+mantissa quantized ln from
+# functions.intlog, so NO float log enters the ranking).
+_BM25_QUERY = ("spark", "join", "window")
+
+
+def _bm25_oracle() -> str:
+    from ..functions.intlog import ln_ratio_e3_sql
+
+    idf = ln_ratio_e3_sql("st.n_docs", "df.df").replace("DIV", "//")
+    terms = ", ".join(f"'{t}'" for t in _BM25_QUERY)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM documents
+    ),
+    dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+    ),
+    st AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS sumdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+        FROM toks WHERE w IN ({terms}) GROUP BY 1, 2
+    ),
+    df AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST({idf} AS BIGINT) * 44 * tf.tf * st.sumdl
+               // (20 * tf.tf * st.sumdl + 6 * st.sumdl
+                   + 18 * dl.dl * st.n_docs) AS term_score_e3
+        FROM tf
+        JOIN df ON df.w = tf.w
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN st
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms_matched,
+           CAST(sum(term_score_e3) AS BIGINT) AS bm25_e3
+    FROM scored
+    GROUP BY 1
+    ORDER BY bm25_e3 DESC, doc_id
+    LIMIT 20
+    """
+
+
+@query(
+    "text_bm25_topk",
+    oracle=_bm25_oracle(),
+    tags=("text", "retrieval", "bm25", "engine-addition"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (k1=1.2, b=0.75) for a pinned 3-term query —
+    the lexical-search baseline text_tfidf_top_terms stops short of,
+    made EXACT: the idf ln((N/df)) is the octave+4-bit-mantissa
+    quantized integer log (functions.intlog, floors within ln(17/16) ~ 0.061 nats,
+    bit-identical across engines — an IEEE ln is not), and the tf
+    saturation term is one integer division after clearing BM25's
+    rational constants (x20*sumdl). Top-20 docs with per-doc matched
+    term counts.
+
+    Scale shape: tokenize feeds two map-side-combined aggregates
+    (doc lengths, per-term tf); df and the 2-row stats are broadcast
+    back; the ranking is TakeOrderedAndProject. At 100 TB this is
+    the standard inverted-score pipeline with no global state beyond
+    three scalars."""
+    from ..functions.intlog import ln_ratio_e3_sql
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(_toks(F.col("text"))).alias("w")
+    ).localCheckpoint(eager=True)  # read twice: dl + tf
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    st = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sumdl"),
+    )
+    tf = (
+        toks.where(F.col("w").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    idf = ln_ratio_e3_sql("n_docs", "df").replace("DIV", "div")
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .selectExpr(
+            "doc_id",
+            f"CAST({idf} AS BIGINT) * 44 * tf * sumdl"
+            " div (20 * tf * sumdl + 6 * sumdl + 18 * dl * n_docs)"
+            " AS term_score_e3",
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
+            F.sum("term_score_e3").cast("bigint").alias("bm25_e3"),
+        )
+        .orderBy(F.desc("bm25_e3"), "doc_id")
+        .limit(20)
+    )
+
+
+def _surprisal_oracle() -> str:
+    from ..functions.intlog import ln_ratio_e3_sql
+
+    s = ln_ratio_e3_sql("st.total_tokens", "cf.cf").replace("DIV", "//")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM documents
+    ),
+    cf AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS cf FROM toks GROUP BY 1
+    ),
+    st AS (
+        SELECT CAST(sum(cf) AS BIGINT) AS total_tokens FROM cf
+    ),
+    per_tok AS (
+        SELECT t.doc_id, CAST({s} AS BIGINT) AS s_e3
+        FROM toks t JOIN cf ON cf.w = t.w CROSS JOIN st
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(s_e3) AS BIGINT) AS total_surprisal_e3,
+           CAST(sum(s_e3) // count(*) AS BIGINT) AS mean_surprisal_e3
+    FROM per_tok
+    GROUP BY 1
+    ORDER BY mean_surprisal_e3 DESC, doc_id
+    LIMIT 50
+    """
+
+
+@query(
+    "curation_unigram_surprisal",
+    oracle=_surprisal_oracle(),
+    tags=("curation", "quality", "surprisal", "engine-addition"),
+)
+def curation_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram cross-entropy (surprisal) scoring — the perplexity
+    proxy curation pipelines use to rank documents by informativeness
+    without an LM: each token costs ln(total/cf) nats under the
+    corpus's own unigram model, computed with the quantized integer
+    log (functions.intlog) so the score is exact and engine-stable.
+    High mean surprisal = rare-token-dense docs (candidates for
+    upsampling or garbage review); the 50 most surprising surface.
+
+    Scale shape: tokenize, one count shuffle to the vocab, broadcast
+    the counts back (vocab is sub-1e6 rows even at 100 TB for
+    whitespace tokens), one per-doc aggregate."""
+    from ..functions.intlog import ln_ratio_e3_sql
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(_toks(F.col("text"))).alias("w")
+    ).localCheckpoint(eager=True)  # read twice: cf + scoring
+    cf = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("cf"))
+    st = cf.agg(F.sum("cf").cast("bigint").alias("total_tokens"))
+    s = ln_ratio_e3_sql("total_tokens", "cf").replace("DIV", "div")
+    per_tok = (
+        toks.join(F.broadcast(cf), "w")
+        .crossJoin(F.broadcast(st))
+        .selectExpr("doc_id", f"CAST({s} AS BIGINT) AS s_e3")
+    )
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("s_e3").cast("bigint").alias("total_surprisal_e3"),
+            F.expr("CAST(sum(s_e3) div count(*) AS BIGINT)").alias(
+                "mean_surprisal_e3"
+            ),
+        )
+        .orderBy(F.desc("mean_surprisal_e3"), "doc_id")
+        .limit(50)
+    )
