@@ -1732,3 +1732,96 @@ def curation_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("mean_surprisal_e3"), "doc_id")
         .limit(50)
     )
+
+
+def _kl_oracle() -> str:
+    from ..functions.intlog import ln_ratio_e3_sql
+
+    pos = ln_ratio_e3_sql("sw.c * t.n_total", "sw.n_s * cw.c_all").replace(
+        "DIV", "//"
+    )
+    neg = ln_ratio_e3_sql("sw.n_s * cw.c_all", "sw.c * t.n_total").replace(
+        "DIV", "//"
+    )
+    return f"""
+    WITH toks AS (
+        SELECT source, unnest({_TOKS_SQL}) AS w FROM documents
+    ),
+    sw AS (
+        SELECT source, w, CAST(count(*) AS BIGINT) AS c,
+               CAST(sum(count(*)) OVER (PARTITION BY source) AS BIGINT)
+                   AS n_s
+        FROM toks GROUP BY 1, 2
+    ),
+    cw AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c_all FROM toks GROUP BY 1
+    ),
+    t AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks
+    ),
+    terms AS (
+        SELECT sw.source, sw.n_s,
+               sw.c * (CASE WHEN sw.c * t.n_total >= sw.n_s * cw.c_all
+                            THEN {pos} ELSE -({neg}) END) AS term_e3
+        FROM sw JOIN cw ON cw.w = sw.w CROSS JOIN t
+    )
+    SELECT source,
+           CAST(max(n_s) AS BIGINT) AS n_tokens,
+           CAST(sum(term_e3) // max(n_s) AS BIGINT) AS kl_vs_corpus_e3
+    FROM terms
+    GROUP BY 1
+    ORDER BY kl_vs_corpus_e3 DESC, source
+    """
+
+
+@query(
+    "text_kl_by_source",
+    oracle=_kl_oracle(),
+    tags=("text", "kl-divergence", "drift", "curation", "engine-addition"),
+)
+def text_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's unigram distribution from the
+    whole-corpus distribution — the domain-shift scalar a mixture
+    curator reads before setting sampling weights (complements
+    curation_domain_mixture's counts with an information-theoretic
+    distance): sum over the source's observed vocabulary of
+    p_s(w) * ln(p_s(w)/q(w)), every ratio exact integers through the
+    quantized log, sign by cross-product comparison. KL >= 0 up to
+    quantization; the most divergent source leads.
+
+    Scale shape: tokenize, one (source, word) shuffle with map-side
+    combine, a broadcast corpus-vocab join, per-source rollup."""
+    from ..functions.intlog import ln_ratio_e3_sql
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(_toks(F.col("text"))).alias("w")
+    ).localCheckpoint(eager=True)  # read 3x: sw, cw, total
+    sw = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    ws = Window.partitionBy("source")
+    sw = sw.withColumn("n_s", F.sum("c").over(ws).cast("bigint"))
+    cw = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c_all"))
+    t = toks.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    pos = ln_ratio_e3_sql("c * n_total", "n_s * c_all").replace("DIV", "div")
+    neg = ln_ratio_e3_sql("n_s * c_all", "c * n_total").replace("DIV", "div")
+    terms = (
+        sw.join(F.broadcast(cw), "w")
+        .crossJoin(F.broadcast(t))
+        .selectExpr(
+            "source", "n_s",
+            f"c * (CASE WHEN c * n_total >= n_s * c_all THEN {pos}"
+            f" ELSE -({neg}) END) AS term_e3",
+        )
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.max("n_s").cast("bigint").alias("n_tokens"),
+            F.expr("CAST(sum(term_e3) div max(n_s) AS BIGINT)").alias(
+                "kl_vs_corpus_e3"
+            ),
+        )
+        .orderBy(F.desc("kl_vs_corpus_e3"), "source")
+    )

@@ -5453,3 +5453,120 @@ def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("term").cast("bigint").alias("shapley_x24_e6"))
         .orderBy("channel")
     )
+
+
+def _entropy_rate_oracle() -> str:
+    from ..functions.intlog import ln_ratio_e3_sql
+
+    lnrc = ln_ratio_e3_sql("rs.total", "t.c").replace("DIV", "//")
+    step = _markov_step_sql  # reuse the stationary power-step CTE
+    return f"""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id)
+                   AS nxt
+        FROM events
+    ),
+    trans AS (
+        SELECT event_type AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS c
+        FROM ordered WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    rowsums AS (
+        SELECT src, CAST(sum(c) AS BIGINT) AS total FROM trans GROUP BY 1
+    ),
+    p0 AS (
+        SELECT src AS state, CAST(1000000 AS BIGINT) AS mass FROM rowsums
+    ),
+    {step("p0", "p1")},
+    {step("p1", "p2")},
+    hrow AS (
+        SELECT t.src AS state,
+               CAST(sum(t.c * ({lnrc})) // max(rs.total) AS BIGINT)
+                   AS h_state_e3
+        FROM trans t JOIN rowsums rs ON rs.src = t.src
+        GROUP BY 1
+    )
+    SELECT h.state, h.h_state_e3, p2.mass AS pi_mass,
+           CAST(sum(h.h_state_e3 * p2.mass) OVER ()
+                // sum(p2.mass) OVER () AS BIGINT) AS entropy_rate_e3
+    FROM hrow h JOIN p2 ON p2.state = h.state
+    ORDER BY h.state
+    """
+
+
+@query(
+    "events_markov_entropy_rate",
+    oracle=_entropy_rate_oracle(),
+    tags=("events", "markov", "entropy", "engine-addition"),
+)
+def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user-journey Markov chain — how
+    predictable the next action is, in milli-nats: each state's
+    conditional entropy H(next|state) = sum_j p_ij ln(1/p_ij) uses
+    the quantized integer log on the exact transition counts, and
+    the rate weights states by the 2-step stationary mass from
+    events_markov_stationary (same power iteration inline). A
+    near-zero rate means journeys are deterministic (bots, broken
+    flows); the theoretical max is ln(n_states).
+
+    Scale shape: one user-partitioned lead window; everything after
+    runs on the states x states count matrix."""
+    from ..functions.intlog import ln_ratio_e3_sql
+
+    e = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")), "event_id"
+    )
+    ordered = e.select(
+        "event_type", F.lead("event_type").over(wo).alias("nxt")
+    )
+    trans = (
+        ordered.where(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    rowsums = trans.groupBy("src").agg(
+        F.sum("c").cast("bigint").alias("total")
+    )
+    pi = rowsums.select(
+        F.col("src").alias("state"),
+        F.lit(1_000_000).cast("bigint").alias("mass"),
+    )
+    for _ in range(2):
+        pi = (
+            trans.join(pi, trans["src"] == pi["state"])
+            .join(
+                rowsums.withColumnRenamed("src", "rs_src"),
+                F.col("src") == F.col("rs_src"),
+            )
+            .selectExpr("dst", "mass * c div total AS flow")
+            .groupBy(F.col("dst").alias("state"))
+            .agg(F.sum("flow").cast("bigint").alias("mass"))
+        )
+    lnrc = ln_ratio_e3_sql("total", "c").replace("DIV", "div")
+    hrow = (
+        trans.join(rowsums, "src")
+        .selectExpr("src AS state", f"c * ({lnrc}) AS term", "total")
+        .groupBy("state")
+        .agg(
+            F.expr("CAST(sum(term) div max(total) AS BIGINT)").alias(
+                "h_state_e3"
+            )
+        )
+    )
+    wall = Window.partitionBy()
+    return (
+        hrow.join(pi.withColumnRenamed("mass", "pi_mass"), "state")
+        .select(
+            "state",
+            "h_state_e3",
+            "pi_mass",
+            F.expr(
+                "CAST(sum(h_state_e3 * pi_mass) OVER ()"
+                " div sum(pi_mass) OVER () AS BIGINT)"
+            ).alias("entropy_rate_e3"),
+        )
+        .orderBy("state")
+    )

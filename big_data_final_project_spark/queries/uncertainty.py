@@ -1811,3 +1811,207 @@ def ab_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+# ---------------------------------------------------------------------------
+# Information-theory family (quantized integer log: functions.intlog)
+# ---------------------------------------------------------------------------
+
+
+def _logloss_oracle() -> str:
+    from ..functions.intlog import ln_ratio_e3_sql
+
+    ln_pos = ln_ratio_e3_sql("b.n", "b.pos").replace("DIV", "//")
+    ln_neg = ln_ratio_e3_sql("b.n", "b.n - b.pos").replace("DIV", "//")
+    return f"""
+    WITH scored AS (
+        SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bin_id,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    b AS (
+        SELECT bin_id, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS pos
+        FROM scored GROUP BY 1
+    ),
+    cost AS (
+        SELECT b.bin_id, b.n, b.pos,
+               CASE WHEN b.pos = 0 OR b.pos = b.n THEN NULL
+                    ELSE b.pos * ({ln_pos}) + (b.n - b.pos) * ({ln_neg})
+               END AS bin_loss_e3
+        FROM b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN bin_loss_e3 IS NULL THEN n ELSE 0 END)
+                AS BIGINT) AS n_degenerate_rows,
+           CAST(sum(bin_loss_e3) AS BIGINT) AS total_log_loss_e3,
+           CAST(sum(bin_loss_e3)
+                // sum(CASE WHEN bin_loss_e3 IS NULL THEN 0 ELSE n END)
+                AS BIGINT) AS mean_log_loss_e3
+    FROM cost
+    """
+
+
+@query(
+    "ml_log_loss_eval",
+    oracle=_logloss_oracle(),
+    tags=("ml", "evaluation", "log-loss", "engine-addition"),
+)
+def ml_log_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-entropy (log loss) of the histogram-calibrated
+    classifier — the proper scoring rule next to ml_brier_decomposition:
+    each score bin predicts its own positive rate pos/n, so a
+    positive row costs ln(n/pos) nats and a negative ln(n/(n-pos)),
+    both via the quantized integer log — no float ln anywhere.
+    Pure bins (pos = 0 or n) predict probability 0/1 exactly and are
+    excluded with their rows COUNTED (n_degenerate_rows) rather than
+    clamped silently — log loss is infinite there and an honest
+    metric says so.
+
+    Scale shape: one ~20-key conditional aggregate; the costing is
+    O(bins)."""
+    from ..functions.intlog import ln_ratio_e3_sql
+
+    o = load_table(spark, sf_dir, "orders")
+    b = o.selectExpr(
+        "CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bin_id",
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y",
+    ).groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    ln_pos = ln_ratio_e3_sql("n", "pos").replace("DIV", "div")
+    ln_neg = ln_ratio_e3_sql("n", "n - pos").replace("DIV", "div")
+    cost = b.selectExpr(
+        "bin_id", "n", "pos",
+        f"CASE WHEN pos = 0 OR pos = n THEN NULL"
+        f" ELSE pos * ({ln_pos}) + (n - pos) * ({ln_neg}) END"
+        " AS bin_loss_e3",
+    )
+    return cost.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("bin_loss_e3").isNull(), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_degenerate_rows"),
+        F.sum("bin_loss_e3").cast("bigint").alias("total_log_loss_e3"),
+        F.expr(
+            "CAST(sum(bin_loss_e3)"
+            " div sum(CASE WHEN bin_loss_e3 IS NULL THEN 0 ELSE n END)"
+            " AS BIGINT)"
+        ).alias("mean_log_loss_e3"),
+    )
+
+
+def _mi_oracle() -> str:
+    from ..functions.intlog import ln_ratio_e3_sql
+
+    pos = ln_ratio_e3_sql("cxy * n", "cx * cy").replace("DIV", "//")
+    neg = ln_ratio_e3_sql("cx * cy", "cxy * n").replace("DIV", "//")
+    return f"""
+    WITH melted AS (
+        SELECT feature, val,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM (
+            SELECT l_returnflag,
+                   unnest(['quantity', 'discount_x100', 'ship_month'])
+                       AS feature,
+                   unnest([CAST(l_quantity AS BIGINT),
+                           CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                                AS BIGINT),
+                           CAST(month(l_shipdate) AS BIGINT)]) AS val
+            FROM lineitem)
+    ),
+    cells AS (
+        SELECT feature, val, y, CAST(count(*) AS BIGINT) AS cxy
+        FROM melted GROUP BY 1, 2, 3
+    ),
+    margins AS (
+        SELECT feature, val, y, cxy,
+               CAST(sum(cxy) OVER (PARTITION BY feature, val) AS BIGINT)
+                   AS cx,
+               CAST(sum(cxy) OVER (PARTITION BY feature, y) AS BIGINT)
+                   AS cy,
+               CAST(sum(cxy) OVER (PARTITION BY feature) AS BIGINT) AS n
+        FROM cells
+    ),
+    terms AS (
+        SELECT feature,
+               cxy * (CASE WHEN cxy * n >= cx * cy
+                           THEN {pos} ELSE -({neg}) END) AS term_e3
+        FROM margins
+    )
+    SELECT feature,
+           CAST(sum(term_e3) AS BIGINT) AS mi_num_e3,
+           CAST(sum(term_e3) * 1000
+                // (SELECT CAST(sum(cxy) AS BIGINT) FROM cells
+                    WHERE cells.feature = terms.feature)
+                AS BIGINT) AS mi_micro_nats
+    FROM terms
+    GROUP BY feature
+    ORDER BY feature
+    """
+
+
+@query(
+    "ml_mutual_information",
+    oracle=_mi_oracle(),
+    tags=("ml", "feature-selection", "mutual-information",
+          "engine-addition"),
+)
+def ml_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(X;Y) between each feature and the return
+    flag — THE model-free feature-selection screen, in one melted
+    scan (the ml_drift_ks trick): every (feature, value, label) cell
+    contributes c * ln(c*n / (cx*cy)) with the quantized integer log,
+    the sign decided by comparing the products first. Reported as the
+    raw e3 numerator and per-row micro-nats. Unlike correlation this
+    catches NON-monotone dependence; unlike chi2 it is in
+    interpretable units (nats of shared information).
+
+    Scale shape: one melted scan to (feature, val, y) cells with
+    map-side combine; margins are windows over the cell table
+    partitioned by feature — histogram-sized, never data-sized."""
+    from ..functions.intlog import ln_ratio_e3_sql
+
+    li = load_table(spark, sf_dir, "lineitem")
+    melted = li.selectExpr(
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y",
+        """stack(3,
+           'quantity', CAST(l_quantity AS BIGINT),
+           'discount_x100',
+           CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT),
+           'ship_month', CAST(month(l_shipdate) AS BIGINT))
+           AS (feature, val)""",
+    )
+    cells = melted.groupBy("feature", "val", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cxy")
+    )
+    wx = Window.partitionBy("feature", "val")
+    wy = Window.partitionBy("feature", "y")
+    wf = Window.partitionBy("feature")
+    margins = cells.select(
+        "feature", "val", "y", "cxy",
+        F.sum("cxy").over(wx).cast("bigint").alias("cx"),
+        F.sum("cxy").over(wy).cast("bigint").alias("cy"),
+        F.sum("cxy").over(wf).cast("bigint").alias("n"),
+    )
+    pos = ln_ratio_e3_sql("cxy * n", "cx * cy").replace("DIV", "div")
+    neg = ln_ratio_e3_sql("cx * cy", "cxy * n").replace("DIV", "div")
+    terms = margins.selectExpr(
+        "feature",
+        "n",
+        f"cxy * (CASE WHEN cxy * n >= cx * cy THEN {pos}"
+        f" ELSE -({neg}) END) AS term_e3",
+    )
+    return (
+        terms.groupBy("feature")
+        .agg(
+            F.sum("term_e3").cast("bigint").alias("mi_num_e3"),
+            F.expr(
+                "CAST(sum(term_e3) * 1000 div max(n) AS BIGINT)"
+            ).alias("mi_micro_nats"),
+        )
+        .orderBy("feature")
+    )
