@@ -521,3 +521,60 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("epoch", "batch_id")
         .limit(40)
     )
+
+
+@query(
+    "pipeline_interleaved_curriculum",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY n_chars, doc_id) AS BIGINT) AS rank_in_source
+        FROM documents
+    ),
+    sched AS (
+        SELECT doc_id, source, n_chars, rank_in_source,
+               CAST(row_number() OVER (ORDER BY rank_in_source, source,
+                                       doc_id) AS BIGINT) AS position
+        FROM ranked
+    )
+    SELECT position, doc_id, source, n_chars, rank_in_source
+    FROM sched WHERE position <= 50
+    ORDER BY position
+    """,
+    tags=("pipeline", "curriculum", "training-order", "engine-addition"),
+)
+def pipeline_interleaved_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order with source interleaving — the
+    data-ORDER half of dataset curation that pipeline_training_shards
+    (placement) doesn't cover: within each source, documents rank
+    easiest-first (shortest n_chars, id tie-break); the global
+    schedule then round-robins sources by sorting on (rank_in_source,
+    source) — a deterministic interleave where no source floods the
+    early steps and difficulty ramps monotonically within each
+    source's subsequence. First 50 schedule positions shown.
+
+    Scale shape: one window partitioned by source; the global order
+    is the standard two-pass range-partitioned rank at scale
+    (pipeline_global_rank); here the driver-visible head is
+    TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    ranked = d.select(
+        "doc_id", "source", "n_chars",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .cast("bigint")
+        .alias("rank_in_source"),
+    )
+    sched = ranked.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy("rank_in_source", "source", "doc_id"))
+        .cast("bigint")
+        .alias("position"),
+    )
+    return (
+        sched.where(F.col("position") <= 50)
+        .select("position", "doc_id", "source", "n_chars", "rank_in_source")
+        .orderBy("position")
+    )

@@ -5570,3 +5570,179 @@ def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state")
     )
+
+
+_DECAY_HL_HOURS = 24  # binary half-life: weight halves every day
+_DECAY_MAX_SHIFT = 40
+
+
+@query(
+    "events_trending_decay",
+    oracle=f"""
+    WITH anchor AS (SELECT max(epoch_us(ts)) AS hi FROM events),
+    scored AS (
+        SELECT user_id,
+               1000000 >> LEAST((a.hi - epoch_us(ts))
+                                // ({_DECAY_HL_HOURS} * 3600000000),
+                                {_DECAY_MAX_SHIFT}) AS w
+        FROM events, anchor a
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(w) AS BIGINT) AS decayed_score_e6
+    FROM scored
+    GROUP BY 1
+    ORDER BY decayed_score_e6 DESC, user_id
+    LIMIT 20
+    """,
+    tags=("events", "trending", "decay", "engine-addition"),
+)
+def events_trending_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-now ranking by exponentially decayed activity — the
+    freshness-weighted popularity every feed ranks by, with the decay
+    made EXACT: weights halve per {_DECAY_HL_HOURS}-hour half-life
+    via a binary shift (1e6 >> age_in_halflives) instead of a float
+    pow — the classic time-decayed counter quantized to powers of
+    two, associative and mergeable (partial sums of shifted integers
+    just add, so the counter works as a streaming/mergeable sketch).
+    Top-20 users by decayed score vs their raw lifetime counts —
+    the gap IS the trend signal.
+
+    Scale shape: one scan with a map-side-combined per-user
+    aggregate; TakeOrderedAndProject(20)."""
+    e = load_table(spark, sf_dir, "events")
+    anchor = e.agg(F.expr("max(unix_micros(ts))").alias("hi"))
+    scored = e.crossJoin(F.broadcast(anchor)).selectExpr(
+        "user_id",
+        f"shiftright(1000000, CAST(LEAST((hi - unix_micros(ts))"
+        f" div ({_DECAY_HL_HOURS} * 3600000000),"
+        f" {_DECAY_MAX_SHIFT}) AS INT)) AS w",
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("w").cast("bigint").alias("decayed_score_e6"),
+        )
+        .orderBy(F.desc("decayed_score_e6"), "user_id")
+        .limit(20)
+    )
+
+
+@query(
+    "ts_seasonal_strength",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    trended AS (
+        SELECT event_type, day, y,
+               CAST(sum(y) OVER w7 AS BIGINT) AS tsum,
+               CAST(count(*) OVER w7 AS BIGINT) AS tn
+        FROM daily
+        WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    detr AS (
+        SELECT event_type, day,
+               y * tn - tsum AS d_num, tn,
+               CAST(isodow(day) AS BIGINT) AS dow
+        FROM trended WHERE tn = 7
+    ),
+    seas AS (
+        SELECT event_type, dow,
+               CAST(sum(d_num) AS BIGINT) AS s_sum,
+               CAST(count(*) AS BIGINT) AS s_n
+        FROM detr GROUP BY 1, 2
+    ),
+    resid AS (
+        SELECT d.event_type,
+               d.d_num * s.s_n - s.s_sum AS r_num,
+               d.d_num, s.s_n
+        FROM detr d
+        JOIN seas s ON s.event_type = d.event_type AND s.dow = d.dow
+    ),
+    vars_ AS (
+        SELECT event_type,
+               CAST(count(*) AS HUGEINT) AS n,
+               sum(CAST(d_num * s_n AS HUGEINT)
+                   * CAST(d_num * s_n AS HUGEINT)) AS dd,
+               sum(CAST(d_num * s_n AS HUGEINT)) AS ds,
+               sum(CAST(r_num AS HUGEINT) * CAST(r_num AS HUGEINT)) AS rr,
+               sum(CAST(r_num AS HUGEINT)) AS rs
+        FROM resid GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(GREATEST(CAST(0 AS HUGEINT),
+                1000000 - (n * rr - rs * rs) * 1000000 // (n * dd - ds * ds))
+                AS BIGINT) AS seasonal_strength_ppm
+    FROM vars_ ORDER BY event_type
+    """,
+    tags=("timeseries", "seasonality", "strength", "engine-addition"),
+)
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal strength F_s = max(0, 1 - Var(remainder)/Var(detrended))
+    (Hyndman's STL-based feature) for each series' daily counts —
+    the single scalar that says whether ts_seasonal_decompose_additive
+    is explaining anything: detrend by the centered 7-day mean, the
+    day-of-week effect is the mean detrended value per dow, and both
+    variances enter as exact integer numerators over a COMMON
+    denominator scale (the per-row values are kept as numerators
+    d*tn and d*tn*s_n, so no float or division touches anything
+    before the final ppm ratio).
+
+    Scale shape: daily rollup, one 7-row centered window per series,
+    a dow-profile aggregate, one moment aggregate — all partitioned
+    by series."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("CAST(date_trunc('day', ts) AS DATE)").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    w7 = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    )
+    trended = daily.select(
+        "event_type", "day", "y",
+        F.sum("y").over(w7).cast("bigint").alias("tsum"),
+        F.count(F.lit(1)).over(w7).cast("bigint").alias("tn"),
+    )
+    detr = trended.where(F.col("tn") == 7).selectExpr(
+        "event_type", "day",
+        "y * tn - tsum AS d_num", "tn",
+        "CAST(CASE WHEN dayofweek(day) = 1 THEN 7"
+        " ELSE dayofweek(day) - 1 END AS BIGINT) AS dow",
+    )
+    seas = detr.groupBy("event_type", "dow").agg(
+        F.sum("d_num").cast("bigint").alias("s_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("s_n"),
+    )
+    resid = detr.join(seas, ["event_type", "dow"]).selectExpr(
+        "event_type",
+        "d_num * s_n - s_sum AS r_num",
+        "d_num", "s_n",
+    )
+    d38 = "decimal(38,0)"
+    vars_ = resid.groupBy("event_type").agg(
+        F.expr(f"CAST(count(*) AS {d38})").alias("n"),
+        F.expr(
+            f"sum(CAST(d_num * s_n AS {d38}) * CAST(d_num * s_n AS {d38}))"
+        ).alias("dd"),
+        F.expr(f"sum(CAST(d_num * s_n AS {d38}))").alias("ds"),
+        F.expr(
+            f"sum(CAST(r_num AS {d38}) * CAST(r_num AS {d38}))"
+        ).alias("rr"),
+        F.expr(f"sum(CAST(r_num AS {d38}))").alias("rs"),
+    )
+    return vars_.selectExpr(
+        "event_type",
+        "CAST(n AS BIGINT) AS n_days",
+        f"CAST(GREATEST(CAST(0 AS {d38}),"
+        " 1000000 - (n * rr - rs * rs) * 1000000 div (n * dd - ds * ds))"
+        " AS BIGINT) AS seasonal_strength_ppm",
+    ).orderBy("event_type")

@@ -2015,3 +2015,145 @@ def ml_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("feature")
     )
+
+
+def _calib_slope_oracle() -> str:
+    from ..functions.intlog import ln_ratio_e3_sql
+
+    def logit(pos: str, neg: str) -> str:
+        p = ln_ratio_e3_sql(pos, neg).replace("DIV", "//")
+        n = ln_ratio_e3_sql(neg, pos).replace("DIV", "//")
+        return f"(CASE WHEN {pos} >= {neg} THEN {p} ELSE -({n}) END)"
+
+    xa = logit("pos_a", "n_a - pos_a")
+    xb = logit("pos_b", "n_b - pos_b")
+    return f"""
+    WITH split AS (
+        SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bin_id,
+               CAST(CAST(('0x' || substring(md5('cs-' ||
+                      CAST(o_orderkey AS VARCHAR)), 1, 8)) AS UBIGINT) % 2
+                    AS BIGINT) AS half,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    b AS (
+        SELECT bin_id,
+               CAST(sum(1 - half) AS HUGEINT) AS n_a,
+               CAST(sum((1 - half) * y) AS HUGEINT) AS pos_a,
+               CAST(sum(half) AS HUGEINT) AS n_b,
+               CAST(sum(half * y) AS HUGEINT) AS pos_b
+        FROM split GROUP BY 1
+        HAVING sum((1 - half) * y) > 0
+           AND sum((1 - half) * y) < sum(1 - half)
+           AND sum(half * y) > 0 AND sum(half * y) < sum(half)
+    ),
+    pts AS (
+        SELECT bin_id, n_b AS w,
+               CAST({xa} AS HUGEINT) AS x, CAST({xb} AS HUGEINT) AS z
+        FROM b
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_bins,
+               sum(w) AS sw, sum(w * x) AS swx, sum(w * z) AS swz,
+               sum(w * x * x) AS swxx, sum(w * x * z) AS swxz
+        FROM pts
+    )
+    SELECT n_bins,
+           CAST(sw AS BIGINT) AS n_holdout_rows,
+           CAST(CASE WHEN sw * swxz - swx * swz < 0 THEN -1 ELSE 1 END
+                * (abs(sw * swxz - swx * swz) * 1000
+                   // (sw * swxx - swx * swx)) AS BIGINT) AS slope_e3,
+           CAST(CASE WHEN swz * 1000 - (CASE WHEN sw * swxz - swx * swz < 0
+                                      THEN -1 ELSE 1 END
+                     * (abs(sw * swxz - swx * swz) * 1000
+                        // (sw * swxx - swx * swx))) * swx < 0
+                     THEN -1 ELSE 1 END
+                * (abs(swz * 1000 - (CASE WHEN sw * swxz - swx * swz < 0
+                                          THEN -1 ELSE 1 END
+                       * (abs(sw * swxz - swx * swz) * 1000
+                          // (sw * swxx - swx * swx))) * swx)
+                   // (1000 * sw)) AS BIGINT) AS intercept_e3
+    FROM m
+    """
+
+
+@query(
+    "ml_calibration_stability_slope",
+    oracle=_calib_slope_oracle(),
+    tags=("ml", "calibration", "slope", "engine-addition"),
+)
+def ml_calibration_stability_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox-style calibration slope, measured the only honest way
+    without a second dataset: hash-split the rows in two, fit each
+    bin's log-odds on BOTH halves, and regress holdout logit on
+    calibration logit (weighted by holdout mass). Slope ~1 and
+    intercept ~0 = the calibration transfers; slope < 1 = the
+    model's spread is optimistic; ~0 = the score carries no signal
+    (which is what this synthetic label correctly reads). Logits use
+    the quantized integer
+    log with sign by comparison; the weighted OLS runs on exact
+    integer moments of those quantized points; bins pure in either
+    half are excluded (their logit is infinite). Intercept reported
+    at the origin (z - slope*x averaged), in the same e3 units.
+
+    Scale shape: one conditional-aggregate scan to ~20 bins; the
+    regression is O(bins)."""
+    from ..functions.intlog import ln_ratio_e3_sql
+
+    def logit(pos: str, neg: str) -> str:
+        p = ln_ratio_e3_sql(pos, neg).replace("DIV", "div")
+        n = ln_ratio_e3_sql(neg, pos).replace("DIV", "div")
+        return f"(CASE WHEN {pos} >= {neg} THEN {p} ELSE -({n}) END)"
+
+    o = load_table(spark, sf_dir, "orders")
+    d38 = "decimal(38,0)"
+    split = o.selectExpr(
+        "CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bin_id",
+        "CAST(CAST(conv(substring(md5(concat('cs-',"
+        " CAST(o_orderkey AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2"
+        " AS BIGINT) AS half",
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y",
+    )
+    b = (
+        split.groupBy("bin_id")
+        .agg(
+            F.expr(f"CAST(sum(1 - half) AS {d38})").alias("n_a"),
+            F.expr(f"CAST(sum((1 - half) * y) AS {d38})").alias("pos_a"),
+            F.expr(f"CAST(sum(half) AS {d38})").alias("n_b"),
+            F.expr(f"CAST(sum(half * y) AS {d38})").alias("pos_b"),
+        )
+        .where(
+            "pos_a > 0 AND pos_a < n_a AND pos_b > 0 AND pos_b < n_b"
+        )
+    )
+    xa = logit("pos_a", "n_a - pos_a")
+    xb = logit("pos_b", "n_b - pos_b")
+    pts = b.selectExpr(
+        "bin_id", "n_b AS w",
+        f"CAST({xa} AS {d38}) AS x",
+        f"CAST({xb} AS {d38}) AS z",
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.expr("sum(w)").alias("sw"),
+        F.expr("sum(w * x)").alias("swx"),
+        F.expr("sum(w * z)").alias("swz"),
+        F.expr("sum(w * x * x)").alias("swxx"),
+        F.expr("sum(w * x * z)").alias("swxz"),
+    )
+    slope = (
+        "(CASE WHEN sw * swxz - swx * swz < 0 THEN -1 ELSE 1 END"
+        " * (abs(sw * swxz - swx * swz) * 1000"
+        " div (sw * swxx - swx * swx)))"
+    )
+    return m.selectExpr(
+        "n_bins",
+        "CAST(sw AS BIGINT) AS n_holdout_rows",
+        f"CAST({slope} AS BIGINT) AS slope_e3",
+        # division-free sign: swz*1000 - slope*swx has the sign of
+        # swz - slope*swx/1000 (Spark / rounds decimals, DuckDB /
+        # returns double — neither is safe in a comparison)
+        f"CAST(CASE WHEN swz * 1000 - {slope} * swx < 0 THEN -1 ELSE 1 END"
+        f" * (abs(swz * 1000 - {slope} * swx) div (1000 * sw))"
+        " AS BIGINT) AS intercept_e3",
+    )
