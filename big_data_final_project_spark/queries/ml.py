@@ -4160,3 +4160,74 @@ def ml_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("information_value_e9"),
     ).orderBy("bin_id")
+
+
+@query(
+    "ml_mcnemar_compare",
+    oracle="""
+    WITH scored AS (
+        SELECT CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS m1,
+               CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END AS m2,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    cells AS (
+        SELECT CAST(sum(CASE WHEN m1 = y AND m2 <> y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b,
+               CAST(sum(CASE WHEN m1 <> y AND m2 = y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c,
+               CAST(sum(CASE WHEN m1 = y AND m2 = y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS both_right,
+               CAST(sum(CASE WHEN m1 <> y AND m2 <> y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS both_wrong
+        FROM scored
+    )
+    SELECT b AS only_m1_right, c AS only_m2_right, both_right, both_wrong,
+           CAST((b - c) * (b - c) * 1000000 // (b + c) AS BIGINT)
+               AS mcnemar_chi2_e6,
+           CAST(CASE WHEN (b - c) * (b - c) * 1000000 // (b + c) > 3841459
+                     THEN 1 ELSE 0 END AS BIGINT) AS significant_05
+    FROM cells
+    """,
+    tags=("ml", "evaluation", "mcnemar", "model-comparison",
+          "engine-addition"),
+)
+def ml_mcnemar_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test — the correct way to compare two classifiers
+    evaluated on the SAME rows (a two-proportion z-test double-counts
+    the shared rows): only the discordant pairs matter, chi2 =
+    (b-c)^2/(b+c) on exact integer counts with the single division
+    floored at e6, compared against the pinned chi2(1) 5%% critical
+    value 3.841459 scaled to the same e6 units — so the significance
+    verdict is an integer comparison. Champion = price > 150k,
+    challenger = price > 250k, both predicting order status.
+
+    Scale shape: one conditional-aggregate scan to 4 cells; the test
+    is O(1)."""
+    o = load_table(spark, sf_dir, "orders")
+    scored = o.selectExpr(
+        "CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS m1",
+        "CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END AS m2",
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y",
+    )
+    cells = scored.agg(
+        F.sum(F.expr("CASE WHEN m1 = y AND m2 <> y THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.expr("CASE WHEN m1 <> y AND m2 = y THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.expr("CASE WHEN m1 = y AND m2 = y THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("both_right"),
+        F.sum(F.expr("CASE WHEN m1 <> y AND m2 <> y THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("both_wrong"),
+    )
+    return cells.selectExpr(
+        "b AS only_m1_right", "c AS only_m2_right", "both_right", "both_wrong",
+        "CAST((b - c) * (b - c) * 1000000 div (b + c) AS BIGINT)"
+        " AS mcnemar_chi2_e6",
+        "CAST(CASE WHEN (b - c) * (b - c) * 1000000 div (b + c) > 3841459"
+        " THEN 1 ELSE 0 END AS BIGINT) AS significant_05",
+    )

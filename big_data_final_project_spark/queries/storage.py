@@ -689,3 +689,132 @@ def store_tiering_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" - est_bytes * {rate} div 1048576 AS BIGINT)"
         " AS monthly_savings_micro_usd",
     ).orderBy("tier")
+
+
+_M2_FILES = 256
+_M2_PER_MANIFEST = 16
+_M2_LO_C = 10_000_000
+_M2_HI_C = 15_000_000
+
+
+@query(
+    "store_manifest_two_level_pruning",
+    oracle=f"""
+    WITH cents AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS c
+        FROM orders
+    ),
+    tagged AS (
+        SELECT c, CAST(c * {_M2_FILES} // 50000000 AS BIGINT) AS file_id
+        FROM cents
+    ),
+    files AS (
+        SELECT file_id, file_id // {_M2_PER_MANIFEST} AS manifest_id,
+               CAST(count(*) AS BIGINT) AS n,
+               MIN(c) AS min_c, MAX(c) AS max_c
+        FROM tagged GROUP BY 1, 2
+    ),
+    manifests AS (
+        SELECT manifest_id, CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(n) AS BIGINT) AS n_rows,
+               MIN(min_c) AS min_c, MAX(max_c) AS max_c
+        FROM files GROUP BY 1
+    ),
+    lvl1 AS (
+        SELECT CAST(count(*) AS BIGINT) AS total,
+               CAST(sum(CASE WHEN max_c >= {_M2_LO_C} AND min_c < {_M2_HI_C}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS scanned,
+               CAST(sum(CASE WHEN max_c >= {_M2_LO_C} AND min_c < {_M2_HI_C}
+                        THEN n_rows ELSE 0 END) AS BIGINT) AS rows_reachable
+        FROM manifests
+    ),
+    lvl2 AS (
+        SELECT CAST(count(*) AS BIGINT) AS total,
+               CAST(sum(CASE WHEN m.max_c >= {_M2_LO_C}
+                             AND m.min_c < {_M2_HI_C}
+                             AND f.max_c >= {_M2_LO_C}
+                             AND f.min_c < {_M2_HI_C}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS scanned,
+               CAST(sum(CASE WHEN m.max_c >= {_M2_LO_C}
+                             AND m.min_c < {_M2_HI_C}
+                             AND f.max_c >= {_M2_LO_C}
+                             AND f.min_c < {_M2_HI_C}
+                        THEN f.n ELSE 0 END) AS BIGINT) AS rows_reachable
+        FROM files f JOIN manifests m ON m.manifest_id = f.manifest_id
+    )
+    SELECT level, total, scanned, rows_reachable,
+           CAST((total - scanned) * 1000000 // total AS BIGINT)
+               AS pruned_ppm
+    FROM (
+        SELECT 'manifest' AS level, total, scanned, rows_reachable FROM lvl1
+        UNION ALL
+        SELECT 'file', total, scanned, rows_reachable FROM lvl2)
+    ORDER BY level
+    """,
+    tags=("storage", "metadata-pruning", "manifest", "scan-planning",
+          "engine-addition"),
+)
+def store_manifest_two_level_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level metadata pruning — the Iceberg/Delta manifest-tree
+    story on top of store_zone_map_skipping's flat file stats: files
+    (clustered on the filter column) roll up into manifests of
+    {_M2_PER_MANIFEST}, each level keeps min/max, and a range
+    predicate prunes manifests FIRST (without touching file
+    metadata), then files within the survivors. The two report rows
+    quantify what each level of the tree buys: at 100 TB the
+    manifest level is the difference between reading thousands of
+    file entries and reading a handful — metadata scans scale with
+    the TREE, not the table.
+
+    Exactness: integer cents, integer file/manifest ids, ppm floor
+    divisions. Scale shape: one narrow scan to file stats (a
+    {_M2_FILES}-key map-side-combined aggregate), a
+    16x-smaller manifest rollup, and O(files) audit arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    tagged = o.selectExpr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c"
+    ).selectExpr("c", f"CAST(c * {_M2_FILES} div 50000000 AS BIGINT) AS file_id")
+    files = tagged.groupBy(
+        "file_id", F.expr(f"file_id div {_M2_PER_MANIFEST}").alias("manifest_id")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("c").alias("min_c"),
+        F.max("c").alias("max_c"),
+    ).localCheckpoint(eager=True)  # read twice: manifests + lvl2
+    manifests = files.groupBy("manifest_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.min("min_c").alias("mmin"),
+        F.max("max_c").alias("mmax"),
+    )
+    m_hit = (F.col("mmax") >= _M2_LO_C) & (F.col("mmin") < _M2_HI_C)
+    lvl1 = manifests.agg(
+        F.count(F.lit(1)).cast("bigint").alias("total"),
+        F.sum(F.when(m_hit, 1).otherwise(0)).cast("bigint").alias("scanned"),
+        F.sum(F.when(m_hit, F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_reachable"),
+    ).selectExpr("'manifest' AS level", "total", "scanned", "rows_reachable")
+    joined = files.join(manifests.select("manifest_id", "mmin", "mmax"), "manifest_id")
+    f_hit = (
+        m_hit
+        & (F.col("max_c") >= _M2_LO_C)
+        & (F.col("min_c") < _M2_HI_C)
+    )
+    lvl2 = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("total"),
+        F.sum(F.when(f_hit, 1).otherwise(0)).cast("bigint").alias("scanned"),
+        F.sum(F.when(f_hit, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_reachable"),
+    ).selectExpr("'file' AS level", "total", "scanned", "rows_reachable")
+    return (
+        lvl1.unionByName(lvl2)
+        .selectExpr(
+            "level", "total", "scanned", "rows_reachable",
+            "CAST((total - scanned) * 1000000 div total AS BIGINT)"
+            " AS pruned_ppm",
+        )
+        .orderBy("level")
+    )

@@ -5746,3 +5746,199 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 1000000 - (n * rr - rs * rs) * 1000000 div (n * dd - ds * ds))"
         " AS BIGINT) AS seasonal_strength_ppm",
     ).orderBy("event_type")
+
+
+@query(
+    "ts_ljung_box",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, day, x,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+               CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+               lead(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS x1,
+               lead(x, 2) OVER (PARTITION BY event_type ORDER BY day) AS x2,
+               lead(x, 3) OVER (PARTITION BY event_type ORDER BY day) AS x3
+        FROM daily
+    ),
+    dev AS (
+        SELECT event_type, n,
+               CAST(sum((n * x - s) * (n * x - s)) AS HUGEINT) AS den,
+               CAST(sum(CASE WHEN x1 IS NOT NULL
+                    THEN (n * x - s) * (n * x1 - s) ELSE 0 END) AS HUGEINT)
+                   AS num1,
+               CAST(sum(CASE WHEN x2 IS NOT NULL
+                    THEN (n * x - s) * (n * x2 - s) ELSE 0 END) AS HUGEINT)
+                   AS num2,
+               CAST(sum(CASE WHEN x3 IS NOT NULL
+                    THEN (n * x - s) * (n * x3 - s) ELSE 0 END) AS HUGEINT)
+                   AS num3
+        FROM stats GROUP BY 1, 2
+    ),
+    q AS (
+        SELECT event_type, n,
+               CAST(n AS HUGEINT) * (n + 2)
+                 * (num1 * num1 * 1000000 // (den * den * (n - 1))
+                    + num2 * num2 * 1000000 // (den * den * (n - 2))
+                    + num3 * num3 * 1000000 // (den * den * (n - 3)))
+                   AS q_e6
+        FROM dev
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(q_e6 AS BIGINT) AS ljung_box_q_e6,
+           CAST(3 AS BIGINT) AS df,
+           CAST(CASE WHEN q_e6 > 7814728 THEN 1 ELSE 0 END AS BIGINT)
+               AS reject_white_noise_05
+    FROM q ORDER BY event_type
+    """,
+    tags=("timeseries", "ljung-box", "white-noise-test",
+          "engine-addition"),
+)
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on each series' daily counts — the
+    white-noise gate that belongs in front of every forecasting
+    query: Q = n(n+2) * sum_k r_k^2/(n-k) over lags 1..3, with each
+    autocorrelation entering as its exact integer numerator over the
+    shared denominator (ts_autocorr_exact's construction), each term
+    floored at e6, and the verdict an integer comparison against the
+    pinned chi2(3) 5%% critical value 7.814728. Reject = the series
+    has real autocorrelation structure worth modeling; fail to
+    reject = ts_holt_* and friends are fitting noise.
+
+    Scale shape: daily rollup, one per-series window pass for the
+    three leads, one moment aggregate; the test is O(series)."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.expr("CAST(ts AS DATE)").alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    we = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("day")
+    stats = daily.select(
+        "event_type", "day", "x",
+        F.count(F.lit(1)).over(we).cast("bigint").alias("n"),
+        F.sum("x").over(we).cast("bigint").alias("s"),
+        F.lead("x", 1).over(wo).alias("x1"),
+        F.lead("x", 2).over(wo).alias("x2"),
+        F.lead("x", 3).over(wo).alias("x3"),
+    )
+    d38 = "decimal(38,0)"
+    dev = stats.groupBy("event_type", "n").agg(
+        F.expr(f"CAST(sum((n*x - s) * (n*x - s)) AS {d38})").alias("den"),
+        *[
+            F.expr(
+                f"CAST(sum(CASE WHEN x{k} IS NOT NULL"
+                f" THEN (n*x - s) * (n*x{k} - s) ELSE 0 END) AS {d38})"
+            ).alias(f"num{k}")
+            for k in (1, 2, 3)
+        ],
+    )
+    q = dev.selectExpr(
+        "event_type", "n",
+        f"CAST(n AS {d38}) * (n + 2)"
+        " * (num1 * num1 * 1000000 div (den * den * (n - 1))"
+        "    + num2 * num2 * 1000000 div (den * den * (n - 2))"
+        "    + num3 * num3 * 1000000 div (den * den * (n - 3)))"
+        " AS q_e6",
+    )
+    return q.selectExpr(
+        "event_type",
+        "CAST(n AS BIGINT) AS n_days",
+        "CAST(q_e6 AS BIGINT) AS ljung_box_q_e6",
+        "CAST(3 AS BIGINT) AS df",
+        "CAST(CASE WHEN q_e6 > 7814728 THEN 1 ELSE 0 END AS BIGINT)"
+        " AS reject_white_noise_05",
+    ).orderBy("event_type")
+
+
+@query(
+    "events_retention_half_life",
+    oracle="""
+    WITH active AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+        FROM events
+    ),
+    cohorts AS (
+        SELECT user_id, min(w) AS w0 FROM active GROUP BY 1
+    ),
+    aged AS (
+        SELECT c.w0,
+               CAST(date_diff('day', c.w0, a.w) AS BIGINT) // 7 AS age_w,
+               a.user_id
+        FROM active a JOIN cohorts c ON c.user_id = a.user_id
+    ),
+    curve AS (
+        SELECT w0, age_w, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        FROM aged GROUP BY 1, 2
+    ),
+    sized AS (
+        SELECT w0, age_w, n_active,
+               CAST(max(CASE WHEN age_w = 0 THEN n_active END)
+                    OVER (PARTITION BY w0) AS BIGINT) AS cohort_n
+        FROM curve
+    ),
+    hl AS (
+        SELECT w0, cohort_n,
+               min(CASE WHEN age_w > 0 AND 2 * n_active < cohort_n
+                        THEN age_w END) AS half_life_weeks
+        FROM sized GROUP BY 1, 2
+    )
+    SELECT CAST(epoch(w0) AS BIGINT) // 86400 AS cohort_day_epoch,
+           cohort_n,
+           CAST(COALESCE(half_life_weeks, -1) AS BIGINT)
+               AS half_life_weeks
+    FROM hl ORDER BY cohort_day_epoch
+    """,
+    tags=("events", "retention", "half-life", "engine-addition"),
+)
+def events_retention_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention half-life per weekly cohort — the single number a
+    growth team quotes from the whole retention matrix: the first
+    week-age at which a cohort's weekly actives drop below half its
+    size, stated division-free as 2*n_active < cohort_n. Cohorts
+    that never halve inside the observation window report -1
+    (explicitly right-censored, not silently dropped — the same
+    honesty rule as ml_survival_kaplan_meier's censoring).
+
+    Scale shape: one distinct shuffle to (user, week), a broadcast
+    cohort join, a (cohort, age) aggregate; the half-life scan runs
+    on the cohort x age curve, not on events."""
+    e = load_table(spark, sf_dir, "events")
+    active = e.select(
+        "user_id", F.expr("CAST(date_trunc('week', ts) AS DATE)").alias("w")
+    ).distinct()
+    cohorts = active.groupBy("user_id").agg(F.min("w").alias("w0"))
+    aged = active.join(cohorts, "user_id").selectExpr(
+        "w0", "CAST(datediff(w, w0) AS BIGINT) div 7 AS age_w", "user_id"
+    )
+    curve = aged.groupBy("w0", "age_w").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_active")
+    )
+    wc = Window.partitionBy("w0")
+    sized = curve.select(
+        "w0", "age_w", "n_active",
+        F.max(F.when(F.col("age_w") == 0, F.col("n_active")))
+        .over(wc)
+        .cast("bigint")
+        .alias("cohort_n"),
+    )
+    hl = sized.groupBy("w0", "cohort_n").agg(
+        F.min(
+            F.when(
+                (F.col("age_w") > 0)
+                & (2 * F.col("n_active") < F.col("cohort_n")),
+                F.col("age_w"),
+            )
+        ).alias("half_life_weeks")
+    )
+    return hl.selectExpr(
+        "CAST(unix_date(w0) AS BIGINT) AS cohort_day_epoch",
+        "cohort_n",
+        "CAST(COALESCE(half_life_weeks, -1) AS BIGINT) AS half_life_weeks",
+    ).orderBy("cohort_day_epoch")
