@@ -818,3 +818,91 @@ def store_manifest_two_level_pruning(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("level")
     )
+
+
+_BCAST_THRESHOLD_BYTES = 10 * 1024 * 1024  # Spark's default 10 MB
+
+
+@query(
+    "store_broadcast_advisor",
+    oracle=f"""
+    WITH sizes AS (
+        SELECT 'region' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(8 + octet_length(encode(r_name))) AS BIGINT)
+                   AS est_bytes
+        FROM region
+        UNION ALL
+        SELECT 'nation', CAST(count(*) AS BIGINT),
+               CAST(sum(8 + 8 + octet_length(encode(n_name))) AS BIGINT)
+        FROM nation
+        UNION ALL
+        SELECT 'supplier', CAST(count(*) AS BIGINT),
+               CAST(sum(8 + 8 + 8 + octet_length(encode(s_name)))
+                    AS BIGINT)
+        FROM supplier
+        UNION ALL
+        SELECT 'part', CAST(count(*) AS BIGINT),
+               CAST(sum(8 + 8 + 8 + octet_length(encode(p_name))
+                        + octet_length(encode(p_brand))
+                        + octet_length(encode(p_type))) AS BIGINT)
+        FROM part
+        UNION ALL
+        SELECT 'customer', CAST(count(*) AS BIGINT),
+               CAST(sum(8 + 8 + 8 + octet_length(encode(c_name))
+                        + octet_length(encode(c_mktsegment))) AS BIGINT)
+        FROM customer
+    )
+    SELECT tbl, n_rows, est_bytes,
+           CAST(CASE WHEN est_bytes <= {_BCAST_THRESHOLD_BYTES}
+                     THEN 1 ELSE 0 END AS BIGINT) AS would_broadcast,
+           CAST(est_bytes * 1000000 // {_BCAST_THRESHOLD_BYTES} AS BIGINT)
+               AS threshold_fill_ppm
+    FROM sizes ORDER BY tbl
+    """,
+    tags=("storage", "broadcast", "join-planning", "ops",
+          "engine-addition"),
+)
+def store_broadcast_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join advisor — the dimension-sizing pass behind
+    every star-join plan in this repo: estimate each dimension
+    table's in-memory bytes from the physical row layout (fixed
+    numeric widths + actual string byte lengths), compare against
+    Spark's default 10 MB autoBroadcastJoinThreshold, and report the
+    headroom in ppm of the threshold. The plan-asserted broadcasts
+    in tests/test_plans.py are the downstream effect of exactly this
+    arithmetic; at 100 TB the dims that stop fitting are the ones
+    this readout flags first (threshold_fill_ppm trending toward
+    1e6).
+
+    Scale shape: five independent map-side-combined 1-row
+    aggregates unioned — dimension scans, never the fact."""
+    frames = []
+    specs = [
+        ("region", "8 + octet_length(encode(r_name, 'utf-8'))"),
+        ("nation", "8 + 8 + octet_length(encode(n_name, 'utf-8'))"),
+        ("supplier", "8 + 8 + 8 + octet_length(encode(s_name, 'utf-8'))"),
+        ("part", "8 + 8 + 8 + octet_length(encode(p_name, 'utf-8'))"
+                 " + octet_length(encode(p_brand, 'utf-8'))"
+                 " + octet_length(encode(p_type, 'utf-8'))"),
+        ("customer", "8 + 8 + 8 + octet_length(encode(c_name, 'utf-8'))"
+                     " + octet_length(encode(c_mktsegment, 'utf-8'))"),
+    ]
+    for tbl, bytes_expr in specs:
+        frames.append(
+            load_table(spark, sf_dir, tbl).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.expr(f"CAST(sum({bytes_expr}) AS BIGINT)").alias(
+                    "est_bytes"
+                ),
+            ).selectExpr(f"'{tbl}' AS tbl", "n_rows", "est_bytes")
+        )
+    sizes = frames[0]
+    for fdf in frames[1:]:
+        sizes = sizes.unionByName(fdf)
+    return sizes.selectExpr(
+        "tbl", "n_rows", "est_bytes",
+        f"CAST(CASE WHEN est_bytes <= {_BCAST_THRESHOLD_BYTES}"
+        " THEN 1 ELSE 0 END AS BIGINT) AS would_broadcast",
+        f"CAST(est_bytes * 1000000 div {_BCAST_THRESHOLD_BYTES} AS BIGINT)"
+        " AS threshold_fill_ppm",
+    ).orderBy("tbl")

@@ -5942,3 +5942,168 @@ def events_retention_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_n",
         "CAST(COALESCE(half_life_weeks, -1) AS BIGINT) AS half_life_weeks",
     ).orderBy("cohort_day_epoch")
+
+
+@query(
+    "events_attribution_first_touch",
+    oracle="""
+    WITH ordered AS (
+        SELECT event_id, user_id, ts, event_type,
+               first_value(CASE WHEN event_type IN ('view', 'click')
+                               THEN ts END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS touch_ts,
+               first_value(CASE WHEN event_type IN ('view', 'click')
+                               THEN event_type END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS touch_channel
+        FROM events
+    )
+    SELECT event_id, user_id, ts, touch_ts, touch_channel,
+           CAST(epoch_us(ts) - epoch_us(touch_ts) AS BIGINT) AS gap_us
+    FROM ordered
+    WHERE event_type = 'purchase' AND touch_ts IS NOT NULL
+    """,
+    tags=("attribution", "window", "behavior"),
+)
+def events_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution — credit the EARLIEST preceding
+    view/click instead of the latest: the acquisition-channel view
+    of the same question events_attribution_last_touch answers for
+    conversion optimization (and the fourth member of the
+    first/last/position/time-decay/Shapley family). Same
+    single-shuffle window shape; first_value with IGNORE NULLS over
+    the unbounded-preceding frame resolves both columns to the same
+    earliest marketing row.
+
+    Cross-engine exactness: integer microseconds end-to-end."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    ordered = e.select(
+        "event_id", "user_id", "ts", "event_type",
+        F.first(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+        F.first(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_channel"),
+    )
+    return ordered.where(
+        (F.col("event_type") == "purchase") & F.col("touch_ts").isNotNull()
+    ).select(
+        "event_id", "user_id", "ts", "touch_ts", "touch_channel",
+        (F.unix_micros("ts") - F.unix_micros("touch_ts"))
+        .cast("bigint")
+        .alias("gap_us"),
+    )
+
+
+# Robust anomaly flagging: |x - median| > 3 * 1.4826 * MAD, stated as
+# the integer cross-multiplication 10000*|x - med| > 44478*MAD.
+_MAD_K_E4 = 44_478
+
+
+@query(
+    "ts_robust_mad_anomalies",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT event_type, x,
+               row_number() OVER (PARTITION BY event_type ORDER BY x, day)
+                   AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+    ),
+    m AS (
+        SELECT event_type, CAST(x AS BIGINT) AS med
+        FROM med WHERE rk = (n + 1) // 2
+    ),
+    absdev AS (
+        SELECT d.event_type, d.day, d.x, m.med,
+               abs(d.x - m.med) AS ad
+        FROM daily d JOIN m ON m.event_type = d.event_type
+    ),
+    madr AS (
+        SELECT event_type, ad,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ad, day) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM absdev
+    ),
+    mad AS (
+        SELECT event_type, CAST(ad AS BIGINT) AS mad
+        FROM madr WHERE rk = (n + 1) // 2
+    )
+    SELECT a.event_type,
+           CAST(epoch(a.day) AS BIGINT) // 86400 AS day_epoch,
+           a.x, a.med, mad.mad,
+           CAST(CASE WHEN a.x > a.med THEN 1 ELSE -1 END AS BIGINT)
+               AS direction
+    FROM absdev a JOIN mad ON mad.event_type = a.event_type
+    WHERE 10000 * a.ad > {_MAD_K_E4} * mad.mad
+    ORDER BY a.event_type, day_epoch
+    """,
+    tags=("timeseries", "anomaly", "robust", "mad", "engine-addition"),
+)
+def ts_robust_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection via median/MAD — what ts_anomaly_zscore
+    should be when the anomalies themselves poison the baseline: a
+    single outlier moves the mean and inflates sigma (masking), but
+    barely moves the median or the median-absolute-deviation. A day
+    flags when |x - median| > 3 * 1.4826 * MAD, stated division- and
+    float-free as 10000*|dev| > 44478*MAD (1.4826 pinned at e4).
+    Both medians are exact lower-median rank selections with
+    deterministic tie-break by day.
+
+    Scale shape: daily rollup, two per-series rank selections (the
+    windows run over the per-series daily table, co-partitioned),
+    one broadcast-sized join back."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.expr("CAST(ts AS DATE)").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .localCheckpoint(eager=True)  # read 3x: median, absdev, flags
+    )
+
+    def lower_median(df, val, order_tiebreak):
+        wv = Window.partitionBy("event_type").orderBy(val, order_tiebreak)
+        wc = Window.partitionBy("event_type")
+        return (
+            df.withColumn("rk", F.row_number().over(wv))
+            .withColumn("n", F.count(F.lit(1)).over(wc))
+            .where(F.expr("rk = (n + 1) div 2"))
+        )
+
+    m = lower_median(daily, "x", "day").select(
+        "event_type", F.col("x").cast("bigint").alias("med")
+    )
+    absdev = daily.join(F.broadcast(m), "event_type").select(
+        "event_type", "day", "x", "med",
+        F.abs(F.col("x") - F.col("med")).alias("ad"),
+    )
+    mad = lower_median(absdev, "ad", "day").select(
+        "event_type", F.col("ad").cast("bigint").alias("mad")
+    )
+    return (
+        absdev.join(F.broadcast(mad), "event_type")
+        .where(F.expr(f"10000 * ad > {_MAD_K_E4} * mad"))
+        .selectExpr(
+            "event_type",
+            "CAST(unix_date(day) AS BIGINT) AS day_epoch",
+            "x", "med", "mad",
+            "CAST(CASE WHEN x > med THEN 1 ELSE -1 END AS BIGINT)"
+            " AS direction",
+        )
+        .orderBy("event_type", "day_epoch")
+    )
