@@ -1447,7 +1447,7 @@ def graph_hits_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     edges = li.select(
         F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)  # read 3x (a1 + 2 matvecs)
     a1 = edges.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("score"))
     h1 = (
         edges.join(a1.withColumnRenamed("score", "a1s"), "p")
