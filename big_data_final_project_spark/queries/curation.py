@@ -1023,3 +1023,102 @@ def curation_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("min_chars")
     )
+
+
+# Pinned target mixture for rebalancing (ppm, sums to 1e6): the
+# curator's desired domain blend, independent of what the corpus
+# happens to contain today.
+_MIX_TARGET_PPM = {
+    "web": 400_000,
+    "code": 250_000,
+    "books": 200_000,
+    "wiki": 150_000,
+}
+
+
+def _mix_target_sql() -> str:
+    rows = ", ".join(
+        f"('{k}', {v})" for k, v in _MIX_TARGET_PPM.items()
+    )
+    return f"(VALUES {rows}) AS t(source, target_ppm)"
+
+
+@query(
+    "curation_mixture_rebalance_plan",
+    oracle=f"""
+    WITH cur AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM documents GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(n_chars) AS BIGINT) AS chars_all FROM cur
+    ),
+    plan AS (
+        SELECT c.source, c.n_docs, c.n_chars,
+               CAST(c.n_chars * 1000000 // t2.chars_all AS BIGINT)
+                   AS current_ppm,
+               CAST(COALESCE(t.target_ppm, 0) AS BIGINT) AS target_ppm
+        FROM cur c
+        LEFT JOIN {_mix_target_sql()} ON t.source = c.source
+        CROSS JOIN tot t2
+    )
+    SELECT source, n_docs, n_chars, current_ppm, target_ppm,
+           CAST(CASE WHEN current_ppm = 0 THEN 0
+                     WHEN target_ppm >= current_ppm THEN 1000000
+                     ELSE target_ppm * 1000000 // current_ppm END
+                AS BIGINT) AS keep_rate_ppm,
+           CAST(CASE WHEN current_ppm = 0 THEN 0
+                     WHEN target_ppm >= current_ppm THEN n_chars
+                     ELSE n_chars * (target_ppm * 1000000 // current_ppm)
+                          // 1000000 END AS BIGINT) AS chars_kept
+    FROM plan ORDER BY source
+    """,
+    tags=("curation", "mixture", "rebalancing", "engine-addition"),
+)
+def curation_mixture_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing plan — the executable follow-up to
+    curation_domain_mixture's descriptive counts: given a PINNED
+    target blend (ppm per source), compute each source's current
+    token share and the downsampling keep-rate that moves the corpus
+    toward target without upsampling (sources at-or-under target
+    keep everything — rate capped at 1e6; over-target sources keep
+    target/current). All integer ppm floor arithmetic, so the plan
+    is reproducible to the byte; chars_kept is the post-plan budget
+    per source a shard writer would enforce via hash-gating.
+
+    Scale shape: one per-source aggregate (metadata-scale), O(sources)
+    plan arithmetic."""
+    cur = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+    tot = cur.agg(F.sum("n_chars").cast("bigint").alias("chars_all"))
+    target = spark.createDataFrame(
+        list(_MIX_TARGET_PPM.items()), "source string, target_ppm bigint"
+    )
+    plan = (
+        cur.join(F.broadcast(target), "source", "left")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "source", "n_docs", "n_chars",
+            "CAST(n_chars * 1000000 div chars_all AS BIGINT)"
+            " AS current_ppm",
+            "CAST(COALESCE(target_ppm, 0) AS BIGINT) AS target_ppm",
+        )
+    )
+    return plan.selectExpr(
+        "source", "n_docs", "n_chars", "current_ppm", "target_ppm",
+        "CAST(CASE WHEN current_ppm = 0 THEN 0"
+        " WHEN target_ppm >= current_ppm THEN 1000000"
+        " ELSE target_ppm * 1000000 div current_ppm END AS BIGINT)"
+        " AS keep_rate_ppm",
+        "CAST(CASE WHEN current_ppm = 0 THEN 0"
+        " WHEN target_ppm >= current_ppm THEN n_chars"
+        " ELSE n_chars * (target_ppm * 1000000 div current_ppm)"
+        " div 1000000 END AS BIGINT) AS chars_kept",
+    ).orderBy("source")

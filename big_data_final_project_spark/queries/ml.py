@@ -4231,3 +4231,89 @@ def ml_mcnemar_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(CASE WHEN (b - c) * (b - c) * 1000000 div (b + c) > 3841459"
         " THEN 1 ELSE 0 END AS BIGINT) AS significant_05",
     )
+
+
+_SLICE_MIN_SUPPORT = 50
+
+
+@query(
+    "ml_worst_slice_finder",
+    oracle=f"""
+    WITH scored AS (
+        SELECT o_orderpriority AS dim1,
+               CAST(FLOOR(o_totalprice / 100000.0) AS BIGINT) AS dim2,
+               CASE WHEN (o_totalprice > 150000) !=
+                         (o_orderstatus = 'F') THEN 1 ELSE 0 END AS err
+        FROM orders
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_all,
+               CAST(sum(err) AS BIGINT) AS err_all
+        FROM scored
+    ),
+    slices AS (
+        SELECT dim1, dim2, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(err) AS BIGINT) AS errs
+        FROM scored GROUP BY 1, 2
+        HAVING count(*) >= {_SLICE_MIN_SUPPORT}
+    )
+    SELECT s.dim1, s.dim2, s.n, s.errs,
+           CAST(s.errs * 1000000 // s.n AS BIGINT) AS err_rate_ppm,
+           CAST(g.err_all * 1000000 // g.n_all AS BIGINT)
+               AS global_err_rate_ppm,
+           CAST(s.errs * 1000000 // s.n
+                - g.err_all * 1000000 // g.n_all AS BIGINT) AS gap_ppm
+    FROM slices s CROSS JOIN g
+    WHERE s.errs * g.n_all > g.err_all * s.n
+    ORDER BY gap_ppm DESC, s.dim1, s.dim2
+    LIMIT 20
+    """,
+    tags=("ml", "error-analysis", "slice-finder", "engine-addition"),
+)
+def ml_worst_slice_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst-slice mining — the error-analysis pass that runs after
+    every eval: cross every priority with every 100k price band,
+    keep slices with support >= {_SLICE_MIN_SUPPORT}, and surface the
+    20 where the model's error rate most exceeds the global rate.
+    The worse-than-global filter is the division-free
+    cross-multiplication errs*n_all > err_all*n; rates and gaps are
+    integer ppm. This is where fairness audits, data bugs, and
+    distribution shift all first become visible — as a SLICE, not a
+    global average.
+
+    Scale shape: one conditional-aggregate scan to the slice
+    lattice (bounded by |dim1| x |dim2|), a broadcast 1-row global
+    join, TakeOrderedAndProject."""
+    o = load_table(spark, sf_dir, "orders")
+    scored = o.selectExpr(
+        "o_orderpriority AS dim1",
+        "CAST(FLOOR(o_totalprice / 100000.0) AS BIGINT) AS dim2",
+        "CASE WHEN (o_totalprice > 150000) !="
+        " (o_orderstatus = 'F') THEN 1 ELSE 0 END AS err",
+    ).localCheckpoint(eager=True)  # read 2x: global + slices
+    glob = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum("err").cast("bigint").alias("err_all"),
+    )
+    slices = (
+        scored.groupBy("dim1", "dim2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("err").cast("bigint").alias("errs"),
+        )
+        .where(F.col("n") >= _SLICE_MIN_SUPPORT)
+    )
+    return (
+        slices.crossJoin(F.broadcast(glob))
+        .where(F.expr("errs * n_all > err_all * n"))
+        .selectExpr(
+            "dim1", "dim2", "n", "errs",
+            "CAST(errs * 1000000 div n AS BIGINT) AS err_rate_ppm",
+            "CAST(err_all * 1000000 div n_all AS BIGINT)"
+            " AS global_err_rate_ppm",
+            "CAST(errs * 1000000 div n - err_all * 1000000 div n_all"
+            " AS BIGINT) AS gap_ppm",
+        )
+        .orderBy(F.desc("gap_ppm"), "dim1", "dim2")
+        .limit(20)
+    )

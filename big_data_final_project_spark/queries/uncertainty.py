@@ -2157,3 +2157,64 @@ def ml_calibration_stability_slope(spark: SparkSession, sf_dir: str) -> DataFram
         f" * (abs(swz * 1000 - {slope} * swx) div (1000 * sw))"
         " AS BIGINT) AS intercept_e3",
     )
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio-mismatch guardrail
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ab_srm_guardrail",
+    oracle="""
+    WITH assigned AS (
+        SELECT CAST(CAST(('0x' || substring(md5('srm-' ||
+                      CAST(o_orderkey AS VARCHAR)), 1, 8)) AS UBIGINT) % 2
+                    AS BIGINT) AS arm
+        FROM orders
+    ),
+    cells AS (
+        SELECT CAST(sum(arm) AS BIGINT) AS n_t,
+               CAST(count(*) - sum(arm) AS BIGINT) AS n_c,
+               CAST(count(*) AS BIGINT) AS n
+        FROM assigned
+    )
+    SELECT n_t, n_c,
+           CAST((2 * n_t - n) * (2 * n_t - n) * 1000000 // n AS BIGINT)
+               AS srm_chi2_e6,
+           CAST(CASE WHEN (2 * n_t - n) * (2 * n_t - n) * 1000000 // n
+                          > 3841459
+                     THEN 1 ELSE 0 END AS BIGINT) AS srm_detected_05
+    FROM cells
+    """,
+    tags=("ab", "srm", "guardrail", "engine-addition"),
+)
+def ab_srm_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail — the FIRST check every
+    experiment readout runs, because a biased assignment invalidates
+    everything downstream: chi-square against the designed 50/50
+    split, which for two cells collapses to (n_t - n_c)^2 / n =
+    (2*n_t - n)^2 / n, floored at e6 and compared to the pinned
+    chi2(1) 5%% critical value as an integer. A correct hash
+    assignment (as here) should NOT trigger — this query is the A/A
+    guardrail the platform alerts on when it fires.
+
+    Scale shape: one conditional-aggregate scan to 2 cells; O(1)
+    test."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.selectExpr(
+        "CAST(CAST(conv(substring(md5(concat('srm-',"
+        " CAST(o_orderkey AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2"
+        " AS BIGINT) AS arm"
+    ).agg(
+        F.sum("arm").cast("bigint").alias("n_t"),
+        (F.count(F.lit(1)) - F.sum("arm")).cast("bigint").alias("n_c"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return cells.selectExpr(
+        "n_t", "n_c",
+        "CAST((2 * n_t - n) * (2 * n_t - n) * 1000000 div n AS BIGINT)"
+        " AS srm_chi2_e6",
+        "CAST(CASE WHEN (2 * n_t - n) * (2 * n_t - n) * 1000000 div n"
+        " > 3841459 THEN 1 ELSE 0 END AS BIGINT) AS srm_detected_05",
+    )
