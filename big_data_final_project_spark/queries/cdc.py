@@ -324,3 +324,115 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         versions["version_no"],
         versions["valid_from"],
     )
+
+
+@query(
+    "cdc_log_compaction",
+    oracle="""
+    WITH log_ AS (
+        SELECT user_id AS k, epoch_us(ts) AS seq, event_id,
+               CASE WHEN row_number() OVER (PARTITION BY user_id
+                                            ORDER BY epoch_us(ts),
+                                                     event_id) = 1
+                    THEN 'I'
+                    WHEN event_type = 'error' THEN 'D'
+                    ELSE 'U' END AS op
+        FROM events
+    ),
+    anchor AS (
+        SELECT max(seq) - 7 * 86400000000 AS tombstone_horizon FROM log_
+    ),
+    last_ AS (
+        SELECT k, op, seq FROM (
+            SELECT k, op, seq,
+                   row_number() OVER (PARTITION BY k
+                                      ORDER BY seq DESC,
+                                               event_id DESC) AS rn
+            FROM log_) t
+        WHERE rn = 1
+    ),
+    classified AS (
+        SELECT l.k, l.op, l.seq,
+               CASE WHEN l.op = 'D' AND l.seq < a.tombstone_horizon
+                    THEN 1 ELSE 0 END AS tomb_expired
+        FROM last_ l, anchor a
+    )
+    SELECT CAST((SELECT count(*) FROM log_) AS BIGINT) AS n_entries,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN tomb_expired = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_survivors,
+           CAST(sum(CASE WHEN op = 'D' AND tomb_expired = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstones_kept,
+           CAST(sum(tomb_expired) AS BIGINT) AS n_tombstones_expired,
+           CAST(sum(CASE WHEN tomb_expired = 0 THEN 1 ELSE 0 END)
+                * 1000000 // (SELECT count(*) FROM log_) AS BIGINT)
+               AS surviving_ppm
+    FROM classified
+    """,
+    tags=("cdc", "log-compaction", "tombstone", "engine-addition"),
+)
+def cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction — the Kafka-compacted-topic / LSM
+    maintenance pass next to cdc_changelog_apply's APPLY: a
+    deterministic changelog derives from the event stream (first
+    per-user = Insert, 'error' = Delete, else Update, sequenced by
+    exact microseconds + id), compaction keeps only each key's LAST
+    op, and delete tombstones older than the 7-day horizon are
+    dropped entirely (a reader that hasn't caught up within the
+    horizon cannot rely on seeing the delete — the standard
+    compaction contract). The report is the exact bookkeeping:
+    entries in, keys, survivors, tombstones kept vs expired, and the
+    surviving fraction in ppm.
+
+    Scale shape: one shuffle on the key for both the sequencing
+    window and the last-op pick (same partitioning); the audit is a
+    1-row aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    wseq = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    log_ = e.select(
+        F.col("user_id").alias("k"),
+        F.unix_micros("ts").alias("seq"),
+        "event_id",
+        F.when(F.row_number().over(wseq) == 1, "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+    ).localCheckpoint(eager=True)  # read 2x: counts + last-op pick
+    n_entries = log_.count()
+    anchor = log_.agg(
+        (F.max("seq") - F.lit(7 * 86_400_000_000)).alias("h")
+    )
+    wlast = Window.partitionBy("k").orderBy(
+        F.desc("seq"), F.desc("event_id")
+    )
+    last_ = (
+        log_.withColumn("rn", F.row_number().over(wlast))
+        .where(F.col("rn") == 1)
+        .crossJoin(F.broadcast(anchor))
+        .selectExpr(
+            "k", "op", "seq",
+            "CASE WHEN op = 'D' AND seq < h THEN 1 ELSE 0 END"
+            " AS tomb_expired",
+        )
+    )
+    return last_.agg(
+        F.lit(n_entries).cast("bigint").alias("n_entries"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(F.expr("CASE WHEN tomb_expired = 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_survivors"),
+        F.sum(
+            F.expr("CASE WHEN op = 'D' AND tomb_expired = 0 THEN 1 ELSE 0 END")
+        )
+        .cast("bigint")
+        .alias("n_tombstones_kept"),
+        F.sum("tomb_expired").cast("bigint").alias("n_tombstones_expired"),
+        F.expr(
+            f"CAST(sum(CASE WHEN tomb_expired = 0 THEN 1 ELSE 0 END)"
+            f" * 1000000 div {n_entries} AS BIGINT)"
+        ).alias("surviving_ppm"),
+    )

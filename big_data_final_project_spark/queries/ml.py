@@ -4317,3 +4317,85 @@ def ml_worst_slice_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("gap_ppm"), "dim1", "dim2")
         .limit(20)
     )
+
+
+@query(
+    "ml_label_noise_audit",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bin_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pos
+        FROM orders GROUP BY 1
+    ),
+    flagged AS (
+        SELECT bin_id, n, pos,
+               CASE WHEN 20 * pos < n THEN pos ELSE 0 END
+                   AS suspect_positives,
+               CASE WHEN 20 * (n - pos) < n THEN n - pos ELSE 0 END
+                   AS suspect_negatives
+        FROM b
+    )
+    SELECT bin_id, n, pos,
+           CAST(suspect_positives AS BIGINT) AS suspect_positives,
+           CAST(suspect_negatives AS BIGINT) AS suspect_negatives,
+           CAST(sum(suspect_positives + suspect_negatives) OVER ()
+                AS BIGINT) AS total_suspects,
+           CAST(sum(suspect_positives + suspect_negatives) OVER () * 1000000
+                // sum(n) OVER () AS BIGINT) AS suspect_rate_ppm
+    FROM flagged
+    ORDER BY bin_id
+    """,
+    tags=("ml", "data-centric", "label-noise", "engine-addition"),
+)
+def ml_label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit (confident-learning lite) — the data-centric
+    pass that runs before blaming the model: inside each score bin,
+    positives are SUSPECT when the bin's base rate is under 5%%
+    (stated division-free as 20*pos < n) and negatives when it's
+    over 95%% — labels that disagree with an overwhelming local
+    consensus are the classic mislabel signature. EVERY bin reports
+    (suspect counts included when zero): on this near-uniform
+    synthetic label no local consensus exists, so a correct audit
+    returns all-zero suspect columns — filtering to hits would
+    return the degenerate empty frame, the exact failure mode the
+    velocity-rule fix documented. All exact integers.
+
+    Scale shape: one ~20-key conditional aggregate; flagging and the
+    global rollup are O(bins)."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.selectExpr(
+        "CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bin_id",
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y",
+    ).groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    flagged = b.selectExpr(
+        "bin_id", "n", "pos",
+        "CASE WHEN 20 * pos < n THEN pos ELSE 0 END AS suspect_positives",
+        "CASE WHEN 20 * (n - pos) < n THEN n - pos ELSE 0 END"
+        " AS suspect_negatives",
+    )
+    wall = Window.partitionBy()
+    return (
+        flagged.select(
+            "bin_id", "n", "pos",
+            F.col("suspect_positives").cast("bigint").alias(
+                "suspect_positives"
+            ),
+            F.col("suspect_negatives").cast("bigint").alias(
+                "suspect_negatives"
+            ),
+            F.sum(F.col("suspect_positives") + F.col("suspect_negatives"))
+            .over(wall)
+            .cast("bigint")
+            .alias("total_suspects"),
+            F.expr(
+                "CAST(sum(suspect_positives + suspect_negatives) OVER ()"
+                " * 1000000 div sum(n) OVER () AS BIGINT)"
+            ).alias("suspect_rate_ppm"),
+        )
+        .orderBy("bin_id")
+    )
