@@ -131,11 +131,15 @@ def main() -> None:
     # is the number that scales).
     for name in names:
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             _run(cat[name].fn(spark, sf_dir))
             runs.append(time.perf_counter() - t0)
-        if abs(runs[0] - runs[1]) > 0.5 * min(runs):
+        # round 5: outside-VM stalls measured up to 25s on a query
+        # whose floor is 1.8s (8-repeat probe, quiet loadavg). If the
+        # second-best run is 2x the best, the sample is stall-heavy
+        # and the best itself may be inflated — take a 4th.
+        if sorted(runs)[1] > 2.0 * sorted(runs)[0]:
             t0 = time.perf_counter()
             _run(cat[name].fn(spark, sf_dir))
             runs.append(time.perf_counter() - t0)

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..data import load_table
+from ..operators.scale import materialize
 from ..registry import query
 
 NEW_SEGMENT = "DELINQUENT"
@@ -75,12 +76,12 @@ def scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = (
         c.where(F.col("c_acctbal") < 0)
         .select(F.col("c_custkey").alias("custkey"), F.lit(NEW_SEGMENT).alias("segment"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     deletes = (
         c.where((F.col("c_acctbal") >= 0) & (F.col("c_acctbal") < 10))
         .select(F.col("c_custkey").alias("custkey"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     touched = (
         updates.select("custkey")
@@ -401,7 +402,7 @@ def cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_type") == "error", "D")
         .otherwise("U")
         .alias("op"),
-    ).localCheckpoint(eager=True)  # read 2x: counts + last-op pick
+    ).transform(materialize)  # read 2x: counts + last-op pick
     n_entries = log_.count()
     anchor = log_.agg(
         (F.max("seq") - F.lit(7 * 86_400_000_000)).alias("h")

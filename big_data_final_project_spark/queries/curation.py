@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..data import load_table
-from ..operators.scale import spread
+from ..operators.scale import materialize, spread
 from ..registry import query
 from .text import _NORM_SQL, _TOKS_SQL, _norm, _toks
 
@@ -330,7 +330,7 @@ def curation_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.size(_toks(F.col("text"))).cast("long").alias("n_tokens"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     per_src = (
         d.groupBy("source")
@@ -338,7 +338,7 @@ def curation_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("total_tokens"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     # Global totals via a 1-row broadcast cross join (not a window: no
     # need to sort/shuffle the per-source table for a grand total).

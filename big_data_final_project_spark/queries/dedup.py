@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..data import load_table
-from ..operators.scale import spread
+from ..operators.scale import materialize, session_cached, spread
 from ..registry import query
 from .text import _NORM_SQL, _norm
 
@@ -155,9 +155,6 @@ _MINHASH_CTES = f"""
 # Banded-signature table per (session, sf_dir): pairs, clusters,
 # survivor stats, and the incremental screen all start from it —
 # build it once.
-_SIG_CACHE: dict[tuple[str, str, str], DataFrame] = {}
-
-
 def _banded_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sig array, band_idx, band_hash) — one row per doc per
     band. Materialized EAGERLY before any self-join: a lazy
@@ -165,43 +162,40 @@ def _banded_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     concurrently against the still-empty cache and the whole
     shingle→md5→min-agg pipeline runs twice (measured 2x wall). At
     100 TB this materialization is a written parquet signature table
-    — same dataflow, durable instead of cached."""
-    cache_key = (spark.sparkContext.applicationId, sf_dir, "banded_sigs")
-    if cache_key in _SIG_CACHE:
-        return _SIG_CACHE[cache_key]
-    d = load_table(spark, sf_dir, "documents")
-    sh_rows = _shingled(d, "doc_id").select("doc_id", F.explode("sh").alias("x"))
-    sig_row = sh_rows.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(s), F.lit("#"), F.col("x")))).alias(f"h{i}")
-            for i, s in enumerate(SEEDS)
-        ]
-    )
-    sig = F.array(*[F.col(f"h{i}") for i in range(N_PERM)])
-    band_hashes = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.element_at("sig", ROWS_PER_BAND * j + r + 1)
-                        for r in range(ROWS_PER_BAND)
-                    ],
+    — same dataflow, durable instead of cached. Cached per session via
+    operators.scale.session_cached (dead-session entries evicted)."""
+
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        sh_rows = _shingled(d, "doc_id").select("doc_id", F.explode("sh").alias("x"))
+        sig_row = sh_rows.groupBy("doc_id").agg(
+            *[
+                F.min(F.md5(F.concat(F.lit(s), F.lit("#"), F.col("x")))).alias(f"h{i}")
+                for i, s in enumerate(SEEDS)
+            ]
+        )
+        sig = F.array(*[F.col(f"h{i}") for i in range(N_PERM)])
+        band_hashes = F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.element_at("sig", ROWS_PER_BAND * j + r + 1)
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    )
                 )
-            )
-            for j in range(N_BANDS)
-        ]
-    )
-    _SIG_CACHE[cache_key] = (
-        sig_row.select("doc_id", sig.alias("sig"))
-        .select(
+                for j in range(N_BANDS)
+            ]
+        )
+        return sig_row.select("doc_id", sig.alias("sig")).select(
             "doc_id",
             "sig",
             F.posexplode(band_hashes).alias("band_idx", "band_hash"),
         )
-        .localCheckpoint(eager=True)
-    )
-    return _SIG_CACHE[cache_key]
+
+    return session_cached(spark, (sf_dir, "banded_sigs"), build)
 
 
 @query(
@@ -378,7 +372,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("s", F.xxhash64("s0"))
         .drop("s0")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
@@ -616,26 +610,27 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Session cache: the converged cluster map is an intermediate TABLE
-# (like the banded signature table), not per-query state; keyed by
-# applicationId because localCheckpoints die with the session.
-_CC_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
+# (like the banded signature table), not per-query state; cached via
+# operators.scale.session_cached (materialized frames die with the
+# session; dead-session entries evicted on next access).
 def _cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key in _CC_CACHE:
-        return _CC_CACHE[key]
+    return session_cached(
+        spark, (sf_dir, "cluster_map"), lambda: _cluster_map_build(spark, sf_dir)
+    )
+
+
+def _cluster_map_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     # One pair computation feeds every iteration: materialize it.
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.transform(materialize)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     for _ in range(CC_MAX_ITERS):
         nbr_min = (
@@ -650,16 +645,14 @@ def _cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "new_label"
             ),
         )
-        merged = merged.localCheckpoint(eager=True)
+        merged = merged.transform(materialize)
         n_changed = merged.where(F.col("new_label") < F.col("label")).count()
         labels = merged.select("node", F.col("new_label").alias("label"))
         if n_changed == 0:
             break
-    out = labels.select(
+    return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
-    ).localCheckpoint(eager=True)
-    _CC_CACHE[key] = out
-    return out
+    )
 
 
 FUZZY_MAX_DIST = 3  # edit-distance threshold for entity matching
@@ -1023,10 +1016,10 @@ def dedup_cc_star_contraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("doc_a", "doc_b").alias("b"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     for _ in range(STAR_MAX_ROUNDS):
-        nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        nxt = _small_star(_large_star(e)).transform(materialize)
         changed = nxt.exceptAll(e).count() + e.exceptAll(nxt).count()
         e = nxt
         if changed == 0:
@@ -1100,7 +1093,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("s", F.xxhash64("s0"))
         .drop("s0")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
@@ -1292,7 +1285,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tok"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     sizes = toks.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n")
@@ -1309,9 +1302,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = ranked.join(sizes, "doc_id").filter(
         F.col("rn") <= F.expr("n div 2 + 1")
     )
-    pre = prefix.select("tok", "lang", "doc_id", "n").localCheckpoint(
-        eager=True
-    )
+    pre = prefix.select("tok", "lang", "doc_id", "n").transform(materialize)
     pa, pb = pre.alias("pa"), pre.alias("pb")
     cand = (
         pa.join(
@@ -1474,7 +1465,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         packed = term if packed is None else packed + term
     sig = bits.select(
         "doc_id", packed.cast("bigint").alias("sh")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     banded = sig.select(
         "doc_id",
         "sh",
@@ -1600,42 +1591,54 @@ def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = _banded_sig_table(spark, sf_dir).dropDuplicates(["doc_id"]).select(
         "doc_id", "sig"
     )
-    cands = {}
+    # ONE tagged (doc, config, band, hash) relation for all three
+    # bandings — the three band specs union into a single array of
+    # (config, band_idx, h) structs exploded once, so candidate
+    # generation is ONE self-join instead of three near-identical
+    # passes over the signature table (round-4 plan: 16 shuffles;
+    # this one: <=6). Join keys stay md5-uniform; the config tag
+    # only partitions the key space further, never skews it.
+    specs = []
     for label, b, r in LSH_CONFIGS:
-        hashes = F.array(
-            *[
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[F.element_at("sig", r * j + k + 1) for k in range(r)],
-                    )
+        for j in range(b):
+            specs.append(
+                F.struct(
+                    F.lit(label).alias("config"),
+                    F.lit(j).alias("band_idx"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[F.element_at("sig", r * j + k + 1) for k in range(r)],
+                        )
+                    ).alias("h"),
                 )
-                for j in range(b)
-            ]
-        )
-        hashed = sigs.select(
-            "doc_id", F.posexplode(hashes).alias("band_idx", "h")
-        )
-        a, bb = hashed.alias("a"), hashed.alias("b")
-        cands[label] = (
-            a.join(
-                bb,
-                (F.col("a.band_idx") == F.col("b.band_idx"))
-                & (F.col("a.h") == F.col("b.h"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
             )
-            .select(
-                F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
-            )
-            .distinct()
+    hashed = sigs.select(
+        "doc_id", F.explode(F.array(*specs)).alias("band")
+    ).select("doc_id", "band.config", "band.band_idx", "band.h")
+    a, bb = hashed.alias("a"), hashed.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.config") == F.col("b.config"))
+            & (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .select(
+            F.col("a.config").alias("config"),
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+        )
+        .distinct()
+    )
     # ground truth: inverted-index exact Jaccard, integer threshold
     sh = _shingled(load_table(spark, sf_dir, "documents"), "doc_id")
     ex = (
         sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s0"))
         .withColumn("s", F.xxhash64("s0"))
         .drop("s0")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     a, b = ex.alias("a"), ex.alias("b")
     overlap = (
@@ -1650,24 +1653,20 @@ def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = overlap.where(
         TUNE_JACCARD_DEN * F.col("nc")
         >= TUNE_JACCARD_NUM * (F.col("na") + F.col("nb") - F.col("nc"))
-    ).select("da", "db").localCheckpoint(eager=True)
+    ).select("da", "db").transform(materialize)
     tot = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
-    aggs = []
-    for label, _, _ in LSH_CONFIGS:
-        c = cands[label].join(
-            truth.withColumn("is_true", F.lit(1)), ["da", "db"], "left"
+    # One pass grades every config: left-join the tagged candidates
+    # against truth once, then a 3-group aggregate.
+    agg = (
+        cand.join(truth.withColumn("is_true", F.lit(1)), ["da", "db"], "left")
+        .groupBy("config")
+        .agg(
+            F.count("*").cast("bigint").alias("n_candidates"),
+            F.sum(F.coalesce("is_true", F.lit(0)))
+            .cast("bigint")
+            .alias("true_pos"),
         )
-        aggs.append(
-            c.agg(
-                F.count("*").cast("bigint").alias("n_candidates"),
-                F.sum(F.coalesce("is_true", F.lit(0)))
-                .cast("bigint")
-                .alias("true_pos"),
-            ).select(F.lit(label).alias("config"), "n_candidates", "true_pos")
-        )
-    agg = aggs[0]
-    for x in aggs[1:]:
-        agg = agg.unionAll(x)
+    )
     return (
         agg.crossJoin(F.broadcast(tot))
         .select(

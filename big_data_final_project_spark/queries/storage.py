@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..data import load_table
+from ..operators.scale import materialize
 from ..functions.numeric import dsum, dsum_sql
 from ..registry import query
 
@@ -781,7 +782,7 @@ def store_manifest_two_level_pruning(spark: SparkSession, sf_dir: str) -> DataFr
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.min("c").alias("min_c"),
         F.max("c").alias("max_c"),
-    ).localCheckpoint(eager=True)  # read twice: manifests + lvl2
+    ).transform(materialize)  # read twice: manifests + lvl2
     manifests = files.groupBy("manifest_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_files"),
         F.sum("n").cast("bigint").alias("n_rows"),

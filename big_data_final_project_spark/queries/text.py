@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..data import load_table
 from ..registry import query
+from ..operators.scale import materialize
 
 # Stopword list for quality scoring (generic English function words).
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
@@ -264,7 +265,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     11.2s → 2.3s at sf0.1). Input spread first: md5-per-shingle is
     CPU-bound and the corpus file is byte-small (one scan partition
     otherwise)."""
-    from ..operators.scale import spread
+    from ..operators.scale import materialize, spread
 
     d = spread(load_table(spark, sf_dir, "documents"))
     t = d.select("doc_id", _norm(F.col("text")).alias("norm"))
@@ -342,7 +343,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         toks.groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     n = d.agg(F.count("*").cast("double").alias("n_docs"))
@@ -416,7 +417,7 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combined), unigram counts broadcast back twice, top-k
     via TakeOrdered. No all-pairs anything; cost is linear in corpus
     tokens."""
-    from ..operators.scale import spread
+    from ..operators.scale import materialize, spread
 
     d = spread(load_table(spark, sf_dir, "documents"))
     toks = d.select(F.split(_norm(F.col("text")), " ").alias("tk"))
@@ -437,12 +438,12 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = (
         grams.groupBy("bigram")
         .agg(F.count("*").alias("c_ab"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     cu = (
         uni.groupBy("tok")
         .agg(F.count("*").alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     tot = cu.agg(F.sum("c").alias("n_tok")).crossJoin(
         cb.agg(F.sum("c_ab").alias("n_big"))
@@ -507,7 +508,7 @@ def text_char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries only the distinct-gram table per partition; top-k is a
     tiny per-lang window. The normalized text is materialized before
     the transform lambda (the HOF re-evaluation trap)."""
-    from ..operators.scale import spread
+    from ..operators.scale import materialize, spread
 
     d = spread(load_table(spark, sf_dir, "documents"))
     t = d.select("lang", _norm(F.col("text")).alias("norm"))
@@ -790,7 +791,7 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.explode(_toks(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     n_docs = d.count()
     top = (
@@ -1003,14 +1004,14 @@ def text_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))")
         ).alias("pos0", "tok"),
     ).select("word", "cnt", (F.col("pos0") + 1).cast("bigint").alias("pos"), "tok")
-    tokens = tokens.localCheckpoint(eager=True)
+    tokens = tokens.transform(materialize)
     outs = []
     for r in (1, 2, 3):
         best = (
             _bpe_pair_counts(tokens)
             .orderBy(F.desc("pc"), F.asc("x"), F.asc("y"))
             .limit(1)
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
         outs.append(
             best.select(
                 F.lit(r).cast("bigint").alias("merge_round"),
@@ -1021,7 +1022,7 @@ def text_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         if r < 3:
-            tokens = _bpe_merge(tokens, best).localCheckpoint(eager=True)
+            tokens = _bpe_merge(tokens, best).transform(materialize)
     out = outs[0]
     for o in outs[1:]:
         out = out.unionAll(o)
@@ -1097,7 +1098,7 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes once per span via substr on the doc row (an equi-join
     on doc_id, never a cross product). Hash gating uses the shared
     md5-hex-prefix idiom so both engines pick identical boundaries."""
-    from ..operators.scale import spread
+    from ..operators.scale import materialize, spread
 
     d = (
         # spread: the per-char shingle md5 is CPU-bound and the
@@ -1110,7 +1111,7 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         # staged once: read by the boundary explode, the span anchor
         # rows, AND the chunk-substr join (plan audit showed 5
         # same-path scans re-normalizing the corpus each time)
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     bpos = (
         d.select(
@@ -1151,7 +1152,7 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("l"),
         )
         # the ledger reads the chunk table twice (raw + distinct)
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     per_chunk = chunks.groupBy("source").agg(
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
@@ -1292,7 +1293,7 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.greatest(F.lit(1), F.expr("k * nd div 10").cast("bigint"))
         )
         .select("k", F.col("doc_id").alias("thr"), F.col("r").alias("n_docs_cum"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     vocab = (
         first_seen.crossJoin(F.broadcast(thresholds))
@@ -1384,7 +1385,7 @@ def text_bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))")
         ).alias("pos0", "tok"),
     ).select("word", "cnt", (F.col("pos0") + 1).cast("bigint").alias("pos"), "tok")
-    tokens = tokens.localCheckpoint(eager=True)
+    tokens = tokens.transform(materialize)
     counts = [
         tokens.agg(
             F.lit(0).cast("bigint").alias("merge_round"),
@@ -1398,8 +1399,8 @@ def text_bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
             _bpe_pair_counts(tokens)
             .orderBy(F.desc("pc"), F.asc("x"), F.asc("y"))
             .limit(1)
-        ).localCheckpoint(eager=True)
-        tokens = _bpe_merge(tokens, best).localCheckpoint(eager=True)
+        ).transform(materialize)
+        tokens = _bpe_merge(tokens, best).transform(materialize)
         counts.append(
             tokens.agg(
                 F.lit(r).cast("bigint").alias("merge_round"),
@@ -1625,7 +1626,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(_toks(F.col("text"))).alias("w")
-    ).localCheckpoint(eager=True)  # read twice: dl + tf
+    ).transform(materialize)  # read twice: dl + tf
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
     st = dl.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -1711,7 +1712,7 @@ def curation_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(_toks(F.col("text"))).alias("w")
-    ).localCheckpoint(eager=True)  # read twice: cf + scoring
+    ).transform(materialize)  # read twice: cf + scoring
     cf = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("cf"))
     st = cf.agg(F.sum("cf").cast("bigint").alias("total_tokens"))
     s = ln_ratio_e3_sql("total_tokens", "cf").replace("DIV", "div")
@@ -1796,7 +1797,7 @@ def text_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "source", F.explode(_toks(F.col("text"))).alias("w")
-    ).localCheckpoint(eager=True)  # read 3x: sw, cw, total
+    ).transform(materialize)  # read 3x: sw, cw, total
     sw = toks.groupBy("source", "w").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )

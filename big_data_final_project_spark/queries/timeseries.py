@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..data import load_table, sf_dir_tag
+from ..operators.scale import materialize
 from ..functions.numeric import davg, davg_sql, dsum
 from ..registry import query
 
@@ -276,7 +277,7 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.where(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     s2 = (
         e.where(F.col("event_type") == "click")
@@ -284,7 +285,7 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     s3 = (
         e.where(F.col("event_type") == "purchase")
@@ -292,7 +293,7 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts") > F.col("t2"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     def _count(df: DataFrame, label: str) -> DataFrame:
         return df.agg(F.count("*").cast("long").alias("n_users")).select(
@@ -1102,7 +1103,7 @@ def store_gdpr_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # files deleted mid-scan
     keep = df.where(
         F.col("event_date").isin(affected_days) & ~is_target
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -1483,7 +1484,7 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("mon"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     anchor = u0.agg(F.max("max_us").alias("a"))
     u = u0.crossJoin(F.broadcast(anchor)).select(
@@ -1664,7 +1665,7 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.where(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min(us).alias("t1"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     s2 = (
         e.where(F.col("event_type") == "click")
@@ -1672,7 +1673,7 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((us > F.col("t1")) & (us <= F.col("t1") + 3_600_000_000))
         .groupBy("user_id")
         .agg(F.min(us).alias("t2"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     s3 = (
         e.where(F.col("event_type") == "purchase")
@@ -1680,7 +1681,7 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((us > F.col("t2")) & (us <= F.col("t2") + 86_400_000_000))
         .groupBy("user_id")
         .agg(F.min(us).alias("t3"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     c1 = s1.agg(F.count(F.lit(1)).alias("n_signup"))
     c2 = s2.agg(F.count(F.lit(1)).alias("n_click_1h"))
@@ -1730,7 +1731,7 @@ def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = (
         e.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     th = u.agg(
         F.expr(f"percentile_approx(n_events, 0.90D, {_RFM_ACC})").alias("p90"),
@@ -2067,7 +2068,7 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .groupBy("event_type", F.to_date("ts").alias("day"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     n = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days")
@@ -2284,7 +2285,7 @@ def events_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     u0 = (
         pur.groupBy("user_id")
         .agg(F.min("day").alias("first_day"), F.max("day").alias("last_day"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     anchor = u0.agg(F.max("last_day").alias("amax"))
     u = u0.crossJoin(F.broadcast(anchor)).select(
@@ -5142,7 +5143,7 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ordered.where(F.col("nxt").isNotNull())
         .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .localCheckpoint(eager=True)  # read by both power steps
+        .transform(materialize)  # read by both power steps
     )
     rowsums = trans.groupBy("src").agg(F.sum("c").cast("bigint").alias("total"))
     pi = rowsums.select(
@@ -5238,7 +5239,7 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     active = e.select(
         "user_id", F.expr("CAST(date_trunc('week', ts) AS DATE)").alias("w")
-    ).distinct().localCheckpoint(eager=True)  # read 3x: label, prev, churn
+    ).distinct().transform(materialize)  # read 3x: label, prev, churn
     firsts = active.groupBy("user_id").agg(F.min("w").alias("w0"))
     prev = active.select(
         "user_id", F.expr("w + INTERVAL 7 DAY").alias("w")
@@ -5525,7 +5526,7 @@ def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ordered.where(F.col("nxt").isNotNull())
         .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     rowsums = trans.groupBy("src").agg(
         F.sum("c").cast("bigint").alias("total")
@@ -6073,7 +6074,7 @@ def ts_robust_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .groupBy("event_type", F.expr("CAST(ts AS DATE)").alias("day"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
-        .localCheckpoint(eager=True)  # read 3x: median, absdev, flags
+        .transform(materialize)  # read 3x: median, absdev, flags
     )
 
     def lower_median(df, val, order_tiebreak):

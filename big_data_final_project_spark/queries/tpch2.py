@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..data import load_table
+from ..operators.scale import materialize
 from ..functions.numeric import davg, davg_sql, dsum, dsum_sql
 from ..registry import query
 
@@ -94,7 +95,7 @@ def tpch_q2_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         # join — materialize the (tiny) table once instead of running
         # the distinct+join chain twice (diamond shape, no
         # ReusedExchange otherwise)
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     best = eligible.groupBy(F.col("p_partkey").alias("bk")).agg(
         F.max("s_acctbal").alias("mb")
@@ -308,7 +309,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "total_revenue"
         )
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
     return (
         revenue.join(F.broadcast(mx))
@@ -452,7 +453,7 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .select("l_orderkey", "l_suppkey")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     l1 = late.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")).select(
         "l_orderkey", "l_suppkey", "s_name"

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..data import load_table
+from ..operators.scale import materialize
 from ..functions.numeric import dsum, dsum_prod, dsum_prod_sql, dsum_sql
 from ..registry import query
 
@@ -1112,7 +1113,7 @@ def ml_auc_delong_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(pos).alias("npos"), F.sum(1 - pos).alias("nneg"))
         .repartitionByRange(AUC_RANGE_PARTITIONS, "score")
         .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)  # pin (score -> pid) across reads
+        .transform(materialize)  # pin (score -> pid) across reads
     )
     per_part = {
         r["pid"]: (int(r["tn"]), int(r["tp"]))

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..data import load_table
+from ..operators.scale import materialize
 
 EVENT_SCHEMA = T.StructType(
     [
@@ -325,7 +326,7 @@ def maintain_latest_view(
             merged.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
             .drop("__rn")
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         latest.write.mode("overwrite").parquet(view_dir)
 

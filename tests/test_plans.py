@@ -356,3 +356,27 @@ def test_round4d_plan_shapes(spark, sf_dir):
     # dataset card: joinless single-scan aggregate
     p = _plan(spark, sf_dir, "curation_dataset_card")
     assert p.text.count("Location: InMemoryFileIndex") == 1, p.text
+
+
+def test_lsh_join_topk_distributed_queries_no_explosion(spark, sf_dir):
+    # VERDICT r4 #4: the distributed-query-set ANN variant must meet
+    # the corpus in a bucket-cogrouped Arrow stage — no sort-merge of
+    # corpus x queries, no cartesian, no driver collect of the query
+    # block (the plan would show a LocalTableScan of collected rows)
+    p = _plan(spark, sf_dir, "sim_lsh_join_topk")
+    assert "FlatMapCoGroupsInPandas" in p.text, p.text
+    assert p.sortmerge_joins == 0, p.text
+    assert p.cartesian_products == 0
+    assert "LocalTableScan" not in p.text, "query block must stay distributed"
+    # spread + 2 cogroup exchanges + final rank window
+    assert p.shuffles <= 5, p.text
+
+
+def test_ivf_join_topk_distributed_queries_no_explosion(spark, sf_dir):
+    # cell-routed twin of sim_lsh_join_topk: same distributed posture
+    p = _plan(spark, sf_dir, "sim_ivf_join_topk")
+    assert "FlatMapCoGroupsInPandas" in p.text, p.text
+    assert p.sortmerge_joins == 0, p.text
+    assert p.cartesian_products == 0
+    assert "LocalTableScan" not in p.text, "query block must stay distributed"
+    assert p.shuffles <= 5, p.text

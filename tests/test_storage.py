@@ -140,3 +140,33 @@ def test_mirror_is_content_keyed_and_sweeps_stale_versions(spark, tmp_path):
     # sweep of another table's versions never touches this one
     _clean_stale_mirrors(sf_dir, "region")
     assert os.path.exists(m2)
+
+
+def test_materialize_modes_agree(spark, sf_dir, tmp_path):
+    """The materialize() seam (VERDICT r4 #5): the same query produces
+    identical results whether intermediates go through localCheckpoint
+    (bench default), reliable checkpoint (cluster), or parquet staging
+    (100 TB posture) — proving the mode switch changes durability, not
+    semantics."""
+    from big_data_final_project_spark.operators.scale import (
+        MATERIALIZE_DIR_CONF,
+        MATERIALIZE_MODE_CONF,
+    )
+    from big_data_final_project_spark.registry import catalog
+
+    # representative query with a materialized, re-read intermediate
+    q = catalog()["text_tfidf_top_terms"]
+
+    def run():
+        return sorted(map(tuple, q.fn(spark, sf_dir).collect()))
+
+    base = run()  # default: local
+    assert base, "query returned no rows"
+    spark.conf.set(MATERIALIZE_DIR_CONF, str(tmp_path))
+    try:
+        for mode in ("reliable", "table"):
+            spark.conf.set(MATERIALIZE_MODE_CONF, mode)
+            assert run() == base, f"mode {mode} diverged"
+    finally:
+        spark.conf.unset(MATERIALIZE_MODE_CONF)
+        spark.conf.unset(MATERIALIZE_DIR_CONF)
