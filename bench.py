@@ -89,6 +89,10 @@ HEADLINE = [
     "dedup_lsh_tuning",
     "graph_random_walks",
     "text_cdc_chunks",
+    # round-5 families: distributed-query-set ANN (no driver collect),
+    # held-out bigram LM quality filter
+    "sim_lsh_join_topk",
+    "curation_bigram_lm_heldout",
 ]
 
 

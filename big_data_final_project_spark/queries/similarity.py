@@ -1544,3 +1544,95 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("width")
     )
+
+
+DELTA_MOD = 7  # vec_id % 7 == 3 plays the "newly ingested" delta batch
+
+
+@query(
+    "sim_ivf_incremental_assign",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, {_VEC_SQL} AS v FROM embeddings),
+    base AS (SELECT * FROM e WHERE vec_id % {DELTA_MOD} <> 3),
+    expl AS (
+        SELECT label, unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS val
+        FROM base
+    ),
+    cent_dim AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(val AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS c
+        FROM expl GROUP BY label, pos
+    ),
+    cent AS (
+        SELECT label AS cell, list(c ORDER BY pos) AS cv
+        FROM cent_dim GROUP BY label
+    ),
+    qcent AS (SELECT cell, {qvec_sql("cv")} AS qcv FROM cent),
+    qcentn AS (SELECT cell, qcv, {ql2_sql("qcv")} AS qcnrm FROM qcent),
+    nq AS (SELECT vec_id, {qvec_sql("v")} AS qv FROM e),
+    nqn AS (SELECT vec_id, qv, {ql2_sql("qv")} AS qnrm FROM nq),
+    assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT n.vec_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY {_IVF_QDOT_ASSIGN} DESC, c.cell) AS rn
+            FROM nqn n CROSS JOIN qcentn c
+        ) x WHERE rn = 1
+    )
+    SELECT a.cell,
+           CAST(SUM(CASE WHEN a.vec_id % {DELTA_MOD} <> 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_base,
+           CAST(SUM(CASE WHEN a.vec_id % {DELTA_MOD} = 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_delta,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN a.vec_id % {DELTA_MOD} = 3 THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS delta_share_ppm
+    FROM assign a
+    GROUP BY a.cell
+    ORDER BY a.cell
+    """,
+    tags=("similarity", "ivf", "maintenance", "pandas"),
+)
+def sim_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index MAINTENANCE — the op a live vector store runs on every
+    ingest batch: centroids stay FROZEN (trained on the base corpus;
+    vec_id % 7 == 3 plays the newly-ingested delta), the whole corpus
+    is assigned in one fused fixed-point scan, and the per-cell report
+    shows where the delta landed (n_base / n_delta / delta_share_ppm).
+    A drifting ingest distribution shows up here as delta share
+    concentrating in few cells — the retrain trigger an IVF deployment
+    monitors (recall decays silently otherwise; see sim_ivf_recall).
+
+    Scale shape: centroid table is the k-row broadcast; assignment is
+    ONE mapInPandas corpus scan (exact quantized matmul per Arrow
+    batch); the report is a cell-keyed aggregate with map-side
+    combine. Nothing n^2, nothing single-partition; the delta-vs-base
+    flag is content-derived (id arithmetic), so re-runs are
+    idempotent."""
+    import numpy as np  # noqa: F401 — used via _assign_cells' closure
+
+    ed = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec_dbl("embedding").alias("v")
+    )
+    base = ed.where(F.col("vec_id") % DELTA_MOD != 3)
+    cent = _label_centroid_df(base)
+    cells, qc, qcn = _collect_centroids(cent)
+    assign = _assign_cells(spread(ed.select("vec_id", "v")), cells, qc, qcn)
+    is_delta = (F.col("vec_id") % DELTA_MOD == 3).cast("long")
+    return (
+        assign.groupBy("cell")
+        .agg(
+            F.sum(1 - is_delta).cast("bigint").alias("n_base"),
+            F.sum(is_delta).cast("bigint").alias("n_delta"),
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        )
+        .selectExpr(
+            "cell",
+            "n_base",
+            "n_delta",
+            "n_total",
+            "n_delta * 1000000 div n_total AS delta_share_ppm",
+        )
+        .orderBy("cell")
+    )

@@ -1826,3 +1826,126 @@ def text_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("kl_vs_corpus_e3"), "source")
     )
+
+
+def _bigram_lm_oracle() -> str:
+    from ..functions.intlog import ln_ratio_e3_sql
+
+    s = ln_ratio_e3_sql("cn1 + v", "cn2 + 1").replace("DIV", "//")
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    bgs AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                   i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS b
+        FROM t
+    ),
+    bgf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bgs),
+    train AS (SELECT * FROM bgf WHERE doc_id % 2 = 0),
+    c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM train GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM train GROUP BY 1),
+    vt AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1),
+    held AS (SELECT * FROM bgf WHERE doc_id % 2 = 1),
+    j AS (
+        SELECT h.doc_id,
+               coalesce(c1.c1, CAST(0 AS BIGINT)) AS cn1,
+               coalesce(c2.c2, CAST(0 AS BIGINT)) AS cn2,
+               vt.v AS v
+        FROM held h
+        LEFT JOIN c2 ON c2.w1 = h.w1 AND c2.w2 = h.w2
+        LEFT JOIN c1 ON c1.w1 = h.w1
+        CROSS JOIN vt
+    ),
+    scored AS (SELECT doc_id, CAST({s} AS BIGINT) AS s_e3 FROM j)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(s_e3) AS BIGINT) AS total_surprisal_e3,
+           CAST(sum(s_e3) // count(*) AS BIGINT) AS mean_surprisal_e3
+    FROM scored
+    GROUP BY 1
+    ORDER BY mean_surprisal_e3 DESC, doc_id
+    LIMIT 50
+    """
+
+
+@query(
+    "curation_bigram_lm_heldout",
+    oracle=_bigram_lm_oracle(),
+    tags=("curation", "quality", "lm", "perplexity", "engine-addition"),
+)
+def curation_bigram_lm_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram language-model scoring — the KenLM-style
+    perplexity filter curation pipelines run before training: an
+    add-one-smoothed bigram LM is TRAINED on half the corpus (even
+    doc_ids) and SCORES the other half, so a document's score reflects
+    generalization, not memorization (the failure of same-corpus
+    unigram surprisal, which this complements). Per held-out bigram,
+    surprisal = -ln p = ln((c1(w1) + V) / (c2(w1,w2) + 1)) in exact
+    quantized milli-nats (functions/intlog — no float log, so the
+    differential stays bit-exact); per-doc mean ranks documents,
+    highest-surprisal (most out-of-distribution) first.
+
+    Scale shape: bigram extraction is a zip_with in-row map (zero
+    shuffle); the train-side count tables aggregate with map-side
+    combine; scoring is two hash joins on (w1,w2)/(w1) count tables —
+    Zipf-skewed keys are fine because counts are PRE-aggregated (one
+    row per bigram type, never a fan-out) — plus a 1-row vocab-size
+    broadcast. At 100 TB the count tables are written parquet (the
+    trained model artifact) and the same two joins score any future
+    corpus increment."""
+    from ..functions.intlog import ln_ratio_e3_sql
+    from ..operators.scale import spread
+
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    tk = F.col("toks")
+    bg = (
+        d.select("doc_id", _toks(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(tk, 1, F.size(tk) - 1),
+                    F.slice(tk, 2, F.size(tk) - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+        # read 3x (train counts, held-out scoring) — stage it once
+        .transform(materialize)
+    )
+    train = bg.where(F.col("doc_id") % 2 == 0)
+    c2 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    # c1(w1) = sum over w2 of c2(w1, w2): roll up the ALREADY-counted
+    # bigram table instead of re-aggregating the raw token stream
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
+    vt = c1.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    held = bg.where(F.col("doc_id") % 2 == 1)
+    s = ln_ratio_e3_sql("cn1 + v", "cn2 + 1").replace("DIV", "div")
+    scored = (
+        held.join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vt))
+        .selectExpr(
+            "doc_id",
+            "coalesce(c1, CAST(0 AS BIGINT)) AS cn1",
+            "coalesce(c2, CAST(0 AS BIGINT)) AS cn2",
+            "v",
+        )
+        .selectExpr("doc_id", f"CAST({s} AS BIGINT) AS s_e3")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("s_e3").cast("bigint").alias("total_surprisal_e3"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_bigrams",
+            "total_surprisal_e3",
+            "total_surprisal_e3 div n_bigrams AS mean_surprisal_e3",
+        )
+        .orderBy(F.desc("mean_surprisal_e3"), "doc_id")
+        .limit(50)
+    )

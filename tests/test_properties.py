@@ -184,10 +184,11 @@ def test_na_drop_agrees_with_fused_audit(spark, sf_dir):
 def test_pagerank_fixed_point_invariant_to_parallelism(spark, sf_dir):
     """int64 fixed-point PageRank must be BIT-identical regardless of
     shuffle partitioning — the property float PageRank cannot give."""
+    from big_data_final_project_spark.operators.scale import _SESSION_CACHE
     from big_data_final_project_spark.queries import graph
 
     def run():
-        graph._CACHE.clear()
+        _SESSION_CACHE.clear()
         return [
             tuple(r)
             for r in graph.graph_pagerank(spark, sf_dir).collect()
@@ -201,7 +202,7 @@ def test_pagerank_fixed_point_invariant_to_parallelism(spark, sf_dir):
         b = run()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-        graph._CACHE.clear()
+        _SESSION_CACHE.clear()
     assert a == b
 
 

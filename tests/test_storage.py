@@ -154,19 +154,30 @@ def test_materialize_modes_agree(spark, sf_dir, tmp_path):
     )
     from big_data_final_project_spark.registry import catalog
 
-    # representative query with a materialized, re-read intermediate
-    q = catalog()["text_tfidf_top_terms"]
+    # two shapes: a single materialized re-read intermediate (tfidf)
+    # and an iterative per-round lineage cut (connected components —
+    # the seam's hardest case: checkpoints inside a convergence loop)
+    cat = catalog()
+    for qname in ("text_tfidf_top_terms", "dedup_clusters"):
+        q = cat[qname]
 
-    def run():
-        return sorted(map(tuple, q.fn(spark, sf_dir).collect()))
+        def run():
+            # session_cached would serve the local-mode frame across
+            # modes; clear it so each mode rebuilds through the seam
+            from big_data_final_project_spark.operators.scale import (
+                _SESSION_CACHE,
+            )
 
-    base = run()  # default: local
-    assert base, "query returned no rows"
-    spark.conf.set(MATERIALIZE_DIR_CONF, str(tmp_path))
-    try:
-        for mode in ("reliable", "table"):
-            spark.conf.set(MATERIALIZE_MODE_CONF, mode)
-            assert run() == base, f"mode {mode} diverged"
-    finally:
-        spark.conf.unset(MATERIALIZE_MODE_CONF)
-        spark.conf.unset(MATERIALIZE_DIR_CONF)
+            _SESSION_CACHE.clear()
+            return sorted(map(tuple, q.fn(spark, sf_dir).collect()))
+
+        base = run()  # default: local
+        assert base, f"{qname} returned no rows"
+        spark.conf.set(MATERIALIZE_DIR_CONF, str(tmp_path))
+        try:
+            for mode in ("reliable", "table"):
+                spark.conf.set(MATERIALIZE_MODE_CONF, mode)
+                assert run() == base, f"{qname} mode {mode} diverged"
+        finally:
+            spark.conf.unset(MATERIALIZE_MODE_CONF)
+            spark.conf.unset(MATERIALIZE_DIR_CONF)

@@ -125,14 +125,25 @@ def run(shard: int, n_shards: int, sf_dir: str) -> int:
 def merge(n_shards: int, sf_dir: str) -> int:
     from big_data_final_project_spark.registry import catalog
 
+    # Start from the committed artifact (if any) so a partial re-run —
+    # e.g. only the shard containing newly added queries — overlays
+    # fresh records onto the previous full sweep.
     merged: dict[str, dict] = {}
+    prev_path = os.path.join(REPO, "CORRECTNESS_SWEEP.json")
+    if os.path.exists(prev_path):
+        with open(prev_path) as fh:
+            merged.update(json.load(fh).get("queries", {}))
+    any_shard = False
     for shard in range(n_shards):
         path = _shard_path(shard, n_shards)
         if not os.path.exists(path):
-            print(f"missing shard artifact: {path}", file=sys.stderr)
-            return 2
+            continue
+        any_shard = True
         with open(path) as fh:
             merged.update(json.load(fh))
+    if not any_shard:
+        print("no shard artifacts found", file=sys.stderr)
+        return 2
     cat = catalog()
     missing = sorted(set(cat) - set(merged))
     if missing:
@@ -151,7 +162,8 @@ def merge(n_shards: int, sf_dir: str) -> int:
         f" {len(fails)} failures{': ' + str(fails) if fails else ''}"
     )
     for shard in range(n_shards):
-        os.remove(_shard_path(shard, n_shards))
+        if os.path.exists(_shard_path(shard, n_shards)):
+            os.remove(_shard_path(shard, n_shards))
     return 1 if fails else 0
 
 
