@@ -165,37 +165,46 @@ def _banded_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     — same dataflow, durable instead of cached. Cached per session via
     operators.scale.session_cached (dead-session entries evicted)."""
 
-    def build() -> DataFrame:
-        d = load_table(spark, sf_dir, "documents")
-        sh_rows = _shingled(d, "doc_id").select("doc_id", F.explode("sh").alias("x"))
-        sig_row = sh_rows.groupBy("doc_id").agg(
-            *[
-                F.min(F.md5(F.concat(F.lit(s), F.lit("#"), F.col("x")))).alias(f"h{i}")
-                for i, s in enumerate(SEEDS)
-            ]
-        )
-        sig = F.array(*[F.col(f"h{i}") for i in range(N_PERM)])
-        band_hashes = F.array(
-            *[
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.element_at("sig", ROWS_PER_BAND * j + r + 1)
-                            for r in range(ROWS_PER_BAND)
-                        ],
-                    )
-                )
-                for j in range(N_BANDS)
-            ]
-        )
-        return sig_row.select("doc_id", sig.alias("sig")).select(
-            "doc_id",
-            "sig",
-            F.posexplode(band_hashes).alias("band_idx", "band_hash"),
-        )
+    return session_cached(
+        spark,
+        (sf_dir, "banded_sigs"),
+        lambda: sig_rows(load_table(spark, sf_dir, "documents")),
+    )
 
-    return session_cached(spark, (sf_dir, "banded_sigs"), build)
+
+def sig_rows(d: DataFrame) -> DataFrame:
+    """(doc_id, text) frame -> (doc_id, sig, band_idx, band_hash) —
+    the banded-signature map, factored out so the STREAMING screen
+    (streaming_minhash_screen_live) applies the identical signature
+    pipeline to each micro-batch that the batch table applies to the
+    corpus."""
+    sh_rows = _shingled(d, "doc_id").select("doc_id", F.explode("sh").alias("x"))
+    sig_row = sh_rows.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(s), F.lit("#"), F.col("x")))).alias(f"h{i}")
+            for i, s in enumerate(SEEDS)
+        ]
+    )
+    sig = F.array(*[F.col(f"h{i}") for i in range(N_PERM)])
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.element_at("sig", ROWS_PER_BAND * j + r + 1)
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                )
+            )
+            for j in range(N_BANDS)
+        ]
+    )
+    return sig_row.select("doc_id", sig.alias("sig")).select(
+        "doc_id",
+        "sig",
+        F.posexplode(band_hashes).alias("band_idx", "band_hash"),
+    )
 
 
 @query(

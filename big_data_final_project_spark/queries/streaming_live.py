@@ -833,3 +833,119 @@ def streaming_velocity_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("peak_window_count"), "user_id")
         .limit(100)
     )
+
+
+def _batch_screen_oracle() -> str:
+    """The stream is graded against the SAME SQL as the batch screen."""
+    from ..registry import REGISTRY
+
+    from . import dedup  # noqa: F401 — ensures registration
+
+    return REGISTRY["dedup_incremental_minhash"].oracle
+
+
+@query(
+    "streaming_minhash_screen_live",
+    oracle=_batch_screen_oracle(),
+    tags=("streaming", "live", "dedup", "minhash", "engine-addition"),
+)
+def streaming_minhash_screen_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING leg of corpus fuzzy dedup: newly crawled
+    documents (doc_id % 10 == 0, staged as JSON files standing in for
+    the ingest topic) arrive as a Structured Streaming source in
+    multiple micro-batches; each micro-batch's banded minhash
+    signatures (the IDENTICAL `dedup.sig_rows` pipeline the batch
+    corpus table uses) broadcast-join the PERSISTED corpus signature
+    table, and each doc's near-dup verdict (n_dups / first match /
+    best signature agreement / is_new) is appended exactly-once
+    (checkpointed offsets + idempotent batch-id-keyed parquet, the
+    `persist_stream` recipe). The differential checks the streamed
+    result against the same batch SQL that grades
+    `dedup_incremental_minhash` — incremental screen == batch screen.
+
+    Scale shape: the corpus side is read, never reshuffled (a daily
+    micro-batch is growth-rate sized, so its signatures broadcast);
+    per-batch work is batch-sized; state lives in the signature table
+    and the checkpoint, not in executor memory. This is the steady
+    -state ingest gate of a 100 TB dedup deployment."""
+    from .dedup import (
+        MIN_EST_JACCARD,
+        N_PERM,
+        _banded_sig_table,
+        sig_rows,
+    )
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .where(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+    )
+    staging = _work_dir(sf_dir, "mh_staging")
+    done = os.path.join(staging, "_staged.ok")
+    if not os.path.exists(done):
+        docs.repartition(4).write.mode("overwrite").json(staging)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    corpus = _banded_sig_table(spark, sf_dir).where(F.col("doc_id") % 10 != 0)
+    store = _work_dir(sf_dir, "mh_store")
+    ckpt = _work_dir(sf_dir, "mh_ckpt")
+
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("a.sig"),
+                F.col("b.sig"),
+                lambda x, y: F.when(x == y, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / N_PERM
+    )
+
+    def screen(batch: DataFrame, batch_id: int) -> None:
+        sigs = sig_rows(batch)
+        hits = (
+            F.broadcast(sigs.alias("a"))
+            .join(
+                corpus.alias("b"),
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                est.alias("est_jaccard"),
+            )
+            .distinct()
+            .where(F.col("est_jaccard") >= MIN_EST_JACCARD)
+        )
+        spine = batch.select("doc_id").distinct()
+        out = (
+            spine.join(hits, spine.doc_id == hits.doc_a, "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count("doc_b").alias("n_dups"),
+                F.min("doc_b").alias("first_match_id"),
+                F.max("est_jaccard").alias("max_est_jaccard"),
+                (F.count("doc_b") == 0).alias("is_new"),
+            )
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(store, f"batch_id={batch_id}")
+        )
+
+    with _stream_partitions(spark):
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 2)  # 4 staged files -> 2 micro-batches
+            .json(staging)
+            .writeStream.foreachBatch(screen)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.option("basePath", store).parquet(store).select(
+        "doc_id", "n_dups", "first_match_id", "max_est_jaccard", "is_new"
+    )

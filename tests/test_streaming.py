@@ -329,3 +329,29 @@ def test_tws_processor_logic_without_runtime(spark, sf_dir):
                 int(last["n_events"].iloc[0]),
                 int(last["value_sum_fp"].iloc[0]),
             ) == want[uid], (uid, n_splits)
+
+
+def test_minhash_screen_streams_in_multiple_batches(spark, sf_dir):
+    """streaming_minhash_screen_live must actually execute as MORE
+    than one micro-batch (otherwise it degenerates to batch with extra
+    steps): after a drain, the idempotent store holds one directory
+    per processed batch id."""
+    import glob
+    import os
+
+    from big_data_final_project_spark.registry import catalog
+
+    out = catalog()["streaming_minhash_screen_live"].fn(spark, sf_dir)
+    n_rows = out.count()
+    assert n_rows > 0
+    import tempfile
+
+    from big_data_final_project_spark.data import sf_dir_tag
+
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_stream_{sf_dir_tag(sf_dir)}_{os.getpid()}",
+        "mh_store",
+    )
+    batch_dirs = glob.glob(os.path.join(store, "batch_id=*"))
+    assert len(batch_dirs) >= 2, batch_dirs
