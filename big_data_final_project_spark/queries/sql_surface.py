@@ -695,3 +695,42 @@ def sql_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY priority
         """
     )
+
+
+@query(
+    "sql_parameterized_args",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice >= 1000.0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("sql", "parameterized", "engine-addition"),
+)
+def sql_parameterized_args(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized `spark.sql(query, args)` — the injection-safe
+    templating surface every SQL-facing service needs (string
+    concatenation of user input into SQL is the classic vulnerability;
+    named-parameter binding is the engine-supported fix, Spark 3.4+).
+    The :status / :floor markers bind as literal expressions inside
+    Catalyst, so constant folding and predicate pushdown see the bound
+    values exactly like inline literals — same plan, safe surface.
+
+    The revenue sum routes through DECIMAL so it is order-independent
+    and bit-identical to the oracle (functions/numeric rationale)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("pq_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM pq_orders
+        WHERE o_orderstatus = :status AND o_totalprice >= :floor
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"status": "F", "floor": 1000.0},
+    )

@@ -907,3 +907,46 @@ def store_broadcast_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(est_bytes * 1000000 div {_BCAST_THRESHOLD_BYTES} AS BIGINT)"
         " AS threshold_fill_ppm",
     ).orderBy("tbl")
+
+
+@query(
+    "store_python_sink_roundtrip",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+    tags=("storage", "sink", "datasource", "engine-addition"),
+)
+def store_python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write through the registered `jsonl_audit` Python DataSource
+    WRITER (sources/jsonl_sink.py — executor-side two-phase commit:
+    temp files + driver rename + _SUCCESS) and read the published
+    files back: the round-trip must reproduce the projected events
+    table exactly, which proves the sink's commit protocol publishes
+    every task's rows exactly once. The write-side twin of the
+    `weather_api` custom READER (SURVEY §2.1 S1) — the engine can both
+    ingest from and emit to formats Spark doesn't ship.
+
+    Scale shape: each task streams its partition to one file
+    (constant memory); commit is O(files) renames on shared storage —
+    the same contract as Spark's built-in file sinks."""
+    from ..data import sf_dir_tag
+    from ..sources.jsonl_sink import register
+
+    register(spark)
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_store_pysink_{sf_dir_tag(sf_dir)}_{os.getpid()}",
+    )
+    done = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(done):
+        (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "user_id", "event_type")
+            .write.format("jsonl_audit")
+            .option("path", out_dir)
+            .mode("append")
+            .save()
+        )
+    return (
+        spark.read.schema("event_id long, user_id long, event_type string")
+        .option("pathGlobFilter", "part-*.jsonl")
+        .json(out_dir)
+    )

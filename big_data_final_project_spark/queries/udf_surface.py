@@ -373,3 +373,48 @@ def udf_grouped_map_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
         .limit(25)
     )
+
+
+def _cents_total_fn(v: pd.Series) -> int:  # series -> scalar = GROUPED_AGG
+    """GROUPED_AGG pandas UDF body: exact int64 cents total of the
+    frame it is handed (pandas .round is half-even — the oracle must
+    use round_even, not round; see the verify-skill rounding lesson).
+    The Series->scalar type hints make pandas_udf infer GROUPED_AGG."""
+    return int(v.mul(100).round().astype("int64").sum())
+
+
+@query(
+    "udf_grouped_agg_window",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(round_even(value * 100, 0) AS BIGINT))
+                OVER (PARTITION BY user_id) AS BIGINT) AS user_total_cents,
+           CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS user_n
+    FROM events
+    """,
+    tags=("udf", "pandas", "window", "grouped-agg"),
+)
+def udf_grouped_agg_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas GROUPED_AGG UDF applied OVER A WINDOW — the API corner
+    the rest of the UDF family doesn't touch: Spark hands the UDF each
+    window frame as one Arrow batch (unbounded frames only), so a
+    Python aggregate can decorate every row with its partition's
+    statistic without a join back. The UDF does exact scaled-integer
+    cents arithmetic, so the differential against the plain SQL window
+    is bit-exact (oracle uses round_even to mirror pandas' half-even).
+
+    Scale shape: one shuffle on user_id (the window exchange), one
+    Arrow transfer per frame; at 100 TB the same plan as any window
+    aggregate, with the Python hop only where Python is genuinely
+    wanted (custom aggregates Spark lacks)."""
+    from pyspark.sql import Window
+
+    total_cents = pandas_udf(_cents_total_fn, T.LongType())
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        total_cents("value").over(w).alias("user_total_cents"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("user_n"),
+    )

@@ -1,0 +1,90 @@
+"""JSON-lines audit SINK as a real Spark writer (Spark 4 Python
+DataSource API) — the write-side twin of ``weather_datasource``'s
+reader, completing the custom-source story: this engine can both
+ingest from and emit to formats Spark doesn't ship.
+
+Registers a ``jsonl_audit`` format whose writes run ON EXECUTORS with
+the standard two-phase commit protocol: each task writes a
+``part-<task>-<uuid>.jsonl.tmp`` file and returns a commit message;
+``commit()`` (driver, after ALL tasks succeeded) renames every temp to
+its final name and stamps ``_SUCCESS``; ``abort()`` removes temps, so
+a failed job leaves no visible output. Readers that respect
+``_SUCCESS`` (or just glob ``part-*.jsonl``) never observe partial
+jobs — the same atomicity contract as Spark's built-in file sinks.
+
+Assumes the path is shared storage (POSIX/DFS) visible to driver and
+executors, like every file-based sink.
+
+    spark.dataSource.register(JsonlAuditDataSource)
+    df.write.format("jsonl_audit").option("path", d).mode("append").save()
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _TaskFile(WriterCommitMessage):
+    tmp_path: str
+    n_rows: int
+
+
+class JsonlAuditWriter(DataSourceWriter):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        """Executor-side: stream the partition's rows to ONE temp
+        file (constant memory), return its commit message."""
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl.tmp")
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), default=str, sort_keys=True))
+                fh.write("\n")
+                n += 1
+        return _TaskFile(tmp_path=tmp, n_rows=n)
+
+    def commit(self, messages):
+        """Driver-side, all tasks green: publish atomically-per-file
+        (rename) and stamp _SUCCESS with the committed row count."""
+        total = 0
+        for m in messages:
+            final = m.tmp_path[: -len(".tmp")]
+            os.rename(m.tmp_path, final)
+            total += m.n_rows
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write(str(total))
+
+    def abort(self, messages):
+        """Any task failed: remove temps; nothing was published."""
+        for m in messages:
+            try:
+                os.remove(m.tmp_path)
+            except OSError:
+                pass
+
+
+class JsonlAuditDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_audit"
+
+    def writer(self, schema, overwrite: bool) -> JsonlAuditWriter:
+        return JsonlAuditWriter(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent per-session registration."""
+    spark.dataSource.register(JsonlAuditDataSource)

@@ -216,3 +216,36 @@ def test_weather_api_stream_source(spark, tmp_path_factory):
     base = stub_fetch("Manila")["current"]["temp_c"]
     manila_first = [r for r in first if r["location_name"] == "Manila"]
     assert any(abs(r["temp_c"] - base) < 1e-9 for r in manila_first)
+
+
+def test_jsonl_sink_two_phase_commit(tmp_path):
+    """The jsonl_audit writer's commit protocol, exercised directly:
+    write() publishes nothing visible (temp only); abort() removes the
+    temp; commit() renames and stamps _SUCCESS with the row count —
+    so a failed job can never leave partial output behind."""
+    import glob
+    import os
+
+    from pyspark.sql import Row
+
+    from big_data_final_project_spark.sources.jsonl_sink import JsonlAuditWriter
+
+    d = str(tmp_path / "sink")
+    w = JsonlAuditWriter({"path": d})
+
+    # task attempt that will be aborted
+    msg = w.write(iter([Row(a=1), Row(a=2)]))
+    assert msg.tmp_path.endswith(".tmp") and msg.n_rows == 2
+    assert not glob.glob(os.path.join(d, "part-*.jsonl"))  # nothing visible
+    w.abort([msg])
+    assert not os.path.exists(msg.tmp_path)
+
+    # successful attempt
+    m1 = w.write(iter([Row(a=1)]))
+    m2 = w.write(iter([Row(a=2), Row(a=3)]))
+    w.commit([m1, m2])
+    finals = glob.glob(os.path.join(d, "part-*.jsonl"))
+    assert len(finals) == 2
+    assert not glob.glob(os.path.join(d, "*.tmp"))
+    with open(os.path.join(d, "_SUCCESS")) as fh:
+        assert fh.read() == "3"
