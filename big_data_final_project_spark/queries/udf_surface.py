@@ -418,3 +418,83 @@ def udf_grouped_agg_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         total_cents("value").over(w).alias("user_total_cents"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("user_n"),
     )
+
+
+@query(
+    "udf_apply_in_arrow_grouped",
+    oracle="""
+    WITH q AS (
+        SELECT label, vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 8388608.0) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    n AS (
+        SELECT label, vec_id,
+               CAST(list_reduce(list_transform(qv, x -> x * x),
+                                (a, x) -> a + x) AS BIGINT) AS ns
+        FROM q
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(ns) // count(*) AS BIGINT) AS mean_norm_sq_fp,
+           CAST(SUM(ns) % count(*) AS BIGINT) AS rem_norm_sq_fp,
+           MIN(vec_id) AS min_vec_id,
+           MAX(vec_id) AS max_vec_id
+    FROM n GROUP BY label
+    """,
+    tags=("udf", "arrow", "grouped", "engine-addition"),
+)
+def udf_apply_in_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInArrow GROUPED map (Spark 4) — the zero-copy grouped
+    sibling of applyInPandas: each label group arrives as ONE
+    pyarrow.Table, the embedding block is viewed as a contiguous numpy
+    matrix, and the group statistic is exact fixed-point integer math.
+    The group total can exceed int64 at large group sizes, so the
+    result is emitted as (quotient, remainder) by group count — both
+    int64-safe at ANY group size, and exactly reconstructible
+    (total = mean*n + rem). The Python side sums in arbitrary-precision
+    ints, the oracle in DuckDB HUGEINT: same numbers, no overflow on
+    either engine — the n^2-overflow lesson designed in rather than
+    patched later.
+
+    Scale shape: one shuffle on the group key (same as any grouped
+    agg), one Arrow transfer per group; groups are label-sized, so a
+    production deployment salts or pre-aggregates if a single group
+    outgrows an Arrow batch."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .dedup import FXP_SCALE
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def stats(table: pa.Table) -> pa.Table:
+        vec_id = table.column("vec_id").to_numpy()
+        lists = table.column("embedding")
+        n = len(table)
+        flat = lists.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        dim = len(flat) // n
+        mat = flat.reshape(n, dim).astype("float64") * FXP_SCALE
+        q = (np.sign(mat) * np.floor(np.abs(mat) + 0.5)).astype("int64")
+        norm_sq = (q * q).sum(axis=1)
+        total = sum(int(x) for x in norm_sq)  # python int: no overflow
+        label = int(table.column("label")[0].as_py())
+        return pa.table(
+            {
+                "label": pa.array([label], type=pa.int32()),
+                "n_vecs": pa.array([n], type=pa.int64()),
+                "mean_norm_sq_fp": pa.array([total // n], type=pa.int64()),
+                "rem_norm_sq_fp": pa.array([total % n], type=pa.int64()),
+                "min_vec_id": pa.array([int(vec_id.min())], type=pa.int64()),
+                "max_vec_id": pa.array([int(vec_id.max())], type=pa.int64()),
+            }
+        )
+
+    return emb.groupBy("label").applyInArrow(
+        stats,
+        schema=(
+            "label int, n_vecs bigint, mean_norm_sq_fp bigint, "
+            "rem_norm_sq_fp bigint, min_vec_id bigint, max_vec_id bigint"
+        ),
+    )
