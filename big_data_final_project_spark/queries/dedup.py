@@ -1311,8 +1311,19 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = ranked.join(sizes, "doc_id").filter(
         F.col("rn") <= F.expr("n div 2 + 1")
     )
-    pre = prefix.select("tok", "lang", "doc_id", "n").transform(materialize)
+    pre = prefix.select("tok", "lang", "doc_id", "n", "rn").transform(materialize)
     pa, pb = pre.alias("pa"), pre.alias("pb")
+    # POSITION filter (PPJoin+, round 5): a hit on the shared prefix
+    # element at rarity-ranks (rn_a, rn_b) bounds the total overlap by
+    # 1 + min(n_a - rn_a, n_b - rn_b) (everything after that element
+    # in the common total order, plus the element itself). J >= 1/2
+    # needs 3*overlap >= n_a + n_b, so hits whose bound can't reach it
+    # are dropped BEFORE the distinct; a truly similar pair always
+    # survives via its FIRST shared prefix element (largest bound), so
+    # the filter is lossless — the unchanged quadratic oracle proves it.
+    pos_bound = 1 + F.least(
+        F.col("pa.n") - F.col("pa.rn"), F.col("pb.n") - F.col("pb.rn")
+    )
     cand = (
         pa.join(
             pb,
@@ -1320,7 +1331,8 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("pa.lang") == F.col("pb.lang"))
             & (F.col("pa.doc_id") < F.col("pb.doc_id"))
             & (F.col("pb.n") <= 2 * F.col("pa.n"))
-            & (F.col("pa.n") <= 2 * F.col("pb.n")),
+            & (F.col("pa.n") <= 2 * F.col("pb.n"))
+            & (3 * pos_bound >= F.col("pa.n") + F.col("pb.n")),
         )
         .select(
             F.col("pa.doc_id").alias("doc_a"),
