@@ -11,6 +11,7 @@ partitions) it is a no-op rather than a bottleneck."""
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -63,12 +64,35 @@ def materialize(df: DataFrame) -> DataFrame:
             sc.setCheckpointDir(os.path.join(base, "checkpoints"))
         return df.checkpoint(eager=True)
     if mode == "table":
+        _evict_dead_staging(spark)
         path = os.path.join(base, "staged", uuid.uuid4().hex)
         df.write.parquet(path)
+        _STAGED_PATHS.setdefault(
+            spark.sparkContext.applicationId, []
+        ).append(path)
         return spark.read.parquet(path)
     raise ValueError(
         f"unknown {MATERIALIZE_MODE_CONF}={mode!r} (local|reliable|table)"
     )
+
+
+# Staging-dir lifecycle for table mode. Staged parquet CANNOT be
+# deleted while its session lives (the returned DataFrame re-reads the
+# path lazily on every downstream job), so the in-process lifecycle is
+# session-scoped: every table-mode call records its path under the
+# current applicationId, and paths recorded by DEAD sessions are swept
+# on the next call (same eviction rhythm as session_cached below).
+# Iterative queries therefore stage O(iterations) dirs while running
+# and drop to zero once a new session takes over; long-lived cluster
+# deployments still run their own TTL sweep over the staging root.
+_STAGED_PATHS: dict[str, list[str]] = {}
+
+
+def _evict_dead_staging(spark) -> None:
+    app = spark.sparkContext.applicationId
+    for dead in [a for a in _STAGED_PATHS if a != app]:
+        for path in _STAGED_PATHS.pop(dead):
+            shutil.rmtree(path, ignore_errors=True)
 
 
 # Shared session-scoped intermediate-table cache (banded signatures,

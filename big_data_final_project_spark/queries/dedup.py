@@ -1677,7 +1677,14 @@ def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("da", "db").transform(materialize)
     tot = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
     # One pass grades every config: left-join the tagged candidates
-    # against truth once, then a 3-group aggregate.
+    # against truth once, then a 3-group aggregate. The aggregate is
+    # right-joined onto a literal spine of the config labels so a
+    # config whose banding produced ZERO candidate pairs (possible on
+    # sparse data for the strict 1x8 band) still emits its
+    # n_candidates=0 row — the output contract is one row per config.
+    spine = spark.createDataFrame(
+        [(label,) for label, _, _ in LSH_CONFIGS], "config string"
+    )
     agg = (
         cand.join(truth.withColumn("is_true", F.lit(1)), ["da", "db"], "left")
         .groupBy("config")
@@ -1687,6 +1694,8 @@ def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("true_pos"),
         )
+        .join(F.broadcast(spine), "config", "right")
+        .na.fill(0, ["n_candidates", "true_pos"])
     )
     return (
         agg.crossJoin(F.broadcast(tot))

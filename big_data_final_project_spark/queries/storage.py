@@ -937,6 +937,17 @@ def store_python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     done = os.path.join(out_dir, "_SUCCESS")
     if not os.path.exists(done):
+        # Missing _SUCCESS with part files present means a previous
+        # job died mid-commit (some renames published, no stamp).
+        # Treat it as a failed job to be RESET: clean the orphaned
+        # part files before rewriting, otherwise the rerun would
+        # append a second copy and the read-back would see duplicates.
+        if os.path.isdir(out_dir):
+            for name in os.listdir(out_dir):
+                if name.startswith("part-") and (
+                    name.endswith(".jsonl") or name.endswith(".jsonl.tmp")
+                ):
+                    os.remove(os.path.join(out_dir, name))
         (
             load_table(spark, sf_dir, "events")
             .select("event_id", "user_id", "event_type")

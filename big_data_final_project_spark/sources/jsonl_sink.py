@@ -40,8 +40,9 @@ class _TaskFile(WriterCommitMessage):
 
 
 class JsonlAuditWriter(DataSourceWriter):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, overwrite: bool = False):
         self.path = options["path"]
+        self.overwrite = overwrite
 
     def write(self, iterator):
         """Executor-side: stream the partition's rows to ONE temp
@@ -58,11 +59,26 @@ class JsonlAuditWriter(DataSourceWriter):
 
     def commit(self, messages):
         """Driver-side, all tasks green: publish atomically-per-file
-        (rename) and stamp _SUCCESS with the committed row count."""
+        (rename) and stamp _SUCCESS with the committed row count.
+
+        mode("overwrite") deletes every pre-existing part-*.jsonl
+        FIRST (still inside the commit phase, so a failed job never
+        truncates the old output) — without this the save mode would
+        silently behave as append and readers would see old+new rows
+        merged."""
+        fresh = {m.tmp_path[: -len(".tmp")] for m in messages}
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                full = os.path.join(self.path, name)
+                if (
+                    name.startswith("part-")
+                    and name.endswith(".jsonl")
+                    and full not in fresh
+                ):
+                    os.remove(full)
         total = 0
         for m in messages:
-            final = m.tmp_path[: -len(".tmp")]
-            os.rename(m.tmp_path, final)
+            os.rename(m.tmp_path, m.tmp_path[: -len(".tmp")])
             total += m.n_rows
         with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
             fh.write(str(total))
@@ -82,7 +98,7 @@ class JsonlAuditDataSource(DataSource):
         return "jsonl_audit"
 
     def writer(self, schema, overwrite: bool) -> JsonlAuditWriter:
-        return JsonlAuditWriter(self.options)
+        return JsonlAuditWriter(self.options, overwrite=overwrite)
 
 
 def register(spark) -> None:

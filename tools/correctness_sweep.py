@@ -31,11 +31,18 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import subprocess
 import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+
+def git_head() -> str:
+    return subprocess.run(
+        ["git", "rev-parse", "HEAD"], cwd=REPO, capture_output=True, text=True
+    ).stdout.strip()
 
 
 def _shard_path(shard: int, n: int) -> str:
@@ -105,10 +112,15 @@ def run(shard: int, n_shards: int, sf_dir: str) -> int:
         if int(hashlib.md5(n.encode()).hexdigest(), 16) % n_shards == shard
     ]
     spark = get_spark(app_name=f"csweep{shard}", shuffle_partitions=16)
+    head = git_head()[:12]
     out: dict[str, dict] = {}
     for i, name in enumerate(names):
         t0 = time.time()
         out[name] = _record(spark, sf_dir, name, cat[name])
+        # VERDICT r5 "What's wrong" #1: every record carries the commit
+        # it was produced at, so an overlay-merged artifact can never
+        # silently vouch for code newer than the record.
+        out[name]["commit"] = head
         ok = out[name]["err"] in (None, "no_oracle")
         print(
             f"[{i + 1}/{len(names)}] {name} {time.time() - t0:.1f}s "
@@ -122,17 +134,30 @@ def run(shard: int, n_shards: int, sf_dir: str) -> int:
     return 1 if n_fail else 0
 
 
-def merge(n_shards: int, sf_dir: str) -> int:
+def merge(n_shards: int, sf_dir: str, partial: bool = False) -> int:
     from big_data_final_project_spark.registry import catalog
 
-    # Start from the committed artifact (if any) so a partial re-run —
-    # e.g. only the shard containing newly added queries — overlays
-    # fresh records onto the previous full sweep.
+    # ALL shards are required by default (ADVICE r5: the overlay path
+    # let a stale 'pass' record survive a code change). An explicit
+    # --partial overlays fresh shards onto the committed artifact —
+    # for adding a few new queries mid-round — and the per-record
+    # commit stamps plus tools/check_artifacts.py keep that honest.
     merged: dict[str, dict] = {}
-    prev_path = os.path.join(REPO, "CORRECTNESS_SWEEP.json")
-    if os.path.exists(prev_path):
-        with open(prev_path) as fh:
-            merged.update(json.load(fh).get("queries", {}))
+    if partial:
+        prev_path = os.path.join(REPO, "CORRECTNESS_SWEEP.json")
+        if os.path.exists(prev_path):
+            with open(prev_path) as fh:
+                merged.update(json.load(fh).get("queries", {}))
+    missing_shards = [
+        s for s in range(n_shards) if not os.path.exists(_shard_path(s, n_shards))
+    ]
+    if missing_shards and not partial:
+        print(
+            f"missing shards {missing_shards}; rerun them or pass --partial "
+            "to overlay onto the committed artifact",
+            file=sys.stderr,
+        )
+        return 2
     any_shard = False
     for shard in range(n_shards):
         path = _shard_path(shard, n_shards)
@@ -152,7 +177,13 @@ def merge(n_shards: int, sf_dir: str) -> int:
     # registry order, like the driver's artifact
     ordered = {n: merged[n] for n in cat if n in merged}
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    out = {"sf": float(sf), "n_queries": len(ordered), "queries": ordered}
+    out = {
+        "sf": float(sf),
+        "n_queries": len(ordered),
+        "commit": git_head(),
+        "generated_unix": int(time.time()),
+        "queries": ordered,
+    }
     with open(os.path.join(REPO, "CORRECTNESS_SWEEP.json"), "w") as fh:
         json.dump(out, fh, indent=1)
     fails = [n for n, r in ordered.items() if r["err"] not in (None, "no_oracle")]
@@ -174,9 +205,11 @@ def main() -> int:
         sf_dir = sys.argv[4] if len(sys.argv) > 4 else "/root/testdata/sf0.01"
         return run(shard, n, sf_dir)
     if mode == "merge":
-        n = int(sys.argv[2])
-        sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
-        return merge(n, sf_dir)
+        args = [a for a in sys.argv[2:] if a != "--partial"]
+        partial = "--partial" in sys.argv
+        n = int(args[0])
+        sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
+        return merge(n, sf_dir, partial=partial)
     print(__doc__, file=sys.stderr)
     return 2
 
