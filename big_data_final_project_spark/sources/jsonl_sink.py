@@ -61,20 +61,34 @@ class JsonlAuditWriter(DataSourceWriter):
         """Driver-side, all tasks green: publish atomically-per-file
         (rename) and stamp _SUCCESS with the committed row count.
 
-        mode("overwrite") deletes every pre-existing part-*.jsonl
-        FIRST (still inside the commit phase, so a failed job never
-        truncates the old output) — without this the save mode would
-        silently behave as append and readers would see old+new rows
-        merged."""
-        fresh = {m.tmp_path[: -len(".tmp")] for m in messages}
+        mode("overwrite") RETIRES every pre-existing part-*.jsonl to a
+        ``.old`` suffix first and deletes the retirees only after all
+        renames and the _SUCCESS stamp succeeded, so no byte of old
+        output is destroyed until the new output is fully published —
+        a crash anywhere in the commit phase leaves the old parts
+        recoverable on disk (as ``*.jsonl.old``) and a rerun converges
+        (rename overwrites any same-named ``.old``; leftover retirees
+        are swept after the next successful stamp). The remaining
+        non-atomicity is VISIBILITY only: a reader that globs
+        ``part-*.jsonl`` without honoring _SUCCESS can observe an
+        in-flight commit as empty-then-filling; _SUCCESS-respecting
+        readers never see a partial job. Orphaned ``*.jsonl.tmp`` from
+        crashed earlier jobs are swept here too (pre-publish — temps
+        were never visible output)."""
+        # Zero-partition writes run no task, so only commit() can
+        # create the directory (ADVICE r6) — without this, listdir and
+        # the _SUCCESS write below raise FileNotFoundError.
+        os.makedirs(self.path, exist_ok=True)
+        fresh_tmp = {m.tmp_path for m in messages}
+        fresh = {p[: -len(".tmp")] for p in fresh_tmp}
         if self.overwrite:
             for name in os.listdir(self.path):
                 full = os.path.join(self.path, name)
-                if (
-                    name.startswith("part-")
-                    and name.endswith(".jsonl")
-                    and full not in fresh
-                ):
+                if not name.startswith("part-"):
+                    continue
+                if name.endswith(".jsonl") and full not in fresh:
+                    os.rename(full, full + ".old")
+                elif name.endswith(".jsonl.tmp") and full not in fresh_tmp:
                     os.remove(full)
         total = 0
         for m in messages:
@@ -82,6 +96,13 @@ class JsonlAuditWriter(DataSourceWriter):
             total += m.n_rows
         with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
             fh.write(str(total))
+        if self.overwrite:
+            # New output fully published and stamped: this run's
+            # retirees (plus any .old a crashed commit left behind)
+            # can now go.
+            for name in os.listdir(self.path):
+                if name.startswith("part-") and name.endswith(".old"):
+                    os.remove(os.path.join(self.path, name))
 
     def abort(self, messages):
         """Any task failed: remove temps; nothing was published."""

@@ -249,3 +249,130 @@ def test_jsonl_sink_two_phase_commit(tmp_path):
     assert not glob.glob(os.path.join(d, "*.tmp"))
     with open(os.path.join(d, "_SUCCESS")) as fh:
         assert fh.read() == "3"
+
+
+def test_jsonl_sink_overwrite_replaces_old_output(spark, tmp_path):
+    """mode("overwrite") through the real Spark write path: the second
+    job's rows fully replace the first job's, with no appended
+    duplicates and no leftover temps or retirees."""
+    import glob
+    import os
+
+    from big_data_final_project_spark.sources.jsonl_sink import register
+
+    register(spark)
+    d = str(tmp_path / "sink")
+    for lo, hi in ((0, 5), (100, 104)):
+        (
+            spark.range(lo, hi)
+            .selectExpr("id AS a")
+            .write.format("jsonl_audit")
+            .option("path", d)
+            .mode("overwrite")
+            .save()
+        )
+    rows = sorted(
+        r.a for r in spark.read.schema("a long")
+        .option("pathGlobFilter", "part-*.jsonl")
+        .json(d)
+        .collect()
+    )
+    assert rows == [100, 101, 102, 103]
+    assert not glob.glob(os.path.join(d, "*.tmp"))
+    assert not glob.glob(os.path.join(d, "*.old"))
+    with open(os.path.join(d, "_SUCCESS")) as fh:
+        assert fh.read() == "4"
+
+
+def test_jsonl_sink_crash_mid_commit_then_rerun_exactly_once(
+    tmp_path, monkeypatch
+):
+    """VERDICT r5 #6 / r6 #2: a commit that dies AFTER retiring the
+    old output and publishing some (not all) new parts must (a) leave
+    every old byte recoverable on disk, and (b) converge on rerun —
+    the read-back after the rerun matches the exactly-once oracle,
+    with the crashed job's orphan temp swept and no duplicates."""
+    import glob
+    import os
+
+    from pyspark.sql import Row
+
+    from big_data_final_project_spark.sources.jsonl_sink import JsonlAuditWriter
+
+    d = str(tmp_path / "sink")
+
+    def read_back():
+        rows = []
+        for path in glob.glob(os.path.join(d, "part-*.jsonl")):
+            with open(path) as fh:
+                rows.extend(
+                    __import__("json").loads(line)["a"] for line in fh
+                )
+        return sorted(rows)
+
+    # job 1: publish rows {1, 2}
+    w1 = JsonlAuditWriter({"path": d}, overwrite=True)
+    w1.commit([w1.write(iter([Row(a=1)])), w1.write(iter([Row(a=2)]))])
+    assert read_back() == [1, 2]
+
+    # job 2: rows {10..13}, crash on the SECOND publish rename (after
+    # both old parts were retired and one new part went visible)
+    w2 = JsonlAuditWriter({"path": d}, overwrite=True)
+    msgs = [
+        w2.write(iter([Row(a=10), Row(a=11)])),
+        w2.write(iter([Row(a=12), Row(a=13)])),
+    ]
+    real_rename = os.rename
+    seen = {"publish_renames": 0}
+
+    def flaky_rename(src, dst):
+        if src.endswith(".tmp"):  # publish rename (retire renames keep .jsonl->.old)
+            seen["publish_renames"] += 1
+            if seen["publish_renames"] == 2:
+                raise OSError("injected crash mid-commit")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", flaky_rename)
+    import pytest as _pytest
+
+    with _pytest.raises(OSError, match="injected"):
+        w2.commit(msgs)
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    # old output survived the crash (retired, not destroyed) and the
+    # crashed job left one visible part + one orphan temp
+    olds = glob.glob(os.path.join(d, "part-*.jsonl.old"))
+    assert len(olds) == 2
+    assert len(glob.glob(os.path.join(d, "part-*.jsonl"))) == 1
+    assert len(glob.glob(os.path.join(d, "*.tmp"))) == 1
+
+    # rerun the job fresh (Spark would retry the whole write): the
+    # rerun retires the crashed job's partial part, sweeps its orphan
+    # temp, republishes, and the read-back is exactly-once
+    w3 = JsonlAuditWriter({"path": d}, overwrite=True)
+    w3.commit(
+        [
+            w3.write(iter([Row(a=10), Row(a=11)])),
+            w3.write(iter([Row(a=12), Row(a=13)])),
+        ]
+    )
+    assert read_back() == [10, 11, 12, 13]
+    assert not glob.glob(os.path.join(d, "*.tmp"))
+    assert not glob.glob(os.path.join(d, "*.old"))
+    with open(os.path.join(d, "_SUCCESS")) as fh:
+        assert fh.read() == "4"
+
+
+def test_jsonl_sink_zero_partition_overwrite(tmp_path):
+    """A write whose job ran zero tasks (empty 0-partition frame)
+    still publishes: commit() creates the directory and stamps
+    _SUCCESS=0 instead of raising FileNotFoundError (ADVICE r6)."""
+    import os
+
+    from big_data_final_project_spark.sources.jsonl_sink import JsonlAuditWriter
+
+    d = str(tmp_path / "never_created")
+    w = JsonlAuditWriter({"path": d}, overwrite=True)
+    w.commit([])
+    with open(os.path.join(d, "_SUCCESS")) as fh:
+        assert fh.read() == "0"

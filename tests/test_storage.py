@@ -181,3 +181,32 @@ def test_materialize_modes_agree(spark, sf_dir, tmp_path):
         finally:
             spark.conf.unset(MATERIALIZE_MODE_CONF)
             spark.conf.unset(MATERIALIZE_DIR_CONF)
+
+
+def test_table_mode_evicts_dead_session_staging(spark, tmp_path):
+    """VERDICT r6 #2: table-mode staging recorded by a DEAD session is
+    swept on the next table-mode call, while the live session's own
+    staged paths stay readable (the returned frame re-reads lazily)."""
+    from big_data_final_project_spark.operators import scale
+
+    dead_dir = tmp_path / "dead_staged"
+    dead_dir.mkdir()
+    (dead_dir / "part-0.parquet").write_bytes(b"x")
+    scale._STAGED_PATHS["application_dead_0001"] = [str(dead_dir)]
+
+    spark.conf.set(scale.MATERIALIZE_MODE_CONF, "table")
+    spark.conf.set(scale.MATERIALIZE_DIR_CONF, str(tmp_path / "staging"))
+    try:
+        out = scale.materialize(spark.range(5).selectExpr("id AS v"))
+        assert sorted(r.v for r in out.collect()) == [0, 1, 2, 3, 4]
+    finally:
+        spark.conf.unset(scale.MATERIALIZE_MODE_CONF)
+        spark.conf.unset(scale.MATERIALIZE_DIR_CONF)
+
+    assert not dead_dir.exists(), "dead session's staging not evicted"
+    assert "application_dead_0001" not in scale._STAGED_PATHS
+    app = spark.sparkContext.applicationId
+    live = scale._STAGED_PATHS.get(app, [])
+    assert live and all(
+        __import__("os").path.isdir(p) for p in live
+    ), "live session's staged path must survive eviction"

@@ -1,37 +1,45 @@
 #!/usr/bin/env python
-"""Artifact-staleness guard (VERDICT r5 "Next round" #1).
+"""Artifact-staleness guard (VERDICT r5 #1, hardened per ADVICE r6).
 
-Round 5's final commit changed a query implementation WITHOUT
-regenerating that query's CORRECTNESS_SWEEP.json record, so the
-committed artifact briefly vouched for code it had never run against.
-This check makes that impossible to ship silently: it FAILS unless the
-committed sweep artifact postdates every source change.
+Round 5's and round 6's final commits both changed query source
+WITHOUT regenerating CORRECTNESS_SWEEP.json, so the committed
+artifact vouched for code it had never run against. The first
+version of this guard compared git commit ancestry, which had two
+holes (ADVICE r6):
 
-Checks, in order:
+* a close-out commit that lands source changes and the regenerated
+  artifact TOGETHER made check #2 fail forever (the artifact's stamp
+  is HEAD *before* the commit, so the source's last commit always
+  postdates it), and
+* a ``--partial`` overlay let records stamped at an old commit pass
+  ancestry checks even when a later commit changed their queries.
 
-1. CORRECTNESS_SWEEP.json carries a top-level "commit" stamp (written
-   by tools/correctness_sweep.py merge).
-2. The last commit touching any engine source
-   (big_data_final_project_spark/, __spark_entry__.py) is an ancestor
-   of — i.e. no newer than — the artifact's generation commit.
-3. No UNCOMMITTED engine-source change is newer than the artifact
-   file itself (mtime comparison; catches the dirty-working-tree
-   window before the close-out commit).
-4. Every per-query record's commit stamp resolves to a commit that is
-   an ancestor of the artifact's generation commit (overlay-merged
-   records from a --partial merge are allowed, but only if nothing
-   touched the sources after they were produced — guarded by #2).
+Both vanish when freshness is judged by CONTENT, not history: the
+sweep stamps each artifact (and each per-query record) with a SHA-256
+digest over every engine source file's bytes, and this guard
+recomputes that digest against the working tree. Equal digest ==
+the artifact ran against byte-identical sources, no matter how many
+commits, rebases, or dirty-tree windows happened in between.
 
-Run it before the round close-out commit:
+Checks:
+
+1. CORRECTNESS_SWEEP.json carries a top-level ``source_digest``.
+2. That digest equals the digest of the working tree NOW.
+3. Every per-query record's ``source_digest`` equals the top-level
+   one — an overlay-merged record from a different source state
+   cannot hide.
+
+Run it before the round close-out commit (also wired into pytest as
+tests/test_driver_preflight.py::test_artifacts_fresh):
 
     python tools/check_artifacts.py        # exit 0 = artifacts fresh
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
-import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -39,14 +47,33 @@ SOURCE_PATHS = ["big_data_final_project_spark", "__spark_entry__.py"]
 ARTIFACT = os.path.join(REPO, "CORRECTNESS_SWEEP.json")
 
 
-def _git(*args: str) -> subprocess.CompletedProcess:
-    return subprocess.run(
-        ["git", *args], cwd=REPO, capture_output=True, text=True
-    )
-
-
-def _is_ancestor(maybe_older: str, newer: str) -> bool:
-    return _git("merge-base", "--is-ancestor", maybe_older, newer).returncode == 0
+def source_digest() -> str:
+    """SHA-256 over (relative path, bytes) of every engine source file
+    in the working tree, in sorted path order. Caches and compiled
+    files are skipped; everything else counts — a .py edit, a new
+    module, or a deleted file all change the digest."""
+    h = hashlib.sha256()
+    files: list[str] = []
+    for root_rel in SOURCE_PATHS:
+        full = os.path.join(REPO, root_rel)
+        if os.path.isfile(full):
+            files.append(root_rel)
+            continue
+        for dirpath, dirnames, filenames in os.walk(full):
+            dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+            for fn in filenames:
+                if fn.endswith((".pyc", ".pyo")):
+                    continue
+                files.append(
+                    os.path.relpath(os.path.join(dirpath, fn), REPO)
+                )
+    for rel in sorted(files):
+        h.update(rel.encode())
+        h.update(b"\0")
+        with open(os.path.join(REPO, rel), "rb") as fh:
+            h.update(fh.read())
+        h.update(b"\0")
+    return h.hexdigest()
 
 
 def main() -> int:
@@ -58,56 +85,43 @@ def main() -> int:
     with open(ARTIFACT) as fh:
         artifact = json.load(fh)
 
-    # 1. generation stamp present
-    art_commit = artifact.get("commit")
-    if not art_commit:
+    art_digest = artifact.get("source_digest")
+    if not art_digest:
         problems.append(
-            "artifact has no 'commit' stamp — regenerate with the "
-            "current tools/correctness_sweep.py"
+            "artifact has no 'source_digest' stamp — regenerate with "
+            "the current tools/correctness_sweep.py"
         )
-    elif _git("cat-file", "-e", f"{art_commit}^{{commit}}").returncode != 0:
-        # Generated on a dirty tree before the close-out commit: the
-        # stamp is HEAD at generation time, which must still exist.
-        problems.append(f"artifact commit stamp {art_commit} not found in repo")
-
-    # 2. last source commit must not postdate the artifact's commit
-    if art_commit and not problems:
-        src_last = _git(
-            "log", "-1", "--format=%H", "--", *SOURCE_PATHS
-        ).stdout.strip()
-        if src_last and not _is_ancestor(src_last, art_commit):
+    else:
+        now = source_digest()
+        if now != art_digest:
             problems.append(
-                f"source commit {src_last[:12]} postdates artifact commit "
-                f"{art_commit[:12]} — a query changed after the sweep ran; "
-                "rerun the affected shard(s) and re-merge"
+                f"source tree digest {now[:12]} != artifact digest "
+                f"{art_digest[:12]} — engine source changed after the "
+                "sweep ran; regenerate (run shards + merge)"
             )
-
-    # 3. dirty-tree window: uncommitted source edits newer than the file
-    art_mtime = os.path.getmtime(ARTIFACT)
-    dirty = _git("status", "--porcelain", "--", *SOURCE_PATHS).stdout
-    for line in dirty.splitlines():
-        rel = line[3:].split(" -> ")[-1].strip().strip('"')
-        full = os.path.join(REPO, rel)
-        if os.path.exists(full) and os.path.getmtime(full) > art_mtime:
-            problems.append(
-                f"uncommitted source edit newer than artifact: {rel}"
+        else:
+            stale = sorted(
+                name
+                for name, r in artifact.get("queries", {}).items()
+                if r.get("source_digest") not in (None, art_digest)
             )
-
-    # 4. per-record stamps must not postdate the artifact's commit
-    if art_commit and not problems:
-        stamps = {
-            r.get("commit")
-            for r in artifact.get("queries", {}).values()
-            if r.get("commit")
-        }
-        for stamp in sorted(stamps):
-            if _git("cat-file", "-e", f"{stamp}^{{commit}}").returncode != 0:
-                continue  # produced on a since-rebased tree; #2 still guards
-            if not _is_ancestor(stamp, art_commit) and not stamp.startswith(
-                art_commit[: len(stamp)]
-            ):
+            # None is not allowed either — a record without a stamp
+            # could come from any source state.
+            unstamped = sorted(
+                name
+                for name, r in artifact.get("queries", {}).items()
+                if r.get("source_digest") is None
+            )
+            if stale:
                 problems.append(
-                    f"record commit stamp {stamp} postdates artifact commit"
+                    f"{len(stale)} record(s) produced at a different "
+                    f"source state (e.g. {stale[:3]}) — rerun those "
+                    "shards and re-merge"
+                )
+            if unstamped:
+                problems.append(
+                    f"{len(unstamped)} record(s) carry no source_digest "
+                    f"(e.g. {unstamped[:3]}) — regenerate those shards"
                 )
 
     if problems:
