@@ -101,6 +101,29 @@ def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _calibration_probe(spark) -> float:
+    """Fixed synthetic job (VERDICT r6 #3): a pinned-size range ->
+    shuffle -> aggregate with no data dependence, timed best-of-3.
+    Its wall time measures the BOX (CPU, scheduler, outside-VM
+    stalls), not the engine — recorded at the start and end of every
+    bench run so a cross-round headline drift can be attributed:
+    probe moved with it = environment drift; probe flat = engine
+    regression. Normalize as headline / (probe / probe_r7_reference)."""
+    from pyspark.sql import functions as F
+
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _run(
+            spark.range(50_000_000, numPartitions=32)
+            .withColumn("k", F.col("id") % 1000)
+            .groupBy("k")
+            .agg(F.sum("id").alias("s"), F.count("*").alias("n"))
+        )
+        runs.append(time.perf_counter() - t0)
+    return round(min(runs), 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -123,6 +146,8 @@ def main() -> None:
     spark.range(64, numPartitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).mapInPandas(
         lambda it: (pdf for pdf in it), schema="id long"
     ).write.format("noop").mode("overwrite").save()
+
+    probe_start = _calibration_probe(spark)
 
     times: dict[str, float] = {}
     # Best of 2 (3 when the two disagree >50%): the box this runs on
@@ -175,12 +200,17 @@ def main() -> None:
                     min(t, time.perf_counter() - t0), 4
                 )
 
+    probe_end = _calibration_probe(spark)
+
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf_val,
+        # Box-speed calibration (VERDICT r6 #3): min-of-3 of a pinned
+        # synthetic shuffle+agg, before and after the headline loop.
+        "probe_sec": {"start": probe_start, "end": probe_end},
     }
     if sweep:
         # The full per-query sweep goes to a FILE, not stdout: the
