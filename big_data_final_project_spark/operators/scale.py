@@ -26,7 +26,12 @@ MATERIALIZE_MODE_CONF = "spark.bdfp.materialize.mode"  # local|reliable|table
 MATERIALIZE_DIR_CONF = "spark.bdfp.materialize.dir"
 
 
-def materialize(df: DataFrame) -> DataFrame:
+def materialize(
+    df: DataFrame,
+    *,
+    bucket_by: tuple[str, ...] | None = None,
+    n_buckets: int | None = None,
+) -> DataFrame:
     """Eagerly materialize ``df`` and cut its lineage; mode chosen by
     session conf ``spark.bdfp.materialize.mode``:
 
@@ -43,6 +48,21 @@ def materialize(df: DataFrame) -> DataFrame:
       shareable, and the re-read gets scan-level column pruning.
       Staging lifecycle (TTL sweep) is the deployment's job; bench
       runs land in a per-app temp dir.
+
+    ``bucket_by`` (VERDICT r6 #5) declares the intermediate's
+    DOWNSTREAM JOIN KEY: in ``table`` mode the stage is written
+    bucketed+sorted on those columns (``bucketBy``/``sortBy`` +
+    ``saveAsTable`` with an external path in the staging dir), so
+    every re-read join or aggregate on that key consumes the scan's
+    HashPartitioning directly — no Exchange on the staged side, per
+    iteration, ever (asserted in tests/test_storage.py). Iterative
+    consumers (PageRank's adjacency, CC's edge list) re-read the
+    stage once per round; plain parquet re-pays a full shuffle of the
+    big side each round, bucketing pays it once at write. ``local``
+    and ``reliable`` modes ignore the hint — localCheckpoint/
+    checkpoint already preserve the partitioning they captured.
+    ``n_buckets`` defaults to the session's shuffle partitions so the
+    probe side shuffles to a matching layout.
 
     Used as ``df.transform(materialize)`` so call sites keep the
     method-chain shape the query code reads in.
@@ -65,12 +85,33 @@ def materialize(df: DataFrame) -> DataFrame:
         return df.checkpoint(eager=True)
     if mode == "table":
         _evict_dead_staging(spark)
-        path = os.path.join(base, "staged", uuid.uuid4().hex)
-        df.write.parquet(path)
+        stage_id = uuid.uuid4().hex
+        path = os.path.join(base, "staged", stage_id)
+        if bucket_by:
+            n = n_buckets or int(
+                spark.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+            # Pre-shuffle onto the bucket layout so each task owns
+            # whole buckets: one file per bucket instead of
+            # (tasks x buckets) small files, and the write's shuffle
+            # REPLACES the first downstream join's exchange rather
+            # than adding to it.
+            (
+                df.repartition(n, *bucket_by)
+                .write.format("parquet")
+                .bucketBy(n, *bucket_by)
+                .sortBy(*bucket_by)
+                .option("path", path)
+                .saveAsTable(f"bdfp_staged_{stage_id}")
+            )
+            out = spark.table(f"bdfp_staged_{stage_id}")
+        else:
+            df.write.parquet(path)
+            out = spark.read.parquet(path)
         _STAGED_PATHS.setdefault(
             spark.sparkContext.applicationId, []
         ).append(path)
-        return spark.read.parquet(path)
+        return out
     raise ValueError(
         f"unknown {MATERIALIZE_MODE_CONF}={mode!r} (local|reliable|table)"
     )
