@@ -95,10 +95,24 @@ def generate(src_dir: str, out_dir: str) -> dict:
 
 
 def aqe_probe(spark, out_dir: str) -> dict:
-    """Run a shuffle join keyed on the skewed column with the AQE
-    skew thresholds scaled to this data's bytes; return whether
-    OptimizeSkewedJoin split the hot partition (skew=true in the
-    final plan)."""
+    """Join the zipf-skewed ``lineitem`` (top l_suppkey ~38% of rows)
+    against ``supplier`` (broadcast disabled) with the AQE skew-join
+    thresholds scaled to this data's bytes — at 100 TB the DEFAULT
+    256 MB threshold fires on the same shape — and return whether
+    OptimizeSkewedJoin split the hot partition.
+
+    Two probe subtleties, both discovered the hard way:
+    - The skew annotation only exists in the FINAL adaptive plan, so
+      execution must be triggered through the SAME QueryExecution
+      that is inspected (``collect()`` on the DataFrame, not a write,
+      which builds its own QueryExecution and leaves the inspected
+      one ``isFinalPlan=false``).
+    - A self-join shape (table join its own groupBy) never splits:
+      the aggregate side's hash output partitioning cannot be
+      duplicated per skew-slice without re-aggregation, so
+      OptimizeSkewedJoin skips it. Two distinct tables are the
+      representative 100 TB shape anyway (fact x dim).
+    """
     from big_data_final_project_spark.data import load_table
 
     saved = {}
@@ -116,15 +130,29 @@ def aqe_probe(spark, out_dir: str) -> dict:
             saved[k] = None
         spark.conf.set(k, v)
     try:
-        ev = load_table(spark, out_dir, "events").select(
-            "user_id", "event_type", "value", "props"
+        li = load_table(spark, out_dir, "lineitem").select(
+            "l_suppkey", "l_extendedprice"
         )
-        per_user = ev.groupBy("user_id").count().withColumnRenamed("count", "n_ev")
-        joined = ev.join(per_user, "user_id").groupBy("event_type").count()
-        joined.write.format("noop").mode("overwrite").save()
+        su = load_table(spark, out_dir, "supplier").select(
+            "s_suppkey", "s_nationkey"
+        )
+        joined = (
+            li.join(su, li.l_suppkey == su.s_suppkey)
+            .groupBy("s_nationkey")
+            .count()
+        )
+        joined.collect()
         plan = joined._jdf.queryExecution().executedPlan().toString()
         return {
             "skew_split_observed": "skew=true" in plan,
+            "join_node": next(
+                (
+                    ln.strip()
+                    for ln in plan.splitlines()
+                    if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln
+                ),
+                None,
+            ),
             "thresholds": {
                 "skewedPartitionThresholdInBytes": 131072,
                 "advisoryPartitionSizeInBytes": 32768,
