@@ -1689,18 +1689,22 @@ def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = spark.createDataFrame(
         [(label,) for label, _, _ in LSH_CONFIGS], "config string"
     )
-    # Spine on the LEFT driving a plain left join (ADVICE r6: a
-    # broadcast hint on the preserved side of a right-outer join is
-    # silently ignored — BroadcastHashJoin only builds the other
-    # side). The 3-row spine vs a 3-group aggregate needs no hint.
+    # Spine on the LEFT driving a left join (ADVICE r6: a broadcast
+    # hint on the PRESERVED side of an outer join is silently ignored
+    # — BroadcastHashJoin can only build the non-preserved side). For
+    # a LEFT join the build side is the RIGHT one, so hinting the
+    # 3-group aggregate there is honored and keeps the 3-row spine
+    # exchange-free (plan: BHJ, no SMJ sort on either side).
     agg = spine.join(
-        cand.join(truth.withColumn("is_true", F.lit(1)), ["da", "db"], "left")
-        .groupBy("config")
-        .agg(
-            F.count("*").cast("bigint").alias("n_candidates"),
-            F.sum(F.coalesce("is_true", F.lit(0)))
-            .cast("bigint")
-            .alias("true_pos"),
+        F.broadcast(
+            cand.join(truth.withColumn("is_true", F.lit(1)), ["da", "db"], "left")
+            .groupBy("config")
+            .agg(
+                F.count("*").cast("bigint").alias("n_candidates"),
+                F.sum(F.coalesce("is_true", F.lit(0)))
+                .cast("bigint")
+                .alias("true_pos"),
+            )
         ),
         "config",
         "left",
