@@ -1729,3 +1729,138 @@ def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("config")
     )
+
+
+_URL_NOISY_SQL = """
+    'https' || CASE WHEN doc_id % 3 = 0 THEN 'S' ELSE '' END || '://'
+    || CASE WHEN doc_id % 3 = 0
+            THEN 'WWW.Site' || CAST((doc_id // 2) % 4 AS VARCHAR)
+                 || '.Example.COM'
+            ELSE 'www.site' || CAST((doc_id // 2) % 4 AS VARCHAR)
+                 || '.example.com' END
+    || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+    || '/docs/' || CAST(doc_id // 2 AS VARCHAR)
+    || CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END
+    || '?'
+    || CASE WHEN doc_id % 2 = 0
+            THEN 'v=2&page=' || CAST((doc_id // 2) % 7 AS VARCHAR)
+            ELSE 'page=' || CAST((doc_id // 2) % 7 AS VARCHAR) || '&v=2' END
+    || CASE WHEN doc_id % 2 = 0 THEN '&utm_source=' || source ELSE '' END
+    || CASE WHEN doc_id % 3 = 1
+            THEN '&fbclid=' || CAST(doc_id AS VARCHAR) ELSE '' END
+    || CASE WHEN doc_id % 5 = 2
+            THEN '&sessionid=s' || CAST(doc_id AS VARCHAR) ELSE '' END
+"""
+
+_TRACKING_RE = "^(utm_[^=]*|fbclid|gclid|sessionid)="
+
+
+@query(
+    "dedup_url_canonicalize",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id, {_URL_NOISY_SQL} AS url FROM documents
+    ),
+    parts AS (
+        SELECT doc_id, url,
+               regexp_replace(regexp_replace(
+                   lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+                   ':443$', ''), '^www\\.', '') AS host,
+               regexp_replace(
+                   regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1),
+                   '/$', '') AS path,
+               array_to_string(list_sort(list_filter(
+                   string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                   x -> NOT regexp_matches(x, '{_TRACKING_RE}'))), '&')
+                   AS params
+        FROM raw
+    ),
+    canon AS (
+        SELECT doc_id,
+               'https://' || host || path
+                 || CASE WHEN params = '' THEN '' ELSE '?' || params END
+                 AS canonical_url
+        FROM parts
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS survivor_doc_id
+    FROM canon
+    GROUP BY 1
+    HAVING count(*) >= 2
+    ORDER BY canonical_url
+    """,
+    tags=("dedup", "url", "canonicalize", "engine-addition"),
+)
+def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup — the FIRST dedup pass of every web-corpus
+    pipeline (CommonCrawl-style): the same page arrives under
+    scheme/case/port/trailing-slash/param-order variants plus tracking
+    junk (utm_*, fbclid, gclid, sessionid). A deterministic noisy URL
+    is synthesized per document (pair-colliding by construction, with
+    every variant class exercised), then canonicalized FROM THE STRING
+    ONLY — lowercase host, strip www. and :443, strip the trailing
+    slash, drop tracking params, sort the survivors — and exact-dedup
+    groups on the canonical form with a min-doc_id survivor.
+
+    Both engines parse with their own regex/list kernels (JVM codegen
+    vs RE2), so agreement checks the canonicalization CONTRACT, not a
+    shared implementation. Scale shape: per-row string work fused
+    into the scan + ONE hash aggregate on the canonical key — the
+    same no-text-moves shape as dedup_exact (the canonical key is
+    what ships, never the document)."""
+    d = load_table(spark, sf_dir, "documents")
+    # dialect shim: DuckDB `//` -> Spark `div` (the `'://'` literal is
+    # restored after the blanket replace), VARCHAR -> STRING.
+    noisy_spark = (
+        _URL_NOISY_SQL.replace("//", " div ")
+        .replace(": div ", "://")
+        .replace("AS VARCHAR", "AS STRING")
+    )
+    raw = d.selectExpr("doc_id", f"{noisy_spark} AS url")
+    parts = raw.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.regexp_extract("url", r"^[a-zA-Z]+://([^/?#]+)", 1)),
+                ":443$",
+                "",
+            ),
+            r"^www\.",
+            "",
+        ).alias("host"),
+        F.regexp_replace(
+            F.regexp_extract("url", r"^[a-zA-Z]+://[^/?#]+([^?#]*)", 1),
+            "/$",
+            "",
+        ).alias("path"),
+        F.array_join(
+            F.sort_array(
+                F.filter(
+                    F.split(F.regexp_extract("url", r"\?([^#]*)", 1), "&"),
+                    lambda x: ~x.rlike(_TRACKING_RE),
+                )
+            ),
+            "&",
+        ).alias("params"),
+    )
+    canon = parts.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("host"),
+            F.col("path"),
+            F.when(F.col("params") == "", F.lit("")).otherwise(
+                F.concat(F.lit("?"), F.col("params"))
+            ),
+        ).alias("canonical_url"),
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("survivor_doc_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy("canonical_url")
+    )

@@ -1798,3 +1798,306 @@ def sim_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_k"
         ),
     )
+
+
+_QIP_SQL = """
+    CAST(list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]),
+                     (acc, x) -> acc + x) AS BIGINT)
+"""
+
+
+@query(
+    "sim_mips_topk",
+    oracle=f"""
+    WITH q0 AS (SELECT vec_id, label, {_QVEC_SQL} AS qv FROM embeddings),
+    q AS (SELECT * FROM q0 WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               n.label AS neighbor_label,
+               {_QIP_SQL.format(a="q.qv", b="n.qv")} AS ip_q
+        FROM q JOIN q0 n ON q.vec_id <> n.vec_id
+    )
+    SELECT query_id, neighbor_id, neighbor_label, ip_q,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY ip_q DESC, neighbor_id) AS rnk
+        FROM scored
+    ) r WHERE rnk <= {TOP_K}
+    """,
+    tags=("similarity", "mips", "pandas", "engine-addition"),
+)
+def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search (MIPS) — the retrieval objective
+    of recommender and two-tower ranking models, where vector NORM
+    carries signal (popularity, confidence) and cosine's
+    normalization would erase it. Exact distributed form: the same
+    partition-local matmul as sim_bruteforce_topk but ranking on the
+    RAW fixed-point inner product — an int64 (< 2^52 for 64 dims at
+    2^23 scale), so scores are exact integers and the differential is
+    bit-for-bit, with no norm division anywhere.
+
+    Scale shape: identical to the cosine baseline — broadcast query
+    block, one matmul per corpus partition, nq*k rows shuffle to the
+    final per-query merge. For query sets beyond broadcast, the
+    standard MIPS->cosine reduction routes through the existing LSH
+    path: augment each corpus vector with sqrt(M^2 - |x|^2) (M = max
+    norm) and queries with 0 — augmented-cosine order equals
+    inner-product order — then sim_lsh_join_topk's bucket-cogrouped
+    matmul serves it; the reduction is candidate ROUTING only, with
+    this exact integer ip as the final score."""
+    import numpy as np
+
+    e = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", "embedding"
+        )
+    )
+    qrows = e.where(F.col("vec_id") < N_QUERIES).collect()
+    qids = [r["vec_id"] for r in qrows]
+    qmat_q = quantize_fxp(np.stack([np.asarray(r["embedding"]) for r in qrows]))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("neighbor_label", T.IntegerType()),
+            T.StructField("ip_q", T.LongType()),
+        ]
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            labels = pdf["label"].to_numpy()[order]
+            qv = quantize_fxp(np.stack(pdf["embedding"].to_numpy())[order])
+            # exact: every product/partial sum < 2^52, no rounding
+            ips = (qmat_q @ qv.T).astype("int64")
+            for qi, qid in enumerate(qids):
+                row = ips[qi]
+                cand = np.flatnonzero(ids != qid)
+                sel = cand[np.lexsort((ids[cand], -row[cand]))[: TOP_K]]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": ids[sel],
+                        "neighbor_label": labels[sel],
+                        "ip_q": row[sel],
+                    }
+                )
+
+    local = e.mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ip_q").desc(), F.col("neighbor_id")
+    )
+    return local.withColumn("rnk", F.row_number().over(w).cast("long")).where(
+        F.col("rnk") <= TOP_K
+    )
+
+
+MMR_Q_MOD = 40  # every 40th vector queries the MMR reranker
+MMR_NC = 8  # exact-cosine candidates per query
+MMR_K = 3  # reranked picks per query
+MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle() -> str:
+    rel_dot = _QDOT_SQL.format(a="q.qv", b="n.qv", na="q.nrm", nb="n.nrm")
+    pair_dot = _QDOT_SQL.format(a="va.qv", b="vb.qv", na="va.nrm", nb="vb.nrm")
+    lam, one_m = MMR_LAMBDA, round(1 - MMR_LAMBDA, 1)
+    return f"""
+    WITH q0 AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
+    nn AS (SELECT vec_id, qv, {_QL2_SQL} AS nrm FROM q0),
+    q AS (SELECT * FROM nn WHERE vec_id % {MMR_Q_MOD} = 0),
+    scored AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS cid, {rel_dot} AS rel
+        FROM q JOIN nn n ON q.vec_id <> n.vec_id
+    ),
+    cand AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY rel DESC, cid) AS crn
+            FROM scored
+        ) WHERE crn <= {MMR_NC}
+    ),
+    pair AS (
+        SELECT a.query_id, a.cid AS da, b.cid AS db, {pair_dot} AS sim
+        FROM cand a
+        JOIN cand b ON a.query_id = b.query_id AND a.cid <> b.cid
+        JOIN nn va ON va.vec_id = a.cid
+        JOIN nn vb ON vb.vec_id = b.cid
+    ),
+    s1 AS (
+        SELECT query_id, cid, {lam} * rel AS mmr_score
+        FROM cand WHERE crn = 1
+    ),
+    r2 AS (
+        SELECT c.query_id, c.cid,
+               {lam} * c.rel - {one_m} * p.sim AS mmr_score,
+               row_number() OVER (
+                   PARTITION BY c.query_id
+                   ORDER BY {lam} * c.rel - {one_m} * p.sim DESC, c.cid
+               ) AS rn
+        FROM cand c
+        JOIN s1 ON s1.query_id = c.query_id AND c.cid <> s1.cid
+        JOIN pair p ON p.query_id = c.query_id
+                   AND p.da = c.cid AND p.db = s1.cid
+    ),
+    s2 AS (SELECT query_id, cid, mmr_score FROM r2 WHERE rn = 1),
+    r3 AS (
+        SELECT c.query_id, c.cid,
+               {lam} * c.rel
+                 - {one_m} * greatest(p1.sim, p2.sim) AS mmr_score,
+               row_number() OVER (
+                   PARTITION BY c.query_id
+                   ORDER BY {lam} * c.rel
+                            - {one_m} * greatest(p1.sim, p2.sim) DESC, c.cid
+               ) AS rn
+        FROM cand c
+        JOIN s1 ON s1.query_id = c.query_id AND c.cid <> s1.cid
+        JOIN s2 ON s2.query_id = c.query_id AND c.cid <> s2.cid
+        JOIN pair p1 ON p1.query_id = c.query_id
+                    AND p1.da = c.cid AND p1.db = s1.cid
+        JOIN pair p2 ON p2.query_id = c.query_id
+                    AND p2.da = c.cid AND p2.db = s2.cid
+    ),
+    s3 AS (SELECT query_id, cid, mmr_score FROM r3 WHERE rn = 1)
+    SELECT query_id, CAST(rnk AS BIGINT) AS rnk,
+           CAST(cid AS BIGINT) AS doc_id, mmr_score
+    FROM (
+        SELECT query_id, 1 AS rnk, cid, mmr_score FROM s1
+        UNION ALL SELECT query_id, 2, cid, mmr_score FROM s2
+        UNION ALL SELECT query_id, 3, cid, mmr_score FROM s3
+    )
+    ORDER BY query_id, rnk
+    """
+
+
+@query(
+    "sim_mmr_rerank",
+    oracle=_mmr_oracle(),
+    tags=("similarity", "mmr", "rerank", "engine-addition"),
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance reranking (Carbonell/Goldstein) —
+    the diversity pass every RAG retriever runs between ANN and the
+    context window: greedily pick k documents maximizing
+    lambda*rel(q,d) - (1-lambda)*max_{s in S} sim(d,s), so near-
+    duplicate hits don't crowd out coverage. Exact and engine-stable:
+    relevance and candidate-pair cosines are the fixed-point integer
+    dots over identical operands, so the float MMR scores (and hence
+    the greedy argmax at every round, tie-broken on id) are
+    bit-identical across engines; the oracle unrolls the k=3 greedy
+    rounds as chained CTEs.
+
+    Scale shape: candidate generation is the audited broadcast-block
+    matmul (nq*k rows shuffle); the greedy runs per query over its
+    own <= 8 candidates in ONE applyInPandas stage — per-group state
+    is an 8x8 gram matrix, independent of corpus size. For
+    distributed query sets the cand stage swaps to the
+    sim_lsh_join_topk cogroup; the rerank stage is unchanged."""
+    import numpy as np
+
+    e = spread(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    qrows = e.where(F.col("vec_id") % MMR_Q_MOD == 0).collect()
+    qids = [r["vec_id"] for r in qrows]
+    qmat_q = quantize_fxp(np.stack([np.asarray(r["embedding"]) for r in qrows]))
+    qnorms = np.sqrt((qmat_q * qmat_q).sum(axis=1))
+
+    cand_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("cid", T.LongType()),
+            T.StructField("rel", T.DoubleType()),
+        ]
+    )
+
+    def cand_score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            qv = quantize_fxp(np.stack(pdf["embedding"].to_numpy())[order])
+            nrm = np.sqrt((qv * qv).sum(axis=1))
+            sims = (qmat_q @ qv.T) / (qnorms[:, None] * nrm[None, :])
+            for qi, qid in enumerate(qids):
+                row = sims[qi]
+                cnd = np.flatnonzero(ids != qid)
+                sel = cnd[np.lexsort((ids[cnd], -row[cnd]))[:MMR_NC]]
+                yield pd.DataFrame(
+                    {"query_id": qid, "cid": ids[sel], "rel": row[sel]}
+                )
+
+    w = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "cid")
+    cand = (
+        e.mapInPandas(cand_score, schema=cand_schema)
+        .withColumn("crn", F.row_number().over(w))
+        .where(F.col("crn") <= MMR_NC)
+        .drop("crn")
+    )
+    withvec = cand.join(
+        e.withColumnRenamed("vec_id", "cid"), "cid"
+    ).select("query_id", "cid", "rel", "embedding")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("rnk", T.LongType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("mmr_score", T.DoubleType()),
+        ]
+    )
+    lam, one_m = MMR_LAMBDA, round(1 - MMR_LAMBDA, 1)
+
+    def greedy(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("cid").reset_index(drop=True)
+        ids = pdf["cid"].to_numpy()
+        rel = pdf["rel"].to_numpy()
+        qv = quantize_fxp(np.stack(pdf["embedding"].to_numpy()))
+        nrm = np.sqrt((qv * qv).sum(axis=1))
+        gram = (qv @ qv.T) / (nrm[:, None] * nrm[None, :])
+        qid = int(pdf["query_id"].iloc[0])
+        selected: list[int] = []
+        rows = []
+        for rnk in range(1, MMR_K + 1):
+            best_i, best_score = -1, None
+            for i in range(len(ids)):
+                if i in selected:
+                    continue
+                if selected:
+                    # same associativity as SQL greatest(): pairwise max
+                    msim = gram[i, selected[0]]
+                    for s in selected[1:]:
+                        msim = max(msim, gram[i, s])
+                    score = lam * rel[i] - one_m * msim
+                else:
+                    score = lam * rel[i]
+                # argmax with (score DESC, cid ASC): ids sorted asc, so
+                # strict > keeps the smaller cid on ties
+                if best_score is None or score > best_score:
+                    best_i, best_score = i, score
+            selected.append(best_i)
+            rows.append((qid, rnk, int(ids[best_i]), float(best_score)))
+        return pd.DataFrame(
+            rows, columns=["query_id", "rnk", "doc_id", "mmr_score"]
+        )
+
+    return (
+        withvec.groupBy("query_id")
+        .applyInPandas(greedy, schema=out_schema)
+        .orderBy("query_id", "rnk")
+    )

@@ -1949,3 +1949,94 @@ def curation_bigram_lm_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("mean_surprisal_e3"), "doc_id")
         .limit(50)
     )
+
+
+def _entropy_oracle() -> str:
+    from ..functions.intlog import ln_ratio_e3_sql
+
+    lnr = ln_ratio_e3_sql("t.n_chars", "t.n_c").replace("DIV", "//")
+    return f"""
+    WITH norm AS (
+        SELECT doc_id, {_NORM_SQL} AS s FROM documents
+    ),
+    chars AS (
+        SELECT doc_id, substring(s, CAST(i AS INTEGER), 1) AS ch
+        FROM norm, unnest(range(1, length(s) + 1)) AS r(i)
+    ),
+    counts AS (
+        SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS n_c
+        FROM chars GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT doc_id, ch, n_c,
+               CAST(sum(n_c) OVER (PARTITION BY doc_id) AS BIGINT) AS n_chars
+        FROM counts
+    )
+    SELECT doc_id,
+           CAST(max(n_chars) AS BIGINT) AS n_chars,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars,
+           CAST(sum(n_c * {lnr}) // max(n_chars) AS BIGINT) AS entropy_e3,
+           CAST(sum(n_c * {lnr}) // max(n_chars) >= 2700 AS BOOLEAN)
+               AS passes_gate
+    FROM t
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
+@query(
+    "text_entropy_gate",
+    oracle=_entropy_oracle(),
+    tags=("text", "quality", "entropy", "engine-addition"),
+)
+def text_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy quality gate — the cheapest
+    gibberish/binary/boilerplate detector a corpus pipeline runs
+    (minified JS, base64 blobs and repeated-char padding all sit far
+    from natural text's ~2.5-3.2 nats/char). H = sum_c p_c ln(1/p_c)
+    computed entirely in integers: per-(doc, char) counts, the
+    quantized milli-nat log (functions.intlog — one-sided, pinned
+    mantissa table, bit-identical across engines), and an integer
+    division by doc length. Docs below 2.7 nats/char fail the gate
+    (the corpus spans 2.5-2.9, so both outcomes are live at every sf).
+
+    Scale shape: the char explode is scan-parallel and collapses
+    immediately into a (doc_id, ch) map-side-combinable count —
+    alphabet size bounds the per-doc state (< 100 rows/doc), so the
+    shuffle carries counts, never characters. One window for the
+    per-doc total, one aggregate; no joins."""
+    d = load_table(spark, sf_dir, "documents")
+    from ..functions.intlog import ln_ratio_e3_sql
+
+    norm = d.select("doc_id", _norm(F.col("text")).alias("s"))
+    chars = norm.select(
+        "doc_id",
+        "s",
+        F.expr("explode(sequence(1, char_length(s)))").alias("i"),
+    ).select("doc_id", F.expr("substring(s, i, 1)").alias("ch"))
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_c")
+    )
+    t = counts.withColumn(
+        "n_chars",
+        F.sum("n_c").over(Window.partitionBy("doc_id")).cast("bigint"),
+    )
+    lnr = ln_ratio_e3_sql("n_chars", "n_c").replace("DIV", "div")
+    return (
+        t.groupBy("doc_id")
+        .agg(
+            F.max("n_chars").cast("bigint").alias("n_chars"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+            F.expr(f"CAST(sum(n_c * {lnr}) div max(n_chars) AS BIGINT)").alias(
+                "entropy_e3"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_distinct_chars",
+            "entropy_e3",
+            (F.col("entropy_e3") >= 2700).alias("passes_gate"),
+        )
+        .orderBy("doc_id")
+    )

@@ -6108,3 +6108,122 @@ def ts_robust_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day_epoch")
     )
+
+
+@query(
+    "ts_paa_sax",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_e6,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    paa AS (
+        SELECT event_type, (rn - 1) // 16 AS seg,
+               CAST(count(*) AS BIGINT) AS n_pts,
+               CAST(sum(v_e6) // count(*) AS BIGINT) AS paa_e6
+        FROM s GROUP BY 1, 2
+    ),
+    sym AS (
+        SELECT event_type, seg, n_pts, paa_e6,
+               CASE ntile(4) OVER (
+                        PARTITION BY event_type ORDER BY paa_e6, seg)
+                    WHEN 1 THEN 'a' WHEN 2 THEN 'b'
+                    WHEN 3 THEN 'c' ELSE 'd' END AS sax
+        FROM paa
+    ),
+    rle AS (
+        SELECT event_type, seg, sax,
+               lag(sax) OVER (PARTITION BY event_type ORDER BY seg) AS prev
+        FROM sym
+    )
+    SELECT s.event_type,
+           CAST(sum(s.n_pts) AS BIGINT) AS n_points,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           string_agg(s.sax, '' ORDER BY s.seg) AS sax_word,
+           (SELECT string_agg(r.sax, '' ORDER BY r.seg)
+            FROM rle r
+            WHERE r.event_type = s.event_type
+              AND (r.prev IS NULL OR r.prev <> r.sax)) AS sax_rle
+    FROM sym s
+    GROUP BY s.event_type
+    ORDER BY s.event_type
+    """,
+    tags=("timeseries", "sax", "motif", "engine-addition"),
+)
+def ts_paa_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAA + SAX symbolization (Lin/Keogh) — the classic time-series
+    fingerprint: each series is Piecewise-Aggregate-Approximated into
+    16-point segment means, each mean becomes one of 4 symbols, and
+    the per-series SAX word (plus its run-length collapse) is the
+    motif/novelty key that indexes, dedups and searches series at
+    corpus scale. Exactness: segment means are integer-micro sums with
+    toward-zero division (both engines truncate); symbols come from
+    NTILE(4) over the exact means with a (paa, seg) total order —
+    equal-frequency SAX, so no float breakpoints exist anywhere.
+
+    Scale shape: one per-series window for row numbering, one
+    map-side-combinable segment aggregate (16x reduction), then all
+    remaining state is segment-scale (|series| * |segments| rows).
+    The per-series ORDER BY windows run on the COLLAPSED series —
+    the raw scan is touched exactly once."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,6)") * 1000000)
+        .cast("bigint")
+        .alias("v_e6"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    paa = (
+        s.withColumn("seg", F.expr("(rn - 1) div 16"))
+        .groupBy("event_type", "seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pts"),
+            F.expr("CAST(sum(v_e6) div count(*) AS BIGINT)").alias("paa_e6"),
+        )
+    )
+    sym = paa.withColumn(
+        "sax",
+        F.expr(
+            "CASE ntile(4) OVER (PARTITION BY event_type"
+            " ORDER BY paa_e6, seg)"
+            " WHEN 1 THEN 'a' WHEN 2 THEN 'b' WHEN 3 THEN 'c'"
+            " ELSE 'd' END"
+        ),
+    ).transform(materialize)  # word + rle both read the symbol table
+    word = sym.groupBy("event_type").agg(
+        F.sum("n_pts").cast("bigint").alias("n_points"),
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg", "sax"))),
+                lambda x: x["sax"],
+            ),
+            "",
+        ).alias("sax_word"),
+    )
+    rle = (
+        sym.withColumn(
+            "prev",
+            F.lag("sax").over(
+                Window.partitionBy("event_type").orderBy("seg")
+            ),
+        )
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("sax")))
+        .groupBy("event_type")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg", "sax"))),
+                    lambda x: x["sax"],
+                ),
+                "",
+            ).alias("sax_rle")
+        )
+    )
+    return word.join(rle, "event_type").orderBy("event_type")
