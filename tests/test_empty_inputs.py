@@ -133,6 +133,9 @@ EMPTY_SAFE = [
     "sim_matryoshka_recall",
     "ml_negative_sampling",
     "text_bpe_apply_compression",
+    "text_entropy_gate",
+    "dedup_url_canonicalize",
+    "ts_paa_sax",
 ]
 
 
