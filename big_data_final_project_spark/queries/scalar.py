@@ -12,7 +12,7 @@ to double on both sides before folding.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..data import load_table
@@ -677,4 +677,162 @@ def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("PATH")).alias("path"),
         F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
         F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+    )
+
+
+# Longest-prefix routing table for the CIDR query: (dotted net,
+# prefix length, 2^(32-prefix) divisor — pinned so neither engine
+# needs a bit-shift operator). IPs are synthesized inside
+# 10.0.0.0/10, so /8 catches everything, the /12s and /11 carve it,
+# and the /16s are the most-specific overrides.
+_CIDR_TABLE = (
+    ("10.0.0.0", 8, 16777216),
+    ("10.0.0.0", 12, 1048576),
+    ("10.16.0.0", 12, 1048576),
+    ("10.32.0.0", 11, 2097152),
+    ("10.0.0.0", 16, 65536),
+    ("10.1.0.0", 16, 65536),
+    ("10.16.32.0", 20, 4096),
+)
+
+_IP_SYNTH_SQL = "(167772160 + ((user_id * 2654435761) % 4194304))"
+
+
+def _ip_cidr_oracle() -> str:
+    vals = ", ".join(f"('{n}', {p}, {d})" for n, p, d in _CIDR_TABLE)
+    dotted = (
+        "CAST(ip_int // 16777216 AS VARCHAR) || '.' || "
+        "CAST((ip_int // 65536) % 256 AS VARCHAR) || '.' || "
+        "CAST((ip_int // 256) % 256 AS VARCHAR) || '.' || "
+        "CAST(ip_int % 256 AS VARCHAR)"
+    )
+    parse = (
+        "CAST(string_split({c}, '.')[1] AS BIGINT) * 16777216 + "
+        "CAST(string_split({c}, '.')[2] AS BIGINT) * 65536 + "
+        "CAST(string_split({c}, '.')[3] AS BIGINT) * 256 + "
+        "CAST(string_split({c}, '.')[4] AS BIGINT)"
+    )
+    return f"""
+    WITH ips AS (
+        SELECT event_id, user_id, {_IP_SYNTH_SQL} AS ip_int FROM events
+    ),
+    strs AS (
+        SELECT event_id, user_id, ip_int, {dotted} AS ip FROM ips
+    ),
+    rt AS (
+        SELECT net, prefix_len, shift_div,
+               {parse.format(c="net")} AS net_int
+        FROM (VALUES {vals}) AS t(net, prefix_len, shift_div)
+    ),
+    matched AS (
+        SELECT s.event_id, s.user_id, r.net, r.prefix_len,
+               row_number() OVER (
+                   PARTITION BY s.event_id
+                   ORDER BY r.prefix_len DESC, r.net) AS rn
+        FROM strs s JOIN rt r
+          ON ({parse.format(c="s.ip")}) // r.shift_div
+             = r.net_int // r.shift_div
+    )
+    SELECT net || '/' || CAST(prefix_len AS VARCHAR) AS subnet,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM matched WHERE rn = 1
+    GROUP BY net, prefix_len
+    ORDER BY subnet
+    """
+
+
+@query(
+    "scalar_ipv4_cidr",
+    oracle=_ip_cidr_oracle(),
+    tags=("scalar", "network", "cidr", "engine-addition"),
+)
+def scalar_ipv4_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 parsing + longest-prefix CIDR routing — the network-log
+    kernel (flow attribution, geo/ASN rollups, abuse triage) a general
+    analytics engine must own. A deterministic client IP inside
+    10.0.0.0/10 is synthesized per event (Knuth-hash of user_id),
+    formatted dotted-quad, then PARSED BACK from the string and
+    longest-prefix-matched against a pinned 7-entry routing table
+    spanning /8../20 — so every event matches several nets and the
+    most-specific must win. No bit-shift operator exists in both SQL
+    dialects, so prefix masks are pinned power-of-two divisors and
+    the match is integer division equality (ip div 2^(32-p) = net div
+    2^(32-p)) — exact in both engines.
+
+    Scale shape: per-row string/integer work fused into the scan; the
+    routing table is a 7-row broadcast (every real routing/geo table
+    fits memory); ONE shuffle for the per-event argmax + subnet
+    rollup. The distinct-user count is the only wide aggregate."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    ips = e.selectExpr(
+        "event_id", "user_id", f"{_IP_SYNTH_SQL} AS ip_int"
+    ).selectExpr(
+        "event_id",
+        "user_id",
+        "CAST(ip_int div 16777216 AS STRING) || '.' || "
+        "CAST((ip_int div 65536) % 256 AS STRING) || '.' || "
+        "CAST((ip_int div 256) % 256 AS STRING) || '.' || "
+        "CAST(ip_int % 256 AS STRING) AS ip",
+    )
+    rt = spark.createDataFrame(
+        [(n, p, d) for n, p, d in _CIDR_TABLE],
+        "net string, prefix_len int, shift_div long",
+    )
+    parse = (
+        "CAST(split({c}, '[.]')[0] AS BIGINT) * 16777216 + "
+        "CAST(split({c}, '[.]')[1] AS BIGINT) * 65536 + "
+        "CAST(split({c}, '[.]')[2] AS BIGINT) * 256 + "
+        "CAST(split({c}, '[.]')[3] AS BIGINT)"
+    )
+    rt = rt.selectExpr(
+        "net",
+        "prefix_len",
+        "shift_div",
+        f"({parse.format(c='net')}) div shift_div AS net_shifted",
+    )
+    # Scalable longest-prefix match: parse ONCE, explode each event
+    # over the table's DISTINCT prefix lengths (pinned), and
+    # equi-join on (prefix_len, shifted ip) — a broadcast HASH join,
+    # where the naive form (ip div shift = net div shift, shift from
+    # the build side) degenerates to a nested-loop re-parsing the ip
+    # per routing row.
+    plens = sorted({(p, d) for _, p, d in _CIDR_TABLE})
+    plen_arr = ", ".join(
+        f"named_struct('prefix_len', {p}, 'shift_div', CAST({d} AS BIGINT))"
+        for p, d in plens
+    )
+    cand = ips.selectExpr(
+        "event_id",
+        "user_id",
+        f"({parse.format(c='ip')}) AS parsed_int",
+    ).selectExpr(
+        "event_id",
+        "user_id",
+        "parsed_int",
+        f"inline(array({plen_arr}))",
+    ).selectExpr(
+        "event_id",
+        "user_id",
+        "prefix_len",
+        "parsed_int div shift_div AS net_shifted",
+    )
+    matched = cand.join(F.broadcast(rt), ["prefix_len", "net_shifted"])
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("prefix_len").desc(), "net"
+    )
+    return (
+        matched.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("net", "prefix_len")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .selectExpr(
+            "net || '/' || CAST(prefix_len AS STRING) AS subnet",
+            "n_events",
+            "n_users",
+        )
+        .orderBy("subnet")
     )

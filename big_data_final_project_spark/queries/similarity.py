@@ -2101,3 +2101,129 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(greedy, schema=out_schema)
         .orderBy("query_id", "rnk")
     )
+
+
+def _silhouette_oracle(iters: int) -> str:
+    """Centroid-based (simplified) silhouette over the FINAL trained
+    centroids: reuses _kmeans_oracle's CTE chain up to cent{iters},
+    then one all-cells cosine pass per point."""
+    base = _kmeans_oracle(iters)
+    chain = base.split("WITH ", 1)[1].rsplit("SELECT a.cell", 1)[0].rstrip()
+    cos = _QDOT_SQL.format(a="n.qv", b="c.qcv", na="n.qnrm", nb="c.qcnrm")
+    return f"""
+    WITH {chain},
+    qcentF AS (SELECT cell, {qvec_sql("cv")} AS qcv FROM cent{iters}),
+    qcentnF AS (SELECT cell, qcv, {ql2_sql("qcv")} AS qcnrm FROM qcentF),
+    allcos AS (
+        SELECT n.vec_id, c.cell, {cos} AS cs
+        FROM nq n CROSS JOIN qcentnF c
+    ),
+    own AS (
+        SELECT vec_id, cell, cs AS cos_own FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+            FROM allcos
+        ) x WHERE rn = 1
+    ),
+    oth AS (
+        SELECT a.vec_id, max(a.cs) AS cos_other
+        FROM allcos a JOIN own o
+          ON o.vec_id = a.vec_id AND a.cell <> o.cell
+        GROUP BY a.vec_id
+    ),
+    sil AS (
+        SELECT o.cell,
+               CASE WHEN t.cos_other >= 1.0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(floor(((o.cos_own - t.cos_other)
+                         / (1.0 - t.cos_other)) * 1000000) AS BIGINT)
+               END AS s_ppm
+        FROM own o JOIN oth t ON t.vec_id = o.vec_id
+    )
+    SELECT cell,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(s_ppm) // count(*) AS BIGINT) AS mean_silhouette_ppm,
+           CAST(min(s_ppm) AS BIGINT) AS min_silhouette_ppm,
+           CAST(max(s_ppm) AS BIGINT) AS max_silhouette_ppm
+    FROM sil GROUP BY cell ORDER BY cell
+    """
+
+
+@query(
+    "ml_kmeans_silhouette",
+    oracle=_silhouette_oracle(KMEANS_ITERS),
+    tags=("similarity", "kmeans", "eval", "engine-addition"),
+)
+def ml_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality grade of the Lloyd-trained centroids — the
+    evaluate step that closes train -> index -> serve -> EVALUATE:
+    the centroid-based (simplified/Hamerly) silhouette, per cell.
+    With cosine affinity and argmax assignment, a = 1 - cos(x, own),
+    b = 1 - cos(x, best-other), s = (b - a)/max(a, b) =
+    (cos_own - cos_other)/(1 - cos_other) in [0, 1] — near 1 means
+    tight, well-separated cells; near 0 means the point sits on a
+    cell boundary (retrain or raise k). Bit-stable: every cosine is
+    the exact fixed-point dot over identical operands, the score is
+    floor-quantized to ppm BEFORE aggregation (float means would be
+    order-dependent), and integer-ppm means/mins/maxes ship.
+
+    Scale shape: two Lloyd iterations (k-row broadcast + one matmul
+    scan each), then ONE more matmul scan for the all-cells cosines —
+    the full silhouette's O(n^2) pair distances are never formed,
+    which is the standard concession that makes silhouette runnable
+    on corpora (same as sklearn's davies_bouldin/centroid shortcuts).
+    """
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec_dbl("embedding").alias("v")
+    )
+    n = e.select("vec_id", "v").transform(materialize)
+    cent = _centroids_df(e.select(F.col("label").alias("cell"), "v"))
+    for _ in range(KMEANS_ITERS):
+        cells, qc, qcn = _collect_centroids(cent)
+        assign = _assign_cells(n, cells, qc, qcn)
+        assigned = (
+            assign.join(n, "vec_id")
+            .select("vec_id", "cell", "v")
+            .transform(materialize)
+        )
+        cent = _centroids_df(assigned)
+    cells, qc, qcn = _collect_centroids(cent)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qv = quantize_fxp(np.stack(pdf["v"].to_numpy()))
+            qn = np.sqrt((qv * qv).sum(axis=1))
+            cos = (qv @ qc.T) / (qn[:, None] * qcn[None, :])
+            own_idx = np.argmax(cos, axis=1)  # first max == lowest cell
+            rows = np.arange(len(cos))
+            cos_own = cos[rows, own_idx]
+            masked = cos.copy()
+            masked[rows, own_idx] = -np.inf
+            cos_other = masked.max(axis=1)
+            s_ppm = np.where(
+                cos_other >= 1.0,
+                0.0,
+                np.floor(((cos_own - cos_other) / (1.0 - cos_other)) * 1000000),
+            ).astype("int64")
+            yield pd.DataFrame(
+                {"cell": cells[own_idx].astype("int32"), "s_ppm": s_ppm}
+            )
+
+    sil = n.mapInPandas(score, schema="cell int, s_ppm long")
+    return (
+        sil.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.expr("CAST(sum(s_ppm) div count(*) AS BIGINT)").alias(
+                "mean_silhouette_ppm"
+            ),
+            F.min("s_ppm").cast("bigint").alias("min_silhouette_ppm"),
+            F.max("s_ppm").cast("bigint").alias("max_silhouette_ppm"),
+        )
+        .orderBy("cell")
+    )

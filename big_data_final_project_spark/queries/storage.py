@@ -956,3 +956,115 @@ def store_python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "part-*.jsonl")
         .json(out_dir)
     )
+
+
+@query(
+    "store_merge_upsert",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS price_cents
+        FROM orders WHERE o_orderkey % 4 <> 3
+    ),
+    delta AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 + 500 AS price_cents,
+               CAST(o_orderkey % 8 = 6 AS BOOLEAN) AS is_delete
+        FROM orders
+        WHERE o_orderkey % 8 IN (0, 1, 6) OR o_orderkey % 4 = 3
+    ),
+    merged AS (
+        SELECT coalesce(b.k, d.k) AS k,
+               CASE
+                   WHEN d.k IS NULL THEN 'kept'
+                   WHEN b.k IS NULL THEN 'inserted'
+                   WHEN d.is_delete THEN 'deleted'
+                   ELSE 'updated'
+               END AS action,
+               CASE
+                   WHEN d.k IS NULL THEN b.status
+                   ELSE d.status
+               END AS status,
+               CASE
+                   WHEN d.k IS NULL THEN b.price_cents
+                   ELSE d.price_cents
+               END AS price_cents
+        FROM base b FULL OUTER JOIN delta d ON d.k = b.k
+    )
+    SELECT action, status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN action = 'deleted' THEN 0
+                         ELSE price_cents END) AS BIGINT) AS live_cents
+    FROM merged
+    GROUP BY action, status
+    ORDER BY action, status
+    """,
+    tags=("storage", "merge", "upsert", "engine-addition"),
+)
+def store_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics as one relational dataflow — the upsert
+    contract every lakehouse table format exposes (WHEN MATCHED AND
+    cond THEN DELETE / WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED
+    THEN INSERT), expressed engine-natively as ONE full-outer join +
+    CASE so it runs without a table-format plugin. Base = orders
+    minus every 4th key; delta = updates (+5.00 on keys %8 in {0,1}),
+    tombstones (%8 = 6) and inserts (the held-out %4 = 3 keys) — all
+    four MERGE actions live in every run. Output is the post-merge
+    audit (rows + surviving cents per action x status), with deleted
+    rows contributing count but zero value.
+
+    Scale shape: ONE shuffle join on the merge key (at lakehouse
+    scale this is the same co-partitioned join Delta/Iceberg MERGE
+    compiles to, minus their file-rewrite bookkeeping — bucketed
+    staging via operators/scale.materialize(bucket_by=...) gives the
+    co-location); cents arithmetic keeps the audit integer-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    base = o.where(F.col("o_orderkey") % 4 != 3).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        cents.alias("price_cents"),
+    )
+    delta = (
+        o.where(
+            (F.col("o_orderkey") % 8).isin(0, 1, 6)
+            | (F.col("o_orderkey") % 4 == 3)
+        )
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            (cents + 500).alias("price_cents"),
+            (F.col("o_orderkey") % 8 == 6).alias("is_delete"),
+        )
+    )
+    b, d = base.alias("b"), delta.alias("d")
+    merged = b.join(d, F.col("b.k") == F.col("d.k"), "full_outer").select(
+        F.coalesce(F.col("b.k"), F.col("d.k")).alias("k"),
+        F.when(F.col("d.k").isNull(), F.lit("kept"))
+        .when(F.col("b.k").isNull(), F.lit("inserted"))
+        .when(F.col("d.is_delete"), F.lit("deleted"))
+        .otherwise(F.lit("updated"))
+        .alias("action"),
+        F.when(F.col("d.k").isNull(), F.col("b.status"))
+        .otherwise(F.col("d.status"))
+        .alias("status"),
+        F.when(F.col("d.k").isNull(), F.col("b.price_cents"))
+        .otherwise(F.col("d.price_cents"))
+        .alias("price_cents"),
+    )
+    return (
+        merged.groupBy("action", "status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                F.when(F.col("action") == "deleted", F.lit(0)).otherwise(
+                    F.col("price_cents")
+                )
+            )
+            .cast("bigint")
+            .alias("live_cents"),
+        )
+        .orderBy("action", "status")
+    )

@@ -136,6 +136,8 @@ EMPTY_SAFE = [
     "text_entropy_gate",
     "dedup_url_canonicalize",
     "ts_paa_sax",
+    "scalar_ipv4_cidr",
+    "store_merge_upsert",
 ]
 
 
