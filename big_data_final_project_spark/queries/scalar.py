@@ -553,7 +553,8 @@ def scalar_inline_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
            CAST(json_extract(props, '$.k') AS BIGINT) % 7 AS k_mod7,
            json_extract(props, '$.missing') IS NULL AS missing_is_null,
-           CAST(json_valid(props) AS BOOLEAN) AS is_valid_json
+           coalesce(CAST(json_valid(props) AS BOOLEAN), FALSE)
+               AS is_valid_json
     FROM events
     """,
     tags=("scalar", "variant", "json"),
@@ -579,7 +580,12 @@ def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("variant_get(parse_json(props), '$.missing', 'string')")
         .isNull()
         .alias("missing_is_null"),
-        F.expr("try_parse_json(props)").isNotNull().alias("is_valid_json"),
+        # NULL props -> false on BOTH sides (DuckDB json_valid(NULL) is
+        # NULL while IS NOT NULL is false — the null sweep caught the
+        # three-valued divergence; a missing document holds no valid JSON)
+        F.expr("coalesce(try_parse_json(props) IS NOT NULL, false)").alias(
+            "is_valid_json"
+        ),
     )
 
 

@@ -186,7 +186,7 @@ def _lang_pred_sql() -> str:
           FROM t)
     SELECT doc_id, lang, {", ".join(f"s_{lg}" for lg in LANG_PROFILES)},
            {_lang_pred_sql()} AS predicted_lang,
-           {_lang_pred_sql()} = lang AS is_correct
+           coalesce({_lang_pred_sql()} = lang, FALSE) AS is_correct
     FROM s
     """,
     tags=("text", "langid"),
@@ -233,7 +233,9 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         *[f"s_{lg}" for lg in langs],
         pred.alias("predicted_lang"),
-        (pred == F.col("lang")).alias("is_correct"),
+        # unlabeled (NULL-lang) docs count as not-correct on BOTH sides
+        # (the null sweep caught NULL-boolean comparator divergence)
+        F.coalesce(pred == F.col("lang"), F.lit(False)).alias("is_correct"),
     )
 
 

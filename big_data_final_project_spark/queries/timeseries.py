@@ -2127,6 +2127,7 @@ def _ohlc_key_sql() -> str:
            arg_max(value, {_ohlc_key_sql()}) AS close,
            CAST(count(*) AS BIGINT) AS volume
     FROM events
+    WHERE value IS NOT NULL
     GROUP BY 1, 2
     ORDER BY 1, 2
     """,
@@ -2147,8 +2148,14 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     window first/last formulation (no per-row window state, no sort).
     This is the M4/downsampling family's aggregate-only member: bars
     stream out of a 100 TB event store in a single shuffle keyed on
-    (series, bar)."""
-    e = load_table(spark, sf_dir, "events")
+    (series, bar). NULL measures are excluded up front on BOTH sides:
+    Spark's min_by returns the (possibly NULL) value at the min key
+    while DuckDB's arg_min skips NULL values entirely — the null
+    sweep caught whole bars diverging; a priceless tick can't open,
+    close, or count toward a candle."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
     key = F.concat(
         F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
         F.lit("|"),
