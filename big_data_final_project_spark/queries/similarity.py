@@ -2227,3 +2227,147 @@ def ml_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+PQ_ADC_Q_MOD = 100  # every 100th vector queries the PQ index
+
+
+def _pq_adc_oracle() -> str:
+    sub_d2 = (
+        "CAST(list_reduce(list_transform(range(1, {d} + 1),"
+        " i -> ({a}[{m} * {d} + i] - {b}[{m} * {d} + i])"
+        "    * ({a}[{m} * {d} + i] - {b}[{m} * {d} + i])),"
+        " (acc, x) -> acc + x) AS BIGINT)"
+    )
+    code_d2 = sub_d2.format(a="sub.qv", b="cb.qv", m="sub.m", d=PQ_D)
+    lut_d2 = sub_d2.format(a="q.qv", b="cb.qv", m="s.m", d=PQ_D)
+    return f"""
+    WITH q0 AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
+    cb AS (SELECT vec_id AS code, qv FROM q0 WHERE vec_id < {PQ_K}),
+    sub AS (
+        SELECT vec_id, qv, m
+        FROM q0, (VALUES {", ".join(f"({m})" for m in range(PQ_M))}) AS s(m)
+    ),
+    codes AS (
+        SELECT vec_id, m, code FROM (
+            SELECT sub.vec_id, sub.m, cb.code,
+                   row_number() OVER (
+                       PARTITION BY sub.vec_id, sub.m
+                       ORDER BY {code_d2}, cb.code) AS rn
+            FROM sub, cb
+        ) x WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, qv FROM q0
+          WHERE vec_id % {PQ_ADC_Q_MOD} = 0),
+    lut AS (
+        SELECT q.query_id, s.m, cb.code, {lut_d2} AS d2
+        FROM q, (VALUES {", ".join(f"({m})" for m in range(PQ_M))}) AS s(m), cb
+    ),
+    adc AS (
+        SELECT l.query_id, c.vec_id AS neighbor_id,
+               CAST(sum(l.d2) AS BIGINT) AS adc_dist2
+        FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+        WHERE c.vec_id <> l.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_dist2, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_dist2, neighbor_id) AS rnk
+        FROM adc
+    ) r WHERE rnk <= {TOP_K}
+    """
+
+
+@query(
+    "sim_pq_adc_topk",
+    oracle=_pq_adc_oracle(),
+    tags=("similarity", "product-quantization", "adc", "engine-addition"),
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) search — the SERVING path that
+    closes the product-quantization lifecycle (sim_pq_codebook
+    encodes; this searches): the corpus lives as PQ_M one-byte codes,
+    the query stays a RAW vector, and distance is the sum of PQ_M
+    lookup-table entries d2(q_sub, codeword) — one table of
+    PQ_M x PQ_K ints per query, built once, so scoring a vector is 8
+    integer lookups instead of a 64-dim product (the Jegou/Douze ADC
+    construction). Exact: every sub-distance is an int64 sum of
+    squared integer diffs; numpy stays in int64 (the 8-subspace total
+    can exceed 2^53, so float64 matmul would round — the oracle's
+    BIGINT arithmetic is the reference).
+
+    Scale shape: codebook (PQ_K rows) and query block collected and
+    broadcast (documented bounded bench path — the distributed-query
+    variant routes through the same cogroup as sim_lsh_join_topk);
+    ONE corpus scan encodes each batch and sums LUT entries; nq*k
+    rows shuffle to the final merge. At 100 TB the codes would be a
+    stored index (32x smaller than the vectors) and the scan reads
+    codes, not vectors — here encode+search fuse into one pass."""
+    import numpy as np
+
+    e = spread(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    cb_rows = sorted(
+        e.where(F.col("vec_id") < PQ_K).collect(), key=lambda r: r["vec_id"]
+    )
+    cb_full = quantize_fxp(
+        np.stack([np.asarray(r["embedding"], dtype="float64") for r in cb_rows])
+    ).astype("int64")
+    qrows = sorted(
+        e.where(F.col("vec_id") % PQ_ADC_Q_MOD == 0).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype="int64")
+    qmat = quantize_fxp(
+        np.stack([np.asarray(r["embedding"], dtype="float64") for r in qrows])
+    ).astype("int64")
+    # lut[qi, m, code] = d2(query sub m, codeword) — exact int64
+    lut = np.zeros((len(qids), PQ_M, PQ_K), dtype="int64")
+    for m in range(PQ_M):
+        qs = qmat[:, m * PQ_D : (m + 1) * PQ_D]
+        cs = cb_full[:, m * PQ_D : (m + 1) * PQ_D]
+        lut[:, m, :] = ((qs[:, None, :] - cs[None, :, :]) ** 2).sum(axis=2)
+
+    def search(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            qv = quantize_fxp(np.stack(pdf["embedding"].to_numpy())[order]).astype(
+                "int64"
+            )
+            codes = np.empty((len(ids), PQ_M), dtype="int64")
+            for m in range(PQ_M):
+                sub = qv[:, m * PQ_D : (m + 1) * PQ_D]
+                d2 = ((sub[:, None, :] - cb_full[None, :, m * PQ_D : (m + 1) * PQ_D]) ** 2).sum(
+                    axis=2
+                )
+                codes[:, m] = np.argmin(d2, axis=1)  # first-min == lowest code
+            # adc[qi, row] = sum over m of lut[qi, m, codes[row, m]]
+            for qi, qid in enumerate(qids):
+                tot = np.zeros(len(ids), dtype="int64")
+                for m in range(PQ_M):
+                    tot += lut[qi, m, codes[:, m]]
+                cand = np.flatnonzero(ids != qid)
+                sel = cand[np.lexsort((ids[cand], tot[cand]))[: TOP_K]]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": ids[sel],
+                        "adc_dist2": tot[sel],
+                    }
+                )
+
+    local = e.mapInPandas(
+        search, schema="query_id long, neighbor_id long, adc_dist2 long"
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist2", "neighbor_id")
+    return local.withColumn("rnk", F.row_number().over(w).cast("long")).where(
+        F.col("rnk") <= TOP_K
+    )
