@@ -1068,3 +1068,117 @@ def store_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("action", "status")
     )
+
+
+@query(
+    "store_deletion_vectors",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS okey, o_orderpriority AS prio,
+               o_orderstatus AS status,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS price_cents
+        FROM orders
+    ),
+    dv AS (
+        -- positional delete vector: row identities marked deleted by
+        -- the predicate; data files untouched (o_orderkey is the
+        -- verified-unique row identity of this table)
+        SELECT okey FROM base
+        WHERE status = 'F' AND price_cents < 5000000
+    ),
+    mor AS (
+        -- merge-on-read: base ANTI JOIN the delete vector at scan time
+        SELECT b.* FROM base b
+        WHERE NOT EXISTS (SELECT 1 FROM dv WHERE dv.okey = b.okey)
+    ),
+    cow AS (
+        -- copy-on-write: eagerly rewritten table (predicate inverted)
+        SELECT * FROM base
+        WHERE NOT (status = 'F' AND price_cents < 5000000)
+    ),
+    mor_a AS (
+        SELECT prio, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(price_cents) AS BIGINT) AS cents,
+               CAST(sum(okey) AS BIGINT) AS ident_sum
+        FROM mor GROUP BY prio
+    ),
+    cow_a AS (
+        SELECT prio, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(price_cents) AS BIGINT) AS cents,
+               CAST(sum(okey) AS BIGINT) AS ident_sum
+        FROM cow GROUP BY prio
+    )
+    SELECT m.prio, m.n, m.cents,
+           CAST(d.n_deleted AS BIGINT) AS n_deleted,
+           (m.n = c.n AND m.cents = c.cents
+            AND m.ident_sum = c.ident_sum) AS mor_equals_cow
+    FROM mor_a m
+    JOIN cow_a c ON c.prio = m.prio
+    CROSS JOIN (SELECT count(*) AS n_deleted FROM dv) d
+    ORDER BY m.prio
+    """,
+    tags=("storage", "deletion-vectors", "merge-on-read", "engine-addition"),
+)
+def store_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional deletion vectors — the modern lakehouse delete
+    mechanism (Delta DVs / Iceberg positional deletes): a delete
+    writes only a vector of row identities, data files stay immutable,
+    and the SCAN merges (merge-on-read) via an anti-join; compaction
+    later rewrites files (copy-on-write). This query materializes BOTH
+    read paths over the same delete predicate and PROVES them
+    equivalent per group (row count, exact cents sum, and an identity
+    checksum over the row keys), returning the per-priority audit with the
+    equivalence verdict a table-format maintenance job would assert
+    before swapping snapshots.
+
+    Scale shape: the DV is predicate-selected (here ~row-identity
+    pairs, in production a roaring bitmap per file); the MoR read is
+    ONE left-anti hash join keyed on row identity — broadcastable
+    whenever the delete batch is (deletes are tiny relative to data;
+    that asymmetry is WHY DVs beat eager rewrite for hot tables) —
+    and the CoW path is a plain filtered scan. Equivalence checking
+    is two map-side-combinable aggregates over the same scans."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderstatus").alias("status"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    # o_orderkey is this table's verified-unique row identity — a DV
+    # addressed by a NON-unique key over-deletes via the anti-join
+    # (the first cut on lineitem's (orderkey, linenumber) proved it:
+    # mor_equals_cow came back false on colliding synthetic keys).
+    deleted = (F.col("status") == "F") & (F.col("price_cents") < 5000000)
+    dv = base.where(deleted).select("okey")
+    mor = base.join(F.broadcast(dv), ["okey"], "left_anti")
+    cow = base.where(~deleted)
+
+    def audit(df: DataFrame) -> DataFrame:
+        return df.groupBy("prio").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("price_cents").cast("bigint").alias("cents"),
+            F.sum("okey").cast("bigint").alias("ident_sum"),
+        )
+
+    m, c = audit(mor).alias("m"), audit(cow).alias("c")
+    n_del = dv.agg(F.count(F.lit(1)).cast("bigint").alias("n_deleted"))
+    return (
+        m.join(c, F.col("m.prio") == F.col("c.prio"))
+        .crossJoin(F.broadcast(n_del))
+        .select(
+            F.col("m.prio").alias("prio"),
+            F.col("m.n").alias("n"),
+            F.col("m.cents").alias("cents"),
+            "n_deleted",
+            (
+                (F.col("m.n") == F.col("c.n"))
+                & (F.col("m.cents") == F.col("c.cents"))
+                & (F.col("m.ident_sum") == F.col("c.ident_sum"))
+            ).alias("mor_equals_cow"),
+        )
+        .orderBy("prio")
+    )

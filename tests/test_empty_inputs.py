@@ -138,6 +138,7 @@ EMPTY_SAFE = [
     "ts_paa_sax",
     "scalar_ipv4_cidr",
     "store_merge_upsert",
+    "store_deletion_vectors",
 ]
 
 
