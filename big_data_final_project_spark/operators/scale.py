@@ -110,7 +110,7 @@ def materialize(
             out = spark.read.parquet(path)
         _STAGED_PATHS.setdefault(
             spark.sparkContext.applicationId, []
-        ).append(path)
+        ).append((path, f"bdfp_staged_{stage_id}" if bucket_by else None))
         return out
     raise ValueError(
         f"unknown {MATERIALIZE_MODE_CONF}={mode!r} (local|reliable|table)"
@@ -120,19 +120,25 @@ def materialize(
 # Staging-dir lifecycle for table mode. Staged parquet CANNOT be
 # deleted while its session lives (the returned DataFrame re-reads the
 # path lazily on every downstream job), so the in-process lifecycle is
-# session-scoped: every table-mode call records its path under the
-# current applicationId, and paths recorded by DEAD sessions are swept
-# on the next call (same eviction rhythm as session_cached below).
-# Iterative queries therefore stage O(iterations) dirs while running
-# and drop to zero once a new session takes over; long-lived cluster
-# deployments still run their own TTL sweep over the staging root.
-_STAGED_PATHS: dict[str, list[str]] = {}
+# session-scoped: every table-mode call records its (path, table name)
+# under the current applicationId, and entries recorded by DEAD
+# sessions are swept on the next call (same eviction rhythm as
+# session_cached below) — BOTH the directory and the bucketed stage's
+# catalog entry (ADVICE r7: dropping only dirs accumulated unbounded
+# bdfp_staged_* tables, dangling at swept paths in any persistent
+# metastore). Iterative queries therefore stage O(iterations) dirs
+# while running and drop to zero once a new session takes over;
+# long-lived cluster deployments still run their own TTL sweep over
+# the staging root.
+_STAGED_PATHS: dict[str, list[tuple[str, str | None]]] = {}
 
 
 def _evict_dead_staging(spark) -> None:
     app = spark.sparkContext.applicationId
     for dead in [a for a in _STAGED_PATHS if a != app]:
-        for path in _STAGED_PATHS.pop(dead):
+        for path, table in _STAGED_PATHS.pop(dead):
+            if table is not None:
+                spark.sql(f"DROP TABLE IF EXISTS {table}")
             shutil.rmtree(path, ignore_errors=True)
 
 

@@ -61,24 +61,36 @@ class JsonlAuditWriter(DataSourceWriter):
         """Driver-side, all tasks green: publish atomically-per-file
         (rename) and stamp _SUCCESS with the committed row count.
 
-        mode("overwrite") RETIRES every pre-existing part-*.jsonl to a
-        ``.old`` suffix first and deletes the retirees only after all
-        renames and the _SUCCESS stamp succeeded, so no byte of old
-        output is destroyed until the new output is fully published —
-        a crash anywhere in the commit phase leaves the old parts
-        recoverable on disk (as ``*.jsonl.old``) and a rerun converges
-        (rename overwrites any same-named ``.old``; leftover retirees
-        are swept after the next successful stamp). The remaining
-        non-atomicity is VISIBILITY only: a reader that globs
-        ``part-*.jsonl`` without honoring _SUCCESS can observe an
-        in-flight commit as empty-then-filling; _SUCCESS-respecting
-        readers never see a partial job. Orphaned ``*.jsonl.tmp`` from
-        crashed earlier jobs are swept here too (pre-publish — temps
-        were never visible output)."""
+        The PREVIOUS job's _SUCCESS is removed FIRST (ADVICE r7: left
+        in place, a stale stamp stays visible through the commit
+        window — and permanently after a crash mid-commit — over a
+        partial new part set), so _SUCCESS-respecting readers treat
+        the directory as uncommitted from the moment publication
+        starts until the new stamp lands, and never see a partial
+        job. mode("overwrite") then RETIRES every pre-existing
+        part-*.jsonl to a ``.old`` suffix and deletes the retirees
+        only after all renames and the _SUCCESS stamp succeeded, so
+        no byte of old output is destroyed until the new output is
+        fully published — a crash anywhere in the commit phase leaves
+        the old parts recoverable on disk (as ``*.jsonl.old``) and a
+        rerun converges (rename overwrites any same-named ``.old``;
+        leftover retirees are swept after the next successful stamp).
+        The remaining non-atomicity is VISIBILITY only: a reader that
+        globs ``part-*.jsonl`` without honoring _SUCCESS can observe
+        an in-flight commit as empty-then-filling. Orphaned
+        ``*.jsonl.tmp`` from crashed earlier jobs are swept here too
+        (pre-publish — temps were never visible output)."""
         # Zero-partition writes run no task, so only commit() can
         # create the directory (ADVICE r6) — without this, listdir and
         # the _SUCCESS write below raise FileNotFoundError.
         os.makedirs(self.path, exist_ok=True)
+        # Invalidate the previous job's stamp BEFORE any part becomes
+        # visible or retired: stamp present <=> last job fully
+        # published (both append and overwrite).
+        try:
+            os.remove(os.path.join(self.path, "_SUCCESS"))
+        except FileNotFoundError:
+            pass
         fresh_tmp = {m.tmp_path for m in messages}
         fresh = {p[: -len(".tmp")] for p in fresh_tmp}
         if self.overwrite:

@@ -54,6 +54,40 @@ def test_artifacts_fresh():
     )
 
 
+def test_catalog_import_runs_zero_spark_jobs():
+    """VERDICT r7 #8: at 442 queries, catalog import + registration is
+    part of every bench/driver start — it must stay PURE (decorator
+    bookkeeping only). A fresh interpreter builds a SparkSession,
+    snapshots the job counter, imports the registry and builds the
+    full catalog, and asserts not one Spark job ran (also guards
+    against an import-time .collect()/.count() sneaking into module
+    scope of any query module, which would execute at import against
+    whatever sf_dir a later call passes)."""
+    code = """
+import os
+os.environ["SPARK_GRAFT_CPUS"] = "2"
+from big_data_final_project_spark.session import get_spark
+spark = get_spark(shuffle_partitions=2)
+tracker = spark.sparkContext.statusTracker()
+before = len(tracker.getJobIdsForGroup(None))
+from big_data_final_project_spark.registry import catalog
+reg = catalog()
+assert len(reg) > 400, f"catalog unexpectedly small: {len(reg)}"
+after = len(tracker.getJobIdsForGroup(None))
+assert after == before, f"catalog() ran {after - before} Spark job(s)"
+print("ZERO_JOBS_OK", len(reg))
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0 and "ZERO_JOBS_OK" in proc.stdout, (
+        f"import-laziness check failed:\n{proc.stdout}\n{proc.stderr[-2000:]}"
+    )
+
+
 def driver_canon(pdf: pd.DataFrame) -> pd.DataFrame:
     """The driver's canonicalization order: sort raw cells first."""
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)

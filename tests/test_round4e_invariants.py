@@ -4,6 +4,8 @@ prove both mean what each operator claims)."""
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import functions as F
 
@@ -290,10 +292,15 @@ def test_round4e_plan_shapes(spark, sf_dir):
     # vocab probe is broadcast, never a shuffle join
     p = _plan(spark, sf_dir, "curation_vocab_coverage")
     assert p.broadcast_joins >= 1 and p.sortmerge_joins == 0
-    # incremental join: every dimension term broadcasts
+    # incremental join: ONE tagged broadcast join computes all four
+    # bilinear terms as groups (VERDICT r7 #2: the 4-branch form
+    # re-scanned orders x5 / customer x4) — dimension broadcasts,
+    # no sort-merge, no extra same-path scans beyond the cutoff agg
     p = _plan(spark, sf_dir, "store_incremental_join")
-    assert p.broadcast_joins >= 4, p.text
+    assert p.broadcast_joins >= 1, p.text
+    assert p.sortmerge_joins == 0, p.text
     assert p.cartesian_products == 0
+    assert len(re.findall(r"^\(\d+\) +Scan parquet", p.text, re.M)) <= 3, p.text
 
 
 def test_bridge_effects_sum_to_delta(spark, sf_dir):

@@ -345,6 +345,10 @@ def test_jsonl_sink_crash_mid_commit_then_rerun_exactly_once(
     assert len(olds) == 2
     assert len(glob.glob(os.path.join(d, "part-*.jsonl"))) == 1
     assert len(glob.glob(os.path.join(d, "*.tmp"))) == 1
+    # ADVICE r7: job 1's _SUCCESS must be GONE after the crashed
+    # commit — a _SUCCESS-respecting reader sees the directory as
+    # uncommitted, never a stale stamp over a partial new part set
+    assert not os.path.exists(os.path.join(d, "_SUCCESS"))
 
     # rerun the job fresh (Spark would retry the whole write): the
     # rerun retires the crashed job's partial part, sweeps its orphan
@@ -361,6 +365,44 @@ def test_jsonl_sink_crash_mid_commit_then_rerun_exactly_once(
     assert not glob.glob(os.path.join(d, "*.old"))
     with open(os.path.join(d, "_SUCCESS")) as fh:
         assert fh.read() == "4"
+
+
+def test_jsonl_sink_stamp_retired_before_any_publish(tmp_path, monkeypatch):
+    """ADVICE r7 (the commit-window half): the previous job's
+    _SUCCESS is removed BEFORE the first retire/publish rename, so at
+    no instant does a stale stamp coexist with a changed part set —
+    crash on the very first rename and the stamp is already gone
+    while both old parts are still intact and visible."""
+    import glob
+    import os
+
+    from pyspark.sql import Row
+
+    from big_data_final_project_spark.sources.jsonl_sink import JsonlAuditWriter
+
+    d = str(tmp_path / "sink")
+    w1 = JsonlAuditWriter({"path": d}, overwrite=True)
+    w1.commit([w1.write(iter([Row(a=1)])), w1.write(iter([Row(a=2)]))])
+    assert os.path.exists(os.path.join(d, "_SUCCESS"))
+
+    w2 = JsonlAuditWriter({"path": d}, overwrite=True)
+    msgs = [w2.write(iter([Row(a=10)]))]
+    real_rename = os.rename
+
+    def crash_first_rename(src, dst):
+        raise OSError("injected crash before any rename")
+
+    monkeypatch.setattr(os, "rename", crash_first_rename)
+    import pytest as _pytest
+
+    with _pytest.raises(OSError, match="injected"):
+        w2.commit(msgs)
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    # stamp gone, old parts untouched: reader sees "uncommitted", not
+    # a stale success over mutating output
+    assert not os.path.exists(os.path.join(d, "_SUCCESS"))
+    assert len(glob.glob(os.path.join(d, "part-*.jsonl"))) == 2
 
 
 def test_jsonl_sink_zero_partition_overwrite(tmp_path):

@@ -187,15 +187,25 @@ def test_materialize_modes_agree(spark, sf_dir, tmp_path):
 
 
 def test_table_mode_evicts_dead_session_staging(spark, tmp_path):
-    """VERDICT r6 #2: table-mode staging recorded by a DEAD session is
-    swept on the next table-mode call, while the live session's own
-    staged paths stay readable (the returned frame re-reads lazily)."""
+    """VERDICT r6 #2 + ADVICE r7: table-mode staging recorded by a
+    DEAD session is swept on the next table-mode call — the directory
+    AND the bucketed stage's catalog table (dirs-only eviction
+    accumulated unbounded bdfp_staged_* entries dangling at swept
+    paths) — while the live session's own staged paths stay readable
+    (the returned frame re-reads lazily)."""
     from big_data_final_project_spark.operators import scale
 
     dead_dir = tmp_path / "dead_staged"
     dead_dir.mkdir()
     (dead_dir / "part-0.parquet").write_bytes(b"x")
-    scale._STAGED_PATHS["application_dead_0001"] = [str(dead_dir)]
+    # a dead session's BUCKETED stage also left a catalog table
+    spark.range(3).write.option(
+        "path", str(tmp_path / "dead_tbl")
+    ).saveAsTable("bdfp_staged_deadbeef")
+    scale._STAGED_PATHS["application_dead_0001"] = [
+        (str(dead_dir), None),
+        (str(tmp_path / "dead_tbl"), "bdfp_staged_deadbeef"),
+    ]
 
     spark.conf.set(scale.MATERIALIZE_MODE_CONF, "table")
     spark.conf.set(scale.MATERIALIZE_DIR_CONF, str(tmp_path / "staging"))
@@ -208,10 +218,13 @@ def test_table_mode_evicts_dead_session_staging(spark, tmp_path):
 
     assert not dead_dir.exists(), "dead session's staging not evicted"
     assert "application_dead_0001" not in scale._STAGED_PATHS
+    assert not spark.catalog.tableExists(
+        "bdfp_staged_deadbeef"
+    ), "dead session's staged catalog table not dropped"
     app = spark.sparkContext.applicationId
     live = scale._STAGED_PATHS.get(app, [])
     assert live and all(
-        __import__("os").path.isdir(p) for p in live
+        __import__("os").path.isdir(p) for p, _t in live
     ), "live session's staged path must survive eviction"
 
 

@@ -1,18 +1,23 @@
 #!/usr/bin/env python
-"""Compare a fresh bench run against the round-1 envelope, normalized
-by the calibration probe (VERDICT r6 #3).
+"""Compare a fresh bench run against a previous round's BENCH JSON,
+with probe normalization WHEN BOTH FILES CARRY A PROBE (ADVICE r7).
 
 The box suffers outside-VM stall storms and multi-round drift; the
-pinned synthetic probe in bench.py measures the box, not the engine.
-Normalization: engine_ratio = (headline_now / headline_r1) /
-(probe_now / PROBE_R7_REFERENCE-era box speed is unknown for r1, so
-the probe only CORRECTS CROSS-ROUND COMPARISONS FROM r7 ONWARD; for
-the r1 comparison we report both raw and probe-context numbers and
-let the judge see the probe alongside).
+pinned synthetic probe in bench.py (present from r7 onward) measures
+the box, not the engine. When both inputs have `probe_sec`, the tool
+prints, per query and in aggregate:
 
-Usage: python tools/bench_compare.py BENCH_fresh.json [BENCH_r01.json]
-where BENCH_fresh.json is bench.py's one-line output (or a driver
-wrapper with 'parsed').
+    raw_ratio    = headline_now / headline_base
+    probe_ratio  = probe_now / probe_base   (min of start/end each)
+    engine_ratio = raw_ratio / probe_ratio
+
+so a slow-box run normalizes back to engine speed. When the BASE file
+predates the probe (r1-r6), no normalization is possible: the tool
+prints raw ratios plus the fresh run's probe for context, and says so.
+
+Usage: python tools/bench_compare.py BENCH_fresh.json [BENCH_base.json]
+where each file is bench.py's one-line output (or a driver wrapper
+with 'parsed'). Default base: BENCH_r01.json (raw-only — no probe).
 """
 import json
 import sys
@@ -24,27 +29,62 @@ def load(path: str) -> dict:
     return d.get("parsed", d)
 
 
+def probe_floor(d: dict) -> float | None:
+    """One number for the run's box speed: the FASTER of the start/end
+    probes (min = least-stalled observation, same best-of logic as the
+    headline)."""
+    p = d.get("probe_sec")
+    if not p:
+        return None
+    return min(p["start"], p["end"])
+
+
 def main() -> int:
     fresh = load(sys.argv[1])
-    r1 = load(sys.argv[2] if len(sys.argv) > 2 else "BENCH_r01.json")
-    fq, rq = fresh["queries"], r1["queries"]
-    common = sorted(set(fq) & set(rq))
-    ratios = []
-    print(f"{'query':40s} {'r1':>7s} {'now':>7s} {'ratio':>6s}")
+    base = load(sys.argv[2] if len(sys.argv) > 2 else "BENCH_r01.json")
+    fq, bq = fresh["queries"], base["queries"]
+    common = sorted(set(fq) & set(bq))
+
+    pf, pb = probe_floor(fresh), probe_floor(base)
+    probe_ratio = (pf / pb) if (pf and pb) else None
+
+    if probe_ratio:
+        print(
+            f"probe: base={pb:.3f}s now={pf:.3f}s ratio={probe_ratio:.2f} "
+            f"(engine_ratio = raw_ratio / {probe_ratio:.2f})"
+        )
+        hdr = f"{'query':40s} {'base':>7s} {'now':>7s} {'raw':>6s} {'engine':>7s}"
+    else:
+        why = "base file has no probe_sec" if pf else "no probe in inputs"
+        print(f"no normalization ({why}) — raw ratios only")
+        hdr = f"{'query':40s} {'base':>7s} {'now':>7s} {'raw':>6s}"
+    print(hdr)
+
+    ratios, engine_ratios = [], []
     for name in common:
-        ratio = fq[name] / rq[name] if rq[name] else float("inf")
-        ratios.append(ratio)
-        print(f"{name:40s} {rq[name]:7.2f} {fq[name]:7.2f} {ratio:6.2f}")
-    tot_r1 = sum(rq[n] for n in common)
-    tot_now = sum(fq[n] for n in common)
+        raw = fq[name] / bq[name] if bq[name] else float("inf")
+        ratios.append(raw)
+        line = f"{name:40s} {bq[name]:7.2f} {fq[name]:7.2f} {raw:6.2f}"
+        if probe_ratio:
+            eng = raw / probe_ratio
+            engine_ratios.append(eng)
+            line += f" {eng:7.2f}"
+        print(line)
+
+    tot_b = sum(bq[n] for n in common)
+    tot_f = sum(fq[n] for n in common)
+    agg_raw = tot_f / tot_b
     med = sorted(ratios)[len(ratios) // 2]
-    print(
-        f"\ncommon n={len(common)} total r1={tot_r1:.1f}s now={tot_now:.1f}s "
-        f"aggregate ratio={tot_now / tot_r1:.2f} median per-query={med:.2f}"
+    summary = (
+        f"\ncommon n={len(common)} total base={tot_b:.1f}s now={tot_f:.1f}s "
+        f"aggregate raw={agg_raw:.2f} median per-query={med:.2f}"
     )
-    probe = fresh.get("probe_sec")
-    if probe:
-        print(f"probe_sec start={probe['start']:.2f} end={probe['end']:.2f}")
+    if probe_ratio:
+        summary += f" aggregate engine={agg_raw / probe_ratio:.2f}"
+    print(summary)
+    if pf and not probe_ratio:
+        p = fresh["probe_sec"]
+        print(f"fresh probe_sec start={p['start']:.2f} end={p['end']:.2f}")
     return 0
 
 
