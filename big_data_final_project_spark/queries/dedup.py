@@ -1864,3 +1864,246 @@ def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_docs") >= 2)
         .orderBy("canonical_url")
     )
+
+
+# Exact-substring dedup (VERDICT r7 #4): the Lee-et-al-style
+# longest-duplicated-substring extraction (Deduplicating Training Data
+# Makes Language Models Better, 2022) a production text pipeline runs
+# before training. Their single-node form builds one global suffix
+# array; the distributed equivalence used here: a substring of length
+# >= K duplicated across documents is exactly a maximal run of
+# K-token windows each of which occurs in >= 2 distinct documents —
+# so instead of a global suffix sort, the corpus shuffles ONCE on the
+# hashed K-gram (uniform keys, the "per-shard suffix sort" of the
+# rolling-hash variant) and spans reassemble per document with
+# gaps-and-islands. Runs are the standard sound over-approximation of
+# the suffix-array spans (every true duplicated span is found whole;
+# a run may stitch grams matching DIFFERENT partner docs) — the safe
+# direction for removal.
+ES_K = 8  # span threshold in tokens (Lee et al. use 50 BPE tokens)
+
+
+@query(
+    "dedup_exact_substr_spans",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, t,
+               unnest(generate_series(1, CASE WHEN len(t) >= {ES_K}
+                      THEN len(t) - {ES_K - 1} ELSE 0 END)) AS i
+        FROM toks
+    ),
+    w AS (
+        SELECT doc_id, i,
+               array_to_string(t[i:i + {ES_K - 1}], ' ') AS win
+        FROM pos
+    ),
+    x AS (
+        SELECT doc_id, i,
+               min(doc_id) OVER (PARTITION BY win)
+                 <> max(doc_id) OVER (PARTITION BY win) AS xdoc
+        FROM w
+    ),
+    isl AS (
+        SELECT doc_id, i,
+               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        FROM x WHERE xdoc
+    ),
+    spans AS (
+        SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+               CAST(count(*) + {ES_K - 1} AS BIGINT) AS span_len_tokens,
+               CAST(count(*) AS BIGINT) AS n_dup_grams
+        FROM isl GROUP BY doc_id, grp
+    )
+    SELECT s.doc_id, s.span_start, s.span_len_tokens, s.n_dup_grams,
+           array_to_string(
+               list_slice(toks.t, s.span_start,
+                          s.span_start + s.span_len_tokens - 1),
+               ' ') AS span_text
+    FROM spans s JOIN toks USING (doc_id)
+    ORDER BY s.doc_id, s.span_start
+    """,
+    tags=("dedup", "substring", "exact-substr", "engine-addition"),
+)
+def dedup_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document duplicated spans, extracted with their
+    text: every maximal run of consecutive token positions whose
+    {ES_K}-gram occurs in >= 2 DISTINCT documents (module comment
+    above: the distributed form of Lee-et-al suffix-array exact-
+    substring dedup). One row per (document, span) with the start
+    token index, span length, and the span text itself — what a
+    curation pipeline cuts out of the training set.
+
+    Scale shape: explode to one row per window position (bounded by
+    corpus token count; carries only (doc_id, pos, hash) — never the
+    token array), ONE shuffle on the uniform 64-bit gram hash for the
+    cross-doc flag, one per-doc shuffle for the islands merge, and a
+    final column-pruned re-read of documents to slice span text (the
+    two-scan slice-comparison class of PLANS.md — spans join against
+    tokens on doc_id). Never a global sort, never all-pairs. The
+    Spark side keys the flag on xxhash64(window) (fixed-width shuffle
+    key); the oracle uses the raw window string — identical verdicts
+    unless xxhash64 collides (2^-64-scale; the differential would
+    catch it)."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    wins_sql = (
+        f"CASE WHEN size(t) >= {ES_K} THEN "
+        f"transform(sequence(1, size(t) - {ES_K - 1}), "
+        f"i -> named_struct('pos', i, "
+        f"'wh', xxhash64(concat_ws(' ', slice(t, i, {ES_K}))))) "
+        f"ELSE CAST(array() AS array<struct<pos:int,wh:bigint>>) END"
+    )
+    g = toks.select("doc_id", F.explode(F.expr(wins_sql)).alias("w")).select(
+        "doc_id", F.col("w.pos").alias("pos"), F.col("w.wh").alias("wh")
+    )
+    hw = Window.partitionBy("wh")
+    dup = g.withColumn(
+        "xdoc", F.min("doc_id").over(hw) != F.max("doc_id").over(hw)
+    ).where("xdoc")
+    dw = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        dup.withColumn("grp", F.col("pos") - F.row_number().over(dw))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.count("*") + (ES_K - 1)).cast("bigint").alias("span_len_tokens"),
+            F.count("*").cast("bigint").alias("n_dup_grams"),
+        )
+    )
+    slices = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    return (
+        spans.join(slices, "doc_id")
+        .select(
+            "doc_id",
+            "span_start",
+            "span_len_tokens",
+            "n_dup_grams",
+            F.expr(
+                "concat_ws(' ', slice(t, CAST(span_start AS INT), "
+                "CAST(span_len_tokens AS INT)))"
+            ).alias("span_text"),
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+@query(
+    "dedup_exact_substr_coverage",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, t,
+               unnest(generate_series(1, CASE WHEN len(t) >= {ES_K}
+                      THEN len(t) - {ES_K - 1} ELSE 0 END)) AS i
+        FROM toks
+    ),
+    w AS (
+        SELECT doc_id, i,
+               array_to_string(t[i:i + {ES_K - 1}], ' ') AS win
+        FROM pos
+    ),
+    x AS (
+        SELECT doc_id, i,
+               min(doc_id) OVER (PARTITION BY win)
+                 <> max(doc_id) OVER (PARTITION BY win) AS xdoc
+        FROM w
+    ),
+    brk AS (
+        SELECT doc_id, i,
+               CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                         > {ES_K} THEN 1 ELSE 0 END AS b
+        FROM x WHERE xdoc
+    ),
+    isl AS (
+        SELECT doc_id, i,
+               sum(b) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        FROM brk
+    ),
+    iv AS (
+        SELECT doc_id, max(i) - min(i) + {ES_K} AS cov
+        FROM isl GROUP BY doc_id, grp
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(sum(cov) AS BIGINT) AS covered_tokens,
+               CAST(count(*) AS BIGINT) AS n_spans
+        FROM iv GROUP BY doc_id
+    )
+    SELECT toks.doc_id, CAST(len(toks.t) AS BIGINT) AS n_tokens,
+           coalesce(p.covered_tokens, 0) AS covered_tokens,
+           coalesce(p.n_spans, 0) AS n_spans,
+           coalesce(p.covered_tokens, 0) * 1000000 // len(toks.t)
+               AS covered_ppm
+    FROM toks LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "substring", "exact-substr", "engine-addition"),
+)
+def dedup_exact_substr_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-token coverage — the Lee-et-al number a
+    curation pipeline thresholds on ("drop or trim docs with > X% of
+    tokens inside cross-document duplicated spans"). Token coverage is
+    the INTERVAL UNION of the [pos, pos + K - 1] windows of every
+    cross-duplicated gram start (spans closer than K overlap in token
+    coverage, so summing span lengths would double-count; islands here
+    merge on gap > K, the exact union condition for fixed-width
+    intervals sorted by start). Every document gets a row — zero
+    coverage included, since the threshold gate must see clean docs
+    too. covered_ppm is integer-exact (ppm floor-division) on both
+    engines.
+
+    Scale shape: same two shuffles as dedup_exact_substr_spans (gram
+    hash, then doc), plus a per-doc left join of byte-sized coverage
+    partials against the doc spine."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    wins_sql = (
+        f"CASE WHEN size(t) >= {ES_K} THEN "
+        f"transform(sequence(1, size(t) - {ES_K - 1}), "
+        f"i -> named_struct('pos', i, "
+        f"'wh', xxhash64(concat_ws(' ', slice(t, i, {ES_K}))))) "
+        f"ELSE CAST(array() AS array<struct<pos:int,wh:bigint>>) END"
+    )
+    g = toks.select("doc_id", F.explode(F.expr(wins_sql)).alias("w")).select(
+        "doc_id", F.col("w.pos").alias("pos"), F.col("w.wh").alias("wh")
+    )
+    hw = Window.partitionBy("wh")
+    dup = g.withColumn(
+        "xdoc", F.min("doc_id").over(hw) != F.max("doc_id").over(hw)
+    ).where("xdoc")
+    dw = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(dw) > ES_K, F.lit(1)
+    ).otherwise(F.lit(0))
+    per_doc = (
+        dup.withColumn("grp", F.sum(brk).over(dw))
+        .groupBy("doc_id", "grp")
+        .agg((F.max("pos") - F.min("pos") + ES_K).alias("cov"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cov").cast("bigint").alias("covered_tokens"),
+            F.count("*").cast("bigint").alias("n_spans"),
+        )
+    )
+    spine = toks.select("doc_id", F.size("t").cast("bigint").alias("n_tokens"))
+    return (
+        spine.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("covered_tokens", F.lit(0)).cast("bigint").alias(
+                "covered_tokens"
+            ),
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.expr(
+                "coalesce(covered_tokens, 0) * 1000000 div n_tokens"
+            ).alias("covered_ppm"),
+        )
+        .orderBy("doc_id")
+    )

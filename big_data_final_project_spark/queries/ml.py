@@ -14,7 +14,14 @@ from pyspark.sql import functions as F
 
 from ..data import load_table
 from ..operators.scale import materialize
-from ..functions.numeric import dsum, dsum_prod, dsum_prod_sql, dsum_sql
+from ..functions.numeric import (
+    dsum,
+    dsum_prod,
+    dsum_prod_sql,
+    dsum_sql,
+    finite_measure,
+    finite_measure_sql,
+)
 from ..registry import query
 
 
@@ -568,7 +575,8 @@ _KFOLD = 5
                 AS UBIGINT) % {_KFOLD} AS BIGINT) AS fold,
            COUNT(DISTINCT user_id) AS n_users,
            COUNT(*) AS n_events,
-           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+           CAST(CAST(SUM(CAST({finite_measure_sql("value")} AS DECIMAL(18,6)))
+                     AS VARCHAR) AS DOUBLE)
                AS value_sum
     FROM events
     GROUP BY 1
@@ -604,7 +612,7 @@ def ml_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("user_id").alias("n_users"),
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
+            F.sum(finite_measure("value").cast("decimal(18,6)"))
             .cast("double")
             .alias("value_sum"),
         )
@@ -1299,14 +1307,14 @@ def _pois_case(u: str) -> str:
                        " || ':' || CAST(r.r AS VARCHAR)), 1, 8)) AS UBIGINT)"
                        " % 1000000"
                    ),
-                   "e.value",
+                   finite_measure_sql("e.value"),
                )} AS wsum,
                CAST(sum({_pois_case(
                    "CAST(('0x' || substring(md5(CAST(e.event_id AS VARCHAR)"
                    " || ':' || CAST(r.r AS VARCHAR)), 1, 8)) AS UBIGINT)"
                    " % 1000000"
                )}) AS BIGINT) AS wn,
-               {dsum_sql("e.value")} AS vsum,
+               {dsum_sql(finite_measure_sql("e.value"))} AS vsum,
                CAST(count(*) AS BIGINT) AS n
         FROM events e CROSS JOIN (SELECT unnest(generate_series(0, {_N_REPS - 1})) AS r) r
         GROUP BY 1, 2
@@ -1364,9 +1372,9 @@ def ml_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = F.expr(_pois_case(u))
     reps = exploded.groupBy("event_type", "r").agg(
-        dsum_prod(w, F.col("value")).alias("wsum"),
+        dsum_prod(w, finite_measure("value")).alias("wsum"),
         F.sum(w).cast("bigint").alias("wn"),
-        dsum("value").alias("vsum"),
+        dsum(finite_measure("value")).alias("vsum"),
         F.count("*").cast("bigint").alias("n"),
     )
     means = reps.withColumn(
@@ -1703,7 +1711,7 @@ def ml_split_gain_all_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id,
                CASE WHEN user_id % 2 = 0 THEN 'treat' ELSE 'control' END
                    AS arm,
-               {dsum_sql("value")} AS x,
+               {dsum_sql(finite_measure_sql("value"))} AS x,
                CAST(count(*) AS BIGINT) AS y
         FROM events WHERE user_id IS NOT NULL GROUP BY user_id
     ),
@@ -1756,7 +1764,7 @@ def ab_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id").isNotNull())
         .groupBy("user_id")
         .agg(
-            dsum("value").alias("x"),
+            dsum(finite_measure("value")).alias("x"),
             F.count("*").cast("bigint").alias("y"),
         )
         .withColumn(

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..data import load_table
+from ..functions.numeric import finite_measure, finite_measure_sql
 from ..operators.scale import spread
 from ..registry import query
 
@@ -236,20 +237,23 @@ def audit_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ab_welch_ttest",
-    oracle="""
-    WITH s AS (
+    oracle=f"""
+    WITH g AS (
+        SELECT user_id, {finite_measure_sql("value")} AS fv FROM events
+    ),
+    s AS (
         SELECT
             CAST(count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT) AS n_a,
             CAST(count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_b,
             CAST(SUM(CASE WHEN user_id % 2 = 0
-                     THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sx_a,
+                     THEN CAST(fv AS DECIMAL(18,6)) END) AS DOUBLE) AS sx_a,
             CAST(SUM(CASE WHEN user_id % 2 = 1
-                     THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sx_b,
+                     THEN CAST(fv AS DECIMAL(18,6)) END) AS DOUBLE) AS sx_b,
             CAST(SUM(CASE WHEN user_id % 2 = 0
-                     THEN CAST(value * value AS DECIMAL(27,8)) END) AS DOUBLE) AS sxx_a,
+                     THEN CAST(fv * fv AS DECIMAL(27,8)) END) AS DOUBLE) AS sxx_a,
             CAST(SUM(CASE WHEN user_id % 2 = 1
-                     THEN CAST(value * value AS DECIMAL(27,8)) END) AS DOUBLE) AS sxx_b
-        FROM events
+                     THEN CAST(fv * fv AS DECIMAL(27,8)) END) AS DOUBLE) AS sxx_b
+        FROM g
     ),
     d AS (
         SELECT n_a, n_b,
@@ -297,8 +301,9 @@ def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     arm_a = F.col("user_id") % 2 == 0
     arm_b = F.col("user_id") % 2 == 1
-    dec_x = F.col("value").cast("decimal(18,6)")
-    dec_xx = (F.col("value") * F.col("value")).cast("decimal(27,8)")
+    fv = finite_measure("value")
+    dec_x = fv.cast("decimal(18,6)")
+    dec_xx = (fv * fv).cast("decimal(27,8)")
     s = e.agg(
         F.count(F.when(arm_a, 1)).cast("bigint").alias("n_a"),
         F.count(F.when(arm_b, 1)).cast("bigint").alias("n_b"),
@@ -538,7 +543,7 @@ def audit_primary_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ab_diff_in_diff",
-    oracle="""
+    oracle=f"""
     WITH anchor AS (
         SELECT epoch_us(min(ts))
                + (epoch_us(max(ts)) - epoch_us(min(ts))) // 2 AS mid
@@ -548,7 +553,8 @@ def audit_primary_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT (user_id % 2 = 0) AS treated,
                (epoch_us(ts) >= (SELECT mid FROM anchor)) AS post,
                CAST(count(*) AS BIGINT) AS n,
-               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR)
+               CAST(CAST(SUM(CAST({finite_measure_sql("value")}
+                                  AS DECIMAL(18,6))) AS VARCHAR)
                     AS DOUBLE) AS total
         FROM events
         GROUP BY 1, 2
@@ -600,7 +606,7 @@ def ab_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
+            F.sum(finite_measure("value").cast("decimal(18,6)"))
             .cast("double")
             .alias("total"),
         )
@@ -628,10 +634,11 @@ def ab_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_log2_histogram",
-    oracle="""
+    oracle=f"""
     WITH c AS (
         SELECT event_type,
-               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+               CAST(CAST({finite_measure_sql("value")} AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents
         FROM events
     )
     SELECT event_type,
@@ -661,7 +668,7 @@ def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     add), which is what makes it the standard 100 TB distribution
     summary."""
     e = load_table(spark, sf_dir, "events")
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    cents = (finite_measure("value").cast("decimal(18,2)") * 100).cast("bigint")
     return (
         e.select("event_type", cents.alias("cents"))
         .groupBy(
@@ -877,4 +884,62 @@ def audit_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("gap_len"), "gap_start")
         .limit(20)
+    )
+
+
+@query(
+    "audit_nonfinite_measures",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+           CAST(sum(CASE WHEN isnan(value) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nan,
+           CAST(sum(CASE WHEN value = 'infinity'::DOUBLE THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_pos_inf,
+           CAST(sum(CASE WHEN value = '-infinity'::DOUBLE THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_neg_inf,
+           CAST(sum(CASE WHEN value IS NULL OR NOT isfinite(value)
+                         THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+               AS unmeasured_ppm
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("profiling", "data-quality", "nonfinite", "engine-addition"),
+)
+def audit_nonfinite_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The observability face of the round-8 FINITE-MEASURE CONTRACT
+    (functions/numeric.finite_measure): per series, how many readings
+    the exact-arithmetic operators will skip — NULL, NaN, +Inf, -Inf
+    — and the combined unmeasured fraction in integer ppm. A pipeline
+    that silently nullifies bad readings without this audit is hiding
+    data loss; a pipeline that alerts on unmeasured_ppm drift catches
+    the broken sensor the day it breaks.
+
+    Scale shape: one scan, one map-side-combinable aggregate to
+    |series| rows — the cheapest possible data-quality readout, run
+    alongside every ingest batch."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    is_nan = F.isnan(v)
+    is_pinf = v == F.lit(float("inf"))
+    is_ninf = v == F.lit(float("-inf"))
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            flag(v.isNull()).alias("n_null"),
+            flag(is_nan).alias("n_nan"),
+            flag(is_pinf).alias("n_pos_inf"),
+            flag(is_ninf).alias("n_neg_inf"),
+            F.expr(
+                "CAST(sum(CASE WHEN value IS NULL OR isnan(value)"
+                " OR abs(value) = double('Infinity') THEN 1 ELSE 0 END)"
+                " * 1000000 div count(*) AS BIGINT)"
+            ).alias("unmeasured_ppm"),
+        )
+        .orderBy("event_type")
     )

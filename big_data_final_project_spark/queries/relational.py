@@ -14,7 +14,16 @@ from pyspark.sql import functions as F
 
 from ..data import load_table
 from ..operators.scale import materialize
-from ..functions.numeric import davg_sql, davg, dsum, dsum_prod, dsum_prod_sql, dsum_sql
+from ..functions.numeric import (
+    davg,
+    davg_sql,
+    dsum,
+    dsum_prod,
+    dsum_prod_sql,
+    dsum_sql,
+    finite_measure,
+    finite_measure_sql,
+)
 from ..operators.intervals import overlap_pairs
 from ..operators.joins import asof_join
 from ..registry import query
@@ -1399,17 +1408,19 @@ def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_argmax_deterministic",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
-           arg_max(user_id, lpad(CAST(CAST(ROUND(value * 1000000) AS BIGINT)
+           arg_max(user_id, lpad(CAST(CAST(ROUND({finite_measure_sql("value")}
+                                      * 1000000) AS BIGINT)
                                       AS VARCHAR), 16, '0')
                             || '|' || lpad(CAST(event_id AS VARCHAR), 12, '0'))
                AS top_user,
-           arg_min(user_id, lpad(CAST(CAST(ROUND(value * 1000000) AS BIGINT)
+           arg_min(user_id, lpad(CAST(CAST(ROUND({finite_measure_sql("value")}
+                                      * 1000000) AS BIGINT)
                                       AS VARCHAR), 16, '0')
                             || '|' || lpad(CAST(event_id AS VARCHAR), 12, '0'))
                AS bottom_user,
-           MAX(value) AS top_value
+           MAX({finite_measure_sql("value")}) AS top_value
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -1432,11 +1443,15 @@ def agg_argmax_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the window row_number() formulation of ref_latest_record,
     and the right tool when only the argmax row's single column is
     needed. Rounding note: value >= 0 here, where Spark's HALF_UP and
-    DuckDB's half-away rounding agree."""
+    DuckDB's half-away rounding agree. The measure is finite-gated
+    (non-finite -> NULL key, skipped like the NULL readings both
+    engines already agree on — round-8 finite-measure contract)."""
     e = load_table(spark, sf_dir, "events")
     key = F.concat(
         F.lpad(
-            F.round(F.col("value") * 1_000_000).cast("bigint").cast("string"),
+            F.round(finite_measure("value") * 1_000_000)
+            .cast("bigint")
+            .cast("string"),
             16,
             "0",
         ),
@@ -1448,7 +1463,7 @@ def agg_argmax_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max_by("user_id", key).alias("top_user"),
             F.min_by("user_id", key).alias("bottom_user"),
-            F.max("value").alias("top_value"),
+            F.max(finite_measure("value")).alias("top_value"),
         )
         .orderBy("event_type")
     )

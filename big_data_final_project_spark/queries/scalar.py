@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..data import load_table
+from ..functions.numeric import finite_measure, finite_measure_sql
 from ..registry import query
 
 
@@ -469,10 +470,11 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_by_json_field",
-    oracle="""
+    oracle=f"""
     SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
            count(*) AS n,
-           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+           CAST(CAST(SUM(CAST({finite_measure_sql("value")} AS DECIMAL(18,6)))
+                     AS VARCHAR) AS DOUBLE)
              AS total_value
     FROM events
     GROUP BY k_mod
@@ -496,9 +498,9 @@ def agg_by_json_field(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k_mod")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
-                "total_value"
-            ),
+            F.sum(finite_measure("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
         )
     )
 

@@ -2416,3 +2416,108 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local.withColumn("rnk", F.row_number().over(w).cast("long")).where(
         F.col("rnk") <= TOP_K
     )
+
+
+HN_K = 5  # hard negatives per query
+
+
+@query(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH q0 AS (SELECT vec_id, label, {_QVEC_SQL} AS qv FROM embeddings),
+    n AS (SELECT vec_id, label, qv, {_QL2_SQL} AS nrm FROM q0),
+    q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.vec_id AS query_id, q.label AS query_label,
+               n.vec_id AS neighbor_id, n.label AS neighbor_label,
+               {_QDOT_SQL.format(a="q.qv", b="n.qv", na="q.nrm", nb="n.nrm")}
+                   AS cosine
+        FROM q JOIN n
+          ON q.vec_id <> n.vec_id AND q.label <> n.label
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cosine,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM scored
+    ) r WHERE rnk <= {HN_K}
+    """,
+    tags=("similarity", "contrastive", "hard-negatives", "engine-addition"),
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — the contrastive-training data op every
+    two-tower/embedding pipeline runs between retrieval and training:
+    for each anchor, the top-k most-similar vectors with a DIFFERENT
+    label (near the anchor in embedding space but semantically wrong
+    — the negatives that actually move the loss; random negatives are
+    too easy). Label-mismatch filters INSIDE the partition scorer, so
+    per-partition candidate top-k stays exact under the filter.
+
+    Scale shape: identical to sim_bruteforce_topk — broadcast
+    constant query block (vec_id < {N_QUERIES}), one exact
+    fixed-point matmul per corpus partition, label mask applied
+    before the local top-k, nq*k rows shuffle to the final merge. At
+    full mining scale (every vector an anchor) the same mask drops
+    into the LSH/IVF cogroup scorers — candidate routing is
+    unchanged, the mask is per-batch numpy."""
+    import numpy as np
+
+    e = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", "embedding"
+        )
+    )
+    qrows = sorted(
+        e.where(F.col("vec_id") < N_QUERIES).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype="int64")
+    qlabels = np.array([r["label"] for r in qrows], dtype="int64")
+    qmat_q = quantize_fxp(
+        np.stack([np.asarray(r["embedding"]) for r in qrows])
+    )
+    qnorms = np.sqrt((qmat_q * qmat_q).sum(axis=1))
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            labels = pdf["label"].to_numpy()[order]
+            qv = quantize_fxp(np.stack(pdf["embedding"].to_numpy())[order])
+            nrm = np.sqrt((qv * qv).sum(axis=1))
+            sims = (qmat_q @ qv.T) / (qnorms[:, None] * nrm[None, :])
+            for qi in range(len(qids)):
+                row = sims[qi]
+                cand = np.flatnonzero(
+                    (ids != qids[qi]) & (labels != qlabels[qi])
+                )
+                sel = cand[np.lexsort((ids[cand], -row[cand]))[:HN_K]]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qids[qi],
+                        "query_label": qlabels[qi],
+                        "neighbor_id": ids[sel],
+                        "neighbor_label": labels[sel],
+                        "cosine": row[sel],
+                    }
+                )
+
+    local = e.mapInPandas(
+        score,
+        schema=(
+            "query_id long, query_label int, neighbor_id long,"
+            " neighbor_label int, cosine double"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return local.withColumn("rnk", F.row_number().over(w).cast("long")).where(
+        F.col("rnk") <= HN_K
+    )

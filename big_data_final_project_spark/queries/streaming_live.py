@@ -949,3 +949,104 @@ def streaming_minhash_screen_live(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.read.option("basePath", store).parquet(store).select(
         "doc_id", "n_dups", "first_match_id", "max_est_jaccard", "is_new"
     )
+
+
+def _stream_qsk_oracle() -> str:
+    """Direct-build histogram over the events measure — the stream's
+    per-micro-batch partials, merged, must hash-match it exactly."""
+    from ..functions.numeric import finite_measure_sql
+    from .sketches import _duck_pow2, _qsk_bounds_sql, _qsk_bucket_sql
+
+    cents_src = (
+        f"CAST(CAST({finite_measure_sql('value')} AS DECIMAL(18,2)) * 100"
+        " AS BIGINT)"
+    )
+    bucket = _qsk_bucket_sql("cents", _duck_pow2, "//")
+    lo, hi = _qsk_bounds_sql("bucket", _duck_pow2, "//")
+    return f"""
+    WITH c AS (
+        SELECT cents FROM (SELECT {cents_src} AS cents FROM events)
+        WHERE cents IS NOT NULL
+    ),
+    hist AS (
+        SELECT CAST({bucket} AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM c GROUP BY 1
+    )
+    SELECT bucket,
+           CAST({lo} AS BIGINT) AS lo_cents,
+           CAST({hi} AS BIGINT) AS hi_cents,
+           n,
+           CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS cum_n
+    FROM hist ORDER BY bucket
+    """
+
+
+@query(
+    "streaming_quantile_sketch_live",
+    oracle=_stream_qsk_oracle(),
+    tags=("streaming", "live", "sketch", "quantile", "engine-addition"),
+)
+def streaming_quantile_sketch_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING leg of the mergeable quantile sketch
+    (agg_quantile_sketch_*): events arrive in micro-batches; each
+    batch reduces to its own partial histogram (a few hundred longs,
+    whatever the batch size) appended exactly-once under its batch_id;
+    the serving read merges all partials by bucket-wise addition and
+    the differential proves merged-over-micro-batches == one-shot
+    batch build. This is the telemetry-store write path at 100 TB:
+    per-interval sketch partials land as they stream, and ANY
+    time-range quantile is a merge at read time — raw values are
+    never re-scanned. Non-finite readings are unmeasured per the
+    round-8 finite-measure contract.
+
+    Scale shape: per-batch work is one map-side-combinable aggregate
+    of batch size; persisted state grows by ~|buckets| rows per batch
+    (not by row count); the serving merge reads kilobytes."""
+    from ..functions.numeric import finite_measure
+    from .sketches import _qsk_bounds_sql, _qsk_bucket_sql, _spark_pow2
+
+    store = _work_dir(sf_dir, "qsk_store")
+    ckpt = _work_dir(sf_dir, "qsk_ckpt")
+    bucket = _qsk_bucket_sql("cents", _spark_pow2, "div")
+
+    def build_partial(batch: DataFrame, batch_id: int) -> None:
+        cents = (finite_measure("value").cast("decimal(18,2)") * 100).cast(
+            "bigint"
+        )
+        partial = (
+            batch.select(cents.alias("cents"))
+            .where(F.col("cents").isNotNull())
+            .select(F.expr(bucket).cast("bigint").alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("pn"))
+        )
+        partial.write.mode("overwrite").parquet(
+            os.path.join(store, f"batch_id={batch_id}")
+        )
+
+    with _stream_partitions(spark):
+        q = (
+            _staged_valid(spark, sf_dir)
+            .writeStream.foreachBatch(build_partial)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    merged = (
+        spark.read.option("basePath", store)
+        .parquet(store)
+        .groupBy("bucket")
+        .agg(F.sum("pn").cast("bigint").alias("n"))
+    )
+    lo, hi = _qsk_bounds_sql("bucket", _spark_pow2, "div")
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return merged.select(
+        "bucket",
+        F.expr(lo).cast("bigint").alias("lo_cents"),
+        F.expr(hi).cast("bigint").alias("hi_cents"),
+        "n",
+        F.sum("n").over(w).cast("bigint").alias("cum_n"),
+    ).orderBy("bucket")

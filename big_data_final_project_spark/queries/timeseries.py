@@ -20,8 +20,25 @@ from pyspark.sql import functions as F
 
 from ..data import load_table, sf_dir_tag
 from ..operators.scale import materialize
-from ..functions.numeric import davg, davg_sql, dsum
+from ..functions.numeric import (
+    davg,
+    davg_sql,
+    dsum,
+    finite_measure,
+    finite_measure_sql,
+)
 from ..registry import query
+
+# Finite-gated measure (round-8 finite-measure contract, see
+# functions/numeric.finite_measure): any ts operator that routes the
+# raw telemetry double through exact decimal/cents arithmetic reads
+# the measure through these — a non-finite reading becomes NULL (row
+# kept), exactly like a missing reading under the null contract.
+_FV_SQL = finite_measure_sql("value")
+
+
+def _fv():
+    return finite_measure("value")
 
 
 @query(
@@ -41,7 +58,7 @@ from ..registry import query
     actual AS (
         SELECT event_type, date_trunc('hour', ts) AS bucket,
                CAST(count(*) AS BIGINT) AS n,
-               {davg_sql("value")} AS avg_value
+               {davg_sql(_FV_SQL)} AS avg_value
         FROM events GROUP BY 1, 2
     )
     SELECT g.event_type, g.bucket,
@@ -88,7 +105,7 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
     ).agg(
         F.count("*").alias("n"),
-        davg("value").alias("avg_value"),
+        davg(_fv()).alias("avg_value"),
     )
     w = (
         Window.partitionBy("event_type")
@@ -323,7 +340,7 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual AS (
         SELECT event_type, date_trunc('hour', ts) AS bucket,
                CAST(count(*) AS BIGINT) AS n,
-               {davg_sql("value")} AS avg_value
+               {davg_sql(_FV_SQL)} AS avg_value
         FROM events GROUP BY 1, 2
     ),
     dense AS (
@@ -393,7 +410,7 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
     ).agg(
         F.count("*").alias("n"),
-        davg("value").alias("avg_value"),
+        davg(_fv()).alias("avg_value"),
     )
     dense = grid.join(actual, ["event_type", "bucket"], "left").withColumn(
         "h", F.expr("CAST(unix_timestamp(bucket) AS BIGINT) div 3600")
@@ -434,7 +451,7 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ts_sessionize_batch",
-    oracle="""
+    oracle=f"""
     WITH x AS (
         SELECT user_id, ts, event_id, value,
                CASE WHEN lag(ts) OVER w IS NULL
@@ -455,7 +472,8 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_events,
            min(ts) AS session_start,
            max(ts) AS session_end,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST({_FV_SQL} AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_value
     FROM s
     GROUP BY 1, 2
     """,
@@ -494,7 +512,7 @@ def ts_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
-        dsum("value").alias("total_value"),
+        dsum(_fv()).alias("total_value"),
     )
 
 
@@ -594,11 +612,11 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ts_anomaly_zscore",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
                CAST(count(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+               CAST(SUM(CAST({_FV_SQL} AS DECIMAL(18,6))) AS DOUBLE) AS total
         FROM events GROUP BY 1, 2
     ),
     ctx AS (
@@ -645,7 +663,7 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.to_date("ts").alias("day")
     ).agg(
         F.count("*").cast("bigint").alias("n"),
-        dsum("value").alias("total"),
+        dsum(_fv()).alias("total"),
     )
     w = (
         Window.partitionBy("event_type")
@@ -836,10 +854,10 @@ def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ts_time_weighted_avg",
-    oracle="""
+    oracle=f"""
     WITH seg AS (
         SELECT event_type,
-               value,
+               {_FV_SQL} AS value,
                lead(epoch_us(ts)) OVER (PARTITION BY event_type
                                         ORDER BY ts, event_id)
                  - epoch_us(ts) AS dur_us
@@ -881,7 +899,7 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tsu = F.unix_micros(F.col("ts"))
     seg = e.select(
         "event_type",
-        "value",
+        _fv().alias("value"),
         (F.lead(tsu).over(w) - tsu).alias("dur_us"),
     ).where(F.col("dur_us").isNotNull())
     weighted = F.sum(
@@ -1264,15 +1282,15 @@ def events_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "ts_ewma_taps",
-    oracle="""
+    oracle=f"""
     WITH lagged AS (
         SELECT user_id, event_id, ts,
-               CAST(value AS DECIMAL(18,6)) AS v0,
-               lag(CAST(value AS DECIMAL(18,6)), 1)
+               CAST({_FV_SQL} AS DECIMAL(18,6)) AS v0,
+               lag(CAST({_FV_SQL} AS DECIMAL(18,6)), 1)
                  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v1,
-               lag(CAST(value AS DECIMAL(18,6)), 2)
+               lag(CAST({_FV_SQL} AS DECIMAL(18,6)), 2)
                  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v2,
-               lag(CAST(value AS DECIMAL(18,6)), 3)
+               lag(CAST({_FV_SQL} AS DECIMAL(18,6)), 3)
                  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v3
         FROM events
     )
@@ -1301,7 +1319,7 @@ def ts_ewma_taps(spark: SparkSession, sf_dir: str) -> DataFrame:
     predecessors are warm-up and dropped."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    v = F.col("value").cast("decimal(18,6)")
+    v = _fv().cast("decimal(18,6)")
     lagged = e.select(
         "user_id",
         "event_id",
@@ -1328,10 +1346,10 @@ def ts_ewma_taps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ts_seasonal_naive_error",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
-               SUM(CAST(value AS DECIMAL(18,6))) AS tot
+               SUM(CAST({_FV_SQL} AS DECIMAL(18,6))) AS tot
         FROM events GROUP BY 1, 2
     ),
     l AS (
@@ -1372,7 +1390,7 @@ def ts_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.to_date("ts").alias("day")
-    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("tot"))
+    ).agg(F.sum(_fv().cast("decimal(18,6)")).alias("tot"))
     w = Window.partitionBy("event_type").orderBy("day")
     scored = daily.withColumn("fc", F.lag("tot", 7).over(w))
     err = F.col("tot") - F.col("fc")
@@ -1405,7 +1423,7 @@ def _rfm_score_sql(col: str, t: str, invert: bool = False) -> str:
     "events_rfm_segments",
     oracle=f"""
     WITH pur AS (
-        SELECT user_id, epoch_us(ts) AS us, value
+        SELECT user_id, epoch_us(ts) AS us, {_FV_SQL} AS value
         FROM events WHERE event_type = 'purchase'
     ),
     anchor AS (SELECT MAX(us) AS a FROM pur),
@@ -1469,7 +1487,7 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition."""
     e = load_table(spark, sf_dir, "events")
     pur = e.where(F.col("event_type") == "purchase").select(
-        "user_id", F.unix_micros("ts").alias("us"), "value"
+        "user_id", F.unix_micros("ts").alias("us"), _fv().alias("value")
     )
     # one events scan: user grain is materialized once (it feeds both
     # the threshold aggregate and the scoring pass — an un-cut diamond
@@ -1531,10 +1549,10 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ts_cusum_changepoint",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
-               SUM(CAST(value AS DECIMAL(18,6))) AS tot
+               SUM(CAST({_FV_SQL} AS DECIMAL(18,6))) AS tot
         FROM events GROUP BY 1, 2
     ),
     c AS (
@@ -1581,7 +1599,7 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.to_date("ts").alias("day")
-    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("tot"))
+    ).agg(F.sum(_fv().cast("decimal(18,6)")).alias("tot"))
     wp = Window.partitionBy("event_type")
     wo = wp.orderBy("day")
     c = daily.select(
@@ -2332,11 +2350,11 @@ def events_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ts_seasonal_index_dow",
-    oracle="""
+    oracle=f"""
     WITH c AS (
         SELECT event_type,
                isodow(CAST(ts AS DATE)) AS dow,
-               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+               CAST(CAST({_FV_SQL} AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
         FROM events
     ),
     per AS (
@@ -2379,7 +2397,7 @@ def ts_seasonal_index_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.select(
         "event_type",
         (F.expr("weekday(CAST(ts AS DATE))") + 1).cast("bigint").alias("dow"),
-        (F.col("value").cast("decimal(18,2)") * 100)
+        (_fv().cast("decimal(18,2)") * 100)
         .cast("bigint")
         .alias("cents"),
     )
@@ -2409,10 +2427,10 @@ def ts_seasonal_index_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ts_max_drawdown",
-    oracle="""
+    oracle=f"""
     WITH v AS (
         SELECT event_type, ts, event_id,
-               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+               CAST(CAST({_FV_SQL} AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
         FROM events
     ),
     run AS (
@@ -2450,7 +2468,7 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax is a row_number filter, not a self-join. The sort IS the
     algorithm — drawdown is order-defined — so this is the minimal
     shape at 100 TB."""
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    cents = (_fv().cast("decimal(18,2)") * 100).cast("bigint")
     v = load_table(spark, sf_dir, "events").select(
         "event_type", "ts", "event_id", cents.alias("cents")
     )
@@ -2620,11 +2638,12 @@ def ts_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ts_rolling_corr",
-    oracle="""
+    oracle=f"""
     WITH hourly AS (
         SELECT event_type, date_trunc('hour', ts) AS bucket,
                CAST(count(*) AS BIGINT) AS x,
-               CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               CAST(sum(CAST(CAST({_FV_SQL} AS DECIMAL(18,2)) * 100
+                             AS BIGINT))
                     AS BIGINT) AS y
         FROM events GROUP BY 1, 2
     ),
@@ -2675,7 +2694,7 @@ def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the raw scan collapses to |series|x|hours| rows in one
     map-side-combinable aggregate; the five window sums share ONE
     per-series sort of that already-small table."""
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    cents = (_fv().cast("decimal(18,2)") * 100).cast("bigint")
     hourly = (
         load_table(spark, sf_dir, "events")
         .groupBy(
@@ -2899,10 +2918,10 @@ def agg_bridge_price_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_cohort_ltv",
-    oracle="""
+    oracle=f"""
     WITH base AS (
         SELECT user_id, ts,
-               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+               CAST(CAST({_FV_SQL} AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
         FROM events WHERE user_id IS NOT NULL
     ),
     cohorts AS (
@@ -2957,7 +2976,7 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "ts",
-            ((F.col("value").cast("decimal(18,2)")) * 100)
+            (_fv().cast("decimal(18,2)") * 100)
             .cast("bigint")
             .alias("cents"),
         )
@@ -3155,10 +3174,11 @@ def ts_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ts_theil_sen_slope",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
         SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-               CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               CAST(sum(CAST(CAST({_FV_SQL} AS DECIMAL(18,2)) * 100
+                             AS BIGINT))
                     AS BIGINT) AS cents
         FROM events GROUP BY 1, 2
     ),
@@ -3199,7 +3219,7 @@ def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     and median window never touch raw data. For decade-long series,
     sample day pairs deterministically (hash gate) — the estimator
     is defined on any pair subset."""
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    cents = (_fv().cast("decimal(18,2)") * 100).cast("bigint")
     daily = (
         load_table(spark, sf_dir, "events")
         .groupBy(
@@ -3241,10 +3261,11 @@ def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ts_seasonal_decompose_additive",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
         SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-               CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               CAST(sum(CAST(CAST({_FV_SQL} AS DECIMAL(18,2)) * 100
+                             AS BIGINT))
                     AS BIGINT) AS cents
         FROM events GROUP BY 1, 2
     ),
@@ -3296,7 +3317,7 @@ def ts_seasonal_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFram
     Scale: one fact shuffle to daily grain; the centered window and
     the weekday profile both run on the |series|x|days| rollup; the
     seasonal join broadcasts |series|x7 rows."""
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    cents = (_fv().cast("decimal(18,2)") * 100).cast("bigint")
     daily = (
         load_table(spark, sf_dir, "events")
         .groupBy(
@@ -6119,10 +6140,11 @@ def ts_robust_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ts_paa_sax",
-    oracle="""
+    oracle=f"""
     WITH s AS (
         SELECT event_type,
-               CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_e6,
+               CAST(CAST({_FV_SQL} AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                   AS v_e6,
                row_number() OVER (
                    PARTITION BY event_type ORDER BY ts, event_id) AS rn
         FROM events
@@ -6179,7 +6201,7 @@ def ts_paa_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     s = e.select(
         "event_type",
-        (F.col("value").cast("decimal(18,6)") * 1000000)
+        (_fv().cast("decimal(18,6)") * 1000000)
         .cast("bigint")
         .alias("v_e6"),
         F.row_number()

@@ -13,8 +13,14 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..data import load_table
+from ..functions.numeric import finite_measure, finite_measure_sql
 from ..operators.topk import topk_per_group
 from ..registry import query
+
+# Oracle-side gated measure (finite-measure contract, round 8 — see
+# functions/numeric.finite_measure): every decimal/cents cast of the
+# raw telemetry double goes through this.
+_FIN_VALUE = finite_measure_sql("value")
 
 
 @query(
@@ -77,9 +83,9 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_running_sum",
-    oracle="""
+    oracle=f"""
     SELECT user_id, event_id, ts, value,
-           CAST(sum(CAST(value AS DECIMAL(18,6)))
+           CAST(sum(CAST({_FIN_VALUE} AS DECIMAL(18,6)))
                 OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS DOUBLE) AS running_value,
@@ -93,7 +99,9 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running total per user over event time (unbounded-preceding row
     frame). Sum goes through decimal so every prefix is exact — the
-    cumulative double sum would otherwise drift off the oracle."""
+    cumulative double sum would otherwise drift off the oracle; the
+    measure is finite-gated first (non-finite reading -> NULL, row
+    kept — the round-8 finite-measure contract)."""
     events = load_table(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
@@ -105,16 +113,19 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "ts",
         "value",
-        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("running_value"),
+        F.sum(finite_measure("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_value"),
         F.count("*").over(w).alias("running_n"),
     )
 
 
 @query(
     "window_moving_avg",
-    oracle="""
+    oracle=f"""
     SELECT user_id, event_id, ts,
-           CAST(sum(CAST(value AS DECIMAL(18,6)))
+           CAST(sum(CAST({_FIN_VALUE} AS DECIMAL(18,6)))
                 OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
              / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -125,7 +136,8 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "frame"),
 )
 def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-row moving average per user (bounded row frame), decimal-exact."""
+    """5-row moving average per user (bounded row frame), decimal-exact
+    over the finite-gated measure."""
     events = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, W.currentRow)
     return events.select(
@@ -133,7 +145,9 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "ts",
         (
-            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+            F.sum(finite_measure("value").cast("decimal(18,6)"))
+            .over(w)
+            .cast("double")
             / F.count("*").over(w)
         ).alias("moving_avg_5"),
     )
@@ -361,10 +375,11 @@ def window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_rolling_median",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
         SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-               CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               CAST(sum(CAST(CAST({_FIN_VALUE} AS DECIMAL(18,2)) * 100
+                             AS BIGINT))
                     AS BIGINT) AS cents
         FROM events GROUP BY 1, 2
     ),
@@ -396,7 +411,7 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect_list frame holds at most 7 bigints per row (bounded by
     the frame, not the data), and one per-series sort serves the
     whole window stack."""
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    cents = (finite_measure("value").cast("decimal(18,2)") * 100).cast("bigint")
     daily = (
         load_table(spark, sf_dir, "events")
         .groupBy(

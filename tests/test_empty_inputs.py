@@ -139,6 +139,13 @@ EMPTY_SAFE = [
     "scalar_ipv4_cidr",
     "store_merge_upsert",
     "store_deletion_vectors",
+    # round-8 families
+    "dedup_exact_substr_spans",
+    "dedup_exact_substr_coverage",
+    "agg_quantile_sketch_hist",
+    "agg_quantile_sketch_rank",
+    "agg_quantile_sketch_windowed",
+    "audit_nonfinite_measures",
 ]
 
 

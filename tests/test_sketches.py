@@ -48,3 +48,53 @@ def test_bitmap_count_equals_exact_distinct(spark, sf_dir):
     assert {(r["event_type"], r["n"]) for r in got.collect()} == {
         (r["event_type"], r["n"]) for r in want.collect()
     }
+
+
+def test_quantile_sketch_bracket_contains_exact_quantile(spark, sf_dir):
+    """The HDR-lite quantile sketch's rank answers must BRACKET the
+    true order statistic with relative width <= 1/16 — the guarantee
+    the oracle differential can't see (it proves merge == direct, not
+    accuracy). Truth here is the exact rank-r cents from a full sort
+    at test scale."""
+    from big_data_final_project_spark.queries.sketches import (
+        QSK_SUB_BITS,
+        agg_quantile_sketch_rank,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    cents = sorted(r["cents"] for r in li.collect())
+    for row in agg_quantile_sketch_rank(spark, sf_dir).collect():
+        r = row["rank_r"]
+        assert row["n_total"] == len(cents)
+        truth = cents[r - 1]  # rank is 1-based
+        assert row["est_lo_cents"] <= truth <= row["est_hi_cents"], (
+            f"q{row['q_pct']}: truth {truth} outside "
+            f"[{row['est_lo_cents']}, {row['est_hi_cents']}]"
+        )
+        width = row["est_hi_cents"] - row["est_lo_cents"]
+        assert width <= max(0, row["est_lo_cents"] >> QSK_SUB_BITS), (
+            f"bucket wider than the 1/{1 << QSK_SUB_BITS} guarantee"
+        )
+
+
+def test_quantile_sketch_hist_totals_and_disjoint_buckets(spark, sf_dir):
+    """Merged histogram accounting: bucket counts sum to the row
+    count, buckets are disjoint ordered intervals, and every raw
+    value falls inside its bucket's [lo, hi]."""
+    from big_data_final_project_spark.queries.sketches import (
+        agg_quantile_sketch_hist,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = agg_quantile_sketch_hist(spark, sf_dir).collect()
+    assert sum(r["n"] for r in rows) == li.count()
+    assert rows[-1]["cum_n"] == li.count()
+    prev_hi = -1
+    for r in rows:
+        assert r["lo_cents"] <= r["hi_cents"]
+        assert r["lo_cents"] > prev_hi, "buckets must be disjoint ascending"
+        prev_hi = r["hi_cents"]

@@ -24,11 +24,14 @@ from correctness_sweep import _record  # noqa: E402
 
 def main(argv: list[str]) -> int:
     sfs = ["0.001", "0.01", "0.1"]
+    dirs: list[str] | None = None
     names: list[str] = []
     it = iter(argv)
     for a in it:
         if a == "--sf":
             sfs = next(it).split(",")
+        elif a == "--dir":
+            dirs = next(it).split(",")
         else:
             names.append(a)
     from big_data_final_project_spark.registry import catalog
@@ -41,8 +44,8 @@ def main(argv: list[str]) -> int:
         return 2
     spark = get_spark()
     failed = 0
-    for sf in sfs:
-        sf_dir = f"/root/testdata/sf{sf}"
+    targets = dirs if dirs else [f"/root/testdata/sf{sf}" for sf in sfs]
+    for sf_dir in targets:
         for name in names:
             rec = _record(spark, sf_dir, name, reg[name])
             ok = rec["hash_match"] or (
@@ -50,7 +53,10 @@ def main(argv: list[str]) -> int:
             )
             if not ok:
                 failed += 1
-            print(f"sf{sf} {name}: {'OK' if ok else 'FAIL'} {json.dumps(rec)}")
+            print(
+                f"{os.path.basename(sf_dir)} {name}: "
+                f"{'OK' if ok else 'FAIL'} {json.dumps(rec)}"
+            )
     return 1 if failed else 0
 
 
