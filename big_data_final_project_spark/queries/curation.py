@@ -1122,3 +1122,153 @@ def curation_mixture_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFra
         " ELSE n_chars * (target_ppm * 1000000 div current_ppm)"
         " div 1000000 END AS BIGINT) AS chars_kept",
     ).orderBy("source")
+
+
+@query(
+    "curation_span_cut",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, t,
+               unnest(generate_series(1, CASE WHEN len(t) >= 8
+                      THEN len(t) - 7 ELSE 0 END)) AS i
+        FROM toks
+    ),
+    w AS (
+        SELECT doc_id, i, array_to_string(t[i:i + 7], ' ') AS win FROM pos
+    ),
+    x AS (
+        SELECT doc_id, i,
+               min(doc_id) OVER (PARTITION BY win)
+                 <> max(doc_id) OVER (PARTITION BY win) AS xdoc
+        FROM w
+    ),
+    brk AS (
+        SELECT doc_id, i,
+               CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                         > 8 THEN 1 ELSE 0 END AS b
+        FROM x WHERE xdoc
+    ),
+    iv AS (
+        SELECT doc_id, min(i) AS lo, max(i) + 7 AS hi
+        FROM (SELECT doc_id, i,
+                     sum(b) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+              FROM brk)
+        GROUP BY doc_id, grp
+    ),
+    allpos AS (
+        SELECT doc_id, unnest(generate_series(1, len(t))) AS p, t
+        FROM toks
+    ),
+    kept AS (
+        SELECT a.doc_id, a.p, a.t[a.p] AS tok
+        FROM allpos a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM iv
+            WHERE iv.doc_id = a.doc_id AND a.p BETWEEN iv.lo AND iv.hi
+        )
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept_tokens,
+           coalesce(k.cleaned_text, '') AS cleaned_text
+    FROM toks t
+    LEFT JOIN (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(tok, ' ' ORDER BY p) AS cleaned_text
+        FROM kept GROUP BY doc_id
+    ) k USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+    tags=("curation", "dedup", "exact-substr", "engine-addition"),
+)
+def curation_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUT step that closes the exact-substring dedup lifecycle
+    (detect: dedup_exact_substr_spans; gate: _coverage; this APPLIES):
+    every token covered by a cross-document duplicated span (the
+    Lee-et-al remove-all policy — boilerplate navigation, licence
+    blocks, templated footers) is removed from every document, and
+    the cleaned text is reassembled in original token order. Every
+    document reports — untouched docs keep their full token count, a
+    fully-boilerplate doc degrades to an empty string (which the
+    downstream Gopher length gate then drops), so the curation audit
+    trail has no holes.
+
+    Scale shape: the same two shuffles as the span detector (uniform
+    gram-hash flag, per-doc islands), then the cut itself is a
+    per-doc range anti-join of token positions against that doc's few
+    covered intervals (co-partitioned on doc_id — the interval list
+    per doc is bounded by text length / K) and one per-doc ordered
+    reassembly. The full-text rewrite is the one stage that is
+    inherently token-volume-sized — exactly the cost a real pipeline
+    pays to rewrite its corpus."""
+    from .dedup import ES_K
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    wins_sql = (
+        f"CASE WHEN size(t) >= {ES_K} THEN "
+        f"transform(sequence(1, size(t) - {ES_K - 1}), "
+        f"i -> named_struct('pos', i, "
+        f"'wh', xxhash64(concat_ws(' ', slice(t, i, {ES_K}))))) "
+        f"ELSE CAST(array() AS array<struct<pos:int,wh:bigint>>) END"
+    )
+    g = toks.select("doc_id", F.explode(F.expr(wins_sql)).alias("w")).select(
+        "doc_id", F.col("w.pos").alias("pos"), F.col("w.wh").alias("wh")
+    )
+    from pyspark.sql import Window
+
+    hw = Window.partitionBy("wh")
+    dup = g.withColumn(
+        "xdoc", F.min("doc_id").over(hw) != F.max("doc_id").over(hw)
+    ).where("xdoc")
+    dw = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(dw) > ES_K, F.lit(1)
+    ).otherwise(F.lit(0))
+    iv = (
+        dup.withColumn("grp", F.sum(brk).over(dw))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("lo"),
+            (F.max("pos") + (ES_K - 1)).alias("hi"),
+        )
+        .select("doc_id", "lo", "hi")
+    )
+    allpos = toks.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.posexplode("t").alias("p0", "tok"),
+    ).select("doc_id", "n_tokens", (F.col("p0") + 1).alias("p"), "tok")
+    kept = allpos.join(
+        iv,
+        (allpos.doc_id == iv.doc_id)
+        & (allpos.p >= iv.lo)
+        & (allpos.p <= iv.hi),
+        "left_anti",
+    )
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s.tok,
+            ),
+        ).alias("cleaned_text"),
+    )
+    spine = toks.select("doc_id", F.size("t").cast("bigint").alias("n_tokens"))
+    return (
+        spine.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_kept_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("n_kept_tokens"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )

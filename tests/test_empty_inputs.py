@@ -146,6 +146,7 @@ EMPTY_SAFE = [
     "agg_quantile_sketch_rank",
     "agg_quantile_sketch_windowed",
     "audit_nonfinite_measures",
+    "curation_span_cut",
 ]
 
 

@@ -145,3 +145,19 @@ def test_quantile_sketch_windowed_brackets_true_rolling_p90(spark, sf_dir):
         rank = math.ceil(0.9 * len(window))
         truth = window[rank - 1]
         assert row["p90_lo_cents"] <= truth <= row["p90_hi_cents"]
+
+
+def test_span_cut_complements_coverage(spark, sf_dir):
+    """The CUT is exactly the complement of the coverage union:
+    n_kept_tokens == n_tokens - covered_tokens for every doc, and the
+    cleaned text has exactly n_kept tokens."""
+    cov = {
+        r["doc_id"]: r
+        for r in _run(spark, sf_dir, "dedup_exact_substr_coverage").collect()
+    }
+    for r in _run(spark, sf_dir, "curation_span_cut").collect():
+        c = cov[r["doc_id"]]
+        assert r["n_tokens"] == c["n_tokens"]
+        assert r["n_kept_tokens"] == c["n_tokens"] - c["covered_tokens"]
+        n_text_toks = len(r["cleaned_text"].split(" ")) if r["cleaned_text"] else 0
+        assert n_text_toks == r["n_kept_tokens"]
