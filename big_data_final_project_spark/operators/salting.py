@@ -63,3 +63,80 @@ def salted_inner_join(
     if extra_condition is not None:
         cond = cond & extra_condition
     return left_s.join(right_s, cond).drop(SALT_COL, f"__r_{on}")
+
+
+# Content-key skew (VERDICT r8 #1). Gram/shingle hashes are uniform in
+# VALUE but content-skewed in FREQUENCY: at 100 TB the hottest
+# boilerplate 8-gram has 10^7+ occurrences. A window over that key
+# pins them all to one partition; and — measured in the round-9 probe
+# (SCALE.md) — a plain groupBy+rejoin does NOT get AQE-skew-split
+# either: the hot partition's rows are near-identical, lz4 shuffle
+# compression shrinks them below the BYTE thresholds
+# OptimizeSkewedJoin reads, so byte-based detection structurally
+# under-detects row-heavy text-key partitions. Hence a deterministic
+# skew-hint join that never relies on AQE.
+SKEW_HOT_THRESHOLD_CONF = "spark.bdfp.skew.hotThreshold"
+SKEW_N_SALTS_CONF = "spark.bdfp.skew.nSalts"
+SKEW_HOT_THRESHOLD_DEFAULT = 65536
+SKEW_N_SALTS_DEFAULT = 32
+
+
+def salted_skew_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    count_col: str,
+    probe_salt_src,
+) -> DataFrame:
+    """Inner equi-join of a row-heavy ``probe`` against a per-key
+    ``build`` on a content-frequency-skewed ``key``, with no
+    single-task hot partition — the textbook conditional-salting
+    (skew-hint) join, made deterministic instead of AQE-dependent.
+
+    ``build`` must carry ``count_col`` = the probe-side occurrence
+    count of each key (the callers' builds are groupBy(key) aggregates
+    over the probe, so the count is free). Keys with more than
+    ``spark.bdfp.skew.hotThreshold`` occurrences (default 65536) are
+    HOT: their build rows are replicated across
+    ``spark.bdfp.skew.nSalts`` (default 32) salt slots and their probe
+    rows routed by ``probe_salt_src`` (any per-row column/expression,
+    e.g. ``xxhash64(doc_id, pos)``); cold keys keep a single slot 0.
+    The hot set reaches the probe through a broadcast left join
+    (map-side, no shuffle), so the shuffled join never sees a key
+    slot with more than max(hotThreshold, hot_n/nSalts) rows.
+
+    Correctness is ROUTING-INDEPENDENT: the hot set only spreads rows
+    across slots; every probe row still meets exactly the build rows
+    of its key, so any threshold (including a wrong one) returns the
+    same rows as ``probe.join(build, key)`` — asserted in
+    tests/test_salting.py. ``build`` is referenced twice (hot set +
+    salted build); both references share one exchange via Spark's
+    ReuseExchange, not a recompute."""
+    conf = probe.sparkSession.conf
+    hot_threshold = int(
+        conf.get(SKEW_HOT_THRESHOLD_CONF, str(SKEW_HOT_THRESHOLD_DEFAULT))
+    )
+    n_salts = int(conf.get(SKEW_N_SALTS_CONF, str(SKEW_N_SALTS_DEFAULT)))
+    is_hot = F.col(count_col) > hot_threshold
+    hot = build.where(is_hot).select(key, F.lit(True).alias("_hot"))
+    b = build.withColumn(
+        "_salt",
+        F.explode(
+            F.when(is_hot, F.sequence(F.lit(0), F.lit(n_salts - 1))).otherwise(
+                F.sequence(F.lit(0), F.lit(0))
+            )
+        ),
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    p = (
+        probe.join(F.broadcast(hot), key, "left")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_hot"), F.pmod(probe_salt_src, F.lit(n_salts))
+            )
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+        .drop("_hot")
+    )
+    return p.join(b, [key, "_salt"]).drop("_salt")

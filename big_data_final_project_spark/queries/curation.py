@@ -1196,34 +1196,23 @@ def curation_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream Gopher length gate then drops), so the curation audit
     trail has no holes.
 
-    Scale shape: the same two shuffles as the span detector (uniform
-    gram-hash flag, per-doc islands), then the cut itself is a
+    Scale shape: the same stages as the span detector (skew-safe
+    groupBy+rejoin gram-hash flag via dedup._xdoc_gram_positions —
+    not a window, which would straggle on hot boilerplate grams —
+    then the per-doc islands shuffle), then the cut itself is a
     per-doc range anti-join of token positions against that doc's few
     covered intervals (co-partitioned on doc_id — the interval list
     per doc is bounded by text length / K) and one per-doc ordered
     reassembly. The full-text rewrite is the one stage that is
     inherently token-volume-sized — exactly the cost a real pipeline
     pays to rewrite its corpus."""
-    from .dedup import ES_K
+    from .dedup import ES_K, _xdoc_gram_positions
 
     d = spread(load_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.split("text", " ").alias("t"))
-    wins_sql = (
-        f"CASE WHEN size(t) >= {ES_K} THEN "
-        f"transform(sequence(1, size(t) - {ES_K - 1}), "
-        f"i -> named_struct('pos', i, "
-        f"'wh', xxhash64(concat_ws(' ', slice(t, i, {ES_K}))))) "
-        f"ELSE CAST(array() AS array<struct<pos:int,wh:bigint>>) END"
-    )
-    g = toks.select("doc_id", F.explode(F.expr(wins_sql)).alias("w")).select(
-        "doc_id", F.col("w.pos").alias("pos"), F.col("w.wh").alias("wh")
-    )
+    dup = _xdoc_gram_positions(toks)
     from pyspark.sql import Window
 
-    hw = Window.partitionBy("wh")
-    dup = g.withColumn(
-        "xdoc", F.min("doc_id").over(hw) != F.max("doc_id").over(hw)
-    ).where("xdoc")
     dw = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(
         F.col("pos") - F.lag("pos").over(dw) > ES_K, F.lit(1)

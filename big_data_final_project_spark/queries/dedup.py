@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..data import load_table
+from ..operators.salting import salted_skew_join
 from ..operators.scale import materialize, session_cached, spread
 from ..registry import query
 from .text import _NORM_SQL, _norm
@@ -826,11 +827,19 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     catch it).
 
     Scale shape: explode to one row per window position (bounded by
-    total token count), ONE window-count shuffle on the hash, one
-    per-doc aggregate. No joins, no index build. At 100 TB the window
-    count shuffle dominates; stride >1 and a Bloom pre-filter of
-    singleton hashes are the standard knobs, both layout-compatible
-    with this plan."""
+    total token count), then TWO-LEVEL aggregation: a per-(doc_id,
+    wh) multiplicity pre-aggregate (map-side combinable; a doc that
+    repeats a gram internally collapses before any shuffle), a
+    per-wh global count over those partials, and a salted_skew_join
+    of the two on wh. No window over the gram hash — wh is uniform in
+    value but content-skewed in FREQUENCY (VERDICT r8 #1: a hot
+    boilerplate gram would pin one window partition), and AQE's
+    byte-based skew split never fires on this compressible payload
+    (round-9 probe, SCALE.md), so hot keys are spread
+    deterministically; the pre-aggregate already bounds the probe to
+    one row per (doc, gram). Stride >1 and a Bloom pre-filter of
+    singleton hashes are the standard 100 TB knobs, both
+    layout-compatible with this plan."""
     d = spread(load_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.split("text", " ").alias("t"))
     win_hashes = F.when(
@@ -841,14 +850,18 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     w = toks.select("doc_id", F.explode(win_hashes).alias("wh"))
-    from pyspark.sql import Window
-
-    c = w.withColumn("c", F.count("*").over(Window.partitionBy("wh")))
-    dup = F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
-    return c.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_windows"),
-        dup.cast("bigint").alias("n_dup_windows"),
-        (dup.cast("double") / F.count("*").cast("double")).alias("dup_frac"),
+    pw = w.groupBy("doc_id", "wh").agg(F.count("*").alias("m"))
+    gc = pw.groupBy("wh").agg(F.sum("m").alias("c"))
+    dup = F.sum(F.when(F.col("c") > 1, F.col("m")).otherwise(0))
+    n_win = F.sum("m")
+    return (
+        salted_skew_join(pw, gc, "wh", "c", F.xxhash64("doc_id"))
+        .groupBy("doc_id")
+        .agg(
+            n_win.cast("bigint").alias("n_windows"),
+            dup.cast("bigint").alias("n_dup_windows"),
+            (dup.cast("double") / n_win.cast("double")).alias("dup_frac"),
+        )
     )
 
 
@@ -1883,6 +1896,51 @@ def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 ES_K = 8  # span threshold in tokens (Lee et al. use 50 BPE tokens)
 
 
+def _xdoc_gram_positions(toks: DataFrame) -> DataFrame:
+    """``(doc_id, pos)`` of every {ES_K}-gram start whose gram occurs
+    in >= 2 DISTINCT documents — the shared cross-doc flag stage of
+    the exact-substring dedup family (spans / coverage / span-cut).
+
+    Skew posture (VERDICT r8 finding #1): this flag used to be
+    ``min(doc_id) != max(doc_id)`` over ``Window.partitionBy("wh")``.
+    The gram hash is uniform in VALUE but content-skewed in
+    FREQUENCY — at 100 TB the hottest boilerplate 8-gram has 10^7+
+    occurrences, and a window forces ALL of them into one partition
+    of one task; AQE's OptimizeSkewedJoin splits skewed JOINS, never
+    windows, so that task is a guaranteed straggler (or OOM). Two
+    layers of fix here: (1) the flag becomes a map-side-combinable
+    ``groupBy("wh")`` aggregate (the hot gram collapses to one
+    partial row per input partition before its shuffle), and (2) the
+    re-join of positions against the flag table goes through
+    ``salted_skew_join`` — NOT a plain join waiting on AQE, because
+    the round-9 probe (SCALE.md) showed OptimizeSkewedJoin's BYTE
+    thresholds never fire on this payload (a hot gram's rows are
+    near-identical and compress away in the shuffle). Keys above the
+    hot threshold are deterministically spread across salt slots;
+    cold keys pay nothing. The build side is the CROSS-DOC flags only
+    (the full gram dictionary never enters the join); a hot gram that
+    is not cross-doc has all its occurrences inside one document, so
+    its unmatched probe rows are bounded by the longest document and
+    need no spreading."""
+    wins_sql = (
+        f"CASE WHEN size(t) >= {ES_K} THEN "
+        f"transform(sequence(1, size(t) - {ES_K - 1}), "
+        f"i -> named_struct('pos', i, "
+        f"'wh', xxhash64(concat_ws(' ', slice(t, i, {ES_K}))))) "
+        f"ELSE CAST(array() AS array<struct<pos:int,wh:bigint>>) END"
+    )
+    g = toks.select("doc_id", F.explode(F.expr(wins_sql)).alias("w")).select(
+        "doc_id", F.col("w.pos").alias("pos"), F.col("w.wh").alias("wh")
+    )
+    flags = g.groupBy("wh").agg(
+        (F.min("doc_id") != F.max("doc_id")).alias("xdoc"),
+        F.count("*").alias("n"),
+    )
+    return salted_skew_join(
+        g, flags.where("xdoc"), "wh", "n", F.xxhash64("doc_id", "pos")
+    ).select("doc_id", "pos")
+
+
 @query(
     "dedup_exact_substr_spans",
     oracle=f"""
@@ -1938,31 +1996,20 @@ def dedup_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: explode to one row per window position (bounded by
     corpus token count; carries only (doc_id, pos, hash) — never the
-    token array), ONE shuffle on the uniform 64-bit gram hash for the
-    cross-doc flag, one per-doc shuffle for the islands merge, and a
-    final column-pruned re-read of documents to slice span text (the
-    two-scan slice-comparison class of PLANS.md — spans join against
-    tokens on doc_id). Never a global sort, never all-pairs. The
-    Spark side keys the flag on xxhash64(window) (fixed-width shuffle
-    key); the oracle uses the raw window string — identical verdicts
-    unless xxhash64 collides (2^-64-scale; the differential would
-    catch it)."""
+    token array), a map-side-combinable groupBy on the uniform 64-bit
+    gram hash + an AQE-skew-splittable re-join for the cross-doc flag
+    (see _xdoc_gram_positions — NOT a window, which would straggle on
+    hot boilerplate grams), one per-doc shuffle for the islands
+    merge, and a final column-pruned re-read of documents to slice
+    span text (the two-scan slice-comparison class of PLANS.md —
+    spans join against tokens on doc_id). Never a global sort, never
+    all-pairs. The Spark side keys the flag on xxhash64(window)
+    (fixed-width shuffle key); the oracle uses the raw window string
+    — identical verdicts unless xxhash64 collides (2^-64-scale; the
+    differential would catch it)."""
     d = spread(load_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.split("text", " ").alias("t"))
-    wins_sql = (
-        f"CASE WHEN size(t) >= {ES_K} THEN "
-        f"transform(sequence(1, size(t) - {ES_K - 1}), "
-        f"i -> named_struct('pos', i, "
-        f"'wh', xxhash64(concat_ws(' ', slice(t, i, {ES_K}))))) "
-        f"ELSE CAST(array() AS array<struct<pos:int,wh:bigint>>) END"
-    )
-    g = toks.select("doc_id", F.explode(F.expr(wins_sql)).alias("w")).select(
-        "doc_id", F.col("w.pos").alias("pos"), F.col("w.wh").alias("wh")
-    )
-    hw = Window.partitionBy("wh")
-    dup = g.withColumn(
-        "xdoc", F.min("doc_id").over(hw) != F.max("doc_id").over(hw)
-    ).where("xdoc")
+    dup = _xdoc_gram_positions(toks)
     dw = Window.partitionBy("doc_id").orderBy("pos")
     spans = (
         dup.withColumn("grp", F.col("pos") - F.row_number().over(dw))
@@ -2058,25 +2105,13 @@ def dedup_exact_substr_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     too. covered_ppm is integer-exact (ppm floor-division) on both
     engines.
 
-    Scale shape: same two shuffles as dedup_exact_substr_spans (gram
-    hash, then doc), plus a per-doc left join of byte-sized coverage
-    partials against the doc spine."""
+    Scale shape: same stages as dedup_exact_substr_spans (skew-safe
+    groupBy+rejoin gram-hash flag via _xdoc_gram_positions, then the
+    per-doc islands shuffle), plus a per-doc left join of byte-sized
+    coverage partials against the doc spine."""
     d = spread(load_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.split("text", " ").alias("t"))
-    wins_sql = (
-        f"CASE WHEN size(t) >= {ES_K} THEN "
-        f"transform(sequence(1, size(t) - {ES_K - 1}), "
-        f"i -> named_struct('pos', i, "
-        f"'wh', xxhash64(concat_ws(' ', slice(t, i, {ES_K}))))) "
-        f"ELSE CAST(array() AS array<struct<pos:int,wh:bigint>>) END"
-    )
-    g = toks.select("doc_id", F.explode(F.expr(wins_sql)).alias("w")).select(
-        "doc_id", F.col("w.pos").alias("pos"), F.col("w.wh").alias("wh")
-    )
-    hw = Window.partitionBy("wh")
-    dup = g.withColumn(
-        "xdoc", F.min("doc_id").over(hw) != F.max("doc_id").over(hw)
-    ).where("xdoc")
+    dup = _xdoc_gram_positions(toks)
     dw = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(
         F.col("pos") - F.lag("pos").over(dw) > ES_K, F.lit(1)

@@ -38,3 +38,75 @@ def test_salt_spreads_hot_key(spark):
     )
     buckets = salted.select(SALT_COL).distinct().count()
     assert buckets == 8
+
+
+def test_salted_skew_join_equals_plain_join(spark):
+    """Conditional-salting join (salted_skew_join): identical result
+    multiset to the plain join at EVERY hot threshold — routing must
+    never change matching — and the hot path must fan the hot key's
+    build rows across salt slots when the threshold is crossed."""
+    from big_data_final_project_spark.operators.salting import (
+        SKEW_HOT_THRESHOLD_CONF,
+        SKEW_N_SALTS_CONF,
+        salted_skew_join,
+    )
+
+    # one hot key (5000 rows) + 200 cold keys (10 rows each)
+    probe = spark.range(5000).select(
+        F.lit(0).alias("k"), F.col("id").alias("payload")
+    ).unionByName(
+        spark.range(2000).select(
+            (F.col("id") % 200 + 1).alias("k"), (F.col("id") + 10_000).alias("payload")
+        )
+    )
+    build = probe.groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("payload").alias("total")
+    )
+    plain = probe.join(build, "k").select("k", "payload", "total").collect()
+    key = lambda r: (r["k"], r["payload"], r["total"])
+    for threshold in ("100", "1000000"):
+        spark.conf.set(SKEW_HOT_THRESHOLD_CONF, threshold)
+        spark.conf.set(SKEW_N_SALTS_CONF, "8")
+        try:
+            salted = salted_skew_join(
+                probe, build, "k", "n", F.xxhash64("payload")
+            ).select("k", "payload", "total").collect()
+        finally:
+            spark.conf.unset(SKEW_HOT_THRESHOLD_CONF)
+            spark.conf.unset(SKEW_N_SALTS_CONF)
+        assert Counter(map(key, plain)) == Counter(map(key, salted)), threshold
+
+
+def test_salted_skew_join_spreads_hot_key_only(spark):
+    """With the threshold between cold (10) and hot (5000) key counts,
+    the hot key's probe rows occupy every salt slot while cold keys
+    stay in slot 0 — observed through the pre-drop salted frames."""
+    from big_data_final_project_spark.operators.salting import (
+        SKEW_HOT_THRESHOLD_CONF,
+        SKEW_N_SALTS_CONF,
+        salted_skew_join,
+    )
+
+    probe = spark.range(5000).select(
+        F.lit(0).alias("k"), F.col("id").alias("payload")
+    ).unionByName(
+        spark.range(100).select(
+            (F.col("id") % 10 + 1).alias("k"), (F.col("id") + 10_000).alias("payload")
+        )
+    )
+    build = probe.groupBy("k").agg(F.count("*").alias("n"))
+    spark.conf.set(SKEW_HOT_THRESHOLD_CONF, "100")
+    spark.conf.set(SKEW_N_SALTS_CONF, "8")
+    try:
+        joined = salted_skew_join(probe, build, "k", "n", F.xxhash64("payload"))
+        # per-key distinct build replicas consumed == salt slots touched
+        per_key = (
+            joined.groupBy("k")
+            .agg(F.countDistinct(F.pmod(F.xxhash64("payload"), F.lit(8))).alias("slots"))
+            .collect()
+        )
+    finally:
+        spark.conf.unset(SKEW_HOT_THRESHOLD_CONF)
+        spark.conf.unset(SKEW_N_SALTS_CONF)
+    slots = {r["k"]: r["slots"] for r in per_key}
+    assert slots[0] == 8  # hot key fanned across all salt slots
