@@ -78,33 +78,19 @@ def dsum_prod_sql(a: str, b: str) -> str:
     )
 
 
-def finite_or_null(col: Column | str) -> Column:
-    """Boolean gate for the FINITE-MEASURE CONTRACT (round 8 NaN/±Inf
-    sweep): cents-exact operators (anything casting a raw double
-    measure to decimal/bigint for order-independent arithmetic) must
-    exclude non-finite readings EXPLICITLY — Spark ANSI faults on
-    CAST(NaN AS DECIMAL) and DuckDB errors on the same cast, and
-    engines that don't fault disagree on NaN ordering — while NULLs
-    keep their usual skipped-by-aggregates semantics (the null sweep's
-    contract). True for NULL or finite; False for NaN/±Inf. Raw float
-    aggregates that never leave double (plain sum/avg/min/max) DON'T
-    gate: IEEE propagation (NaN poisons, Inf dominates) is identical
-    cross-engine and is the honest float answer."""
-    c = F.col(col) if isinstance(col, str) else col
-    return c.isNull() | (~F.isnan(c) & (F.abs(c) != F.lit(float("inf"))))
-
-
-def finite_or_null_sql(expr: str) -> str:
-    """Oracle-side (DuckDB) rendering of :func:`finite_or_null`."""
-    return f"(({expr}) IS NULL OR isfinite({expr}))"
-
-
 def finite_measure(col: Column | str) -> Column:
-    """The NULLIFY form of the finite-measure contract: a non-finite
-    reading becomes NULL (the row survives; the measurement is
-    skipped, exactly like a missing reading under the null contract),
-    so cents-exact decimal/bigint casts downstream never see NaN/±Inf.
-    NULL stays NULL."""
+    """The FINITE-MEASURE CONTRACT (round-8 NaN/±Inf sweep), NULLIFY
+    form: a non-finite reading becomes NULL (the row survives; the
+    measurement is skipped, exactly like a missing reading under the
+    null contract), so cents-exact decimal/bigint casts downstream
+    never see NaN/±Inf — Spark ANSI faults on CAST(NaN AS DECIMAL),
+    DuckDB errors on the same cast, and engines that don't fault
+    disagree on NaN ordering. NULL stays NULL. Raw float aggregates
+    that never leave double (plain sum/avg/min/max) DON'T gate: IEEE
+    propagation (NaN poisons, Inf dominates) is identical
+    cross-engine and is the honest float answer. (A FILTER-form
+    boolean twin, finite_or_null, existed through round 8 but had no
+    call sites — every consumer uses this NULLIFY form; ADVICE r8.)"""
     c = F.col(col) if isinstance(col, str) else col
     return F.when(~F.isnan(c) & (F.abs(c) != F.lit(float("inf"))), c)
 

@@ -590,7 +590,13 @@ def ml_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly ONE fold — the leakage-free split a behavioral model
     needs (row-level random splits put the same user in train and
     test and inflate every metric). The readout is the balance audit:
-    users, events, and exact value mass per fold.
+    users, events, and exact value mass per fold. n_users/n_events
+    INTENTIONALLY count all assigned rows (fold size is a property of
+    the split, not of the readings) while value_sum covers measured
+    readings only; no mean is formed from the pair, so the
+    unmeasured-rows bias ADVICE r8 flagged for ab_welch_ttest cannot
+    arise here — a consumer dividing value_sum by n_events must
+    instead count finite readings itself.
 
     Hash-gating (not seeded RNG) makes the assignment reproducible
     across engines, runs, and repartitions — the same property

@@ -243,8 +243,8 @@ def audit_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
         SELECT
-            CAST(count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT) AS n_a,
-            CAST(count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_b,
+            CAST(count(CASE WHEN user_id % 2 = 0 THEN fv END) AS BIGINT) AS n_a,
+            CAST(count(CASE WHEN user_id % 2 = 1 THEN fv END) AS BIGINT) AS n_b,
             CAST(SUM(CASE WHEN user_id % 2 = 0
                      THEN CAST(fv AS DECIMAL(18,6)) END) AS DOUBLE) AS sx_a,
             CAST(SUM(CASE WHEN user_id % 2 = 1
@@ -287,6 +287,12 @@ def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     means, variances, t statistic, and Welch-Satterthwaite degrees
     of freedom.
 
+    n_a/n_b count MEASURED readings only (ADVICE r8: counting all
+    assigned rows while summing only finite readings silently biased
+    mean/variance/df whenever non-finite or NULL readings exist —
+    ~8% under the NaN sweep's injection). A reading excluded by the
+    finite-measure contract is excluded from n, Σx, and Σx² alike.
+
     Determinism: both arms' n / Σx / Σx² come from ONE conditional
     aggregate pass in exact decimal (order-independent), and every
     downstream float op (means, variances, t, df) is an identical
@@ -305,8 +311,8 @@ def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec_x = fv.cast("decimal(18,6)")
     dec_xx = (fv * fv).cast("decimal(27,8)")
     s = e.agg(
-        F.count(F.when(arm_a, 1)).cast("bigint").alias("n_a"),
-        F.count(F.when(arm_b, 1)).cast("bigint").alias("n_b"),
+        F.count(F.when(arm_a, fv)).cast("bigint").alias("n_a"),
+        F.count(F.when(arm_b, fv)).cast("bigint").alias("n_b"),
         F.sum(F.when(arm_a, dec_x)).cast("double").alias("sx_a"),
         F.sum(F.when(arm_b, dec_x)).cast("double").alias("sx_b"),
         F.sum(F.when(arm_a, dec_xx)).cast("double").alias("sxx_a"),
@@ -552,7 +558,7 @@ def audit_primary_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells AS (
         SELECT (user_id % 2 = 0) AS treated,
                (epoch_us(ts) >= (SELECT mid FROM anchor)) AS post,
-               CAST(count(*) AS BIGINT) AS n,
+               CAST(count({finite_measure_sql("value")}) AS BIGINT) AS n,
                CAST(CAST(SUM(CAST({finite_measure_sql("value")}
                                   AS DECIMAL(18,6))) AS VARCHAR)
                     AS DOUBLE) AS total
@@ -581,7 +587,11 @@ def ab_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the time trend. Treated = even user ids, the period split is
     the data-derived midpoint (no wall clock). The four cell means
     come from ONE conditional aggregate pass with decimal-exact
-    sums; every downstream subtraction is performed on identical
+    sums over MEASURED readings only — n counts rows whose reading
+    passes the finite-measure contract (ADVICE r8: counting
+    unmeasured rows in n biased every cell mean toward zero), so
+    n_events is the measured-event count; every downstream
+    subtraction is performed on identical
     doubles in an identical order on both engines, so the estimate
     is bit-stable (the ab_welch_ttest float-staging discipline).
 
@@ -605,7 +615,7 @@ def ab_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros("ts") >= F.col("mid")).alias("post"),
         )
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count(finite_measure("value")).cast("bigint").alias("n"),
             F.sum(finite_measure("value").cast("decimal(18,6)"))
             .cast("double")
             .alias("total"),
@@ -962,13 +972,13 @@ def _fd_oracle() -> str:
         legs.append(
             f"""
             SELECT '{tbl}' AS tbl, '{lhs}' AS lhs, '{rhs}' AS rhs,
-                   CAST(count(DISTINCT {lhs}) AS BIGINT) AS n_lhs,
-                   CAST(count(DISTINCT ({lhs}, {rhs})) AS BIGINT) AS n_pairs,
-                   CAST(count(DISTINCT ({lhs}, {rhs}))
-                        - count(DISTINCT {lhs}) AS BIGINT)
+                   CAST(count(DISTINCT ROW({lhs})) AS BIGINT) AS n_lhs,
+                   CAST(count(DISTINCT ROW({lhs}, {rhs})) AS BIGINT) AS n_pairs,
+                   CAST(count(DISTINCT ROW({lhs}, {rhs}))
+                        - count(DISTINCT ROW({lhs})) AS BIGINT)
                        AS n_extra_pairs,
-                   count(DISTINCT ({lhs}, {rhs})) = count(DISTINCT {lhs})
-                       AS holds
+                   count(DISTINCT ROW({lhs}, {rhs}))
+                       = count(DISTINCT ROW({lhs})) AS holds
             FROM {tbl}
             """
         )
@@ -985,7 +995,12 @@ def profile_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFra
     schema normalization, key inference, and dimensional-model
     validation): lhs -> rhs holds exactly when every lhs value maps to
     one rhs value, i.e. count(DISTINCT lhs) == count(DISTINCT (lhs,
-    rhs)) — a pure counting test, no pairwise comparison. Each
+    rhs)) — a pure counting test, no pairwise comparison. NULL is a
+    VALUE for FD purposes on both engines (ADVICE r8): the counts go
+    through struct()/ROW() tuples — Spark's bare countDistinct(lhs,
+    rhs) DROPS rows where either column is NULL while DuckDB's
+    (lhs, rhs) counts them, a divergence that would surface the
+    moment a nullable candidate entered _FD_CANDIDATES. Each
     candidate reports both distinct counts, the excess-pair count
     (how broken a failed FD is — 0 means holds), and the verdict;
     candidates cover both true FDs (primary keys) and false ones so
@@ -1009,8 +1024,12 @@ def profile_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFra
         aggs = []
         for lhs, rhs in pairs:
             aggs += [
-                F.countDistinct(lhs).cast("bigint").alias(f"{lhs}__l"),
-                F.countDistinct(lhs, rhs).cast("bigint").alias(f"{lhs}__{rhs}__p"),
+                F.countDistinct(F.struct(lhs))
+                .cast("bigint")
+                .alias(f"{lhs}__l"),
+                F.countDistinct(F.struct(lhs, rhs))
+                .cast("bigint")
+                .alias(f"{lhs}__{rhs}__p"),
             ]
         one = t.agg(*aggs)
         stack_args = ", ".join(

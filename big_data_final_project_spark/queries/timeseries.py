@@ -871,7 +871,7 @@ def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS DOUBLE)
              / CAST(sum(dur_us) AS DOUBLE) AS twa
     FROM seg
-    WHERE dur_us IS NOT NULL
+    WHERE dur_us IS NOT NULL AND value IS NOT NULL
     GROUP BY event_type
     """,
     tags=("timeseries", "twa", "window"),
@@ -882,6 +882,16 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     each sample holds until the next one, so its weight is the exact
     microsecond duration to the successor (step interpolation; the
     last point carries no segment).
+
+    Unmeasured-time semantics (ADVICE r8): a segment whose reading
+    fails the finite-measure contract is EXCLUDED from numerator and
+    denominator alike — previously its duration stayed in
+    sum(dur_us) while contributing nothing to the weighted sum,
+    biasing the TWA toward zero in proportion to unmeasured time.
+    n_segments / total_dur_us therefore describe measured time only
+    (the alternative — holding the previous finite sample over the
+    gap — is a different estimator a caller can build from
+    ts_gapfill_locf's carry-forward machinery).
 
     Numeric contract: weights are exact integer micros; the weighted
     sum multiplies DECIMAL(19,6) values by DECIMAL(19,0) durations —
@@ -901,7 +911,7 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         _fv().alias("value"),
         (F.lead(tsu).over(w) - tsu).alias("dur_us"),
-    ).where(F.col("dur_us").isNotNull())
+    ).where(F.col("dur_us").isNotNull() & F.col("value").isNotNull())
     weighted = F.sum(
         F.col("value").cast("decimal(19,6)")
         * F.col("dur_us").cast("decimal(19,0)")

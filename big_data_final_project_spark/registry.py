@@ -12,8 +12,11 @@ differential comparison locally.
 Determinism contract for oracle-paired queries (driver hashes values
 order-insensitively but exactly):
 - no wall-clock / random inputs — time-range queries anchor on
-  ``max(ts)`` of the data, sampling uses fixed seeds (and then gets a
-  rows-only check, no oracle);
+  ``max(ts)`` of the data; seeded RNG sampling gets a rows-only check
+  (no oracle) because Spark's sampler is per-partition-seeded and so
+  LAYOUT-BOUND: the seed reproduces rows only for a fixed partition
+  layout (pinned in tests/test_round9_invariants.py) — hash-gated
+  samplers are the layout-/engine-invariant, oracle-paired path;
 - floating-point SUMs are order-dependent, so money-style sums go
   through ``decimal`` (exact, associative) and only then cast to
   double — see ``functions.numeric.dsum``;

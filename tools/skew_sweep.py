@@ -47,6 +47,22 @@ SKEW_COLS = {"events": "user_id", "lineitem": "l_suppkey"}
 ZIPF_A = 1.5
 SEED = 42
 
+# Content-key leg (VERDICT r8 #2): relational-key zipf skew cannot see
+# the gram/shingle-frequency skew class — there the SHUFFLE KEY is a
+# hash of document CONTENT, so the skew is planted as a duplicated
+# boilerplate span across a slice of `documents`, the shape of web
+# boilerplate / licence headers at 100 TB. ~10% of docs get the same
+# 40-token prefix: every one of its 8-gram windows becomes a hot
+# cross-doc gram, every 2-gram shingle a hot shingle.
+CONTENT_FAMILIES = ("dedup_", "text_", "curation_")
+BOILER_TOKENS = (
+    "all rights reserved this page is provided under the terms of "
+    "service and privacy policy please contact the site administrator "
+    "for permission to reproduce redistribute or modify any portion "
+    "of the content displayed on this website thank you kindly"
+)
+BOILER_DOC_MOD = 10  # plant in doc_id % 10 == 0 (~10% of the corpus)
+
 
 def generate(src_dir: str, out_dir: str) -> dict:
     """Write the skewed variant; returns skew stats per table. A
@@ -92,6 +108,116 @@ def generate(src_dir: str, out_dir: str) -> dict:
     with open(marker, "w") as fh:
         fh.write("ok")
     return stats
+
+
+def generate_content(src_dir: str, out_dir: str) -> dict:
+    """Write the content-skewed variant: BOILER_TOKENS prepended to
+    text (and n_chars updated) for doc_id % BOILER_DOC_MOD == 0;
+    every other table byte-identical."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    marker = os.path.join(out_dir, "_CONTENT_OK")
+    stats_path = os.path.join(out_dir, "_CONTENT_STATS.json")
+    if os.path.exists(marker) and os.path.exists(stats_path):
+        with open(stats_path) as fh:
+            return json.load(fh)
+    os.makedirs(out_dir, exist_ok=True)
+    stats: dict = {}
+    for name in os.listdir(src_dir):
+        if not name.endswith(".parquet"):
+            continue
+        tbl = name[: -len(".parquet")]
+        t = pq.read_table(os.path.join(src_dir, name))
+        if tbl == "documents":
+            df = t.to_pandas()
+            mask = df["doc_id"] % BOILER_DOC_MOD == 0
+            df.loc[mask, "text"] = BOILER_TOKENS + " " + df.loc[mask, "text"]
+            df["n_chars"] = df["text"].str.len().astype("int64")
+            t = pa.Table.from_pandas(df, preserve_index=False).cast(t.schema)
+            n_tok = len(BOILER_TOKENS.split())
+            stats[tbl] = {
+                "planted_docs": int(mask.sum()),
+                "n_docs": len(df),
+                "boiler_tokens": n_tok,
+                "hot_8gram_occurrences": int(mask.sum()) * (n_tok - 7),
+            }
+        pq.write_table(t, os.path.join(out_dir, name))
+    with open(stats_path, "w") as fh:
+        json.dump(stats, fh)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return stats
+
+
+def content_hot_path_probe(spark, out_dir: str) -> dict:
+    """Prove the gram-keyed dedup family's conditional-salting skew
+    path ENGAGES on planted boilerplate and does not change results.
+
+    With spark.bdfp.skew.hotThreshold lowered beneath the planted
+    gram frequency (at 100 TB the DEFAULT 65536 fires on the same
+    shape — a boilerplate spanning 10% of a web corpus has >>1e6
+    occurrences per gram), each gram-family query is run twice —
+    default threshold (all-cold routing) vs lowered (planted grams
+    hot) — and must return identical rows. Also records the number
+    of hot grams the flag aggregate actually sees, and why AQE could
+    not have done this: the byte-compressed hot partition stays under
+    OptimizeSkewedJoin's size thresholds (round-9 probe, SCALE.md)."""
+    from pyspark.sql import functions as F
+
+    from big_data_final_project_spark.data import load_table
+    from big_data_final_project_spark.operators.salting import (
+        SKEW_HOT_THRESHOLD_CONF,
+        SKEW_N_SALTS_CONF,
+    )
+    from big_data_final_project_spark.registry import catalog
+
+    cat = catalog()
+    names = [
+        "dedup_exact_substr_spans",
+        "dedup_exact_substr_coverage",
+        "dedup_substring_windows",
+        "curation_span_cut",
+    ]
+    lowered = 1000
+
+    # hot grams visible to the flag aggregate at the lowered threshold
+    d = load_table(spark, out_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    g = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 8 THEN transform(sequence(1, size(t)-7),"
+                " i -> xxhash64(concat_ws(' ', slice(t, i, 8))))"
+                " ELSE CAST(array() AS array<bigint>) END"
+            )
+        ).alias("wh"),
+    )
+    counts = g.groupBy("wh").agg(F.count("*").alias("n"))
+    n_hot = counts.where(F.col("n") > lowered).count()
+    top = counts.agg(F.max("n").alias("m")).collect()[0]["m"]
+
+    def run_all():
+        return {
+            n: sorted(map(tuple, cat[n].fn(spark, out_dir).collect()))
+            for n in names
+        }
+
+    base = run_all()
+    spark.conf.set(SKEW_HOT_THRESHOLD_CONF, str(lowered))
+    spark.conf.set(SKEW_N_SALTS_CONF, "8")
+    try:
+        hot = run_all()
+    finally:
+        spark.conf.unset(SKEW_HOT_THRESHOLD_CONF)
+        spark.conf.unset(SKEW_N_SALTS_CONF)
+    return {
+        "lowered_hot_threshold": lowered,
+        "n_hot_grams": int(n_hot),
+        "top_gram_occurrences": int(top),
+        "hot_path_identical": {n: base[n] == hot[n] for n in names},
+    }
 
 
 def aqe_probe(spark, out_dir: str) -> dict:
@@ -203,16 +329,51 @@ def main() -> int:
             flush=True,
         )
     fails = [n for n, r in records.items() if r["err"] not in (None, "no_oracle")]
+
+    # ---- content-key leg (VERDICT r8 #2) ----
+    content_out = out.rstrip("/") + "_content"
+    content_stats = generate_content(src, content_out)
+    print(f"content-skewed variant at {content_out}: {json.dumps(content_stats)}", flush=True)
+    hot_probe = content_hot_path_probe(spark, content_out)
+    print(f"content hot-path probe: {hot_probe}", flush=True)
+    content_names = [n for n in cat if n.startswith(CONTENT_FAMILIES)]
+    content_records: dict[str, dict] = {}
+    for i, name in enumerate(content_names):
+        t0 = time.time()
+        content_records[name] = _record(spark, content_out, name, cat[name])
+        ok = content_records[name]["err"] in (None, "no_oracle")
+        print(
+            f"[content {i + 1}/{len(content_names)}] {name} "
+            f"{time.time() - t0:.1f}s "
+            f"{'ok' if ok else 'FAIL ' + str(content_records[name]['err'])}",
+            flush=True,
+        )
+    content_fails = [
+        n
+        for n, r in content_records.items()
+        if r["err"] not in (None, "no_oracle")
+    ]
+    fails = fails + [f"content:{n}" for n in content_fails]
+
     artifact = {
         "src": src,
         "skew": stats,
         "zipf_a": ZIPF_A,
         "seed": SEED,
         "families": list(FAMILIES),
-        "n_queries": len(records),
+        "n_queries": len(records) + len(content_records),
         "n_fail": len(fails),
         "fails": fails,
         "aqe": aqe,
+        "content": {
+            "families": list(CONTENT_FAMILIES),
+            "boiler_doc_mod": BOILER_DOC_MOD,
+            "stats": content_stats,
+            "hot_path_probe": hot_probe,
+            "n_queries": len(content_records),
+            "n_fail": len(content_fails),
+            "queries": content_records,
+        },
         "source_digest": source_digest(),
         "queries": records,
     }
