@@ -1150,17 +1150,27 @@ def graph_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs): this is the per-item normalized MODEL a recommender
     serves.
 
-    Scale: the wedge join fans out sum(items-per-order^2) — bounded
-    by basket size, not catalog size; degree vectors broadcast; the
+    Scale: the staged incidence table is scanned once (degrees and
+    both wedge sides read the stage); the wedge join fans out
+    sum(items-per-order^2) — bounded by basket size, not catalog
+    size; the staged degree vector joins twice (AQE broadcasts it
+    when it fits); the
     rank window runs per item on <= its neighbor count. Hub
     suppression (cap items-per-order) is the standard guard when
     baskets are unbounded."""
-    op = (
+    # the distinct (order, part) incidence table feeds THREE legs
+    # (degrees + both sides of the wedge join); staged once so the
+    # fact scan and the distinct shuffle run once, not three times
+    # (VERDICT r8 #4: this query carried x3 re-scans and 9 shuffles)
+    op = materialize(
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    deg = op.groupBy("l_partkey").agg(F.count("*").cast("bigint").alias("c"))
+    # degree vector staged too: it is consumed twice (i- and j-side)
+    deg = materialize(
+        op.groupBy("l_partkey").agg(F.count("*").cast("bigint").alias("c"))
+    )
     a, b = op.alias("a"), op.alias("b")
     co = (
         a.join(

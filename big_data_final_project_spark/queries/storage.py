@@ -540,10 +540,17 @@ def store_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     evidence.
 
     Scale shape: candidate and history are one partition-pruned scan
-    each (at scale the day slice IS the staged partition); audits are
+    each (at scale the day slice IS the staged partition — the
+    remaining same-path ×2 is the version-split class of PLANS.md);
+    the history scan serves BOTH the max-price and daily-volume
+    audits through one per-day partial aggregate, and the 1-row
+    anchor is staged instead of re-derived per leg. Audits are
     map-side-combinable aggregates; the gate is O(rules)."""
     o = load_table(spark, sf_dir, "orders")
-    anchor = o.agg(F.max(F.to_date("o_orderdate")).alias("hi"))
+    # 1-row anchor staged once: it rides THREE broadcast crossJoins
+    # (candidate + the two history slices' lineage) and re-deriving it
+    # per leg re-scanned orders each time (VERDICT r8 #4 adjudication)
+    anchor = materialize(o.agg(F.max(F.to_date("o_orderdate")).alias("hi")))
     with_a = o.crossJoin(F.broadcast(anchor))
     cand = with_a.where(F.to_date("o_orderdate") == F.col("hi"))
     hist = with_a.where(F.to_date("o_orderdate") < F.col("hi"))
@@ -560,19 +567,25 @@ def store_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("c_dups"),
         F.max("pc").cast("bigint").alias("c_maxp"),
     )
-    hstats = hist.selectExpr(f"{cents} AS pc").agg(
-        F.max("pc").cast("bigint").alias("h_maxp")
-    )
-    vol = (
-        hist.groupBy(F.to_date("o_orderdate").alias("d"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # history max-price and daily-volume stats share ONE history scan:
+    # per-day partials carry (count, max-cents) and the global rollup
+    # takes max-of-maxes — exact integers, so identical to the two
+    # separate aggregates the first cut ran (which re-scanned history)
+    hv = (
+        hist.selectExpr("o_orderdate", f"{cents} AS pc")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.max("pc").cast("bigint").alias("mx"),
+        )
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("nd"),
             F.sum("c").cast("bigint").alias("sc"),
             F.sum(F.col("c") * F.col("c")).cast("bigint").alias("scc"),
+            F.max("mx").cast("bigint").alias("h_maxp"),
         )
     )
-    one = cstats.crossJoin(hstats).crossJoin(vol)
+    one = cstats.crossJoin(hv)
     checks = one.selectExpr(
         """stack(4,
            'volume_within_3_sigma', c_rows,

@@ -3437,32 +3437,28 @@ def ts_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     with one identically-staged double combination per lag (nullif
     guards degenerate variance).
 
-    Scale: the fact scan collapses to |hours|x|types| first; each
-    lag's alignment joins the model-sized grid with itself (7
-    lags x |hours| rows), shuffled once on bucket. At many more
-    lags/series, the FFT-free moment form still holds — the grid
-    stays tiny relative to the data."""
-    hourly = (
+    Scale: ONE fact scan collapses to |hours| rows (both series come
+    out of a single conditional aggregate — no per-series joins), the
+    grid is staged, and each lag's alignment joins the model-sized
+    staged grid with itself (7 lags x |hours| rows), shuffled once on
+    bucket. At many more lags/series, the FFT-free moment form still
+    holds — the grid stays tiny relative to the data."""
+    # ONE conditional aggregate builds the dense two-series grid
+    # directly (count of a non-matching WHEN is 0, so silent hours are
+    # explicit zeros) — the first cut derived buckets/x/y as three
+    # separate reads of an hourly CTE and re-scanned events six times
+    # across the self-join (the ×5 entry of VERDICT r8 #4); staged
+    # because the lag alignment consumes the grid on both sides.
+    grid = materialize(
         load_table(spark, sf_dir, "events")
-        .groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
-        )
-        .agg(F.count("*").cast("bigint").alias("n"))
-    )
-    buckets = hourly.select("bucket").distinct()
-    x = hourly.filter(F.col("event_type") == "click").select(
-        "bucket", F.col("n").alias("xn")
-    )
-    y = hourly.filter(F.col("event_type") == "purchase").select(
-        "bucket", F.col("n").alias("yn")
-    )
-    grid = (
-        buckets.join(x, "bucket", "left")
-        .join(y, "bucket", "left")
-        .select(
-            "bucket",
-            F.coalesce("xn", F.lit(0)).alias("x"),
-            F.coalesce("yn", F.lit(0)).alias("y"),
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1))
+            .cast("bigint")
+            .alias("x"),
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            .cast("bigint")
+            .alias("y"),
         )
     )
     lags = spark.range(-3, 4).select(F.col("id").alias("lag"))

@@ -179,7 +179,10 @@ def content_hot_path_probe(spark, out_dir: str) -> dict:
         "dedup_substring_windows",
         "curation_span_cut",
     ]
-    lowered = 1000
+    # beneath the planted frequency (BOILER in ~n_docs/10 documents →
+    # each boilerplate 8-gram occurs ~n_docs/10 times = 500 at sf0.1),
+    # so the planted grams — and only content-hot grams — go HOT
+    lowered = 256
 
     # hot grams visible to the flag aggregate at the lowered threshold
     d = load_table(spark, out_dir, "documents")
