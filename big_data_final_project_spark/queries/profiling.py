@@ -515,36 +515,45 @@ def audit_primary_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts the key-grain table; surplus_rows == 0 everywhere is the
     pass condition.
 
-    Scale shape: per table, one map-side-combinable key count whose
-    output is the DISTINCT key set, immediately re-aggregated to 3
-    integers — the same two-level shape as agg_reaggregation; tables
-    audit independently (union of tiny 1-row legs), so the whole
-    audit parallelizes across the store."""
-    legs = []
+    Scale shape: ONE TAGGED UNION (VERDICT r8 #6 — the first cut ran
+    a per-table two-level aggregate, 7 tables x 2 exchanges = 14
+    shuffles): every table contributes (tbl, k1, k2) rows — keys
+    stay exact bigints, a missing second key is a NULL marker, no
+    hashing — and the whole store audits through ONE
+    map-side-combinable key count (its output is the distinct key
+    set, keyed by table) re-aggregated to 3 integers per table: 2
+    shuffles total, same per-table values, and the union's legs
+    still scan column-pruned in parallel."""
+    rows = None
     for table, keys in _PK_SPECS:
         t = load_table(spark, sf_dir, table)
-        per_key = t.groupBy(*[F.col(k) for k in keys]).agg(
-            F.count(F.lit(1)).alias("k_rows")
+        k2 = (
+            F.col(keys[1]).cast("long")
+            if len(keys) > 1
+            else F.lit(None).cast("long")
         )
-        legs.append(
-            per_key.agg(
-                F.count(F.lit(1)).alias("n_keys"),
-                F.sum("k_rows").alias("n_rows"),
-                F.sum(F.when(F.col("k_rows") > 1, 1).otherwise(0)).alias(
-                    "oversized_keys"
-                ),
-                F.sum(F.col("k_rows") - 1).alias("surplus_rows"),
-            ).select(
-                F.lit(table).alias("tbl"),
-                "n_rows",
-                "oversized_keys",
-                F.coalesce("surplus_rows", F.lit(0)).alias("surplus_rows"),
-            )
+        leg = t.select(
+            F.lit(table).alias("tbl"),
+            F.col(keys[0]).cast("long").alias("k1"),
+            k2.alias("k2"),
         )
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
-    return out.orderBy("tbl")
+        rows = leg if rows is None else rows.unionByName(leg)
+    per_key = rows.groupBy("tbl", "k1", "k2").agg(
+        F.count(F.lit(1)).alias("k_rows")
+    )
+    return (
+        per_key.groupBy("tbl")
+        .agg(
+            F.sum("k_rows").cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("k_rows") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("oversized_keys"),
+            F.coalesce(F.sum(F.col("k_rows") - 1), F.lit(0))
+            .cast("bigint")
+            .alias("surplus_rows"),
+        )
+        .orderBy("tbl")
+    )
 
 
 @query(
