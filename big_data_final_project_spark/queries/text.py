@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..data import load_table
 from ..registry import query
-from ..operators.scale import materialize
+from ..operators.scale import materialize, spread
 
 # Stopword list for quality scoring (generic English function words).
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
@@ -1029,6 +1029,87 @@ def text_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out.orderBy("merge_round")
+
+
+HOT_NGRAM_K = 5  # word-gram width for the heavy-hitter audit
+HOT_NGRAM_TOP = 20
+
+
+@query(
+    "text_hot_ngrams",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, {_TOKS_SQL} AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, source,
+               array_to_string(t[i:i + {HOT_NGRAM_K - 1}], ' ') AS gram
+        FROM toks,
+             UNNEST(range(1, CASE WHEN len(t) >= {HOT_NGRAM_K}
+                    THEN len(t) - {HOT_NGRAM_K - 2} ELSE 1 END)) AS u(i)
+    ),
+    per_doc AS (
+        SELECT gram, doc_id, source, CAST(count(*) AS BIGINT) AS m
+        FROM grams GROUP BY 1, 2, 3
+    )
+    SELECT gram,
+           CAST(sum(m) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(min(doc_id) AS BIGINT) AS example_doc_id
+    FROM per_doc GROUP BY gram
+    ORDER BY n_occurrences DESC, gram ASC
+    LIMIT {HOT_NGRAM_TOP}
+    """,
+    tags=("text", "ngram", "heavy-hitter", "memorization", "engine-addition"),
+)
+def text_hot_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global hot-n-gram table: the {HOT_NGRAM_TOP} most frequent
+    word-{HOT_NGRAM_K}-grams with occurrence count, document spread,
+    source spread, and an example document — the memorization-risk /
+    boilerplate audit every LLM-data team maintains (a gram that is
+    frequent AND spread across sources is template boilerplate to
+    stop-list; frequent inside one source is a memorization hazard).
+    Operationally this IS the heavy-hitter table that feeds
+    salted_skew_join's hot set (SCALE.md round-9: content-hot keys
+    must be known because AQE's byte thresholds cannot see them under
+    shuffle compression).
+
+    Scale shape: explode to one row per gram position, pre-aggregate
+    per (gram, doc, source) — map-side combinable, so a document
+    repeating its own boilerplate collapses before the shuffle — then
+    one bounded aggregate per gram and a global top-k that Spark
+    executes as per-partition TakeOrdered partials (no global sort of
+    the gram table). The gram strings themselves shuffle only at the
+    per-doc grain; at 100 TB, pre-filtering with a count-min pass or
+    running on a document sample are the standard cheapenings, both
+    layout-compatible."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", "source", _toks(F.col("text")).alias("t"))
+    grams_sql = (
+        f"CASE WHEN size(t) >= {HOT_NGRAM_K} THEN "
+        f"transform(sequence(1, size(t) - {HOT_NGRAM_K - 1}), "
+        f"i -> concat_ws(' ', slice(t, i, {HOT_NGRAM_K}))) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+    per_doc = (
+        toks.select(
+            "doc_id", "source", F.explode(F.expr(grams_sql)).alias("gram")
+        )
+        .groupBy("gram", "doc_id", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    )
+    return (
+        per_doc.groupBy("gram")
+        .agg(
+            F.sum("m").cast("bigint").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.min("doc_id").cast("bigint").alias("example_doc_id"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("gram"))
+        .limit(HOT_NGRAM_TOP)
+    )
 
 
 @query(
