@@ -110,8 +110,17 @@ def salted_skew_join(
     of its key, so any threshold (including a wrong one) returns the
     same rows as ``probe.join(build, key)`` — asserted in
     tests/test_salting.py. ``build`` is referenced twice (hot set +
-    salted build); both references share one exchange via Spark's
-    ReuseExchange, not a recompute."""
+    salted build) and is therefore STAGED here first — measured
+    (SCALE.md r9): Spark's ReuseExchange does NOT fire across the
+    broadcast/shuffle boundary, so without staging the whole build
+    aggregate (a full pass over the probe) would run twice. The build
+    is the per-key aggregate — the smallest frame in the query — and
+    the staging mode follows the session's materialize() contract
+    ('table' on a cluster: the gram/key dictionary is an artifact
+    worth persisting anyway)."""
+    from .scale import materialize
+
+    build = materialize(build)
     conf = probe.sparkSession.conf
     hot_threshold = int(
         conf.get(SKEW_HOT_THRESHOLD_CONF, str(SKEW_HOT_THRESHOLD_DEFAULT))

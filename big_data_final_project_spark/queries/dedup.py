@@ -850,18 +850,40 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     w = toks.select("doc_id", F.explode(win_hashes).alias("wh"))
-    pw = w.groupBy("doc_id", "wh").agg(F.count("*").alias("m"))
-    gc = pw.groupBy("wh").agg(F.sum("m").alias("c"))
-    dup = F.sum(F.when(F.col("c") > 1, F.col("m")).otherwise(0))
-    n_win = F.sum("m")
-    return (
-        salted_skew_join(pw, gc, "wh", "c", F.xxhash64("doc_id"))
+    # staged: pw feeds the duplicated-gram table and the join's probe
+    # side — without staging the explode and the (doc, gram)
+    # aggregate would run twice
+    pw = materialize(
+        w.groupBy("doc_id", "wh").agg(F.count("*").alias("m"))
+    )
+    # join only against DUPLICATED grams (c > 1): usually a small
+    # fraction of the gram dictionary, so AQE broadcasts it and the
+    # probe never shuffles; when it IS large, the salted join bounds
+    # the hot keys the same way the exact-substr family does
+    gc_dup = (
+        pw.groupBy("wh")
+        .agg(F.sum("m").alias("c"))
+        .where(F.col("c") > 1)
+    )
+    dup_per_doc = (
+        salted_skew_join(pw, gc_dup, "wh", "c", F.xxhash64("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            n_win.cast("bigint").alias("n_windows"),
-            dup.cast("bigint").alias("n_dup_windows"),
-            (dup.cast("double") / n_win.cast("double")).alias("dup_frac"),
-        )
+        .agg(F.sum("m").cast("bigint").alias("nd"))
+    )
+    # per-doc window totals are a pure expression on the token array
+    # (size - K + 1) — no aggregation, no shuffle; docs under K tokens
+    # have no windows and (as in the exploded form) no output row
+    totals = toks.where(F.size("t") >= 8).select(
+        "doc_id", (F.size("t") - 7).cast("bigint").alias("n_windows")
+    )
+    nd = F.coalesce(F.col("nd"), F.lit(0)).cast("bigint")
+    return totals.join(dup_per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        nd.alias("n_dup_windows"),
+        (nd.cast("double") / F.col("n_windows").cast("double")).alias(
+            "dup_frac"
+        ),
     )
 
 
@@ -1929,8 +1951,14 @@ def _xdoc_gram_positions(toks: DataFrame) -> DataFrame:
         f"'wh', xxhash64(concat_ws(' ', slice(t, i, {ES_K}))))) "
         f"ELSE CAST(array() AS array<struct<pos:int,wh:bigint>>) END"
     )
-    g = toks.select("doc_id", F.explode(F.expr(wins_sql)).alias("w")).select(
-        "doc_id", F.col("w.pos").alias("pos"), F.col("w.wh").alias("wh")
+    # staged: the gram-position table feeds both the flag aggregate
+    # and the join's probe side (the Lee-et-al pipelines persist
+    # exactly this table); without staging the corpus explode runs
+    # twice
+    g = materialize(
+        toks.select("doc_id", F.explode(F.expr(wins_sql)).alias("w")).select(
+            "doc_id", F.col("w.pos").alias("pos"), F.col("w.wh").alias("wh")
+        )
     )
     flags = g.groupBy("wh").agg(
         (F.min("doc_id") != F.max("doc_id")).alias("xdoc"),
