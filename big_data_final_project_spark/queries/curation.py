@@ -878,13 +878,18 @@ def curation_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFram
     self-join whose fan-out is bounded by per-hash source counts
     (<= |sources| per hash, never row counts), and a |sources|^2
     output. No text ever moves after the hash."""
-    h = (
+    # the deduped (source, hash) set feeds three legs (sizes + both
+    # self-join sides) and the size vector two broadcasts: staged, or
+    # the scan+distinct re-runs per consumer (r9 worst-shuffle sweep)
+    h = materialize(
         load_table(spark, sf_dir, "documents")
         .select("source", F.md5(_norm(F.col("text"))).alias("ch"))
         .distinct()
     )
-    sizes = h.groupBy("source").agg(
-        F.count("*").cast("bigint").alias("n_distinct")
+    sizes = materialize(
+        h.groupBy("source").agg(
+            F.count("*").cast("bigint").alias("n_distinct")
+        )
     )
     a, b = h.alias("a"), h.alias("b")
     pairs = (

@@ -3181,7 +3181,10 @@ def ml_multiclass_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     a floor-mean of the three per-class ppm values.
 
     Scale shape: one map-side-combined 9-key aggregate over the scan;
-    the class expansion joins 9 rows x 3 classes — model-sized."""
+    the class expansion joins 9 rows x 3 classes — model-sized; the
+    3-row per-class frame is staged so its three consumers (rows,
+    macro, micro) do not re-run the scan aggregate (r9 worst-shuffle
+    sweep: 9 -> 4 exchanges)."""
     li = load_table(spark, sf_dir, "lineitem")
     cells = li.groupBy(
         F.col("l_returnflag").alias("actual"),
@@ -3215,7 +3218,9 @@ def ml_multiclass_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("fn"),
         )
     )
-    scored = per_class.selectExpr(
+    # 3-row frame consumed THREE times (per-class rows + macro +
+    # micro): staged, or the confusion aggregate re-runs per consumer
+    scored = materialize(per_class).selectExpr(
         "cls", "tp", "fp", "fn",
         "CASE WHEN tp + fp > 0 THEN CAST(tp * 1000000 div (tp + fp) AS BIGINT)"
         " ELSE CAST(0 AS BIGINT) END AS prec_ppm",

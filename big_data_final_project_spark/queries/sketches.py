@@ -910,7 +910,9 @@ def agg_quantile_sketch_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket rows; the rank query itself is a broadcast join against a
     4-row quantile spec. This is the query a telemetry store answers
     per-dashboard-refresh without rescanning history."""
-    sk = agg_quantile_sketch_hist(spark, sf_dir)
+    # ~200-bucket sketch consumed twice (total + the rank join):
+    # staged, or the whole sketch build re-runs per consumer
+    sk = materialize(agg_quantile_sketch_hist(spark, sf_dir))
     tot = sk.agg(F.max("cum_n").cast("bigint").alias("n_total"))
     qs = spark.createDataFrame(
         [(q,) for q in _QSK_QUANTILES], "q int"

@@ -5558,7 +5558,9 @@ def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     flows); the theoretical max is ln(n_states).
 
     Scale shape: one user-partitioned lead window; everything after
-    runs on the states x states count matrix."""
+    runs on the states x states count matrix — rowsums staged and
+    every model-sized frame broadcast into its join (same r9
+    worst-shuffle treatment as events_markov_stationary)."""
     from ..functions.intlog import ln_ratio_e3_sql
 
     e = load_table(spark, sf_dir, "events")
@@ -5574,18 +5576,18 @@ def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .transform(materialize)
     )
-    rowsums = trans.groupBy("src").agg(
-        F.sum("c").cast("bigint").alias("total")
-    )
+    rowsums = materialize(
+        trans.groupBy("src").agg(F.sum("c").cast("bigint").alias("total"))
+    )  # |states| rows, consumed by both power steps and the entropy row
     pi = rowsums.select(
         F.col("src").alias("state"),
         F.lit(1_000_000).cast("bigint").alias("mass"),
     )
     for _ in range(2):
         pi = (
-            trans.join(pi, trans["src"] == pi["state"])
+            trans.join(F.broadcast(pi), trans["src"] == pi["state"])
             .join(
-                rowsums.withColumnRenamed("src", "rs_src"),
+                F.broadcast(rowsums.withColumnRenamed("src", "rs_src")),
                 F.col("src") == F.col("rs_src"),
             )
             .selectExpr("dst", "mass * c div total AS flow")
