@@ -82,13 +82,18 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     grows."""
     o = load_table(spark, sf_dir, "orders")
     pos = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
-    bins = o.groupBy(
-        F.floor(F.col("o_totalprice") / float(_ISO_BIN_W))
-        .cast("bigint")
-        .alias("bin_id")
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(pos).cast("bigint").alias("pos"),
+    # ~20-bin frame consumed three times (prefix sums, the i-list,
+    # the final join): staged, or the fact aggregate re-runs per
+    # consumer (r9 census x3)
+    bins = materialize(
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / float(_ISO_BIN_W))
+            .cast("bigint")
+            .alias("bin_id")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(pos).cast("bigint").alias("pos"),
+        )
     )
     w = Window.orderBy("bin_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -613,21 +618,38 @@ def ml_shapley_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts; the Shapley combination is staged through the identical
     double expression on both engines.
 
-    Scale shape: four map-side-combined aggregates over one scan
-    (Spark shares the scan via the cached mirror), then broadcast
-    joins of model-sized frames — at 100 TB the cost is one pass."""
+    Scale shape: ONE map-side-combined aggregate builds the staged
+    cell table; the grand mean and both marginal means roll up from
+    the cells (exact — decimal sums are associative), then broadcast
+    joins of model-sized frames. At 100 TB the cost is one pass, and
+    the fact table is scanned exactly once (r9: was four scans)."""
     li = load_table(spark, sf_dir, "lineitem")
     y = F.col("l_extendedprice")
-    g = li.agg((dsum(y) / F.count(F.lit(1))).alias("m0"))
-    g1 = li.groupBy("l_returnflag").agg(
-        (dsum(y) / F.count(F.lit(1))).alias("m1")
+    # ONE scan builds the cell table with exact decimal sums; the
+    # grand and per-feature means are rollups OF THE CELLS (decimal
+    # sums are associative, so sum-of-cell-sums == direct sum and the
+    # final double cast lands on identical bits) — the first cut
+    # aggregated the fact table four separate times (r9 census x3)
+    g12c = materialize(
+        li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(y.cast("decimal(18,6)")).alias("s"),
+        )
     )
-    g2 = li.groupBy("l_linestatus").agg(
-        (dsum(y) / F.count(F.lit(1))).alias("m2")
+    g = g12c.agg(
+        (F.sum("s").cast("double") / F.sum("n")).alias("m0")
     )
-    g12 = li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"),
-        (dsum(y) / F.count(F.lit(1))).alias("m12"),
+    g1 = g12c.groupBy("l_returnflag").agg(
+        (F.sum("s").cast("double") / F.sum("n")).alias("m1")
+    )
+    g2 = g12c.groupBy("l_linestatus").agg(
+        (F.sum("s").cast("double") / F.sum("n")).alias("m2")
+    )
+    g12 = g12c.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        (F.col("s").cast("double") / F.col("n")).alias("m12"),
     )
     m0, m1, m2, m12 = F.col("m0"), F.col("m1"), F.col("m2"), F.col("m12")
     return (
@@ -876,10 +898,10 @@ def ml_naive_bayes_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring, which trades the exactness this query is demonstrating);
     DuckDB uses HUGEINT. Both fit the ≤1e35 worst case here.
 
-    Scale shape: three conditional-aggregate passes (class totals,
-    class×priority, class×weekday) + the cell table — all map-side
-    combined, all broadcastable model frames; the decision itself
-    never touches the fact table again."""
+    Scale shape: ONE conditional-aggregate pass builds the 35-cell
+    base table (staged); priors and both feature marginals are
+    rollups of the cells — the fact table is scanned once, and the
+    decision never touches it again (r9: was four separate scans)."""
     o = load_table(spark, sf_dir, "orders")
     feat = o.select(
         F.col("o_orderstatus").alias("c"),
@@ -891,26 +913,32 @@ def ml_naive_bayes_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.sum(F.when(F.col("c") == cls, 1).otherwise(0))
 
     dec = "decimal(7,0)"
-    nc = feat.agg(
-        cnt("F").cast(dec).alias("ncF"),
-        cnt("O").cast(dec).alias("ncO"),
-        cnt("P").cast(dec).alias("ncP"),
+    # ONE scan builds the 35-cell base table; priors (nc), per-f1 (a)
+    # and per-f2 (b) marginals are rollups OF THE CELLS — the first
+    # cut aggregated the fact table four separate times (the x3
+    # duplicate-scan entry in the r9 census)
+    cells = materialize(
+        feat.groupBy("f1", "f2").agg(
+            F.count(F.lit(1)).alias("n_cell"),
+            cnt("F").cast("bigint").alias("cF"),
+            cnt("O").cast("bigint").alias("cO"),
+            cnt("P").cast("bigint").alias("cP"),
+        )
     )
-    a = feat.groupBy("f1").agg(
-        cnt("F").cast(dec).alias("aF"),
-        cnt("O").cast(dec).alias("aO"),
-        cnt("P").cast(dec).alias("aP"),
+    nc = cells.agg(
+        F.sum("cF").cast(dec).alias("ncF"),
+        F.sum("cO").cast(dec).alias("ncO"),
+        F.sum("cP").cast(dec).alias("ncP"),
     )
-    b = feat.groupBy("f2").agg(
-        cnt("F").cast(dec).alias("bF"),
-        cnt("O").cast(dec).alias("bO"),
-        cnt("P").cast(dec).alias("bP"),
+    a = cells.groupBy("f1").agg(
+        F.sum("cF").cast(dec).alias("aF"),
+        F.sum("cO").cast(dec).alias("aO"),
+        F.sum("cP").cast(dec).alias("aP"),
     )
-    cells = feat.groupBy("f1", "f2").agg(
-        F.count(F.lit(1)).alias("n_cell"),
-        cnt("F").cast("bigint").alias("cF"),
-        cnt("O").cast("bigint").alias("cO"),
-        cnt("P").cast("bigint").alias("cP"),
+    b = cells.groupBy("f2").agg(
+        F.sum("cF").cast(dec).alias("bF"),
+        F.sum("cO").cast(dec).alias("bO"),
+        F.sum("cP").cast(dec).alias("bP"),
     )
 
     def cmp(x: str, y: str) -> F.Column:
