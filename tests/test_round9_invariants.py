@@ -62,3 +62,88 @@ def test_hash_sampler_is_layout_invariant(spark, sf_dir):
         )
 
     assert keys(li.repartition(1)) == keys(li.repartition(64))
+
+
+# ---------------------------------------------------------------------------
+# Plan-shape pins for the round-9 rewrites: these queries were rebuilt
+# to remove duplicate scans / gram-hash windows / shuffle fan-out, and
+# a regression would be invisible to the value differential (the slow
+# shape returns the same rows). Each pin asserts the structural fact
+# the rewrite exists for.
+# ---------------------------------------------------------------------------
+
+import re
+
+from big_data_final_project_spark.plans.audit import PlanFacts, formatted_plan
+from big_data_final_project_spark.registry import catalog
+
+
+def _facts(spark, sf_dir, name):
+    return PlanFacts(formatted_plan(catalog()[name].fn(spark, sf_dir)))
+
+
+def _dup_scans(p: PlanFacts) -> int:
+    paths = re.findall(
+        r"Location: InMemoryFileIndex\s*(?:\(\d+ paths\))?\s*\[([^\]]*)\]",
+        p.text,
+    )
+    return len(paths) - len(set(paths))
+
+
+def test_gram_family_has_no_window_on_gram_hash(spark, sf_dir):
+    """The cross-doc gram flag must stay a groupBy+salted-join, never a
+    window partitioned on the content-frequency-skewed gram hash
+    (VERDICT r8 #1 / SCALE.md r9: AQE cannot split a window, and its
+    byte thresholds cannot even see this skew under compression)."""
+    for name in (
+        "dedup_exact_substr_spans",
+        "dedup_exact_substr_coverage",
+        "dedup_substring_windows",
+        "curation_span_cut",
+    ):
+        p = _facts(spark, sf_dir, name)
+        for m in re.finditer(r"windowspecdefinition\(([^,)]+)", p.text):
+            part_col = m.group(1)
+            assert not part_col.startswith("wh"), (
+                f"{name}: window partitioned on gram hash ({part_col}) — "
+                "the r9 skew rewrite regressed"
+            )
+
+
+def test_rescan_rewrites_stay_single_scan(spark, sf_dir):
+    """The VERDICT r8 #4 rewrites must keep their duplicate-scan count
+    at the rewritten level."""
+    limits = {
+        "ml_permutation_importance": 0,
+        "ml_conformal_interval": 0,
+        "ts_lead_lag_xcorr": 0,
+        "graph_item_item_cosine": 0,
+        "store_write_audit_publish": 1,  # candidate-vs-history split
+        "ml_naive_bayes_apply": 0,
+        "ml_shapley_two_features": 0,
+        "ml_isotonic_calibration": 0,
+    }
+    for name, max_dup in limits.items():
+        p = _facts(spark, sf_dir, name)
+        assert _dup_scans(p) <= max_dup, (
+            f"{name}: duplicate scans regressed above {max_dup}"
+        )
+
+
+def test_shuffle_tail_rewrites_stay_lean(spark, sf_dir):
+    """The worst-shuffle rewrites (r8 #6 + the r9 second sweep) must
+    keep their exchange counts at the rewritten level (small slack for
+    planner drift; the originals were 8-14)."""
+    limits = {
+        "audit_primary_key_uniqueness": 4,
+        "events_markov_stationary": 5,
+        "events_markov_entropy_rate": 5,
+        "ml_multiclass_f1": 4,
+        "agg_quantile_sketch_rank": 4,
+        "curation_source_overlap_matrix": 3,
+    }
+    for name, max_shuffles in limits.items():
+        p = _facts(spark, sf_dir, name)
+        assert p.shuffles <= max_shuffles, (
+            f"{name}: {p.shuffles} shuffles > pinned {max_shuffles}"
+        )
