@@ -383,9 +383,12 @@ def main() -> int:
     with open(os.path.join(REPO, "SKEW_SWEEP.json"), "w") as fh:
         json.dump(artifact, fh, indent=1)
     print(
-        f"SKEW_SWEEP.json: {len(records)} queries, {len(fails)} failures"
+        f"SKEW_SWEEP.json: {len(records)} zipf + {len(content_records)} "
+        f"content = {len(records) + len(content_records)} queries, "
+        f"{len(fails)} failures"
         f"{': ' + str(fails) if fails else ''}; aqe skew split: "
-        f"{aqe['skew_split_observed']}"
+        f"{aqe['skew_split_observed']}; content hot grams: "
+        f"{hot_probe['n_hot_grams']}"
     )
     return 1 if fails else 0
 
