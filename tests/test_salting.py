@@ -110,3 +110,87 @@ def test_salted_skew_join_spreads_hot_key_only(spark):
         spark.conf.unset(SKEW_N_SALTS_CONF)
     slots = {r["k"]: r["slots"] for r in per_key}
     assert slots[0] == 8  # hot key fanned across all salt slots
+
+
+def test_salted_skew_join_auto_threshold(spark):
+    """With NO conf set (VERDICT r9 #3), the threshold is derived from
+    the build's exact counts: a key holding more rows than a shuffle
+    partition's fair share goes hot; results still equal the plain
+    join (routing independence)."""
+    from big_data_final_project_spark.operators.salting import (
+        SKEW_AUTO_FLOOR,
+        auto_hot_threshold,
+        salted_skew_join,
+    )
+
+    # hot key = 5000 of 7000 rows; fair share at 16-ish partitions is
+    # a few hundred, so ONLY the hot key crosses the auto threshold
+    probe = spark.range(5000).select(
+        F.lit(0).alias("k"), F.col("id").alias("payload")
+    ).unionByName(
+        spark.range(2000).select(
+            (F.col("id") % 200 + 1).alias("k"),
+            (F.col("id") + 10_000).alias("payload"),
+        )
+    )
+    build = probe.groupBy("k").agg(F.count("*").alias("n"))
+    thr = auto_hot_threshold(build, "n")
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert thr == max(SKEW_AUTO_FLOOR, 7000 // nparts)
+    assert thr < 5000  # the hot key IS auto-detected
+    assert thr > 10  # and the cold keys are NOT
+    plain = probe.join(build, "k").select("k", "payload").collect()
+    salted = salted_skew_join(
+        probe, build, "k", "n", F.xxhash64("payload")
+    ).select("k", "payload").collect()
+    key = lambda r: (r["k"], r["payload"])
+    assert Counter(map(key, plain)) == Counter(map(key, salted))
+
+
+def test_salted_skew_join_null_salt_src_keeps_rows(spark):
+    """A NULL probe_salt_src on a hot row must route to slot 0, not
+    drop the row (ADVICE r9)."""
+    from big_data_final_project_spark.operators.salting import (
+        SKEW_HOT_THRESHOLD_CONF,
+        salted_skew_join,
+    )
+
+    probe = spark.range(500).select(
+        F.lit(0).alias("k"), F.col("id").alias("payload")
+    )
+    build = probe.groupBy("k").agg(F.count("*").alias("n"))
+    spark.conf.set(SKEW_HOT_THRESHOLD_CONF, "10")  # force hot
+    try:
+        out = salted_skew_join(
+            probe, build, "k", "n", F.lit(None).cast("long")
+        )
+        assert out.count() == 500
+    finally:
+        spark.conf.unset(SKEW_HOT_THRESHOLD_CONF)
+
+
+def test_salted_skew_join_guards_and_output_columns(spark):
+    """count_col is consumed and dropped; reserved/ambiguous input
+    columns are rejected up front (ADVICE r9)."""
+    import pytest
+
+    from big_data_final_project_spark.operators.salting import salted_skew_join
+
+    probe = spark.range(100).select(
+        F.lit(0).alias("k"), F.col("id").alias("payload")
+    )
+    build = probe.groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("payload").alias("total")
+    )
+    out = salted_skew_join(probe, build, "k", "n", F.xxhash64("payload"))
+    assert set(out.columns) == {"k", "payload", "total"}  # no n, no _salt
+    with pytest.raises(ValueError, match="_salt"):
+        salted_skew_join(
+            probe.withColumn("_salt", F.lit(1)), build, "k", "n",
+            F.xxhash64("payload"),
+        )
+    with pytest.raises(ValueError, match="count_col"):
+        salted_skew_join(
+            probe.withColumn("n", F.lit(1)), build, "k", "n",
+            F.xxhash64("payload"),
+        )

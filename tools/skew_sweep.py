@@ -215,11 +215,108 @@ def content_hot_path_probe(spark, out_dir: str) -> dict:
     finally:
         spark.conf.unset(SKEW_HOT_THRESHOLD_CONF)
         spark.conf.unset(SKEW_N_SALTS_CONF)
+
+    # AUTO leg (VERDICT r9 #3): no threshold conf at all — emulate
+    # cluster parallelism (shuffle.partitions=4096, the scale at which
+    # a 100 TB job runs) so a partition's fair share of the dup-gram
+    # rows drops beneath the planted gram's frequency and
+    # auto_hot_threshold() detects the hot set from exact build
+    # counts alone. Results must still equal the default run.
+    from big_data_final_project_spark.operators.salting import (
+        SKEW_AUTO_FLOOR,
+    )
+
+    dup = counts.where(F.col("n") > 1)
+    total_dup = dup.agg(F.sum("n")).collect()[0][0] or 0
+    auto_thr = max(SKEW_AUTO_FLOOR, int(total_dup) // 4096)
+    n_hot_auto = dup.where(F.col("n") > auto_thr).count()
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4096")
+    try:
+        auto = run_all()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
     return {
         "lowered_hot_threshold": lowered,
         "n_hot_grams": int(n_hot),
         "top_gram_occurrences": int(top),
         "hot_path_identical": {n: base[n] == hot[n] for n in names},
+        "auto_threshold_at_4096_parts": auto_thr,
+        "n_hot_grams_auto": int(n_hot_auto),
+        "auto_path_identical": {n: base[n] == auto[n] for n in names},
+    }
+
+
+def pair_volume_probe(spark, out_dir: str) -> dict:
+    """VERDICT r9 #1's candidate-VOLUME evidence (the value sweep
+    alone cannot see a blowup — f² waste returns correct rows): on
+    the planted-boilerplate corpus, count the pair generators'
+    candidate hits and compare against the unfiltered inverted-index
+    volume (sum over (shingle, block) of C(f, 2) — exactly what the
+    pre-round-10 self-join materialized).
+
+    Pass criteria, recorded per round:
+      * jaccard_reduced — the lossless prefix+position route emits
+        strictly fewer hits than the unfiltered join;
+      * containment_bounded — every hit comes from an eligible
+        (df <= cap) shingle, so the total is <= cap/2 * occurrences,
+        LINEAR in corpus size; the planted boilerplate shingles
+        (df ~ nd/10 > nd/20) are stop-shingles in every block that
+        reaches the floor and contribute ZERO hits.
+    """
+    from pyspark.sql import functions as F
+
+    from big_data_final_project_spark.queries.dedup import (
+        CONTAINMENT_DF_FLOOR,
+        CONTAINMENT_STOP_DIV,
+        _containment_candidate_hits,
+        _jaccard_candidate_hits,
+        _shingle_index,
+    )
+
+    docs, ex = _shingle_index(spark, out_dir)
+    df_tab = ex.groupBy("lang", "len_bucket", "s").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    blk = docs.groupBy("lang", "len_bucket").agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    row = (
+        df_tab.join(blk, ["lang", "len_bucket"])
+        .agg(
+            F.sum(F.expr("df * (df - 1) div 2")).alias("unfiltered_hits"),
+            F.sum("df").alias("occurrences"),
+            F.max("df").alias("max_df"),
+            F.sum(
+                F.when(
+                    F.col("df")
+                    > F.greatest(
+                        F.lit(CONTAINMENT_DF_FLOOR),
+                        F.expr(f"nd div {CONTAINMENT_STOP_DIV}"),
+                    ),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("n_stop_shingle_blocks"),
+            F.max("nd").alias("max_nd"),
+        )
+        .first()
+    )
+    jac_hits = _jaccard_candidate_hits(docs, ex).count()
+    con_hits = _containment_candidate_hits(docs, ex).count()
+    cap = max(
+        CONTAINMENT_DF_FLOOR, int(row["max_nd"]) // CONTAINMENT_STOP_DIV
+    )
+    bound = cap * int(row["occurrences"]) // 2
+    return {
+        "unfiltered_hits": int(row["unfiltered_hits"]),
+        "jaccard_hits": int(jac_hits),
+        "containment_hits": int(con_hits),
+        "n_stop_shingle_blocks": int(row["n_stop_shingle_blocks"]),
+        "max_df": int(row["max_df"]),
+        "containment_cap_max_block": cap,
+        "containment_volume_bound": bound,
+        "jaccard_reduced": bool(jac_hits < int(row["unfiltered_hits"])),
+        "containment_bounded": bool(con_hits <= bound),
     }
 
 
@@ -339,6 +436,8 @@ def main() -> int:
     print(f"content-skewed variant at {content_out}: {json.dumps(content_stats)}", flush=True)
     hot_probe = content_hot_path_probe(spark, content_out)
     print(f"content hot-path probe: {hot_probe}", flush=True)
+    pair_volume = pair_volume_probe(spark, content_out)
+    print(f"pair-volume probe: {pair_volume}", flush=True)
     content_names = [n for n in cat if n.startswith(CONTENT_FAMILIES)]
     content_records: dict[str, dict] = {}
     for i, name in enumerate(content_names):
@@ -356,6 +455,14 @@ def main() -> int:
         for n, r in content_records.items()
         if r["err"] not in (None, "no_oracle")
     ]
+    if not pair_volume["jaccard_reduced"]:
+        content_fails.append("pair_volume:jaccard_not_reduced")
+    if not pair_volume["containment_bounded"]:
+        content_fails.append("pair_volume:containment_unbounded")
+    for leg in ("hot_path_identical", "auto_path_identical"):
+        for n, same in hot_probe[leg].items():
+            if not same:
+                content_fails.append(f"{leg}:{n}")
     fails = fails + [f"content:{n}" for n in content_fails]
 
     artifact = {
@@ -373,6 +480,7 @@ def main() -> int:
             "boiler_doc_mod": BOILER_DOC_MOD,
             "stats": content_stats,
             "hot_path_probe": hot_probe,
+            "pair_volume_probe": pair_volume,
             "n_queries": len(content_records),
             "n_fail": len(content_fails),
             "queries": content_records,
@@ -388,7 +496,10 @@ def main() -> int:
         f"{len(fails)} failures"
         f"{': ' + str(fails) if fails else ''}; aqe skew split: "
         f"{aqe['skew_split_observed']}; content hot grams: "
-        f"{hot_probe['n_hot_grams']}"
+        f"{hot_probe['n_hot_grams']} (auto {hot_probe['n_hot_grams_auto']} @ "
+        f"thr {hot_probe['auto_threshold_at_4096_parts']}); pair hits "
+        f"unfiltered/jaccard/containment: {pair_volume['unfiltered_hits']}/"
+        f"{pair_volume['jaccard_hits']}/{pair_volume['containment_hits']}"
     )
     return 1 if fails else 0
 
