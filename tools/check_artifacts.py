@@ -44,7 +44,10 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SOURCE_PATHS = ["big_data_final_project_spark", "__spark_entry__.py"]
-ARTIFACT = os.path.join(REPO, "CORRECTNESS_SWEEP.json")
+# Both full-registry differentials are guarded: the sf0.01 sweep and —
+# since round 10 (VERDICT r9 #2) — the sf0.1 pass, which used to be a
+# stdout-only claim.
+ARTIFACTS = ("CORRECTNESS_SWEEP.json", "CORRECTNESS_SF01.json")
 
 
 def source_digest() -> str:
@@ -76,60 +79,65 @@ def source_digest() -> str:
     return h.hexdigest()
 
 
-def main() -> int:
-    problems: list[str] = []
-
-    if not os.path.exists(ARTIFACT):
-        print("FAIL: CORRECTNESS_SWEEP.json does not exist")
-        return 1
-    with open(ARTIFACT) as fh:
+def _check_one(fname: str, now: str) -> list[str]:
+    path = os.path.join(REPO, fname)
+    if not os.path.exists(path):
+        return [f"{fname} does not exist"]
+    with open(path) as fh:
         artifact = json.load(fh)
-
+    problems: list[str] = []
     art_digest = artifact.get("source_digest")
     if not art_digest:
         problems.append(
-            "artifact has no 'source_digest' stamp — regenerate with "
-            "the current tools/correctness_sweep.py"
+            f"{fname} has no 'source_digest' stamp — regenerate with "
+            "the current sweep tools"
+        )
+    elif now != art_digest:
+        problems.append(
+            f"{fname}: source tree digest {now[:12]} != artifact digest "
+            f"{art_digest[:12]} — engine source changed after the "
+            "sweep ran; regenerate (run shards + merge)"
         )
     else:
-        now = source_digest()
-        if now != art_digest:
+        stale = sorted(
+            name
+            for name, r in artifact.get("queries", {}).items()
+            if r.get("source_digest") not in (None, art_digest)
+        )
+        # None is not allowed either — a record without a stamp
+        # could come from any source state.
+        unstamped = sorted(
+            name
+            for name, r in artifact.get("queries", {}).items()
+            if r.get("source_digest") is None
+        )
+        if stale:
             problems.append(
-                f"source tree digest {now[:12]} != artifact digest "
-                f"{art_digest[:12]} — engine source changed after the "
-                "sweep ran; regenerate (run shards + merge)"
+                f"{fname}: {len(stale)} record(s) produced at a different "
+                f"source state (e.g. {stale[:3]}) — rerun those "
+                "shards and re-merge"
             )
-        else:
-            stale = sorted(
-                name
-                for name, r in artifact.get("queries", {}).items()
-                if r.get("source_digest") not in (None, art_digest)
+        if unstamped:
+            problems.append(
+                f"{fname}: {len(unstamped)} record(s) carry no "
+                f"source_digest (e.g. {unstamped[:3]}) — regenerate "
+                "those shards"
             )
-            # None is not allowed either — a record without a stamp
-            # could come from any source state.
-            unstamped = sorted(
-                name
-                for name, r in artifact.get("queries", {}).items()
-                if r.get("source_digest") is None
-            )
-            if stale:
-                problems.append(
-                    f"{len(stale)} record(s) produced at a different "
-                    f"source state (e.g. {stale[:3]}) — rerun those "
-                    "shards and re-merge"
-                )
-            if unstamped:
-                problems.append(
-                    f"{len(unstamped)} record(s) carry no source_digest "
-                    f"(e.g. {unstamped[:3]}) — regenerate those shards"
-                )
+    if not problems:
+        n = artifact.get("n_queries")
+        print(f"OK: {fname} ({n} queries) is fresh vs sources")
+    return problems
 
+
+def main() -> int:
+    now = source_digest()
+    problems: list[str] = []
+    for fname in ARTIFACTS:
+        problems.extend(_check_one(fname, now))
     if problems:
         for p in problems:
             print(f"FAIL: {p}")
         return 1
-    n = artifact.get("n_queries")
-    print(f"OK: CORRECTNESS_SWEEP.json ({n} queries) is fresh vs sources")
     return 0
 
 

@@ -48,8 +48,8 @@ def git_head() -> str:
     ).stdout.strip()
 
 
-def _shard_path(shard: int, n: int) -> str:
-    return os.path.join(REPO, f"CORRECTNESS_SWEEP.shard{shard}of{n}.json")
+def _shard_path(shard: int, n: int, base: str = "CORRECTNESS_SWEEP") -> str:
+    return os.path.join(REPO, f"{base}.shard{shard}of{n}.json")
 
 
 def _record(spark, sf_dir: str, name: str, q) -> dict:
@@ -104,7 +104,12 @@ def _record(spark, sf_dir: str, name: str, q) -> dict:
         }
 
 
-def run(shard: int, n_shards: int, sf_dir: str) -> int:
+def run(
+    shard: int,
+    n_shards: int,
+    sf_dir: str,
+    base: str = "CORRECTNESS_SWEEP",
+) -> int:
     from big_data_final_project_spark.registry import catalog
     from big_data_final_project_spark.session import get_spark
 
@@ -115,6 +120,8 @@ def run(shard: int, n_shards: int, sf_dir: str) -> int:
         if int(hashlib.md5(n.encode()).hexdigest(), 16) % n_shards == shard
     ]
     spark = get_spark(app_name=f"csweep{shard}", shuffle_partitions=16)
+    # sf0.1 runs reuse this machinery via tools/sf01_sweep.py (base
+    # "CORRECTNESS_SF01") — same records, same digest stamps
     head = git_head()[:12]
     digest = source_digest()
     out: dict[str, dict] = {}
@@ -134,14 +141,19 @@ def run(shard: int, n_shards: int, sf_dir: str) -> int:
             f"{'ok' if ok else 'FAIL ' + str(out[name]['err'])}",
             flush=True,
         )
-    with open(_shard_path(shard, n_shards), "w") as fh:
+    with open(_shard_path(shard, n_shards, base), "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     n_fail = sum(1 for r in out.values() if r["err"] not in (None, "no_oracle"))
     print(f"DONE shard {shard}: {len(out) - n_fail}/{len(out)} ok", flush=True)
     return 1 if n_fail else 0
 
 
-def merge(n_shards: int, sf_dir: str, partial: bool = False) -> int:
+def merge(
+    n_shards: int,
+    sf_dir: str,
+    partial: bool = False,
+    base: str = "CORRECTNESS_SWEEP",
+) -> int:
     from big_data_final_project_spark.registry import catalog
 
     # ALL shards are required by default (ADVICE r5: the overlay path
@@ -151,12 +163,14 @@ def merge(n_shards: int, sf_dir: str, partial: bool = False) -> int:
     # commit stamps plus tools/check_artifacts.py keep that honest.
     merged: dict[str, dict] = {}
     if partial:
-        prev_path = os.path.join(REPO, "CORRECTNESS_SWEEP.json")
+        prev_path = os.path.join(REPO, f"{base}.json")
         if os.path.exists(prev_path):
             with open(prev_path) as fh:
                 merged.update(json.load(fh).get("queries", {}))
     missing_shards = [
-        s for s in range(n_shards) if not os.path.exists(_shard_path(s, n_shards))
+        s
+        for s in range(n_shards)
+        if not os.path.exists(_shard_path(s, n_shards, base))
     ]
     if missing_shards and not partial:
         print(
@@ -167,7 +181,7 @@ def merge(n_shards: int, sf_dir: str, partial: bool = False) -> int:
         return 2
     any_shard = False
     for shard in range(n_shards):
-        path = _shard_path(shard, n_shards)
+        path = _shard_path(shard, n_shards, base)
         if not os.path.exists(path):
             continue
         any_shard = True
@@ -192,17 +206,17 @@ def merge(n_shards: int, sf_dir: str, partial: bool = False) -> int:
         "generated_unix": int(time.time()),
         "queries": ordered,
     }
-    with open(os.path.join(REPO, "CORRECTNESS_SWEEP.json"), "w") as fh:
+    with open(os.path.join(REPO, f"{base}.json"), "w") as fh:
         json.dump(out, fh, indent=1)
     fails = [n for n, r in ordered.items() if r["err"] not in (None, "no_oracle")]
     n_oracle = sum(1 for r in ordered.values() if r["err"] != "no_oracle")
     print(
-        f"CORRECTNESS_SWEEP.json: {len(ordered)} queries, {n_oracle} oracle-paired,"
+        f"{base}.json: {len(ordered)} queries, {n_oracle} oracle-paired,"
         f" {len(fails)} failures{': ' + str(fails) if fails else ''}"
     )
     for shard in range(n_shards):
-        if os.path.exists(_shard_path(shard, n_shards)):
-            os.remove(_shard_path(shard, n_shards))
+        if os.path.exists(_shard_path(shard, n_shards, base)):
+            os.remove(_shard_path(shard, n_shards, base))
     return 1 if fails else 0
 
 

@@ -1,57 +1,44 @@
 #!/usr/bin/env python
-"""Whole-registry differential at an arbitrary sf_dir, shardable.
+"""Whole-registry differential at sf0.1, persisted as a GUARDED
+artifact (VERDICT r9 #2: the 10x-scale pass used to be stdout-only —
+claimed but unverifiable after the fact).
 
-Usage: python tools/sf01_sweep.py <shard> <n_shards> [sf_dir]
+Reuses tools/correctness_sweep.py's machinery (same driver-format
+records, same per-record source-digest stamps) with artifact base
+CORRECTNESS_SF01, so tools/check_artifacts.py certifies it with the
+identical content-digest rule as the sf0.01 sweep. Overflow /
+sketch-regime / interpolation bugs that only appear above the
+driver's sf0.01 show up here.
 
-Runs the same Spark-vs-DuckDB comparison as
-tests/test_oracle_differential.py (via tests.oracle_utils), over the
-shard of oracle-paired queries with hash(name) % n_shards == shard.
-Writes one status line per query to stdout; nonzero exit if any
-query fails. Used for the 10x-driver-scale (sf0.1) robustness pass —
-overflow / sketch-regime / interpolation bugs that only appear above
-the driver's sf0.01 show up here.
+Usage:
+    python tools/sf01_sweep.py <shard> <n_shards> [sf_dir]
+        -> writes CORRECTNESS_SF01.shard<shard>of<n>.json
+    python tools/sf01_sweep.py merge <n_shards> [sf_dir]
+        -> merges shards into CORRECTNESS_SF01.json (registry order),
+           exits nonzero on any failure or missing shard
 """
 
 from __future__ import annotations
 
-import hashlib
 import sys
-import time
 
 sys.path.insert(0, ".")
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
-from big_data_final_project_spark.registry import catalog
-from big_data_final_project_spark.session import get_spark
-from tests.oracle_utils import run_differential
+from correctness_sweep import merge, run  # noqa: E402
+
+BASE = "CORRECTNESS_SF01"
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 
 
 def main() -> int:
+    if sys.argv[1] == "merge":
+        n = int(sys.argv[2])
+        sf_dir = sys.argv[3] if len(sys.argv) > 3 else DEFAULT_SF_DIR
+        return merge(n, sf_dir, base=BASE)
     shard, n_shards = int(sys.argv[1]), int(sys.argv[2])
-    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
-    names = sorted(
-        n
-        for n, q in catalog().items()
-        if q.oracle is not None
-        and int(hashlib.md5(n.encode()).hexdigest(), 16) % n_shards == shard
-    )
-    spark = get_spark(app_name=f"sf01sweep{shard}", shuffle_partitions=16)
-    failed = []
-    for i, name in enumerate(names):
-        t0 = time.time()
-        try:
-            problems = run_differential(spark, sf_dir, name)
-        except Exception as exc:  # comparator/infra crash counts too
-            problems = [f"EXC {type(exc).__name__}: {exc}"]
-        status = "ok" if not problems else "FAIL " + "; ".join(problems)[:400]
-        print(
-            f"[{i + 1}/{len(names)}] {name} {time.time() - t0:.1f}s {status}",
-            flush=True,
-        )
-        if problems:
-            failed.append(name)
-    print(f"DONE shard {shard}: {len(names) - len(failed)}/{len(names)} ok,"
-          f" failed={failed}", flush=True)
-    return 1 if failed else 0
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else DEFAULT_SF_DIR
+    return run(shard, n_shards, sf_dir, base=BASE)
 
 
 if __name__ == "__main__":
