@@ -78,6 +78,17 @@ def salted_inner_join(
 SKEW_HOT_THRESHOLD_CONF = "spark.bdfp.skew.hotThreshold"
 SKEW_N_SALTS_CONF = "spark.bdfp.skew.nSalts"
 SKEW_N_SALTS_DEFAULT = 32
+# Broadcast shortcut (VERDICT r9 #4): when the build dictionary has at
+# most this many rows, skip salting entirely and broadcast it — a
+# map-side join has NO shuffle on the probe, so no partition can be
+# skewed, and the result is identical by the same routing-independence
+# argument. ~1M (key, agg) rows is tens of MB in a hashed relation —
+# comfortably inside executor memory; a 100 TB gram dictionary blows
+# past it and takes the salted shuffle path. Setting the hot-threshold
+# OVERRIDE conf disables the shortcut so probes/tests can force the
+# salted machinery deterministically.
+SKEW_BROADCAST_ROWS_CONF = "spark.bdfp.skew.broadcastRows"
+SKEW_BROADCAST_ROWS_DEFAULT = 1_000_000
 # Auto-detection floor: a key under this many probe rows is never
 # worth salting — replicating its build row across n_salts slots
 # costs more than the imbalance it could cause.
@@ -135,6 +146,15 @@ def salted_skew_join(
     shuffle), so the shuffled join never sees a key slot with more
     than max(threshold, hot_n/nSalts) rows.
 
+    SHORTCUT: when the whole build fits
+    ``spark.bdfp.skew.broadcastRows`` (default 1M rows) and no
+    threshold override is set, the join broadcasts the build outright
+    — a map-side join shuffles nothing on the probe, so no skew can
+    exist and the salting machinery would be pure overhead (VERDICT
+    r9 #4: this is most of the substring family's local cost). The
+    salted shuffle is the path for dictionaries too big to broadcast
+    — the actual 100 TB regime.
+
     Correctness is ROUTING-INDEPENDENT: the hot set only spreads rows
     across slots; every probe row still meets exactly the build rows
     of its key, so any threshold (including a wrong one) returns the
@@ -164,10 +184,26 @@ def salted_skew_join(
     build = materialize(build)
     conf = probe.sparkSession.conf
     override = conf.get(SKEW_HOT_THRESHOLD_CONF, None)
+    # one scalar pass over the staged build feeds BOTH decisions:
+    # broadcast-vs-salt (row count) and the auto hot threshold (total)
+    stats = build.agg(
+        F.sum(F.col(count_col)).alias("t"), F.count(F.lit(1)).alias("n")
+    ).first()
+    total, n_build = int(stats["t"] or 0), int(stats["n"])
+    bc_rows = int(
+        conf.get(SKEW_BROADCAST_ROWS_CONF, str(SKEW_BROADCAST_ROWS_DEFAULT))
+    )
+    if override is None and n_build <= bc_rows:
+        # dictionary fits: map-side join, no probe shuffle, no skew
+        # possible — the 100 TB case where it DOESN'T fit falls
+        # through to the salted shuffle below (and probes force that
+        # path by setting the threshold override or broadcastRows=0)
+        return probe.join(F.broadcast(build), key).drop(count_col)
+    nparts = int(conf.get("spark.sql.shuffle.partitions", "200"))
     hot_threshold = (
         int(override)
         if override is not None
-        else auto_hot_threshold(build, count_col)
+        else max(SKEW_AUTO_FLOOR, total // max(nparts, 1))
     )
     n_salts = int(conf.get(SKEW_N_SALTS_CONF, str(SKEW_N_SALTS_DEFAULT)))
     is_hot = F.col(count_col) > hot_threshold

@@ -958,20 +958,26 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64 collides (2^-64-scale odds, and the differential would
     catch it).
 
-    Scale shape: explode to one row per window position (bounded by
-    total token count), then TWO-LEVEL aggregation: a per-(doc_id,
-    wh) multiplicity pre-aggregate (map-side combinable; a doc that
-    repeats a gram internally collapses before any shuffle), a
-    per-wh global count over those partials, and a salted_skew_join
-    of the two on wh. No window over the gram hash — wh is uniform in
-    value but content-skewed in FREQUENCY (VERDICT r8 #1: a hot
-    boilerplate gram would pin one window partition), and AQE's
-    byte-based skew split never fires on this compressible payload
-    (round-9 probe, SCALE.md), so hot keys are spread
-    deterministically; the pre-aggregate already bounds the probe to
-    one row per (doc, gram). Stride >1 and a Bloom pre-filter of
-    singleton hashes are the standard 100 TB knobs, both
-    layout-compatible with this plan."""
+    Scale shape (r10 rework, VERDICT r9 #4): explode to one row per
+    window position (bounded by total token count), then TWO-LEVEL
+    aggregation: a per-(doc_id, wh) multiplicity pre-aggregate
+    (map-side combinable; a doc that repeats a gram internally
+    collapses before any shuffle), a per-wh global count over those
+    partials, and a salted_skew_join of the two on wh — which
+    BROADCASTS the gram dictionary while it fits and falls back to
+    deterministic conditional salting when it doesn't. No window over
+    the gram hash — wh is uniform in value but content-skewed in
+    FREQUENCY (VERDICT r8 #1: a hot boilerplate gram would pin one
+    window partition), and AQE's byte-based skew split never fires on
+    this compressible payload (round-9 probe, SCALE.md). The join
+    carries the FULL dictionary (not just duplicated grams) so the
+    per-doc totals AND dup counts come out of ONE groupBy(doc_id) on
+    the join output: the r9 dup-only variant needed a second full
+    corpus scan of `text` just to compute window totals plus a
+    doc-keyed merge join — at 100 TB re-reading the heaviest column
+    costs far more than the wider join intermediate, which partial-
+    aggregates in-stage before its shuffle. Stride >1 is the
+    remaining 100 TB knob, layout-compatible with this plan."""
     d = spread(load_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.split("text", " ").alias("t"))
     win_hashes = F.when(
@@ -984,40 +990,26 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     w = toks.select("doc_id", F.explode(win_hashes).alias("wh"))
-    # staged: pw feeds the duplicated-gram table and the join's probe
+    # staged: pw feeds the gram-count table and the join's probe
     # side — without staging the explode and the (doc, gram)
     # aggregate would run twice
     pw = materialize(
         w.groupBy("doc_id", "wh").agg(F.count("*").alias("m"))
     )
-    # join only against DUPLICATED grams (c > 1): usually a small
-    # fraction of the gram dictionary, so AQE broadcasts it and the
-    # probe never shuffles; when it IS large, the salted join bounds
-    # the hot keys the same way the exact-substr family does
-    gc_dup = (
-        pw.groupBy("wh")
-        .agg(F.sum("m").alias("c"))
-        .where(F.col("c") > 1)
+    gc = pw.groupBy("wh").agg(F.sum("m").alias("c"))
+    # re-expose the gram's corpus count under a caller-owned name:
+    # salted_skew_join consumes and drops its count_col
+    joined = salted_skew_join(
+        pw, gc.withColumn("cc", F.col("c")), "wh", "c", F.xxhash64("doc_id")
     )
-    dup_per_doc = (
-        salted_skew_join(pw, gc_dup, "wh", "c", F.xxhash64("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.sum("m").cast("bigint").alias("nd"))
+    nw = F.sum("m").cast("bigint")
+    nd = F.sum(F.when(F.col("cc") > 1, F.col("m")).otherwise(0)).cast(
+        "bigint"
     )
-    # per-doc window totals are a pure expression on the token array
-    # (size - K + 1) — no aggregation, no shuffle; docs under K tokens
-    # have no windows and (as in the exploded form) no output row
-    totals = toks.where(F.size("t") >= SW_K).select(
-        "doc_id", (F.size("t") - (SW_K - 1)).cast("bigint").alias("n_windows")
-    )
-    nd = F.coalesce(F.col("nd"), F.lit(0)).cast("bigint")
-    return totals.join(dup_per_doc, "doc_id", "left").select(
-        "doc_id",
-        "n_windows",
+    return joined.groupBy("doc_id").agg(
+        nw.alias("n_windows"),
         nd.alias("n_dup_windows"),
-        (nd.cast("double") / F.col("n_windows").cast("double")).alias(
-            "dup_frac"
-        ),
+        (nd.cast("double") / nw.cast("double")).alias("dup_frac"),
     )
 
 

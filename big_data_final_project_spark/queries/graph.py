@@ -444,9 +444,15 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
         e.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
-    centers = spread(
-        adj.groupBy(F.col("v").alias("c")).agg(
-            F.sort_array(F.collect_list("u")).alias("nbrs")
+    # staged (r10 shuffle sweep): centers feeds the wedge explode AND
+    # both degree joins — unstaged, the union+collect_list aggregate
+    # re-ran three times (ReuseExchange never fires across the
+    # broadcast boundary the deg joins sit behind), 7 shuffles -> 3
+    centers = materialize(
+        spread(
+            adj.groupBy(F.col("v").alias("c")).agg(
+                F.sort_array(F.collect_list("u")).alias("nbrs")
+            )
         )
     )
     deg = centers.select(F.col("c").alias("node"), F.size("nbrs").cast("bigint").alias("d"))

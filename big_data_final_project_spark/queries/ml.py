@@ -3666,7 +3666,11 @@ def ml_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
     score0 = _t2_score(
         "pl", "nl - pl", "nl", "pt - pl", "(nt - nl) - (pt - pl)", "nt - nl"
     ).replace("DIV", "div")
-    root = (
+    # staged (r10 shuffle sweep): the 1-row root feeds the broadcast
+    # tagging pass AND the output's root row — unstaged, the whole
+    # histogram+window+top-1 pipeline (a lineitem scan included) ran
+    # twice
+    root = materialize(
         c0.where(F.col("nl") < F.col("nt"))
         .selectExpr("qty", "nl", "pl", "nt", "pt", f"{score0} AS score")
         .orderBy(F.desc("score"), "qty")

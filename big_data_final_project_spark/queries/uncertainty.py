@@ -776,7 +776,10 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     fracs = spark.createDataFrame([(f,) for f in _LC_FRACS], "frac int")
-    models = (
+    # staged (r10 shuffle sweep): models (12 rows) feeds the eval
+    # broadcast AND the per-frac rollup — unstaged, the whole
+    # partials+models pipeline (a lineitem scan included) ran twice
+    models = materialize(
         partials.join(F.broadcast(fracs), F.col("b") < F.col("frac"))
         .groupBy("frac", "l_returnflag")
         .agg(

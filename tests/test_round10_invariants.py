@@ -143,3 +143,27 @@ def test_jaccard_lossless_on_planted_hot_fixture(spark):
     # and the position bound prunes the one prefix straggler, so the
     # filtered generator must beat even a SINGLE hot shingle's f²
     assert hits.count() < 861
+
+
+def test_r10_shuffle_staging_stays_lean(spark, sf_dir):
+    """The round-10 staging rewrites (multi-consumer frames that were
+    recomputing across the broadcast boundary) must keep their
+    exchange counts at the rewritten level (measured 1/3/3; slack 1
+    for planner drift)."""
+    from big_data_final_project_spark.plans.audit import (
+        PlanFacts,
+        formatted_plan,
+    )
+    from big_data_final_project_spark.registry import catalog
+
+    limits = {
+        "graph_jaccard_neighbors": 2,
+        "ml_learning_curve": 4,
+        "ml_tree_depth2": 4,
+    }
+    cat = catalog()
+    for name, max_shuffles in limits.items():
+        p = PlanFacts(formatted_plan(cat[name].fn(spark, sf_dir)))
+        assert p.shuffles <= max_shuffles, (
+            f"{name}: {p.shuffles} shuffles > pinned {max_shuffles}"
+        )

@@ -119,6 +119,7 @@ def test_salted_skew_join_auto_threshold(spark):
     join (routing independence)."""
     from big_data_final_project_spark.operators.salting import (
         SKEW_AUTO_FLOOR,
+        SKEW_BROADCAST_ROWS_CONF,
         auto_hot_threshold,
         salted_skew_join,
     )
@@ -140,11 +141,38 @@ def test_salted_skew_join_auto_threshold(spark):
     assert thr < 5000  # the hot key IS auto-detected
     assert thr > 10  # and the cold keys are NOT
     plain = probe.join(build, "k").select("k", "payload").collect()
-    salted = salted_skew_join(
-        probe, build, "k", "n", F.xxhash64("payload")
-    ).select("k", "payload").collect()
+    # broadcastRows=0 forces the salted shuffle path (the too-big-to-
+    # broadcast regime) so the AUTO threshold routing itself is what
+    # gets exercised, not the broadcast shortcut
+    spark.conf.set(SKEW_BROADCAST_ROWS_CONF, "0")
+    try:
+        salted = salted_skew_join(
+            probe, build, "k", "n", F.xxhash64("payload")
+        ).select("k", "payload").collect()
+    finally:
+        spark.conf.unset(SKEW_BROADCAST_ROWS_CONF)
     key = lambda r: (r["k"], r["payload"])
     assert Counter(map(key, plain)) == Counter(map(key, salted))
+
+
+def test_salted_skew_join_broadcast_shortcut(spark):
+    """With no threshold override and a build under the broadcast-row
+    cap, the join must plan as a broadcast hash join (no probe
+    shuffle — skew structurally impossible) and return the plain-join
+    rows."""
+    from big_data_final_project_spark.operators.salting import salted_skew_join
+
+    probe = spark.range(2000).select(
+        (F.col("id") % 50).alias("k"), F.col("id").alias("payload")
+    )
+    build = probe.groupBy("k").agg(F.count("*").alias("n"))
+    out = salted_skew_join(probe, build, "k", "n", F.xxhash64("payload"))
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" not in plan  # shortcut taken, salting machinery absent
+    plain = probe.join(build, "k").select("k", "payload").collect()
+    got = out.select("k", "payload").collect()
+    key = lambda r: (r["k"], r["payload"])
+    assert Counter(map(key, plain)) == Counter(map(key, got))
 
 
 def test_salted_skew_join_null_salt_src_keeps_rows(spark):

@@ -26,10 +26,126 @@ import bench
 
 
 # Per-query adjudication of same-path re-scans that are the QUERY'S
-# POINT, not an accident (VERDICT r8 #4 follow-through: every ×3+
-# census entry is either rewritten to ≤2 scans or justified here and
-# rendered into PLANS.md). Keys must match registry names.
+# POINT, not an accident (VERDICT r8 #4 follow-through, extended to
+# the ×2 census per VERDICT r9 #6: every ×2+ entry is either
+# rewritten or class-tagged here and rendered into PLANS.md, so the
+# review is persistent and mechanical for new entries). Keys must
+# match registry names; tags name one of the three legitimate
+# classes — slice comparison, threshold/anchor two-pass,
+# version-split.
 ADJUDICATED = {
+    # ---- ×2 census (r10) ----
+    "ab_sprt_sequential": (
+        "anchor two-pass — bucket-level cumulative partials reduce to"
+        " a broadcast row-set; the stream re-scan rebuilds per-row LLR"
+        " against it"
+    ),
+    "agg_quantile_sketch_windowed": (
+        "anchor two-pass — the day-grid spine is derived from the"
+        " per-day sketch partials and left-joined back; both reads are"
+        " histogram-sized, never raw events"
+    ),
+    "agg_rolling_distinct_users": (
+        "anchor two-pass — the (day, bucket) grid spine comes from the"
+        " bitmap partials and left-joins back; both reads are"
+        " bitmap-table-sized"
+    ),
+    "audit_referential_integrity": (
+        "slice comparison — independent FK relationship checks share a"
+        " parent table; each read pushes its own key column only"
+    ),
+    "curation_repetition_stats": (
+        "slice comparison — the token-repetition and bigram-repetition"
+        " gates are two independent gram granularities over one text"
+        " read each"
+    ),
+    "events_cohort_ltv": (
+        "anchor two-pass — pass 1 reduces users to first-touch cohort"
+        " rows; pass 2 re-scans events to accumulate revenue against"
+        " the cohort map (the classic sessionization shape)"
+    ),
+    "graph_two_hop_min_plus": (
+        "anchor two-pass — pass 1 builds the part-degree histogram for"
+        " the hub cap; pass 2 wedge-joins the capped edge set"
+    ),
+    "join_bloom_prefilter": (
+        "anchor two-pass — pass 1 reduces urgent orders to a 2048-row"
+        " bloom bitmap; the exact semi join then kills false positives"
+        " (the comparison IS the query's proof)"
+    ),
+    "join_cardinality_audit": (
+        "slice comparison — the histogram-based cardinality ESTIMATE"
+        " and the actual join it predicts are both computed; their"
+        " equality is the query's contract"
+    ),
+    "ml_gbm_one_boost_round": (
+        "anchor two-pass — stage 2 re-scans with the broadcast stage-1"
+        " leaf means to fit residuals; boosting's inner loop is"
+        " d scans for d rounds by construction"
+    ),
+    "ml_learning_curve": (
+        "slice comparison — the train pool and the held-out test split"
+        " are disjoint hash slices, each scanned with its own pushed"
+        " filter; the 12-row model table is staged (r10), so neither"
+        " leg recomputes the other's aggregates"
+    ),
+    "ml_spearman_rho": (
+        "anchor two-pass — per-column rank histograms (price, quantity)"
+        " are built then joined back onto the rows; each dictionary"
+        " read prunes to one column"
+    ),
+    "ml_tree_depth2": (
+        "anchor two-pass — the staged (r10) 1-row root split"
+        " broadcasts into the depth-2 re-scan; depth d costs d scans"
+        " regardless of data size"
+    ),
+    "privacy_randomized_response": (
+        "slice comparison — true-category counts vs randomized-report"
+        " counts over the same coded rows; the debias-vs-truth residual"
+        " is the query's output"
+    ),
+    "sample_temperature_mix": (
+        "anchor two-pass — pass 1 reduces to per-language keep rates"
+        " (broadcast); pass 2 re-scans to apply the hash gate"
+    ),
+    "sim_ivf_recall": (
+        "slice comparison — eval-only exact-truth leg vs the IVF"
+        " serving path; recall@k IS the comparison (bounded by the"
+        " sampled query set)"
+    ),
+    "sim_lsh_recall": (
+        "slice comparison — eval-only exact-truth leg vs the LSH"
+        " serving path; same bounded recall-probe shape as"
+        " sim_ivf_recall"
+    ),
+    "store_backfill_missing_hours": (
+        "anchor two-pass — the global hour-span anchor (one row) and"
+        " the per-type partition sets both read the manifest-scale"
+        " distinct key table, never raw rows"
+    ),
+    "store_snapshot_diff": (
+        "version-split — the old snapshot and the deterministically"
+        " derived new snapshot are the two table versions being"
+        " differenced"
+    ),
+    "tpch_q11_important_stock": (
+        "anchor two-pass — the grand-total scalar subquery reduces the"
+        " same base rows to a one-row broadcast; the Q11 shape itself"
+    ),
+    "ts_dominant_period": (
+        "slice comparison — the bounded lag self-join on the day index"
+        " reads the per-day aggregate against itself; lag legs are the"
+        " semantics"
+    ),
+    "ts_gapfill_interpolate": (
+        "anchor two-pass — one-row bounds aggregate generates the"
+        " dense grid; the observed-hour aggregate left-joins onto it"
+    ),
+    "ts_gapfill_locf": (
+        "anchor two-pass — same bounds-anchor + grid + left-join shape"
+        " as ts_gapfill_interpolate"
+    ),
+    # ---- ×3+ census (r8/r9) ----
     "store_deletion_vectors": (
         "slice comparison — the query MATERIALIZES both the"
         " merge-on-read and copy-on-write read paths over the same"
@@ -55,6 +171,28 @@ ADJUDICATED = {
         "eval-only exact-truth leg (judge-reviewed r8): the recall"
         " grader's exact side is inverted-index-blocked and bounded"
         " by Q_SET_CAP; the serving path reads once"
+    ),
+}
+
+# Shuffle-count adjudications (VERDICT r9 #5): the r9/r10 staging
+# sweeps took the ≥6-exchange tier down to ≤5 where a multi-consumer
+# frame was recomputing (graph_jaccard_neighbors 7→1,
+# ml_learning_curve 7→3, ml_tree_depth2 7→3 in round 10); what
+# remains is justified here.
+SHUFFLE_ADJUDICATED = {
+    "dedup_lsh_tuning": (
+        "re-confirmed r10 (previously adjudicated r9): the band-sweep"
+        " evaluates TWO banding configurations end-to-end (signature"
+        " build + bucket pair-gen + verify per config) plus the"
+        " merged report — each configuration's pipeline is 3"
+        " exchanges and independently necessary; the signature base"
+        " is session-cached so nothing re-scans the corpus"
+    ),
+    "sim_ivf_trained_recall": (
+        "re-confirmed r9: 8 exchanges across two independent ANN"
+        " pipelines (trained IVF serve + exact truth) and the recall"
+        " join; the exact leg is the eval anchor, bounded by"
+        " Q_SET_CAP"
     ),
 }
 
@@ -171,8 +309,18 @@ def main() -> None:
             + ", ".join(f"`{n}` {s}" for n, s in worst_shuffles[:5])
             + ".",
             "",
-            "Adjudicated re-scans (reviewed per VERDICT r8 #4; the"
-            " re-read is the query's semantics, not an accident):",
+            "Shuffle-tier adjudications (VERDICT r9 #5 — every ≥6-exchange"
+            " plan reviewed against the staging patterns):",
+            "",
+        ] + [
+            f"- `{n}`: {why}"
+            for n, why in sorted(SHUFFLE_ADJUDICATED.items())
+        ] + [
+            "",
+            "Adjudicated re-scans (reviewed per VERDICT r8 #4, extended to"
+            " the full ×2 census per VERDICT r9 #6; the re-read is the"
+            " query's semantics, not an accident — class tags name the"
+            " legitimate class each entry falls in):",
             "",
         ] + [
             f"- `{n}`: {why}"

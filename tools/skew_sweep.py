@@ -216,14 +216,17 @@ def content_hot_path_probe(spark, out_dir: str) -> dict:
         spark.conf.unset(SKEW_HOT_THRESHOLD_CONF)
         spark.conf.unset(SKEW_N_SALTS_CONF)
 
-    # AUTO leg (VERDICT r9 #3): no threshold conf at all — emulate
-    # cluster parallelism (shuffle.partitions=4096, the scale at which
-    # a 100 TB job runs) so a partition's fair share of the dup-gram
-    # rows drops beneath the planted gram's frequency and
-    # auto_hot_threshold() detects the hot set from exact build
-    # counts alone. Results must still equal the default run.
+    # AUTO leg (VERDICT r9 #3): no threshold conf at all — emulate the
+    # 100 TB regime instead: shuffle.partitions=4096 (cluster
+    # parallelism, so a partition's fair share of the dup-gram rows
+    # drops beneath the planted gram's frequency) and broadcastRows=0
+    # (a gram dictionary too big to broadcast, which is what makes the
+    # salted shuffle path the live one at scale). auto_hot_threshold()
+    # must then detect the hot set from exact build counts alone, and
+    # results must equal the default run.
     from big_data_final_project_spark.operators.salting import (
         SKEW_AUTO_FLOOR,
+        SKEW_BROADCAST_ROWS_CONF,
     )
 
     dup = counts.where(F.col("n") > 1)
@@ -232,10 +235,12 @@ def content_hot_path_probe(spark, out_dir: str) -> dict:
     n_hot_auto = dup.where(F.col("n") > auto_thr).count()
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4096")
+    spark.conf.set(SKEW_BROADCAST_ROWS_CONF, "0")
     try:
         auto = run_all()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+        spark.conf.unset(SKEW_BROADCAST_ROWS_CONF)
     return {
         "lowered_hot_threshold": lowered,
         "n_hot_grams": int(n_hot),
