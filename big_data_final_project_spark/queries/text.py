@@ -1797,12 +1797,19 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(_toks(F.col("text"))).alias("w")
     ).transform(materialize)  # read twice: dl + tf
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    # dl staged too (r10): it feeds the corpus stats AND the scoring
+    # join — unstaged, the doc-length aggregate ran twice
+    dl = materialize(
+        toks.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("dl")
+        )
+    )
     st = dl.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("sumdl"),
     )
-    tf = (
+    # tf staged (r10): it feeds the df rollup AND the scoring join
+    tf = materialize(
         toks.where(F.col("w").isin(*_BM25_QUERY))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
@@ -1883,7 +1890,11 @@ def curation_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(_toks(F.col("text"))).alias("w")
     ).transform(materialize)  # read twice: cf + scoring
-    cf = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("cf"))
+    # cf staged too (r10): it feeds the total-token scalar AND the
+    # scoring broadcast — unstaged, the vocab count ran twice
+    cf = materialize(
+        toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("cf"))
+    )
     st = cf.agg(F.sum("cf").cast("bigint").alias("total_tokens"))
     s = ln_ratio_e3_sql("total_tokens", "cf").replace("DIV", "div")
     per_tok = (
@@ -2085,10 +2096,20 @@ def curation_bigram_lm_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(materialize)
     )
     train = bg.where(F.col("doc_id") % 2 == 0)
-    c2 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    # both count tables staged (r10): c2 feeds the c1 rollup AND the
+    # scoring join, c1 feeds the vocab scalar AND the scoring join —
+    # unstaged, each aggregate pipeline ran twice (these ARE the
+    # trained-model artifacts a 100 TB pipeline persists anyway)
+    c2 = materialize(
+        train.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c2")
+        )
+    )
     # c1(w1) = sum over w2 of c2(w1, w2): roll up the ALREADY-counted
     # bigram table instead of re-aggregating the raw token stream
-    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
+    c1 = materialize(
+        c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
+    )
     vt = c1.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
     held = bg.where(F.col("doc_id") % 2 == 1)
     s = ln_ratio_e3_sql("cn1 + v", "cn2 + 1").replace("DIV", "div")

@@ -4246,12 +4246,17 @@ def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
     )
     wp = Window.partitionBy("event_type")
-    stats = daily.select(
-        "event_type",
-        "x",
-        F.row_number().over(wp.orderBy("day")).alias("idx"),
-        F.count(F.lit(1)).over(wp).cast("bigint").alias("n"),
-        F.sum("x").over(wp).cast("bigint").alias("s"),
+    # staged (r10 shuffle sweep): stats feeds the denominator, and
+    # BOTH sides of the lag self-join — unstaged, the daily aggregate
+    # + window pipeline (events scan included) ran three times
+    stats = materialize(
+        daily.select(
+            "event_type",
+            "x",
+            F.row_number().over(wp.orderBy("day")).alias("idx"),
+            F.count(F.lit(1)).over(wp).cast("bigint").alias("n"),
+            F.sum("x").over(wp).cast("bigint").alias("s"),
+        )
     )
     dev = F.col("n") * F.col("x") - F.col("s")
     den = stats.groupBy("event_type", F.col("n").alias("n_days")).agg(

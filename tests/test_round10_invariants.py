@@ -160,6 +160,10 @@ def test_r10_shuffle_staging_stays_lean(spark, sf_dir):
         "graph_jaccard_neighbors": 2,
         "ml_learning_curve": 4,
         "ml_tree_depth2": 4,
+        "text_bm25_topk": 4,
+        "ts_dominant_period": 5,
+        "curation_bigram_lm_heldout": 3,
+        "curation_unigram_surprisal": 3,
     }
     cat = catalog()
     for name, max_shuffles in limits.items():
