@@ -2991,8 +2991,15 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents"),
         )
     )
-    cohorts = base.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    # staged (r10 shuffle sweep): the cohort map feeds the sizes
+    # rollup AND the revenue join — unstaged, the first-touch
+    # aggregate (events scan included) ran twice
+    cohorts = materialize(
+        base.groupBy("user_id").agg(
+            F.date_trunc("week", F.min("ts")).cast("date").alias(
+                "cohort_week"
+            )
+        )
     )
     sizes = cohorts.groupBy("cohort_week").agg(
         F.count("*").cast("bigint").alias("cohort_users")

@@ -61,8 +61,10 @@ ADJUDICATED = {
     ),
     "events_cohort_ltv": (
         "anchor two-pass — pass 1 reduces users to first-touch cohort"
-        " rows; pass 2 re-scans events to accumulate revenue against"
-        " the cohort map (the classic sessionization shape)"
+        " rows (staged r10, so sizes and the revenue join read it"
+        " without recompute); pass 2 re-scans events to accumulate"
+        " revenue against the cohort map (the classic sessionization"
+        " shape)"
     ),
     "graph_two_hop_min_plus": (
         "anchor two-pass — pass 1 builds the part-degree histogram for"
@@ -193,6 +195,18 @@ SHUFFLE_ADJUDICATED = {
         " pipelines (trained IVF serve + exact truth) and the recall"
         " join; the exact leg is the eval anchor, bounded by"
         " Q_SET_CAP"
+    ),
+    "curation_embedding_diversity": (
+        "r10: 6 exchanges across two DIFFERENT sources (documents"
+        " rollup + embeddings explode/centroid pipeline) merged by one"
+        " broadcast join — nothing recomputes; two-source rollups pay"
+        " both pipelines by definition"
+    ),
+    "events_attribution_shapley": (
+        "r10: 6 exchanges = three DISTINCT marginal aggregates over"
+        " events (the Shapley value needs per-position and per-subset"
+        " marginals) broadcast-merged; each aggregate is a different"
+        " grouping, not a recompute"
     ),
 }
 
