@@ -3885,7 +3885,11 @@ def ml_gbm_one_boost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(count(*) AS {d38})").alias("n"),
         F.expr("sum(y)").alias("s"),
     )
-    root = best_split(h0, "qty")
+    # staged (r10 shuffle sweep): the 1-row stage-1 stump feeds the
+    # residual broadcast AND the output's round1 row — unstaged, the
+    # histogram+window+top-1 pipeline (a lineitem scan included) ran
+    # twice (same disease ml_tree_depth2 had)
+    root = materialize(best_split(h0, "qty"))
     resid = rows_.crossJoin(
         F.broadcast(
             root.selectExpr(

@@ -165,6 +165,7 @@ def test_r10_shuffle_staging_stays_lean(spark, sf_dir):
         "curation_bigram_lm_heldout": 3,
         "curation_unigram_surprisal": 3,
         "events_cohort_ltv": 5,
+        "ml_gbm_one_boost_round": 4,
     }
     cat = catalog()
     for name, max_shuffles in limits.items():

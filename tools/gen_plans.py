@@ -208,6 +208,53 @@ SHUFFLE_ADJUDICATED = {
         " marginals) broadcast-merged; each aggregate is a different"
         " grouping, not a recompute"
     ),
+    "events_retention_half_life": (
+        "r10: 6 exchanges = one linear pipeline (user-level first-touch"
+        " + cohort-activity aggregates, a decay window, and the"
+        " half-life rollup) — sequential stages over"
+        " ever-smaller frames, no duplicated subtree"
+    ),
+    "graph_kcore_peel": (
+        "r10: iterative peeling — a degree aggregate + filter join per"
+        " round; exchanges scale with ROUNDS (lineage cut per round),"
+        " the algorithm's definition, not a diamond"
+    ),
+    "graph_personalized_pagerank": (
+        "r10: power iteration — one rank-scatter aggregate per step;"
+        " exchanges scale with STEPS, irreducible for an iterative"
+        " fixed point"
+    ),
+    "graph_two_hop_min_plus": (
+        "r10: 6 exchanges = edge-weight aggregate + degree-cap"
+        " histogram + wedge join + final min rollup; the degree pass"
+        " is the hub-suppression anchor (×2 census class)"
+    ),
+    "profile_functional_dependencies": (
+        "r10: 6 exchanges = one struct()-keyed distinct-count"
+        " aggregate per candidate column PAIR — multi-marginal by"
+        " definition; each grouping is distinct work"
+    ),
+    "setop_union_intersect_except": (
+        "r10: 6 exchanges = three set operations (UNION / INTERSECT /"
+        " EXCEPT) each needing its own distinct shuffle — the three"
+        " legs ARE the query"
+    ),
+    "sim_ivf_recall": (
+        "r10: 6 exchanges across two independent ANN pipelines (IVF"
+        " serve + exact truth) and the recall join — same eval-anchor"
+        " shape as sim_ivf_trained_recall, bounded by the sampled"
+        " query set"
+    ),
+    "sim_lsh_recall": (
+        "r10: 6 exchanges, same two-pipeline recall-probe shape as"
+        " sim_ivf_recall with the LSH serve path"
+    ),
+    "sql_join_hint_shuffle": (
+        "r10: the query DEMONSTRATES hint semantics — it deliberately"
+        " forces SHUFFLE_HASH/MERGE joins that would otherwise"
+        " broadcast; the extra exchanges are the demonstrated"
+        " behavior"
+    ),
 }
 
 
