@@ -236,6 +236,95 @@ def _containment_candidate_hits(docs: DataFrame, ex: DataFrame) -> DataFrame:
 
 
 @query(
+    "dedup_candidate_volume_audit",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+               {_SHINGLES_SQL} AS sh
+        FROM documents
+    ),
+    tt AS (SELECT * FROM t WHERE len(sh) > 0),
+    e AS (SELECT doc_id, lang, len_bucket, unnest(sh) AS s FROM tt),
+    blk AS (SELECT lang, len_bucket, count(*) AS nd FROM tt GROUP BY 1, 2),
+    df AS (SELECT lang, len_bucket, s, count(*) AS df FROM e GROUP BY 1, 2, 3),
+    j AS (
+        SELECT df.df, blk.nd,
+               greatest({CONTAINMENT_DF_FLOOR},
+                        blk.nd // {CONTAINMENT_STOP_DIV}) AS cap,
+               df.df <= greatest({CONTAINMENT_DF_FLOOR},
+                                 blk.nd // {CONTAINMENT_STOP_DIV}) AS elig
+        FROM df JOIN blk USING (lang, len_bucket)
+    )
+    SELECT
+      CAST(sum(df * (df - 1) // 2) AS BIGINT) AS unfiltered_pair_hits,
+      CAST(sum(CASE WHEN elig THEN df * (df - 1) // 2 ELSE 0 END)
+           AS BIGINT) AS containment_pair_hits,
+      CAST(sum(CASE WHEN NOT elig THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_stop_shingle_blocks,
+      CAST(max(df) AS BIGINT) AS max_df,
+      CAST(max(CASE WHEN elig THEN df END) AS BIGINT) AS max_eligible_df,
+      CAST(max(cap) AS BIGINT) AS cap_max_block,
+      CAST(sum(df) AS BIGINT) AS shingle_occurrences
+    FROM j
+    """,
+    tags=("dedup", "audit", "volume", "engine-addition"),
+)
+def dedup_candidate_volume_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-VOLUME forecast for the pairwise similarity screens —
+    the pre-flight audit a 100 TB curation pipeline runs before
+    launching them (the self-join twin of join_cardinality_audit's
+    planner forecast): per (shingle, block) document frequencies
+    predict the inverted-index join's output exactly —
+    sum C(df, 2) is the unfiltered hit count the pre-r10 screens
+    materialized, and the same sum over STOP-SHINGLE-eligible
+    shingles IS dedup_containment's candidate volume (one row per
+    co-occurring doc pair per eligible shingle), so the df-cap bound
+    (max_eligible_df <= cap) is verified cross-engine at every scale
+    factor by the driver, not just by the skew sweep's probe.
+    tests/test_round10_invariants.py additionally pins that the
+    audited containment_pair_hits equals the real generator frame's
+    row count. The jaccard screen's prefix-hit count is deliberately
+    NOT here: its rarity order breaks ties on xxhash64, which DuckDB
+    cannot reproduce — the planted-boilerplate sweep probe covers it.
+
+    Scale shape: one exploded-index df aggregate joined to the
+    (tiny, broadcast) block-size table, reduced to a single audit
+    row — histogram-sized work, never pair-sized."""
+    docs, ex = _shingle_index(spark, sf_dir)
+    blk = docs.groupBy("lang", "len_bucket").agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    df_tab = ex.groupBy("lang", "len_bucket", "s").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    cap = F.greatest(
+        F.lit(CONTAINMENT_DF_FLOOR),
+        F.expr(f"nd div {CONTAINMENT_STOP_DIV}"),
+    )
+    j = (
+        df_tab.join(blk, ["lang", "len_bucket"])
+        .withColumn("cap", cap)
+        .withColumn("elig", F.col("df") <= F.col("cap"))
+    )
+    pair_hits = F.expr("df * (df - 1) div 2")
+    return j.agg(
+        F.sum(pair_hits).cast("bigint").alias("unfiltered_pair_hits"),
+        F.sum(F.when(F.col("elig"), pair_hits).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("containment_pair_hits"),
+        F.sum(F.when(~F.col("elig"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_stop_shingle_blocks"),
+        F.max("df").cast("bigint").alias("max_df"),
+        F.max(F.when(F.col("elig"), F.col("df")))
+        .cast("bigint")
+        .alias("max_eligible_df"),
+        F.max("cap").cast("bigint").alias("cap_max_block"),
+        F.sum("df").cast("bigint").alias("shingle_occurrences"),
+    )
+
+
+@query(
     "dedup_exact",
     oracle=f"""
     WITH corpus AS (

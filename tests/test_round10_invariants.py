@@ -91,6 +91,22 @@ def test_containment_volume_bounded_by_cap(spark, sf_dir):
     assert hits <= cap * int(row["occ"]) // 2
 
 
+def test_volume_audit_matches_containment_generator(spark, sf_dir):
+    """The oracle-paired volume audit's containment_pair_hits must
+    equal the REAL generator frame's row count — the tie between the
+    cross-engine-certified forecast and the join it predicts."""
+    from big_data_final_project_spark.queries.dedup import (
+        dedup_candidate_volume_audit,
+    )
+
+    docs, ex = _shingle_index(spark, sf_dir)
+    hits = _containment_candidate_hits(docs, ex).count()
+    audit = dedup_candidate_volume_audit(spark, sf_dir).first()
+    assert hits == audit["containment_pair_hits"]
+    assert audit["max_eligible_df"] <= audit["cap_max_block"]
+    assert audit["containment_pair_hits"] <= audit["unfiltered_pair_hits"]
+
+
 def test_jaccard_prefix_filter_reduces_and_is_lossless(spark, sf_dir):
     """Real corpus: the prefix route emits fewer hits than the
     unfiltered join (sum of C(df,2)) AND its distinct candidate set
