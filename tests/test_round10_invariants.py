@@ -161,6 +161,46 @@ def test_jaccard_lossless_on_planted_hot_fixture(spark):
     assert hits.count() < 861
 
 
+def test_jaccard_prefix_filter_lossless_on_random_corpora(spark):
+    """Property-based losslessness: on RANDOM small corpora (arbitrary
+    shingle-set overlap structure, including pathological all-same and
+    all-disjoint draws), the prefix+position+length candidate set must
+    cover every true J >= 0.1 pair. Hypothesis drives the corpus shape;
+    the brute-force python oracle is ground truth. One Spark run per
+    example is expensive, so the corpus strategy is evaluated in a
+    small number of drawn examples but each covers many docs/pairs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    corpus = st.lists(
+        st.lists(
+            st.integers(min_value=1, max_value=40), min_size=1, max_size=25
+        ),
+        min_size=2,
+        max_size=18,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(corpus)
+    def check(doc_shingles):
+        rows = [
+            (i + 1, sorted(set(sh))) for i, sh in enumerate(doc_shingles)
+        ]
+        docs, ex = _mk(spark, rows)
+        cand = {
+            (r["doc_a"], r["doc_b"])
+            for r in _jaccard_candidate_hits(docs, ex).collect()
+        }
+        for (ida, sa), (idb, sb) in combinations(
+            [(i, set(sh)) for i, sh in rows], 2
+        ):
+            union = len(sa | sb)
+            if union and len(sa & sb) / union >= JACCARD_THRESHOLD:
+                assert (ida, idb) in cand, (ida, idb, sa, sb)
+
+    check()
+
+
 def test_r10_shuffle_staging_stays_lean(spark, sf_dir):
     """The round-10 staging rewrites (multi-consumer frames that were
     recomputing across the broadcast boundary) must keep their
