@@ -41,9 +41,11 @@ def _mk(spark, rows):
     docs = spark.createDataFrame(
         [(i, "xx", 0, sh, len(sh)) for i, sh in rows], DOCS_SCHEMA
     )
+    # m mirrors _shingle_index's md5 rank tiebreak (here over the
+    # long's decimal form — any per-shingle total order is valid)
     ex = docs.select(
         "doc_id", "lang", "len_bucket", "n", F.explode("shh").alias("s")
-    )
+    ).withColumn("m", F.md5(F.col("s").cast("string")))
     return docs, ex
 
 
