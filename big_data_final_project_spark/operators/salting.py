@@ -79,42 +79,100 @@ SKEW_HOT_THRESHOLD_CONF = "spark.bdfp.skew.hotThreshold"
 SKEW_N_SALTS_CONF = "spark.bdfp.skew.nSalts"
 SKEW_N_SALTS_DEFAULT = 32
 # Broadcast shortcut (VERDICT r9 #4): when the build dictionary has at
-# most this many rows, skip salting entirely and broadcast it — a
-# map-side join has NO shuffle on the probe, so no partition can be
-# skewed, and the result is identical by the same routing-independence
-# argument. ~1M (key, agg) rows is tens of MB in a hashed relation —
-# comfortably inside executor memory; a 100 TB gram dictionary blows
-# past it and takes the salted shuffle path. Setting the hot-threshold
-# OVERRIDE conf disables the shortcut so probes/tests can force the
-# salted machinery deterministically.
+# most this many rows AND its estimated bytes fit the byte cap below,
+# skip salting entirely and broadcast it — a map-side join has NO
+# shuffle on the probe, so no partition can be skewed, and the result
+# is identical by the same routing-independence argument. ~1M (key,
+# agg) rows is tens of MB in a hashed relation — comfortably inside
+# executor memory; a 100 TB gram dictionary blows past it and takes
+# the salted shuffle path. Setting the hot-threshold OVERRIDE conf
+# disables the shortcut so probes/tests can force the salted machinery
+# deterministically.
 SKEW_BROADCAST_ROWS_CONF = "spark.bdfp.skew.broadcastRows"
 SKEW_BROADCAST_ROWS_DEFAULT = 1_000_000
+# Byte gate (ADVICE r10): a row cap alone lets a WIDE build (string /
+# array payloads pass the schema check — only count_col's presence is
+# enforced) blow executor memory despite few rows. rows x pessimistic
+# per-type width must also fit this cap before F.broadcast is forced.
+# 64 MB keeps every narrow (key, count) dictionary the callers build
+# today (1M rows x ~32 B = 32 MB) on the map-side path while a
+# 1M-row build of 1 KB documents (~1 GB) falls through to salting.
+SKEW_BROADCAST_BYTES_CONF = "spark.bdfp.skew.broadcastBytes"
+SKEW_BROADCAST_BYTES_DEFAULT = 64 << 20
+# Pessimistic per-field width estimates (bytes) for the gate. Fixed
+# types use their physical width; variable-width types get sizes that
+# overestimate the callers' payloads on purpose — the failure mode of
+# a too-big estimate is a pointless salted shuffle (slower, correct),
+# of a too-small one an executor OOM.
+_TYPE_WIDTH_BYTES = {
+    "boolean": 1,
+    "byte": 1,
+    "short": 2,
+    "integer": 4,
+    "float": 4,
+    "date": 4,
+    "long": 8,
+    "double": 8,
+    "timestamp": 8,
+    "timestamp_ntz": 8,
+    "decimal": 16,
+    "string": 64,
+    "binary": 64,
+}
+_NESTED_WIDTH_BYTES = 1024  # array/map/struct: assume wide
+
+
+def _estimated_row_bytes(schema) -> int:
+    """Pessimistic bytes per row from the schema alone (no data scan):
+    numeric/temporal fields at physical width, strings/binary at a
+    generous flat estimate, nested types assumed wide. Unknown types
+    fall back to the nested estimate — overestimating only costs a
+    salted shuffle, underestimating risks an executor OOM."""
+    total = 0
+    for f in schema.fields:
+        name = f.dataType.typeName()
+        total += _TYPE_WIDTH_BYTES.get(
+            name, _NESTED_WIDTH_BYTES
+        )
+    return max(total, 8)
+
+
 # Auto-detection floor: a key under this many probe rows is never
 # worth salting — replicating its build row across n_salts slots
 # costs more than the imbalance it could cause.
 SKEW_AUTO_FLOOR = 64
 
 
-def auto_hot_threshold(build: DataFrame, count_col: str) -> int:
+def _fair_share_threshold(total: int, nparts: int) -> int:
+    """The ONE formula both auto_hot_threshold and salted_skew_join
+    use (ADVICE r10: two inline copies could drift): a key is HOT when
+    its probe-row count alone exceeds a shuffle partition's fair share
+    of the join's rows, floored at SKEW_AUTO_FLOOR."""
+    return max(SKEW_AUTO_FLOOR, int(total) // max(int(nparts), 1))
+
+
+def auto_hot_threshold(
+    build: DataFrame, count_col: str, *, total: int | None = None
+) -> int:
     """Data-derived hot threshold (VERDICT r9 #3: the static 65536
-    knob becomes an override): a key is HOT when its probe-row count
-    alone exceeds a shuffle partition's fair share of the join's
-    rows, i.e. count > max(SKEW_AUTO_FLOOR, total div shufflePartitions).
+    knob becomes an override): ``_fair_share_threshold`` over the
+    probe-row total and the session's shuffle partitions.
 
     The estimate is EXACT, not sampled: every caller's ``build`` is a
     per-key aggregate over the probe, so ``sum(count_col)`` IS the
     probe's row total, and the build is already materialize()d by
     salted_skew_join — the one extra scalar aggregate reads staged
-    data (a 1% sample, the other obvious detector, would only be
-    needed if the build lacked counts). Deterministic by
-    construction, and SAFE by construction either way: routing
-    independence (tests/test_salting.py) means a wrong threshold
-    degrades to the plain join's distribution, never to wrong rows."""
-    total = build.agg(F.sum(F.col(count_col))).first()[0] or 0
+    data (pass ``total`` to skip even that when the caller already
+    has it, as salted_skew_join does). Deterministic by construction,
+    and SAFE by construction either way: routing independence
+    (tests/test_salting.py) means a wrong threshold degrades to the
+    plain join's distribution, never to wrong rows."""
+    if total is None:
+        total = build.agg(F.sum(F.col(count_col))).first()[0] or 0
     nparts = int(
         build.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    return max(SKEW_AUTO_FLOOR, int(total) // max(nparts, 1))
+    return _fair_share_threshold(int(total), nparts)
 
 
 def salted_skew_join(
@@ -147,7 +205,9 @@ def salted_skew_join(
     than max(threshold, hot_n/nSalts) rows.
 
     SHORTCUT: when the whole build fits
-    ``spark.bdfp.skew.broadcastRows`` (default 1M rows) and no
+    ``spark.bdfp.skew.broadcastRows`` (default 1M rows) AND its
+    estimated size (rows x pessimistic schema width, ADVICE r10)
+    fits ``spark.bdfp.skew.broadcastBytes`` (default 64 MB), and no
     threshold override is set, the join broadcasts the build outright
     — a map-side join shuffles nothing on the probe, so no skew can
     exist and the salting machinery would be pure overhead (VERDICT
@@ -193,7 +253,16 @@ def salted_skew_join(
     bc_rows = int(
         conf.get(SKEW_BROADCAST_ROWS_CONF, str(SKEW_BROADCAST_ROWS_DEFAULT))
     )
-    if override is None and n_build <= bc_rows:
+    bc_bytes = int(
+        conf.get(SKEW_BROADCAST_BYTES_CONF, str(SKEW_BROADCAST_BYTES_DEFAULT))
+    )
+    if (
+        override is None
+        and n_build <= bc_rows
+        # ADVICE r10: rows alone would let a wide-payload build blow
+        # memory — the pessimistic schema-width estimate gates bytes
+        and n_build * _estimated_row_bytes(build.schema) <= bc_bytes
+    ):
         # dictionary fits: map-side join, no probe shuffle, no skew
         # possible — the 100 TB case where it DOESN'T fit falls
         # through to the salted shuffle below (and probes force that
@@ -203,7 +272,9 @@ def salted_skew_join(
     hot_threshold = (
         int(override)
         if override is not None
-        else max(SKEW_AUTO_FLOOR, total // max(nparts, 1))
+        # the shared formula — auto_hot_threshold(build, count_col,
+        # total=total) resolves to exactly this (ADVICE r10)
+        else _fair_share_threshold(total, nparts)
     )
     n_salts = int(conf.get(SKEW_N_SALTS_CONF, str(SKEW_N_SALTS_DEFAULT)))
     is_hot = F.col(count_col) > hot_threshold

@@ -222,3 +222,55 @@ def test_salted_skew_join_guards_and_output_columns(spark):
             probe.withColumn("n", F.lit(1)), build, "k", "n",
             F.xxhash64("payload"),
         )
+
+
+def test_salted_skew_join_byte_gate_blocks_wide_build(spark):
+    """ADVICE r10: a build under the ROW cap but with a wide payload
+    (array column -> pessimistic schema-width estimate over the byte
+    cap) must NOT be broadcast — the salted path plans instead, and
+    the rows still match the plain join."""
+    from big_data_final_project_spark.operators.salting import (
+        SKEW_BROADCAST_BYTES_CONF,
+        _estimated_row_bytes,
+        salted_skew_join,
+    )
+
+    probe = spark.range(2000).select(
+        (F.col("id") % 50).alias("k"), F.col("id").alias("payload")
+    )
+    wide = probe.groupBy("k").agg(
+        F.count("*").alias("n"), F.collect_list("payload").alias("bulk")
+    )
+    # 50 rows x ~1KB estimate = ~52 KB; force the gate low enough to trip
+    spark.conf.set(SKEW_BROADCAST_BYTES_CONF, "1024")
+    try:
+        out = salted_skew_join(probe, wide, "k", "n", F.xxhash64("payload"))
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "_salt" in plan  # broadcast shortcut refused, salted path
+        assert out.count() == 2000
+    finally:
+        spark.conf.unset(SKEW_BROADCAST_BYTES_CONF)
+    # narrow build at the default caps still takes the shortcut
+    narrow = probe.groupBy("k").agg(F.count("*").alias("n"))
+    assert _estimated_row_bytes(narrow.schema) < 64
+    out2 = salted_skew_join(probe, narrow, "k", "n", F.xxhash64("payload"))
+    assert "_salt" not in out2._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_auto_hot_threshold_matches_join_inline_formula(spark):
+    """ADVICE r10: the public helper and the join's inline decision
+    derive from ONE shared formula — assert they agree, including the
+    precomputed-total fast path."""
+    from big_data_final_project_spark.operators.salting import (
+        _fair_share_threshold,
+        auto_hot_threshold,
+    )
+
+    probe = spark.range(7000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("payload")
+    )
+    build = probe.groupBy("k").agg(F.count("*").alias("n"))
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    expected = _fair_share_threshold(7000, nparts)
+    assert auto_hot_threshold(build, "n") == expected
+    assert auto_hot_threshold(build, "n", total=7000) == expected
