@@ -102,25 +102,32 @@ def _shingle_index(spark: SparkSession, sf_dir: str):
     t = _shingled(d, "doc_id", "lang", "len_bucket")
     base = (
         t.where(F.size("sh") > 0)
-        .select("doc_id", "lang", "len_bucket", "sh", F.size("sh").alias("n"))
+        .select(
+            "doc_id",
+            "lang",
+            "len_bucket",
+            "sh",
+            F.transform("sh", lambda x: F.xxhash64(x)).alias("shh"),
+            F.size("sh").alias("n"),
+        )
         .transform(materialize)
     )
-    docs = base.select(
+    docs = base.select("doc_id", "lang", "len_bucket", "shh", "n")
+    # zip raw+hashed so the explode never re-hashes: s comes from the
+    # cached shh, m is md5 over the cached raw shingle
+    ex = base.select(
         "doc_id",
         "lang",
         "len_bucket",
-        F.transform("sh", lambda x: F.xxhash64(x)).alias("shh"),
         "n",
-    )
-    ex = base.select(
-        "doc_id", "lang", "len_bucket", "n", F.explode("sh").alias("raw")
+        F.explode(F.arrays_zip("sh", "shh")).alias("z"),
     ).select(
         "doc_id",
         "lang",
         "len_bucket",
         "n",
-        F.xxhash64("raw").alias("s"),
-        F.md5("raw").alias("m"),
+        F.col("z.shh").alias("s"),
+        F.md5("z.sh").alias("m"),
     )
     return docs, ex
 

@@ -225,14 +225,26 @@ def content_hot_path_probe(spark, out_dir: str) -> dict:
     # must then detect the hot set from exact build counts alone, and
     # results must equal the default run.
     from big_data_final_project_spark.operators.salting import (
-        SKEW_AUTO_FLOOR,
         SKEW_BROADCAST_ROWS_CONF,
+        _fair_share_threshold,
     )
 
-    dup = counts.where(F.col("n") > 1)
-    total_dup = dup.agg(F.sum("n")).collect()[0][0] or 0
-    auto_thr = max(SKEW_AUTO_FLOOR, int(total_dup) // 4096)
-    n_hot_auto = dup.where(F.col("n") > auto_thr).count()
+    # ADVICE r10: record the auto threshold from the SAME build each
+    # reworked query actually passes to salted_skew_join — the r10
+    # figure came from a dup-gram build no query uses.
+    # dedup_substring_windows feeds the FULL gram dictionary
+    # (count = total window occurrences); the exact-substr family
+    # feeds the CROSS-DOC flag rows only.
+    total_all = counts.agg(F.sum("n")).collect()[0][0] or 0
+    thr_full = _fair_share_threshold(int(total_all), 4096)
+    n_hot_full = counts.where(F.col("n") > thr_full).count()
+    xdoc = g.groupBy("wh").agg(
+        (F.min("doc_id") != F.max("doc_id")).alias("xdoc"),
+        F.count("*").alias("n"),
+    ).where("xdoc")
+    total_xdoc = xdoc.agg(F.sum("n")).collect()[0][0] or 0
+    thr_xdoc = _fair_share_threshold(int(total_xdoc), 4096)
+    n_hot_xdoc = xdoc.where(F.col("n") > thr_xdoc).count()
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4096")
     spark.conf.set(SKEW_BROADCAST_ROWS_CONF, "0")
@@ -246,8 +258,12 @@ def content_hot_path_probe(spark, out_dir: str) -> dict:
         "n_hot_grams": int(n_hot),
         "top_gram_occurrences": int(top),
         "hot_path_identical": {n: base[n] == hot[n] for n in names},
-        "auto_threshold_at_4096_parts": auto_thr,
-        "n_hot_grams_auto": int(n_hot_auto),
+        # per-build auto decisions at 4096 partitions — what each
+        # query's salted_skew_join derives on its own build
+        "auto_threshold_full_dict_at_4096_parts": thr_full,
+        "n_hot_grams_auto_full_dict": int(n_hot_full),
+        "auto_threshold_xdoc_at_4096_parts": thr_xdoc,
+        "n_hot_grams_auto_xdoc": int(n_hot_xdoc),
         "auto_path_identical": {n: base[n] == auto[n] for n in names},
     }
 
@@ -272,11 +288,13 @@ def pair_volume_probe(spark, out_dir: str) -> dict:
     from pyspark.sql import functions as F
 
     from big_data_final_project_spark.queries.dedup import (
+        CONTAINMENT_CAP_OFF_CONF,
         CONTAINMENT_DF_FLOOR,
         CONTAINMENT_STOP_DIV,
         _containment_candidate_hits,
         _jaccard_candidate_hits,
         _shingle_index,
+        dedup_containment,
     )
 
     docs, ex = _shingle_index(spark, out_dir)
@@ -307,21 +325,38 @@ def pair_volume_probe(spark, out_dir: str) -> dict:
         .first()
     )
     jac_hits = _jaccard_candidate_hits(docs, ex).count()
+    jac_hits_strict = _jaccard_candidate_hits(docs, ex, 1, 2).count()
     con_hits = _containment_candidate_hits(docs, ex).count()
     cap = max(
         CONTAINMENT_DF_FLOOR, int(row["max_nd"]) // CONTAINMENT_STOP_DIV
     )
     bound = cap * int(row["occurrences"]) // 2
+    # ADVICE r10: the capped screen's TRUE-PAIR recall, per run — the
+    # cap-off conf restores the lossless screen as ground truth and
+    # the ratio records exactly how much the df-cap gives up on this
+    # corpus (the dropped pairs share only stop-shingles by
+    # construction of the rule).
+    pairs = lambda df: {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+    capped_pairs = pairs(dedup_containment(spark, out_dir))
+    spark.conf.set(CONTAINMENT_CAP_OFF_CONF, "true")
+    try:
+        truth_pairs = pairs(dedup_containment(spark, out_dir))
+    finally:
+        spark.conf.unset(CONTAINMENT_CAP_OFF_CONF)
     return {
         "unfiltered_hits": int(row["unfiltered_hits"]),
         "jaccard_hits": int(jac_hits),
+        "jaccard_hits_strict_tau": int(jac_hits_strict),
         "containment_hits": int(con_hits),
         "n_stop_shingle_blocks": int(row["n_stop_shingle_blocks"]),
         "max_df": int(row["max_df"]),
         "containment_cap_max_block": cap,
         "containment_volume_bound": bound,
         "jaccard_reduced": bool(jac_hits < int(row["unfiltered_hits"])),
+        "jaccard_strict_reduced": bool(jac_hits_strict < jac_hits),
         "containment_bounded": bool(con_hits <= bound),
+        "containment_recall_pairs": f"{len(capped_pairs)}/{len(truth_pairs)}",
+        "containment_capped_is_subset": bool(capped_pairs <= truth_pairs),
     }
 
 
