@@ -46,8 +46,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SOURCE_PATHS = ["big_data_final_project_spark", "__spark_entry__.py"]
 # Both full-registry differentials are guarded: the sf0.01 sweep and —
 # since round 10 (VERDICT r9 #2) — the sf0.1 pass, which used to be a
-# stdout-only claim.
-ARTIFACTS = ("CORRECTNESS_SWEEP.json", "CORRECTNESS_SF01.json")
+# stdout-only claim. Round 11 (VERDICT r10 #3) adds the solo
+# floor-of-N watch-list bench: a perf adjudication is only citable
+# while it matches the tree it measured.
+ARTIFACTS = (
+    "CORRECTNESS_SWEEP.json",
+    "CORRECTNESS_SF01.json",
+    "BENCH_SOLO.json",
+)
 
 
 def source_digest() -> str:
