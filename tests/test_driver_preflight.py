@@ -117,3 +117,30 @@ def test_driver_comparator_safe(spark, sf_dir, name):
                 f"{name}.{c}: container-valued cell would crash the "
                 f"driver comparator (e.g. {s[bad.idxmax()]!r})"
             )
+
+
+def test_coverage_totals_fresh():
+    """COVERAGE.md's totals line is generated from the registry
+    (VERDICT r10 #4) — fail the suite if it drifts from catalog()."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+    )
+    from tools.gen_coverage_totals import totals_block
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "COVERAGE.md",
+    )
+    with open(path) as fh:
+        text = fh.read()
+    expected = totals_block().strip()
+    assert expected in text, (
+        "COVERAGE.md totals stale — run python tools/gen_coverage_totals.py"
+        f" (expected: {expected!r})"
+    )
