@@ -302,6 +302,55 @@ def _containment_candidate_hits(docs: DataFrame, ex: DataFrame) -> DataFrame:
     )
 
 
+def _containment_uncapped_hits(ex: DataFrame) -> DataFrame:
+    """The UNCAPPED inverted-index candidate join — ground truth for
+    the recall audit (f²-unbounded by design; only ever run where a
+    volume forecast or a small corpus justifies it)."""
+    e2 = ex.select("s", "lang", "len_bucket", "doc_id", "n")
+    a, b = e2.alias("ua"), e2.alias("ub")
+    return a.join(
+        b,
+        (F.col("ua.s") == F.col("ub.s"))
+        & (F.col("ua.lang") == F.col("ub.lang"))
+        & (F.col("ua.len_bucket") == F.col("ub.len_bucket"))
+        & (F.col("ua.doc_id") < F.col("ub.doc_id")),
+    ).select(
+        F.col("ua.doc_id").alias("doc_a"),
+        F.col("ub.doc_id").alias("doc_b"),
+        F.col("ua.n").alias("na"),
+        F.col("ub.n").alias("nb"),
+    )
+
+
+def _containment_verified(docs: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact, uncapped verification of deduped (doc_a, doc_b, na, nb)
+    candidate pairs: fetch both hashed shingle arrays (doc-key joins —
+    uniform keys, no content skew) and keep pairs whose
+    shared·10⁶ div min(na, nb) clears CONTAINMENT_PPM. Shared by
+    dedup_containment and the recall audit — stop-shingles COUNT
+    toward containment everywhere; capping is generation-only."""
+    va = docs.select(F.col("doc_id").alias("doc_a"), F.col("shh").alias("shh_a"))
+    vb = docs.select(F.col("doc_id").alias("doc_b"), F.col("shh").alias("shh_b"))
+    ver = (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn(
+            "shared",
+            F.size(F.array_intersect("shh_a", "shh_b")).cast("bigint"),
+        )
+    )
+    return ver.select(
+        "doc_a",
+        "doc_b",
+        F.col("na").cast("bigint").alias("na"),
+        F.col("nb").cast("bigint").alias("nb"),
+        "shared",
+        F.expr("CAST(shared * 1000000 div least(na, nb) AS BIGINT)").alias(
+            "containment_ppm"
+        ),
+    ).where(F.col("containment_ppm") >= CONTAINMENT_PPM)
+
+
 @query(
     "dedup_candidate_volume_audit",
     oracle=f"""
@@ -1539,34 +1588,114 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle implements the SAME rule, so the differential proves
     the capped semantics on both engines.
 
-    Verification is exact and uncapped: the surviving pairs fetch
-    both full hashed shingle arrays (doc-key joins) and score
-    shared·10⁶ div min(|A|,|B|) in integers — stop-shingles still
-    COUNT toward containment, they just can't nominate pairs."""
+    Verification is exact and uncapped (shared _containment_verified):
+    the surviving pairs fetch both full hashed shingle arrays (doc-key
+    joins) and score shared·10⁶ div min(|A|,|B|) in integers —
+    stop-shingles still COUNT toward containment, they just can't
+    nominate pairs."""
     docs, ex = _shingle_index(spark, sf_dir)
-    cand = _containment_candidate_hits(docs, ex).distinct()
-    va = docs.select(F.col("doc_id").alias("doc_a"), F.col("shh").alias("shh_a"))
-    vb = docs.select(F.col("doc_id").alias("doc_b"), F.col("shh").alias("shh_b"))
-    ver = (
-        cand.join(va, "doc_a")
-        .join(vb, "doc_b")
-        .withColumn(
-            "shared",
-            F.size(F.array_intersect("shh_a", "shh_b")).cast("bigint"),
-        )
+    return _containment_verified(
+        docs, _containment_candidate_hits(docs, ex).distinct()
     )
-    return (
-        ver.select(
-            "doc_a",
-            "doc_b",
-            F.col("na").cast("bigint").alias("na"),
-            F.col("nb").cast("bigint").alias("nb"),
-            "shared",
-            F.expr(
-                "CAST(shared * 1000000 div least(na, nb) AS BIGINT)"
-            ).alias("containment_ppm"),
-        )
-        .where(F.col("containment_ppm") >= CONTAINMENT_PPM)
+
+
+@query(
+    "dedup_containment_recall_audit",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+               {_SHINGLES_SQL} AS sh
+        FROM documents
+    ),
+    tt AS (SELECT * FROM t WHERE len(sh) > 0),
+    e AS (SELECT doc_id, lang, len_bucket, unnest(sh) AS s FROM tt),
+    blk AS (SELECT lang, len_bucket, count(*) AS nd FROM tt GROUP BY 1, 2),
+    df AS (SELECT lang, len_bucket, s, count(*) AS df FROM e GROUP BY 1, 2, 3),
+    elig AS (
+        SELECT e.doc_id, e.lang, e.len_bucket, e.s
+        FROM e
+        JOIN df USING (lang, len_bucket, s)
+        JOIN blk USING (lang, len_bucket)
+        WHERE df <= greatest({CONTAINMENT_DF_FLOOR},
+                             nd // {CONTAINMENT_STOP_DIV})
+    ),
+    cand_c AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM elig a JOIN elig b
+          ON a.s = b.s AND a.lang = b.lang AND a.len_bucket = b.len_bucket
+         AND a.doc_id < b.doc_id
+    ),
+    cand_u AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM e a JOIN e b
+          ON a.s = b.s AND a.lang = b.lang AND a.len_bucket = b.len_bucket
+         AND a.doc_id < b.doc_id
+    ),
+    ver_c AS (
+        SELECT 1 AS x FROM cand_c c
+        JOIN tt ta ON ta.doc_id = c.doc_a
+        JOIN tt tb ON tb.doc_id = c.doc_b
+        WHERE len(list_intersect(ta.sh, tb.sh)) * 1000000
+              // least(len(ta.sh), len(tb.sh)) >= {CONTAINMENT_PPM}
+    ),
+    ver_u AS (
+        SELECT 1 AS x FROM cand_u c
+        JOIN tt ta ON ta.doc_id = c.doc_a
+        JOIN tt tb ON tb.doc_id = c.doc_b
+        WHERE len(list_intersect(ta.sh, tb.sh)) * 1000000
+              // least(len(ta.sh), len(tb.sh)) >= {CONTAINMENT_PPM}
+    ),
+    c AS (SELECT count(*) AS n_c FROM ver_c),
+    u AS (SELECT count(*) AS n_u FROM ver_u)
+    SELECT CAST(n_c AS BIGINT) AS n_capped_pairs,
+           CAST(n_u AS BIGINT) AS n_true_pairs,
+           CAST(n_u - n_c AS BIGINT) AS n_missed_pairs,
+           CAST(CASE WHEN n_u = 0 THEN 1000000
+                     ELSE n_c * 1000000 // n_u END AS BIGINT) AS recall_ppm
+    FROM c, u
+    """,
+    tags=("dedup", "audit", "containment", "recall", "engine-addition"),
+)
+def dedup_containment_recall_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The containment screen's RECALL, oracle-certified (ADVICE r10
+    taken one step further than asked: not just visible per run, but
+    cross-engine at every scale factor): count the >= 50%-containment
+    pairs found by the df-CAPPED candidate generator vs the UNCAPPED
+    ground-truth generator, and report the recall in ppm. At
+    sf <= 0.01 no block reaches the stop-shingle floor, so recall is
+    exactly 10⁶; at sf0.1 this certifies the documented 65/77-class
+    trade as a number both engines agree on (the sf0.1 sweep runs it).
+
+    Scale shape: the capped leg is the production screen; the
+    uncapped ground-truth leg is f²-unbounded BY DESIGN and exists
+    only behind this audit — at 100 TB a pipeline runs it on a
+    sampled block after dedup_candidate_volume_audit forecasts the
+    f² mass (unfiltered_pair_hits) is affordable. The audit itself
+    reduces to one row."""
+    docs, ex = _shingle_index(spark, sf_dir)
+    capped = _containment_verified(
+        docs, _containment_candidate_hits(docs, ex).distinct()
+    )
+    truth = _containment_verified(
+        docs, _containment_uncapped_hits(ex).distinct()
+    )
+    nc = capped.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_capped_pairs")
+    )
+    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
+    # two 1-row frames -> one audit row (anchor crossJoin pattern)
+    return nc.crossJoin(nt).select(
+        "n_capped_pairs",
+        "n_true_pairs",
+        (F.col("n_true_pairs") - F.col("n_capped_pairs"))
+        .cast("bigint")
+        .alias("n_missed_pairs"),
+        F.expr(
+            "CAST(CASE WHEN n_true_pairs = 0 THEN 1000000"
+            " ELSE n_capped_pairs * 1000000 div n_true_pairs END AS BIGINT)"
+        ).alias("recall_ppm"),
     )
 
 

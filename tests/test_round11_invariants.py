@@ -144,3 +144,27 @@ def test_containment_cap_off_is_lossless_ground_truth(spark, sf_dir):
         spark.conf.unset(CONTAINMENT_CAP_OFF_CONF)
     assert (59, 60) in uncapped2
     assert capped2 <= uncapped2
+
+
+def test_recall_audit_ties_to_cap_off_screen(spark, sf_dir):
+    """The oracle-paired recall audit's ground-truth count must equal
+    the cap-off conf screen's row count (the audit IS the conf path,
+    certified), and its capped count must equal dedup_containment."""
+    from big_data_final_project_spark.queries.dedup import (
+        dedup_containment,
+        dedup_containment_recall_audit,
+    )
+
+    audit = dedup_containment_recall_audit(spark, sf_dir).first()
+    assert audit["n_capped_pairs"] == dedup_containment(spark, sf_dir).count()
+    spark.conf.set(CONTAINMENT_CAP_OFF_CONF, "true")
+    try:
+        truth_n = dedup_containment(spark, sf_dir).count()
+    finally:
+        spark.conf.unset(CONTAINMENT_CAP_OFF_CONF)
+    assert audit["n_true_pairs"] == truth_n
+    assert (
+        audit["n_missed_pairs"]
+        == audit["n_true_pairs"] - audit["n_capped_pairs"]
+    )
+    assert 0 <= audit["recall_ppm"] <= 1_000_000
