@@ -536,10 +536,16 @@ def main() -> int:
         f"{len(fails)} failures"
         f"{': ' + str(fails) if fails else ''}; aqe skew split: "
         f"{aqe['skew_split_observed']}; content hot grams: "
-        f"{hot_probe['n_hot_grams']} (auto {hot_probe['n_hot_grams_auto']} @ "
-        f"thr {hot_probe['auto_threshold_at_4096_parts']}); pair hits "
-        f"unfiltered/jaccard/containment: {pair_volume['unfiltered_hits']}/"
-        f"{pair_volume['jaccard_hits']}/{pair_volume['containment_hits']}"
+        f"{hot_probe['n_hot_grams']} (auto full-dict "
+        f"{hot_probe['n_hot_grams_auto_full_dict']} @ thr "
+        f"{hot_probe['auto_threshold_full_dict_at_4096_parts']}, xdoc "
+        f"{hot_probe['n_hot_grams_auto_xdoc']} @ thr "
+        f"{hot_probe['auto_threshold_xdoc_at_4096_parts']}); pair hits "
+        f"unfiltered/jaccard/jaccard-strict/containment: "
+        f"{pair_volume['unfiltered_hits']}/{pair_volume['jaccard_hits']}/"
+        f"{pair_volume['jaccard_hits_strict_tau']}/"
+        f"{pair_volume['containment_hits']}; containment recall "
+        f"{pair_volume['containment_recall_pairs']}"
     )
     return 1 if fails else 0
 
