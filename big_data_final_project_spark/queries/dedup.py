@@ -1699,6 +1699,142 @@ def dedup_containment_recall_audit(
     )
 
 
+# Block sampler for the sampled recall audit: a block participates
+# when the first hex char of md5(lang || '#' || len_bucket) falls in
+# '0123' (P = 1/4) — md5 so BOTH engines draw the identical sample
+# (xxhash64 has no DuckDB twin), keyed on the block so the uncapped
+# ground-truth join stays complete WITHIN every sampled block (pair
+# semantics need whole blocks, never row samples).
+_RECALL_SAMPLE_HEX = ("0", "1", "2", "3")
+
+
+def _block_sampled(df: DataFrame) -> DataFrame:
+    return df.where(
+        F.substring(
+            F.md5(F.concat_ws("#", F.col("lang"), F.col("len_bucket"))), 1, 1
+        ).isin(*_RECALL_SAMPLE_HEX)
+    )
+
+
+@query(
+    "dedup_containment_recall_sampled",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+               {_SHINGLES_SQL} AS sh
+        FROM documents
+    ),
+    tt0 AS (SELECT * FROM t WHERE len(sh) > 0),
+    tt AS (
+        SELECT * FROM tt0
+        WHERE substr(md5(lang || '#' || CAST(len_bucket AS VARCHAR)), 1, 1)
+              IN ('0', '1', '2', '3')
+    ),
+    e AS (SELECT doc_id, lang, len_bucket, unnest(sh) AS s FROM tt),
+    blk AS (SELECT lang, len_bucket, count(*) AS nd FROM tt GROUP BY 1, 2),
+    df AS (SELECT lang, len_bucket, s, count(*) AS df FROM e GROUP BY 1, 2, 3),
+    elig AS (
+        SELECT e.doc_id, e.lang, e.len_bucket, e.s
+        FROM e
+        JOIN df USING (lang, len_bucket, s)
+        JOIN blk USING (lang, len_bucket)
+        WHERE df <= greatest({CONTAINMENT_DF_FLOOR},
+                             nd // {CONTAINMENT_STOP_DIV})
+    ),
+    cand_c AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM elig a JOIN elig b
+          ON a.s = b.s AND a.lang = b.lang AND a.len_bucket = b.len_bucket
+         AND a.doc_id < b.doc_id
+    ),
+    cand_u AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM e a JOIN e b
+          ON a.s = b.s AND a.lang = b.lang AND a.len_bucket = b.len_bucket
+         AND a.doc_id < b.doc_id
+    ),
+    ver_c AS (
+        SELECT 1 AS x FROM cand_c c
+        JOIN tt ta ON ta.doc_id = c.doc_a
+        JOIN tt tb ON tb.doc_id = c.doc_b
+        WHERE len(list_intersect(ta.sh, tb.sh)) * 1000000
+              // least(len(ta.sh), len(tb.sh)) >= {CONTAINMENT_PPM}
+    ),
+    ver_u AS (
+        SELECT 1 AS x FROM cand_u c
+        JOIN tt ta ON ta.doc_id = c.doc_a
+        JOIN tt tb ON tb.doc_id = c.doc_b
+        WHERE len(list_intersect(ta.sh, tb.sh)) * 1000000
+              // least(len(ta.sh), len(tb.sh)) >= {CONTAINMENT_PPM}
+    ),
+    nb AS (
+        SELECT
+          (SELECT count(DISTINCT (lang, len_bucket)) FROM tt0)
+              AS n_blocks_total,
+          (SELECT count(DISTINCT (lang, len_bucket)) FROM tt)
+              AS n_blocks_sampled
+    ),
+    c AS (SELECT count(*) AS n_c FROM ver_c),
+    u AS (SELECT count(*) AS n_u FROM ver_u)
+    SELECT CAST(n_blocks_total AS BIGINT) AS n_blocks_total,
+           CAST(n_blocks_sampled AS BIGINT) AS n_blocks_sampled,
+           CAST(n_c AS BIGINT) AS n_capped_pairs,
+           CAST(n_u AS BIGINT) AS n_true_pairs,
+           CAST(CASE WHEN n_u = 0 THEN 1000000
+                     ELSE n_c * 1000000 // n_u END AS BIGINT) AS recall_ppm
+    FROM nb, c, u
+    """,
+    tags=("dedup", "audit", "containment", "recall", "sampling",
+          "engine-addition"),
+)
+def dedup_containment_recall_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The recall audit a 100 TB pipeline can AFFORD: estimate the
+    df-cap's recall from a deterministic 1/4 sample of BLOCKS
+    (lang × len_bucket strata, md5-drawn so both engines sample
+    identically) instead of the whole corpus. Sampling whole blocks —
+    never rows — keeps both generators' pair semantics exact within
+    every sampled block, so the estimate is an unbiased block-stratum
+    subsample of dedup_containment_recall_audit's exact number; the
+    uncapped ground-truth leg's f² cost shrinks by the sampled share
+    of Σ C(df,2) (forecastable per block from
+    dedup_candidate_volume_audit before committing to the run).
+    Reports the sampled-vs-total block census alongside the counts so
+    consumers see the estimate's support."""
+    docs, ex = _shingle_index(spark, sf_dir)
+    docs_s = _block_sampled(docs)
+    ex_s = _block_sampled(ex)
+    capped = _containment_verified(
+        docs_s, _containment_candidate_hits(docs_s, ex_s).distinct()
+    )
+    truth = _containment_verified(
+        docs_s, _containment_uncapped_hits(ex_s).distinct()
+    )
+    blocks = docs.select("lang", "len_bucket").distinct()
+    nb = blocks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks_total")
+    ).crossJoin(
+        _block_sampled(blocks).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks_sampled")
+        )
+    )
+    nc = capped.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_capped_pairs")
+    )
+    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
+    return nb.crossJoin(nc).crossJoin(nt).select(
+        "n_blocks_total",
+        "n_blocks_sampled",
+        "n_capped_pairs",
+        "n_true_pairs",
+        F.expr(
+            "CAST(CASE WHEN n_true_pairs = 0 THEN 1000000"
+            " ELSE n_capped_pairs * 1000000 div n_true_pairs END AS BIGINT)"
+        ).alias("recall_ppm"),
+    )
+
+
 @query(
     "dedup_survivor_longest",
     oracle=f"""

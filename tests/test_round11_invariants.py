@@ -168,3 +168,22 @@ def test_recall_audit_ties_to_cap_off_screen(spark, sf_dir):
         == audit["n_true_pairs"] - audit["n_capped_pairs"]
     )
     assert 0 <= audit["recall_ppm"] <= 1_000_000
+
+
+def test_sampled_recall_audit_consistent_with_full(spark, sf_dir):
+    """The block-sampled recall audit is a stratum subsample of the
+    full audit: its pair counts are bounded by the full counts, the
+    block census is sane, and whole-block sampling keeps capped <=
+    true within the sample."""
+    from big_data_final_project_spark.queries.dedup import (
+        dedup_containment_recall_audit,
+        dedup_containment_recall_sampled,
+    )
+
+    s = dedup_containment_recall_sampled(spark, sf_dir).first()
+    f = dedup_containment_recall_audit(spark, sf_dir).first()
+    assert 0 < s["n_blocks_sampled"] <= s["n_blocks_total"]
+    assert s["n_capped_pairs"] <= f["n_capped_pairs"]
+    assert s["n_true_pairs"] <= f["n_true_pairs"]
+    assert s["n_capped_pairs"] <= s["n_true_pairs"]
+    assert 0 <= s["recall_ppm"] <= 1_000_000

@@ -360,6 +360,79 @@ def pair_volume_probe(spark, out_dir: str) -> dict:
     }
 
 
+def zipf_shingle_volume_probe(spark) -> dict:
+    """Strict-tau prefix power on ZIPF-distributed shingles (ROUND11
+    'round 12' note, closed in-round): the parquet corpus's background
+    df is uniform-dense, which UNDERSTATES the prefix filter — on
+    natural text the df distribution is zipf and the boilerplate-class
+    shingles that explode Σ C(df,2) are exactly the ones df-ordering
+    pushes out of prefixes. This probe builds a reproducible
+    zipf(a=1.2) shingle corpus (4,000 docs x ~80 draws over a 50k
+    universe, seed 7, plus 20 planted near-dup pairs), runs both
+    registered taus' generators, and records the cut. Pass criteria:
+    the strict screen's relative volume is smaller than the loose
+    screen's, every planted pair survives the strict prefix filter
+    (losslessness spot check on zipf data), and the strict cut beats
+    the loose cut by at least 2x on this df shape."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from big_data_final_project_spark.queries.dedup import (
+        _jaccard_candidate_hits,
+    )
+
+    rng = np.random.RandomState(7)
+    n_docs, universe = 4000, 50_000
+    rows = []
+    for i in range(1, n_docs + 1):
+        sh = sorted(set((rng.zipf(1.2, 80) - 1) % universe))
+        rows.append((i, [int(x) for x in sh]))
+    # planted near-dups: copy 20 docs with one shingle changed
+    planted = []
+    for j in range(20):
+        src_id, sh = rows[j * 50]
+        mut = sorted(set(sh[:-1] + [universe + j]))
+        nid = n_docs + 1 + j
+        rows.append((nid, [int(x) for x in mut]))
+        planted.append((src_id, nid))
+    docs = spark.createDataFrame(
+        [(i, "xx", 0, sh, len(sh)) for i, sh in rows],
+        "doc_id long, lang string, len_bucket long, shh array<bigint>, n int",
+    )
+    ex = docs.select(
+        "doc_id", "lang", "len_bucket", "n", F.explode("shh").alias("s")
+    ).withColumn("m", F.md5(F.col("s").cast("string")))
+    unfiltered = int(
+        ex.groupBy("lang", "len_bucket", "s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.sum(F.expr("df * (df - 1) div 2")))
+        .first()[0]
+    )
+    loose = int(_jaccard_candidate_hits(docs, ex).count())
+    strict_hits = _jaccard_candidate_hits(docs, ex, 1, 2)
+    strict = int(strict_hits.count())
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in strict_hits.select("doc_a", "doc_b").distinct().collect()
+    }
+    planted_found = sum(1 for p in planted if p in cand)
+    loose_ratio = loose / max(unfiltered, 1)
+    strict_ratio = strict / max(unfiltered, 1)
+    return {
+        "n_docs": n_docs + len(planted),
+        "zipf_a": 1.2,
+        "unfiltered_hits": unfiltered,
+        "jaccard_hits": loose,
+        "jaccard_hits_strict_tau": strict,
+        "loose_ratio_ppm": int(loose_ratio * 1_000_000),
+        "strict_ratio_ppm": int(strict_ratio * 1_000_000),
+        "planted_pairs": len(planted),
+        "planted_found_strict": int(planted_found),
+        "strict_lossless_on_planted": planted_found == len(planted),
+        "strict_beats_loose_2x": strict_ratio * 2 <= loose_ratio,
+    }
+
+
 def aqe_probe(spark, out_dir: str) -> dict:
     """Join the zipf-skewed ``lineitem`` (top l_suppkey ~38% of rows)
     against ``supplier`` (broadcast disabled) with the AQE skew-join
@@ -478,6 +551,8 @@ def main() -> int:
     print(f"content hot-path probe: {hot_probe}", flush=True)
     pair_volume = pair_volume_probe(spark, content_out)
     print(f"pair-volume probe: {pair_volume}", flush=True)
+    zipf_volume = zipf_shingle_volume_probe(spark)
+    print(f"zipf-shingle volume probe: {zipf_volume}", flush=True)
     content_names = [n for n in cat if n.startswith(CONTENT_FAMILIES)]
     content_records: dict[str, dict] = {}
     for i, name in enumerate(content_names):
@@ -499,6 +574,10 @@ def main() -> int:
         content_fails.append("pair_volume:jaccard_not_reduced")
     if not pair_volume["containment_bounded"]:
         content_fails.append("pair_volume:containment_unbounded")
+    if not zipf_volume["strict_lossless_on_planted"]:
+        content_fails.append("zipf_volume:planted_pair_lost")
+    if not zipf_volume["strict_beats_loose_2x"]:
+        content_fails.append("zipf_volume:strict_cut_too_weak")
     for leg in ("hot_path_identical", "auto_path_identical"):
         for n, same in hot_probe[leg].items():
             if not same:
@@ -521,6 +600,7 @@ def main() -> int:
             "stats": content_stats,
             "hot_path_probe": hot_probe,
             "pair_volume_probe": pair_volume,
+            "zipf_shingle_volume_probe": zipf_volume,
             "n_queries": len(content_records),
             "n_fail": len(content_fails),
             "queries": content_records,
