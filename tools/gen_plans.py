@@ -182,6 +182,19 @@ ADJUDICATED = {
 # ml_learning_curve 7→3, ml_tree_depth2 7→3 in round 10); what
 # remains is justified here.
 SHUFFLE_ADJUDICATED = {
+    "dedup_containment_recall_audit": (
+        "r11: two independent generator pipelines (df-capped screen +"
+        " UNCAPPED ground truth) each with its own verify, reduced to"
+        " one recall row — the two-pipeline recall-probe class"
+        " (sim_ivf_recall's shape); the uncapped leg is the audit's"
+        " point and is volume-forecast first at 100 TB"
+    ),
+    "dedup_containment_recall_sampled": (
+        "r11: same two-pipeline recall-probe shape restricted to an"
+        " md5-drawn 1/4 block sample plus the block-census anchor"
+        " aggregates — 8 exchanges over sample-sized frames; the"
+        " sampling is what makes the uncapped leg affordable at scale"
+    ),
     "dedup_lsh_tuning": (
         "re-confirmed r10 (previously adjudicated r9): the band-sweep"
         " evaluates TWO banding configurations end-to-end (signature"
