@@ -418,6 +418,52 @@ def zipf_shingle_volume_probe(spark) -> dict:
     planted_found = sum(1 for p in planted if p in cand)
     loose_ratio = loose / max(unfiltered, 1)
     strict_ratio = strict / max(unfiltered, 1)
+
+    # Containment df-cap recall on the SAME zipf corpus (ROUND11
+    # note #2, closed in-round): plant 20 subset pairs (child = a
+    # 20-shingle slice of a parent, true containment = 1.0 by
+    # construction, so ground truth is free — no 87M-hit uncapped
+    # join needed) and ask how many the CAPPED screen finds. Two
+    # child flavors measure the mechanism: 'common' children slice
+    # the parent's most-frequent (lowest-id ≈ zipf-hottest) shingles
+    # — the boilerplate-wrapped shape the cap is expected to miss —
+    # while 'rare' children slice the rarest; the pair (found_rare
+    # high, found_common low) is the zipf recall statement.
+    from big_data_final_project_spark.queries.dedup import (
+        _containment_candidate_hits,
+        _containment_verified,
+    )
+
+    sub_rows, sub_common, sub_rare = [], [], []
+    for j in range(10):
+        src_id, sh = rows[j * 97]
+        if len(sh) < 40:
+            continue
+        cid = n_docs + 100 + j
+        sub_rows.append((cid, [int(x) for x in sh[:20]]))  # hottest slice
+        sub_common.append((src_id, cid))
+        rid = n_docs + 200 + j
+        sub_rows.append((rid, [int(x) for x in sh[-20:]]))  # rarest slice
+        sub_rare.append((src_id, rid))
+    docs2 = spark.createDataFrame(
+        [(i, "xx", 0, sh, len(sh)) for i, sh in rows + sub_rows],
+        "doc_id long, lang string, len_bucket long, shh array<bigint>, n int",
+    )
+    ex2 = docs2.select(
+        "doc_id", "lang", "len_bucket", "n", F.explode("shh").alias("s")
+    ).withColumn("m", F.md5(F.col("s").cast("string")))
+    capped_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in _containment_verified(
+            docs2, _containment_candidate_hits(docs2, ex2).distinct()
+        )
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    key = lambda p: (min(p), max(p))
+    found_common = sum(1 for p in sub_common if key(p) in capped_pairs)
+    found_rare = sum(1 for p in sub_rare if key(p) in capped_pairs)
+
     return {
         "n_docs": n_docs + len(planted),
         "zipf_a": 1.2,
@@ -430,6 +476,15 @@ def zipf_shingle_volume_probe(spark) -> dict:
         "planted_found_strict": int(planted_found),
         "strict_lossless_on_planted": planted_found == len(planted),
         "strict_beats_loose_2x": strict_ratio * 2 <= loose_ratio,
+        "containment_subset_pairs": {
+            "planted_common": len(sub_common),
+            "found_common_slice": int(found_common),
+            "planted_rare": len(sub_rare),
+            "found_rare_slice": int(found_rare),
+            # the cap must still find rare-shingle subset dups on
+            # zipf df; common-slice misses are the documented trade
+            "rare_slice_recall_ok": found_rare == len(sub_rare),
+        },
     }
 
 
@@ -578,6 +633,8 @@ def main() -> int:
         content_fails.append("zipf_volume:planted_pair_lost")
     if not zipf_volume["strict_beats_loose_2x"]:
         content_fails.append("zipf_volume:strict_cut_too_weak")
+    if not zipf_volume["containment_subset_pairs"]["rare_slice_recall_ok"]:
+        content_fails.append("zipf_volume:rare_subset_pair_lost")
     for leg in ("hot_path_identical", "auto_path_identical"):
         for n, same in hot_probe[leg].items():
             if not same:
