@@ -96,7 +96,15 @@ def _shingle_index(spark: SparkSession, sf_dir: str):
     which total order breaks the ties). The base (doc, raw-shingle
     set) relation is materialized once: it feeds the df aggregate,
     the candidate index, and BOTH sides of the verify joins."""
-    d = load_table(spark, sf_dir, "documents").withColumn(
+    return _shingle_index_from(load_table(spark, sf_dir, "documents"))
+
+
+def _shingle_index_from(raw_docs: DataFrame):
+    """_shingle_index over an explicit (doc_id, lang, text, n_chars)
+    frame — split out in round 12 so the zipf natural-text fixture
+    (queries/zipf.py, VERDICT r11 #2) runs the IDENTICAL screen
+    pipeline the registered corpus queries run."""
+    d = raw_docs.withColumn(
         "len_bucket", F.floor(F.col("n_chars") / 100).cast("long")
     )
     t = _shingled(d, "doc_id", "lang", "len_bucket")
@@ -183,18 +191,49 @@ def _jaccard_candidate_hits(
     uniform-dense, so the measured cut at sf0.1 is ~2.0M -> ~1.5M
     hits, while the strict tau = 0.5 screen cuts to ~thousands (the
     skew sweep's pair-volume probe records both per round)."""
-    num, den = int(tau_num), int(tau_den)
-    if not (0 < num <= den):
-        raise ValueError(f"tau must be in (0, 1]: {num}/{den}")
-    df_tab = ex.groupBy("lang", "len_bucket", "s").agg(
+    return _prefix_hits_from_ranked(_ranked_shingles(ex), tau_num, tau_den)
+
+
+def _shingle_df_tab(ex: DataFrame) -> DataFrame:
+    """Per-(block, shingle) document frequency — the shared aggregate
+    behind the rarity ranking, the stop-shingle gate, and the volume
+    audit's histogram."""
+    return ex.groupBy("lang", "len_bucket", "s").agg(
         F.count(F.lit(1)).alias("df")
     )
-    ranked = ex.join(df_tab, ["lang", "len_bucket", "s"]).withColumn(
+
+
+def _ranked_shingles(ex: DataFrame, df_tab: DataFrame | None = None) -> DataFrame:
+    """The df-joined, per-doc (df asc, md5 asc) row-numbered occurrence
+    frame every tau's prefix derives from. Factored out (ADVICE r11:
+    dedup_candidate_volume_audit used to rebuild the df aggregate +
+    ranking window once per tau leg plus once for the histogram — three
+    full passes over the exploded index); the audit now materializes
+    this frame once and filters it per tau, and the screens get the
+    identical plan they had via the _jaccard_candidate_hits wrapper.
+    Pass ``df_tab`` when the caller already staged the df aggregate."""
+    if df_tab is None:
+        df_tab = _shingle_df_tab(ex)
+    return ex.join(df_tab, ["lang", "len_bucket", "s"]).withColumn(
         "rn",
         F.row_number().over(
             Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("m"))
         ),
     )
+
+
+def _prefix_hits_from_ranked(
+    ranked: DataFrame, tau_num: int, tau_den: int
+) -> DataFrame:
+    """Prefix filter + self-join over an already-ranked occurrence
+    frame (see _jaccard_candidate_hits for the bounds and the
+    losslessness argument; see _ranked_shingles for why this is split
+    out). The per-tau prefix is materialized before the self-join —
+    both join sides consume it, and ReuseExchange does not bridge the
+    two scans (SCALE.md r9)."""
+    num, den = int(tau_num), int(tau_den)
+    if not (0 < num <= den):
+        raise ValueError(f"tau must be in (0, 1]: {num}/{den}")
     prefix = (
         ranked.where(
             F.col("rn")
@@ -268,9 +307,7 @@ def _containment_candidate_hits(docs: DataFrame, ex: DataFrame) -> DataFrame:
     blk = docs.groupBy("lang", "len_bucket").agg(
         F.count(F.lit(1)).alias("nd")
     )
-    df_tab = ex.groupBy("lang", "len_bucket", "s").agg(
-        F.count(F.lit(1)).alias("df")
-    )
+    df_tab = _shingle_df_tab(ex)
     gate = (
         F.lit(True)
         if _containment_cap_off(docs)
@@ -351,13 +388,16 @@ def _containment_verified(docs: DataFrame, cand: DataFrame) -> DataFrame:
     ).where(F.col("containment_ppm") >= CONTAINMENT_PPM)
 
 
-@query(
-    "dedup_candidate_volume_audit",
-    oracle=f"""
+def _volume_audit_oracle(table: str = "documents") -> str:
+    """DuckDB twin of dedup_candidate_volume_audit over ``table`` — a
+    function since round 12 so the zipf natural-text fixture
+    (queries/zipf.py, VERDICT r11 #2) reuses it verbatim against a
+    read_parquet() source."""
+    return f"""
     WITH t AS (
         SELECT doc_id, lang, n_chars // 100 AS len_bucket,
                {_SHINGLES_SQL} AS sh
-        FROM documents
+        FROM {table}
     ),
     tt AS (SELECT * FROM t WHERE len(sh) > 0),
     e AS (SELECT doc_id, lang, len_bucket, CAST(len(sh) AS BIGINT) AS n,
@@ -381,6 +421,7 @@ def _containment_verified(docs: DataFrame, cand: DataFrame) -> DataFrame:
     ),
     pr1 AS (SELECT * FROM rk WHERE rn <= n - ((n + 9) // 10) + 1),
     pr5 AS (SELECT * FROM rk WHERE rn <= n - ((n + 1) // 2) + 1),
+    pr45 AS (SELECT * FROM rk WHERE rn <= n - ((4 * n + 4) // 5) + 1),
     jh1 AS (
         SELECT count(*) AS c FROM pr1 a JOIN pr1 b
           ON a.s = b.s AND a.lang = b.lang
@@ -394,6 +435,13 @@ def _containment_verified(docs: DataFrame, cand: DataFrame) -> DataFrame:
          AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
          AND a.n <= 2 * b.n AND b.n <= 2 * a.n
          AND 3 * (1 + least(a.n - a.rn, b.n - b.rn)) >= a.n + b.n
+    ),
+    jh45 AS (
+        SELECT count(*) AS c FROM pr45 a JOIN pr45 b
+          ON a.s = b.s AND a.lang = b.lang
+         AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+         AND 4 * a.n <= 5 * b.n AND 4 * b.n <= 5 * a.n
+         AND 9 * (1 + least(a.n - a.rn, b.n - b.rn)) >= 4 * (a.n + b.n)
     )
     SELECT
       CAST(sum(df * (df - 1) // 2) AS BIGINT) AS unfiltered_pair_hits,
@@ -408,9 +456,15 @@ def _containment_verified(docs: DataFrame, cand: DataFrame) -> DataFrame:
       CAST(max(cap) AS BIGINT) AS cap_max_block,
       CAST(sum(df) AS BIGINT) AS shingle_occurrences,
       CAST((SELECT c FROM jh1) AS BIGINT) AS jaccard_prefix_hits,
-      CAST((SELECT c FROM jh5) AS BIGINT) AS jaccard_prefix_hits_strict
+      CAST((SELECT c FROM jh5) AS BIGINT) AS jaccard_prefix_hits_strict,
+      CAST((SELECT c FROM jh45) AS BIGINT) AS jaccard_prefix_hits_tau45
     FROM j
-    """,
+    """
+
+
+@query(
+    "dedup_candidate_volume_audit",
+    oracle=_volume_audit_oracle(),
     tags=("dedup", "audit", "volume", "engine-addition"),
 )
 def dedup_candidate_volume_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -439,16 +493,26 @@ def dedup_candidate_volume_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the df forecast is one exploded-index aggregate
     joined to the (tiny, broadcast) block-size table — histogram-
-    sized; the two jaccard legs COUNT the bounded candidate frames
+    sized; the jaccard legs COUNT the bounded candidate frames
     themselves (never wider than the volume the bound admits, which
-    is exactly what the audit certifies), reduced to one row."""
-    docs, ex = _shingle_index(spark, sf_dir)
+    is exactly what the audit certifies), reduced to one row. Since
+    round 12 (ADVICE r11) the df aggregate and the ranked occurrence
+    frame are each computed ONCE and staged: the histogram and all
+    three tau prefixes (1/10, 1/2, and the 4/5 production-band point
+    VERDICT r11 #6 asked for) are narrow filters over the shared
+    ranked frame instead of three independent df+window pipelines."""
+    return _volume_audit_from(*_shingle_index(spark, sf_dir))
+
+
+def _volume_audit_from(docs: DataFrame, ex: DataFrame) -> DataFrame:
+    """The audit over an explicit shingle index (shared with the zipf
+    fixture queries — see dedup_candidate_volume_audit for the
+    semantics and scale shape)."""
     blk = docs.groupBy("lang", "len_bucket").agg(
         F.count(F.lit(1)).alias("nd")
     )
-    df_tab = ex.groupBy("lang", "len_bucket", "s").agg(
-        F.count(F.lit(1)).alias("df")
-    )
+    df_tab = materialize(_shingle_df_tab(ex))
+    ranked = materialize(_ranked_shingles(ex, df_tab))
     cap = F.greatest(
         F.lit(CONTAINMENT_DF_FLOOR),
         F.expr(f"nd div {CONTAINMENT_STOP_DIV}"),
@@ -477,15 +541,18 @@ def dedup_candidate_volume_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cap").cast("bigint").alias("cap_max_block"),
         F.sum("df").cast("bigint").alias("shingle_occurrences"),
     )
-    jh1 = _jaccard_candidate_hits(docs, ex).agg(
+    jh1 = _prefix_hits_from_ranked(ranked, 1, 10).agg(
         F.count(F.lit(1)).cast("bigint").alias("jaccard_prefix_hits")
     )
-    jh5 = _jaccard_candidate_hits(docs, ex, 1, 2).agg(
+    jh5 = _prefix_hits_from_ranked(ranked, 1, 2).agg(
         F.count(F.lit(1)).cast("bigint").alias("jaccard_prefix_hits_strict")
     )
-    # three single-row frames -> one audit row (the adjudicated 1-row
+    jh45 = _prefix_hits_from_ranked(ranked, 4, 5).agg(
+        F.count(F.lit(1)).cast("bigint").alias("jaccard_prefix_hits_tau45")
+    )
+    # four single-row frames -> one audit row (the adjudicated 1-row
     # anchor crossJoin pattern, never data-sized)
-    return hist.crossJoin(jh1).crossJoin(jh5)
+    return hist.crossJoin(jh1).crossJoin(jh5).crossJoin(jh45)
 
 
 @query(
@@ -787,14 +854,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_ngram_jaccard_strict",
-    oracle=f"""
+def _strict_jaccard_oracle(table: str = "documents") -> str:
+    """Unfiltered quadratic blocked-join oracle of the tau = 1/2
+    screen over ``table`` (the losslessness proof; a function since
+    round 12 for zipf-fixture reuse). The empty-shingle filter ``tt``
+    mirrors _shingle_index's size(sh) > 0 (ADVICE r11: without it a
+    block holding two sub-2-token docs satisfies 2*0 >= 0 and emits a
+    NULL-jaccard row the Spark side correctly drops)."""
+    return f"""
     WITH t AS (
         SELECT doc_id, lang, n_chars // 100 AS len_bucket,
                {_SHINGLES_SQL} AS sh
-        FROM documents
-    )
+        FROM {table}
+    ),
+    tt AS (SELECT * FROM t WHERE len(sh) > 0)
     SELECT doc_a, doc_b, lang, isect, uni,
            CAST(isect AS DOUBLE) / uni AS jaccard
     FROM (
@@ -802,29 +875,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS isect,
                CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT)
                    AS uni
-        FROM t a JOIN t b
+        FROM tt a JOIN tt b
           ON a.lang = b.lang AND a.len_bucket = b.len_bucket
          AND a.doc_id < b.doc_id
     ) p WHERE 2 * isect >= uni
-    """,
-    tags=("dedup", "jaccard", "prefix-filter", "engine-addition"),
-)
-def dedup_ngram_jaccard_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The bigram-shingle Jaccard screen at the PRODUCTION threshold
-    tau = 1/2 (VERDICT r10 #3: the registered tau = 0.1 screen shows
-    only a modest prefix cut because its prefixes are ~90% of each
-    doc; near-dup removal in real pipelines runs at tau = 0.5-0.8,
-    where the df-ordered prefix shrinks to ~(1-tau)*n and the
-    PPJoin machinery does its real work — this query measures and
-    oracle-certifies that regime on the same corpus/blocks as
-    dedup_ngram_jaccard). Same tau-generalized generator
-    (_jaccard_candidate_hits at 1/2), same exact verify; membership
-    is decided by the INTEGER test 2*|A∩B| >= |A∪B| on both engines —
-    no float compare — and the quadratic oracle is unfiltered, so a
-    green differential proves losslessness at this tau too. The
-    candidate volume is certified cross-engine by
-    dedup_candidate_volume_audit's jaccard_prefix_hits_strict."""
-    docs, ex = _shingle_index(spark, sf_dir)
+    """
+
+
+def _strict_jaccard_screen_from(docs: DataFrame, ex: DataFrame) -> DataFrame:
+    """tau = 1/2 prefix-filtered generate + exact verify over an
+    explicit shingle index (shared with the zipf fixture queries —
+    see dedup_ngram_jaccard_strict)."""
     cand = _jaccard_candidate_hits(docs, ex, 1, 2).distinct()
     va = docs.select(F.col("doc_id").alias("doc_a"), F.col("shh").alias("shh_a"))
     vb = docs.select(F.col("doc_id").alias("doc_b"), F.col("shh").alias("shh_b"))
@@ -847,6 +908,29 @@ def dedup_ngram_jaccard_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         "uni",
         (F.col("isect").cast("double") / F.col("uni")).alias("jaccard"),
     )
+
+
+@query(
+    "dedup_ngram_jaccard_strict",
+    oracle=_strict_jaccard_oracle(),
+    tags=("dedup", "jaccard", "prefix-filter", "engine-addition"),
+)
+def dedup_ngram_jaccard_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bigram-shingle Jaccard screen at the PRODUCTION threshold
+    tau = 1/2 (VERDICT r10 #3: the registered tau = 0.1 screen shows
+    only a modest prefix cut because its prefixes are ~90% of each
+    doc; near-dup removal in real pipelines runs at tau = 0.5-0.8,
+    where the df-ordered prefix shrinks to ~(1-tau)*n and the
+    PPJoin machinery does its real work — this query measures and
+    oracle-certifies that regime on the same corpus/blocks as
+    dedup_ngram_jaccard). Same tau-generalized generator
+    (_jaccard_candidate_hits at 1/2), same exact verify; membership
+    is decided by the INTEGER test 2*|A∩B| >= |A∪B| on both engines —
+    no float compare — and the quadratic oracle is unfiltered, so a
+    green differential proves losslessness at this tau too. The
+    candidate volume is certified cross-engine by
+    dedup_candidate_volume_audit's jaccard_prefix_hits_strict."""
+    return _strict_jaccard_screen_from(*_shingle_index(spark, sf_dir))
 
 
 COSINE_THRESHOLD = 0.3
@@ -1529,13 +1613,14 @@ def dedup_cc_star_contraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTAINMENT_PPM = 500000  # flag pairs where >= 50% of the smaller doc
 
 
-@query(
-    "dedup_containment",
-    oracle=f"""
+def _containment_oracle(table: str = "documents") -> str:
+    """DuckDB twin of dedup_containment over ``table`` (a function
+    since round 12 for zipf-fixture reuse)."""
+    return f"""
     WITH t AS (
         SELECT doc_id, lang, n_chars // 100 AS len_bucket,
                {_SHINGLES_SQL} AS sh
-        FROM documents
+        FROM {table}
     ),
     tt AS (SELECT * FROM t WHERE len(sh) > 0),
     e AS (SELECT doc_id, lang, len_bucket, unnest(sh) AS s FROM tt),
@@ -1567,7 +1652,12 @@ CONTAINMENT_PPM = 500000  # flag pairs where >= 50% of the smaller doc
         JOIN tt ta ON ta.doc_id = c.doc_a
         JOIN tt tb ON tb.doc_id = c.doc_b
     ) p WHERE containment_ppm >= {CONTAINMENT_PPM}
-    """,
+    """
+
+
+@query(
+    "dedup_containment",
+    oracle=_containment_oracle(),
     tags=("dedup", "containment", "inverted-index"),
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1599,13 +1689,14 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_containment_recall_audit",
-    oracle=f"""
+def _recall_audit_oracle(table: str = "documents") -> str:
+    """DuckDB twin of dedup_containment_recall_audit over ``table``
+    (a function since round 12 for zipf-fixture reuse)."""
+    return f"""
     WITH t AS (
         SELECT doc_id, lang, n_chars // 100 AS len_bucket,
                {_SHINGLES_SQL} AS sh
-        FROM documents
+        FROM {table}
     ),
     tt AS (SELECT * FROM t WHERE len(sh) > 0),
     e AS (SELECT doc_id, lang, len_bucket, unnest(sh) AS s FROM tt),
@@ -1653,7 +1744,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN n_u = 0 THEN 1000000
                      ELSE n_c * 1000000 // n_u END AS BIGINT) AS recall_ppm
     FROM c, u
-    """,
+    """
+
+
+@query(
+    "dedup_containment_recall_audit",
+    oracle=_recall_audit_oracle(),
     tags=("dedup", "audit", "containment", "recall", "engine-addition"),
 )
 def dedup_containment_recall_audit(
@@ -1674,7 +1770,12 @@ def dedup_containment_recall_audit(
     sampled block after dedup_candidate_volume_audit forecasts the
     f² mass (unfiltered_pair_hits) is affordable. The audit itself
     reduces to one row."""
-    docs, ex = _shingle_index(spark, sf_dir)
+    return _recall_audit_from(*_shingle_index(spark, sf_dir))
+
+
+def _recall_audit_from(docs: DataFrame, ex: DataFrame) -> DataFrame:
+    """The recall audit over an explicit shingle index (shared with
+    the zipf fixture queries — see dedup_containment_recall_audit)."""
     capped = _containment_verified(
         docs, _containment_candidate_hits(docs, ex).distinct()
     )
@@ -1699,91 +1800,132 @@ def dedup_containment_recall_audit(
     )
 
 
-# Block sampler for the sampled recall audit: a block participates
-# when the first hex char of md5(lang || '#' || len_bucket) falls in
-# '0123' (P = 1/4) — md5 so BOTH engines draw the identical sample
-# (xxhash64 has no DuckDB twin), keyed on the block so the uncapped
-# ground-truth join stays complete WITHIN every sampled block (pair
-# semantics need whole blocks, never row samples).
-_RECALL_SAMPLE_HEX = ("0", "1", "2", "3")
+# Block sampler for the sampled recall audit: replicate r draws the
+# blocks whose first hex char of the md5 block key falls in the r-th
+# quartile of '0'..'f' (P = 1/4 each, disjoint strata) — md5 so BOTH
+# engines draw the identical sample (xxhash64 has no DuckDB twin),
+# keyed on the block so the uncapped ground-truth join stays complete
+# WITHIN every sampled block (pair semantics need whole blocks, never
+# row samples). TWO deterministic replicates since round 12 (VERDICT
+# r11 #3: a single fixed stratum can't show the estimator's spread —
+# at sf0.1 replicate 0 happens to contain none of the 12 dropped
+# pairs and reads 10⁶ ppm next to the full audit's 844,155). The
+# block key is NULL-safe since round 12 (ADVICE r11): both engines
+# hash coalesce(lang, '') / coalesce(cast(len_bucket), '') — before,
+# Spark's concat_ws SKIPPED a NULL lang while DuckDB's || propagated
+# it, so a NULL-lang block could be Spark-sampled but never
+# DuckDB-sampled. (NULL-keyed blocks never produce pairs — equi-joins
+# drop NULL keys — but the BLOCK CENSUS counted them differently.)
+_RECALL_SAMPLE_HEXES = (("0", "1", "2", "3"), ("4", "5", "6", "7"))
 
 
-def _block_sampled(df: DataFrame) -> DataFrame:
-    return df.where(
-        F.substring(
-            F.md5(F.concat_ws("#", F.col("lang"), F.col("len_bucket"))), 1, 1
-        ).isin(*_RECALL_SAMPLE_HEX)
+def _block_sampled(df: DataFrame, replicate: int = 0) -> DataFrame:
+    key = F.md5(
+        F.concat_ws(
+            "#",
+            F.coalesce(F.col("lang"), F.lit("")),
+            F.coalesce(F.col("len_bucket").cast("string"), F.lit("")),
+        )
     )
+    return df.where(
+        F.substring(key, 1, 1).isin(*_RECALL_SAMPLE_HEXES[replicate])
+    )
+
+
+def _sampled_recall_replicate_sql(sfx: str, hexes: tuple[str, ...]) -> str:
+    """One replicate's CTE chain for _sampled_recall_oracle: the
+    full capped-vs-uncapped pipeline restricted to the blocks whose
+    md5 key's first hex char falls in ``hexes``."""
+    hx = ", ".join(f"'{h}'" for h in hexes)
+    return f"""
+    tt{sfx} AS (
+        SELECT * FROM tt0
+        WHERE substr(md5(coalesce(lang, '') || '#' ||
+                         coalesce(CAST(len_bucket AS VARCHAR), '')), 1, 1)
+              IN ({hx})
+    ),
+    e{sfx} AS (SELECT doc_id, lang, len_bucket, unnest(sh) AS s
+               FROM tt{sfx}),
+    blk{sfx} AS (SELECT lang, len_bucket, count(*) AS nd FROM tt{sfx}
+                 GROUP BY 1, 2),
+    df{sfx} AS (SELECT lang, len_bucket, s, count(*) AS df FROM e{sfx}
+                GROUP BY 1, 2, 3),
+    elig{sfx} AS (
+        SELECT e.doc_id, e.lang, e.len_bucket, e.s
+        FROM e{sfx} e
+        JOIN df{sfx} USING (lang, len_bucket, s)
+        JOIN blk{sfx} USING (lang, len_bucket)
+        WHERE df <= greatest({CONTAINMENT_DF_FLOOR},
+                             nd // {CONTAINMENT_STOP_DIV})
+    ),
+    cand_c{sfx} AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM elig{sfx} a JOIN elig{sfx} b
+          ON a.s = b.s AND a.lang = b.lang AND a.len_bucket = b.len_bucket
+         AND a.doc_id < b.doc_id
+    ),
+    cand_u{sfx} AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM e{sfx} a JOIN e{sfx} b
+          ON a.s = b.s AND a.lang = b.lang AND a.len_bucket = b.len_bucket
+         AND a.doc_id < b.doc_id
+    ),
+    ver_c{sfx} AS (
+        SELECT 1 AS x FROM cand_c{sfx} c
+        JOIN tt{sfx} ta ON ta.doc_id = c.doc_a
+        JOIN tt{sfx} tb ON tb.doc_id = c.doc_b
+        WHERE len(list_intersect(ta.sh, tb.sh)) * 1000000
+              // least(len(ta.sh), len(tb.sh)) >= {CONTAINMENT_PPM}
+    ),
+    ver_u{sfx} AS (
+        SELECT 1 AS x FROM cand_u{sfx} c
+        JOIN tt{sfx} ta ON ta.doc_id = c.doc_a
+        JOIN tt{sfx} tb ON tb.doc_id = c.doc_b
+        WHERE len(list_intersect(ta.sh, tb.sh)) * 1000000
+              // least(len(ta.sh), len(tb.sh)) >= {CONTAINMENT_PPM}
+    ),
+    c{sfx} AS (SELECT count(*) AS n_c{sfx} FROM ver_c{sfx}),
+    u{sfx} AS (SELECT count(*) AS n_u{sfx} FROM ver_u{sfx}),
+    nbs{sfx} AS (SELECT count(DISTINCT (lang, len_bucket)) AS n_b{sfx}
+                 FROM tt{sfx})"""
+
+
+def _sampled_recall_oracle(table: str = "documents") -> str:
+    """DuckDB twin of dedup_containment_recall_sampled over ``table``
+    — two deterministic block-stratum replicates in one row."""
+    r0 = _sampled_recall_replicate_sql("_r0", _RECALL_SAMPLE_HEXES[0])
+    r1 = _sampled_recall_replicate_sql("_r1", _RECALL_SAMPLE_HEXES[1])
+    return f"""
+    WITH t AS (
+        SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+               {_SHINGLES_SQL} AS sh
+        FROM {table}
+    ),
+    tt0 AS (SELECT * FROM t WHERE len(sh) > 0),
+    {r0},
+    {r1},
+    nbt AS (SELECT count(DISTINCT (lang, len_bucket)) AS n_blocks_total
+            FROM tt0)
+    SELECT CAST(n_blocks_total AS BIGINT) AS n_blocks_total,
+           CAST(n_b_r0 AS BIGINT) AS n_blocks_sampled,
+           CAST(n_c_r0 AS BIGINT) AS n_capped_pairs,
+           CAST(n_u_r0 AS BIGINT) AS n_true_pairs,
+           CAST(CASE WHEN n_u_r0 = 0 THEN 1000000
+                     ELSE n_c_r0 * 1000000 // n_u_r0 END AS BIGINT)
+               AS recall_ppm,
+           CAST(n_b_r1 AS BIGINT) AS n_blocks_sampled_r2,
+           CAST(n_c_r1 AS BIGINT) AS n_capped_pairs_r2,
+           CAST(n_u_r1 AS BIGINT) AS n_true_pairs_r2,
+           CAST(CASE WHEN n_u_r1 = 0 THEN 1000000
+                     ELSE n_c_r1 * 1000000 // n_u_r1 END AS BIGINT)
+               AS recall_ppm_r2
+    FROM nbt, nbs_r0, c_r0, u_r0, nbs_r1, c_r1, u_r1
+    """
 
 
 @query(
     "dedup_containment_recall_sampled",
-    oracle=f"""
-    WITH t AS (
-        SELECT doc_id, lang, n_chars // 100 AS len_bucket,
-               {_SHINGLES_SQL} AS sh
-        FROM documents
-    ),
-    tt0 AS (SELECT * FROM t WHERE len(sh) > 0),
-    tt AS (
-        SELECT * FROM tt0
-        WHERE substr(md5(lang || '#' || CAST(len_bucket AS VARCHAR)), 1, 1)
-              IN ('0', '1', '2', '3')
-    ),
-    e AS (SELECT doc_id, lang, len_bucket, unnest(sh) AS s FROM tt),
-    blk AS (SELECT lang, len_bucket, count(*) AS nd FROM tt GROUP BY 1, 2),
-    df AS (SELECT lang, len_bucket, s, count(*) AS df FROM e GROUP BY 1, 2, 3),
-    elig AS (
-        SELECT e.doc_id, e.lang, e.len_bucket, e.s
-        FROM e
-        JOIN df USING (lang, len_bucket, s)
-        JOIN blk USING (lang, len_bucket)
-        WHERE df <= greatest({CONTAINMENT_DF_FLOOR},
-                             nd // {CONTAINMENT_STOP_DIV})
-    ),
-    cand_c AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM elig a JOIN elig b
-          ON a.s = b.s AND a.lang = b.lang AND a.len_bucket = b.len_bucket
-         AND a.doc_id < b.doc_id
-    ),
-    cand_u AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM e a JOIN e b
-          ON a.s = b.s AND a.lang = b.lang AND a.len_bucket = b.len_bucket
-         AND a.doc_id < b.doc_id
-    ),
-    ver_c AS (
-        SELECT 1 AS x FROM cand_c c
-        JOIN tt ta ON ta.doc_id = c.doc_a
-        JOIN tt tb ON tb.doc_id = c.doc_b
-        WHERE len(list_intersect(ta.sh, tb.sh)) * 1000000
-              // least(len(ta.sh), len(tb.sh)) >= {CONTAINMENT_PPM}
-    ),
-    ver_u AS (
-        SELECT 1 AS x FROM cand_u c
-        JOIN tt ta ON ta.doc_id = c.doc_a
-        JOIN tt tb ON tb.doc_id = c.doc_b
-        WHERE len(list_intersect(ta.sh, tb.sh)) * 1000000
-              // least(len(ta.sh), len(tb.sh)) >= {CONTAINMENT_PPM}
-    ),
-    nb AS (
-        SELECT
-          (SELECT count(DISTINCT (lang, len_bucket)) FROM tt0)
-              AS n_blocks_total,
-          (SELECT count(DISTINCT (lang, len_bucket)) FROM tt)
-              AS n_blocks_sampled
-    ),
-    c AS (SELECT count(*) AS n_c FROM ver_c),
-    u AS (SELECT count(*) AS n_u FROM ver_u)
-    SELECT CAST(n_blocks_total AS BIGINT) AS n_blocks_total,
-           CAST(n_blocks_sampled AS BIGINT) AS n_blocks_sampled,
-           CAST(n_c AS BIGINT) AS n_capped_pairs,
-           CAST(n_u AS BIGINT) AS n_true_pairs,
-           CAST(CASE WHEN n_u = 0 THEN 1000000
-                     ELSE n_c * 1000000 // n_u END AS BIGINT) AS recall_ppm
-    FROM nb, c, u
-    """,
+    oracle=_sampled_recall_oracle(),
     tags=("dedup", "audit", "containment", "recall", "sampling",
           "engine-addition"),
 )
@@ -1801,37 +1943,58 @@ def dedup_containment_recall_sampled(
     of Σ C(df,2) (forecastable per block from
     dedup_candidate_volume_audit before committing to the run).
     Reports the sampled-vs-total block census alongside the counts so
-    consumers see the estimate's support."""
+    consumers see the estimate's support.
+
+    TWO deterministic disjoint replicates since round 12 (VERDICT r11
+    #3): hex strata '0'-'3' and '4'-'7' each run the full
+    capped-vs-uncapped pipeline, so one row shows two independent
+    recall estimates next to the full audit's exact number — the
+    estimator's spread is visible cross-engine at the same bounded
+    cost class (each replicate is 1/4 of the block mass)."""
     docs, ex = _shingle_index(spark, sf_dir)
-    docs_s = _block_sampled(docs)
-    ex_s = _block_sampled(ex)
-    capped = _containment_verified(
-        docs_s, _containment_candidate_hits(docs_s, ex_s).distinct()
-    )
-    truth = _containment_verified(
-        docs_s, _containment_uncapped_hits(ex_s).distinct()
-    )
     blocks = docs.select("lang", "len_bucket").distinct()
-    nb = blocks.agg(
+    out = blocks.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_blocks_total")
-    ).crossJoin(
-        _block_sampled(blocks).agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_blocks_sampled")
+    )
+    # per replicate: census + capped + uncapped counts, all 1-row
+    # frames folded onto the audit row (anchor crossJoin pattern)
+    for rep, sfx in ((0, ""), (1, "_r2")):
+        docs_s = _block_sampled(docs, rep)
+        ex_s = _block_sampled(ex, rep)
+        capped = _containment_verified(
+            docs_s, _containment_candidate_hits(docs_s, ex_s).distinct()
         )
-    )
-    nc = capped.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_capped_pairs")
-    )
-    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
-    return nb.crossJoin(nc).crossJoin(nt).select(
+        truth = _containment_verified(
+            docs_s, _containment_uncapped_hits(ex_s).distinct()
+        )
+        nbs = _block_sampled(blocks, rep).agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"n_blocks_sampled{sfx}")
+        )
+        nc = capped.agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"n_capped_pairs{sfx}")
+        )
+        nt = truth.agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"n_true_pairs{sfx}")
+        )
+        out = out.crossJoin(nbs).crossJoin(nc).crossJoin(nt)
+
+    def _ppm(sfx: str):
+        return F.expr(
+            f"CAST(CASE WHEN n_true_pairs{sfx} = 0 THEN 1000000"
+            f" ELSE n_capped_pairs{sfx} * 1000000 div n_true_pairs{sfx}"
+            " END AS BIGINT)"
+        ).alias(f"recall_ppm{sfx}")
+
+    return out.select(
         "n_blocks_total",
         "n_blocks_sampled",
         "n_capped_pairs",
         "n_true_pairs",
-        F.expr(
-            "CAST(CASE WHEN n_true_pairs = 0 THEN 1000000"
-            " ELSE n_capped_pairs * 1000000 div n_true_pairs END AS BIGINT)"
-        ).alias("recall_ppm"),
+        _ppm(""),
+        "n_blocks_sampled_r2",
+        "n_capped_pairs_r2",
+        "n_true_pairs_r2",
+        _ppm("_r2"),
     )
 
 

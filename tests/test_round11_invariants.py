@@ -39,10 +39,12 @@ def test_volume_audit_matches_jaccard_generators(spark, sf_dir):
     docs, ex = _shingle_index(spark, sf_dir)
     loose = _jaccard_candidate_hits(docs, ex).count()
     strict = _jaccard_candidate_hits(docs, ex, 1, 2).count()
+    tau45 = _jaccard_candidate_hits(docs, ex, 4, 5).count()
     audit = dedup_candidate_volume_audit(spark, sf_dir).first()
     assert loose == audit["jaccard_prefix_hits"]
     assert strict == audit["jaccard_prefix_hits_strict"]
-    assert strict <= loose <= audit["unfiltered_pair_hits"]
+    assert tau45 == audit["jaccard_prefix_hits_tau45"]
+    assert tau45 <= strict <= loose <= audit["unfiltered_pair_hits"]
     assert (
         audit["containment_pair_hits"] + audit["stop_shingle_pair_hits"]
         == audit["unfiltered_pair_hits"]
@@ -187,3 +189,15 @@ def test_sampled_recall_audit_consistent_with_full(spark, sf_dir):
     assert s["n_true_pairs"] <= f["n_true_pairs"]
     assert s["n_capped_pairs"] <= s["n_true_pairs"]
     assert 0 <= s["recall_ppm"] <= 1_000_000
+    # second deterministic replicate (VERDICT r11 #3): disjoint hex
+    # stratum, same invariants; the two strata can't overlap, so their
+    # sampled block counts sum within the total
+    assert 0 < s["n_blocks_sampled_r2"]
+    assert (
+        s["n_blocks_sampled"] + s["n_blocks_sampled_r2"]
+        <= s["n_blocks_total"]
+    )
+    assert s["n_capped_pairs_r2"] <= f["n_capped_pairs"]
+    assert s["n_true_pairs_r2"] <= f["n_true_pairs"]
+    assert s["n_capped_pairs_r2"] <= s["n_true_pairs_r2"]
+    assert 0 <= s["recall_ppm_r2"] <= 1_000_000
