@@ -257,6 +257,50 @@ def test_salted_skew_join_byte_gate_blocks_wide_build(spark):
     assert "_salt" not in out2._jdf.queryExecution().optimizedPlan().toString()
 
 
+def test_byte_gate_measures_nested_builds(spark):
+    """VERDICT r11 #4: a build whose rows pass the ROW cap and whose
+    flat schema estimate passes the BYTE cap, but whose arrays are
+    actually huge, must NOT be broadcast at the DEFAULT caps — the
+    gate now measures nested bytes from the staged build. A build
+    with genuinely small arrays keeps the map-side shortcut."""
+    from big_data_final_project_spark.operators.salting import (
+        SKEW_BROADCAST_BYTES_DEFAULT,
+        _estimated_row_bytes,
+        salted_skew_join,
+    )
+
+    probe = spark.range(5000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("payload")
+    )
+    counts = probe.groupBy("k").agg(F.count("*").alias("n"))
+    # 100 rows x 20k md5 strings ~ 70 MB JSON — over the 64 MB default
+    big = counts.withColumn(
+        "bulk",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(19_999)),
+            lambda i: F.md5(i.cast("string")),
+        ),
+    )
+    # the OLD flat 1 KB nested estimate would have let this broadcast
+    assert (
+        100 * _estimated_row_bytes(big.schema)
+        <= SKEW_BROADCAST_BYTES_DEFAULT
+    )
+    out = salted_skew_join(probe, big, "k", "n", F.xxhash64("payload"))
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" in plan  # measured bytes refuse the broadcast
+    assert out.count() == 5000
+
+    small = counts.withColumn(
+        "bulk", F.array(F.lit("a"), F.lit("b"), F.lit("c"))
+    )
+    out2 = salted_skew_join(probe, small, "k", "n", F.xxhash64("payload"))
+    assert (
+        "_salt" not in out2._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert out2.count() == 5000
+
+
 def test_auto_hot_threshold_matches_join_inline_formula(spark):
     """ADVICE r10: the public helper and the join's inline decision
     derive from ONE shared formula — assert they agree, including the
