@@ -34,8 +34,10 @@ from tools.check_artifacts import source_digest  # noqa: E402
 
 import bench  # noqa: E402
 
-# Standing watch list (VERDICT r10 #8 + the screens and their audit):
-# queries whose cross-round ratios have needed solo adjudication.
+# Standing watch list: every query a headline cross-round ratio has
+# ever flagged (VERDICT r10 #8; extended per VERDICT r11 #1 with the
+# r11 headline "regressors" the sweep diff had to exonerate — their
+# solo floors make future drift adjudicable from this artifact alone).
 WATCH_LIST = [
     "join_asof",
     "window_running_sum",
@@ -47,6 +49,14 @@ WATCH_LIST = [
     "dedup_substring_windows",
     "text_bm25_topk",
     "sim_lsh_bucketed_topk",
+    # VERDICT r11 #1 additions
+    "dedup_lsh_tuning",
+    "graph_random_walks",
+    "kmeans_lloyd_refine",
+    "text_bpe_train_rounds",
+    "text_cdc_chunks",
+    "sim_lsh_join_topk",
+    "ml_ndcg_at_k",
 ]
 
 N_RUNS = 3
@@ -96,6 +106,41 @@ def main() -> None:
         print(f"{name}: best {queries[name]['best']} {queries[name]['runs']}")
     probe_end = bench._calibration_probe(spark)
 
+    # Cross-round probe-scaled floors (VERDICT r11 #1): each round's
+    # best is divided by that round's probe floor (the box measure),
+    # and the FLOOR is the min of those ratios over every round this
+    # artifact has lived through — so "engine or box?" is answered by
+    # comparing a round's probe-scaled best to the standing floor,
+    # without a judge-run sweep diff. The floor is carried forward
+    # from the previous artifact (itself digest-stamped per round).
+    path = os.path.join(REPO, "BENCH_SOLO.json")
+    prev_q: dict[str, dict] = {}
+    try:
+        with open(path) as fh:
+            prev = json.load(fh)
+        if prev.get("sf") != sf_val:  # floors are per-scale-factor
+            raise ValueError("sf mismatch — start a fresh floor history")
+        prev_q = prev.get("queries", {})
+        prev_probe = min(prev["probe_sec"].values())
+    except (OSError, ValueError, KeyError):
+        prev, prev_probe = None, None
+    probe_floor = min(probe_start, probe_end)
+    for name, rec in queries.items():
+        scaled = rec["best"] / probe_floor
+        floors = [scaled]
+        rounds = 1
+        p = prev_q.get(name)
+        if p is not None:
+            if "probe_scaled_floor" in p:
+                floors.append(p["probe_scaled_floor"])
+                rounds += p.get("floor_rounds", 1)
+            elif prev_probe:  # pre-r12 artifact: derive one point
+                floors.append(p["best"] / prev_probe)
+                rounds += 1
+        rec["probe_scaled_best"] = round(scaled, 4)
+        rec["probe_scaled_floor"] = round(min(floors), 4)
+        rec["floor_rounds"] = rounds
+
     out = {
         "metric": "watchlist_solo_best_of_n",
         "unit": "sec",
@@ -106,7 +151,6 @@ def main() -> None:
         "source_digest": digest,
         "queries": queries,
     }
-    path = os.path.join(REPO, "BENCH_SOLO.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     print(f"wrote {path} (probe {probe_start}/{probe_end})")
