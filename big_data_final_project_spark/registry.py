@@ -89,6 +89,7 @@ def _load_all() -> None:
         privacy,
         bloom,
         uncertainty,
+        zipf,
     )
 
 
