@@ -38,7 +38,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from check_artifacts import source_digest  # noqa: E402
 
-FAMILIES = ("agg_", "ts_", "window_", "scalar_", "text_", "events_", "null_")
+# dedup_ added in round 12 (ADVICE r11: the NULL-lang block-sampler
+# divergence was latent precisely because the family was excluded
+# even though the sweep plants NULL documents.lang)
+FAMILIES = ("agg_", "ts_", "window_", "scalar_", "text_", "events_",
+            "null_", "dedup_")
 NULL_RULES = {
     "events": (("value", "event_id", 20, 7), ("props", "event_id", 10, 3)),
     "documents": (("lang", "doc_id", 20, 11),),
