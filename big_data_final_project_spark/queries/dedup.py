@@ -596,9 +596,12 @@ _SEEDS_SQL = "[" + ", ".join(f"'{s}'" for s in SEEDS) + "]"
 
 
 # CTE chain shared by the minhash-pairs oracle and the cluster
-# (connected-components) oracle built on top of it.
-_MINHASH_CTES = f"""
-    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents),
+# (connected-components) oracle built on top of it. A function since
+# round 12 so the zipf fixture reuses it; the module constant keeps
+# the documents-table form every existing oracle interpolates.
+def _minhash_ctes(table: str = "documents") -> str:
+    return f"""
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM {table}),
     sig AS MATERIALIZED (
         SELECT doc_id,
                list_transform({_SEEDS_SQL}, s ->
@@ -627,6 +630,10 @@ _MINHASH_CTES = f"""
          AND a.doc_id < b.doc_id
     )
 """
+
+
+_MINHASH_CTES = _minhash_ctes()
+
 
 # Banded-signature table per (session, sf_dir): pairs, clusters,
 # survivor stats, and the incremental screen all start from it —
@@ -709,7 +716,13 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shingle set once per seed (quadratic per doc; measured 40s vs
     2s at sf0.001). The explode/agg gets map-side partial mins, so
     the shuffle carries one partial signature per doc per partition."""
-    hashed = _banded_sig_table(spark, sf_dir)
+    return _minhash_pairs_from(_banded_sig_table(spark, sf_dir))
+
+
+def _minhash_pairs_from(hashed: DataFrame) -> DataFrame:
+    """Band-bucket self-join + signature-agreement estimate over an
+    explicit banded-signature table (shared with the zipf fixture —
+    see dedup_minhash_pairs)."""
     a, b = hashed.alias("a"), hashed.alias("b")
     est = (
         F.aggregate(

@@ -35,11 +35,15 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.scale import session_cached
 from ..registry import query
 from .dedup import (
+    MIN_EST_JACCARD,
     _containment_candidate_hits,
     _containment_oracle,
     _containment_verified,
+    _minhash_ctes,
+    _minhash_pairs_from,
     _recall_audit_from,
     _recall_audit_oracle,
     _shingle_index_from,
@@ -47,6 +51,7 @@ from .dedup import (
     _strict_jaccard_screen_from,
     _volume_audit_from,
     _volume_audit_oracle,
+    sig_rows,
 )
 
 FIXTURE_PATH = os.path.join(
@@ -140,6 +145,33 @@ def zipf_containment_recall_audit(
     is audit-sized); at 100 TB this is the query a pipeline runs on a
     sampled stratum after the volume audit forecasts the f² mass."""
     return _recall_audit_from(*_shingle_index_from(_zipf_docs(spark)))
+
+
+@query(
+    "zipf_minhash_pairs",
+    oracle=f"""
+    WITH {_minhash_ctes(_TABLE)}
+    SELECT doc_a, doc_b, est_jaccard FROM cand
+    WHERE est_jaccard >= {MIN_EST_JACCARD}
+    """,
+    tags=("dedup", "minhash", "lsh", "zipf", "fixture",
+          "engine-addition"),
+)
+def zipf_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_minhash_pairs (8-permutation MinHash + 4-band LSH bucket
+    join) on the zipf corpus: banding's candidate generation and the
+    signature-agreement estimate value-certified on heavy-tailed text,
+    where hot shingles make MinHash permutation minima collide across
+    unrelated docs far more often than on the uniform corpora — the
+    est >= 1/2 filter and the banded join must still agree with DuckDB
+    exactly. The banded signature table is session-cached like the
+    registered query's."""
+    hashed = session_cached(
+        spark,
+        (FIXTURE_PATH, "zipf_banded_sigs"),
+        lambda: sig_rows(_zipf_docs(spark).select("doc_id", "text")),
+    )
+    return _minhash_pairs_from(hashed)
 
 
 def _planted_pred(base: int, n: int):

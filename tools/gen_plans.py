@@ -190,10 +190,34 @@ SHUFFLE_ADJUDICATED = {
         " point and is volume-forecast first at 100 TB"
     ),
     "dedup_containment_recall_sampled": (
-        "r11: same two-pipeline recall-probe shape restricted to an"
-        " md5-drawn 1/4 block sample plus the block-census anchor"
-        " aggregates — 8 exchanges over sample-sized frames; the"
-        " sampling is what makes the uncapped leg affordable at scale"
+        "r11, re-adjudicated r12: the two-pipeline recall-probe shape"
+        " restricted to md5-drawn 1/4 block samples — now TWO disjoint"
+        " replicates (VERDICT r11 #3), each its own capped+uncapped"
+        " pipeline, plus the block-census anchors: 14 exchanges over"
+        " sample-sized frames; the replication is the estimator-spread"
+        " evidence and each replicate is what makes the uncapped leg"
+        " affordable at scale"
+    ),
+    "dedup_candidate_volume_audit": (
+        "r12: 11 exchange NODES = the staged df aggregate + staged"
+        " ranked window (each computed ONCE since ADVICE r11 removed"
+        " the per-tau recompute) feeding three per-tau prefix"
+        " self-joins (2 exchanges each over prefix-filtered"
+        " checkpointed frames) + the histogram rollup; the node count"
+        " exceeds r11's because the shared stages now sit behind"
+        " checkpoint scans and a THIRD tau leg exists (VERDICT r11"
+        " #6), but strictly less work recomputes than before"
+    ),
+    "zipf_candidate_volume_audit": (
+        "r12: same shape as dedup_candidate_volume_audit over the"
+        " committed zipf fixture — shared staged df/ranked frames,"
+        " three tau legs, one histogram"
+    ),
+    "zipf_planted_pairs_found": (
+        "r12: 6 exchanges = the strict jaccard screen pipeline + the"
+        " capped containment screen pipeline (both production paths,"
+        " independently necessary) reduced to one 3-column scoreboard"
+        " row by anchor crossJoins"
     ),
     "dedup_lsh_tuning": (
         "re-confirmed r10 (previously adjudicated r9): the band-sweep"
@@ -379,8 +403,11 @@ def main() -> None:
             " the SAME slice twice — was eliminated by the round-4 diamond"
             " sweep (SCALE.md) via localCheckpoint staging; this list exists"
             " so NEW entries get reviewed against those three classes."
-            " Highest shuffle counts: "
-            + ", ".join(f"`{n}` {s}" for n, s in worst_shuffles[:5])
+            " Full ≥6-exchange tier (every entry must carry a written"
+            " adjudication below): "
+            + ", ".join(
+                f"`{n}` {s}" for n, s in worst_shuffles if s >= 6
+            )
             + ".",
             "",
             "Shuffle-tier adjudications (VERDICT r9 #5 — every ≥6-exchange"
