@@ -53,6 +53,11 @@ ARTIFACTS = (
     "CORRECTNESS_SWEEP.json",
     "CORRECTNESS_SF01.json",
     "BENCH_SOLO.json",
+    # round 12: the two new robustness axes are guarded too — a
+    # layout-invariance or unicode claim is only citable while it
+    # matches the working tree
+    "INVARIANCE_SWEEP.json",
+    "UNICODE_SWEEP.json",
 )
 
 
