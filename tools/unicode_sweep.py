@@ -45,7 +45,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from check_artifacts import source_digest  # noqa: E402
 
-FAMILIES = ("text_", "dedup_", "curation_")
+FAMILIES = ("text_", "dedup_", "curation_", "pipeline_", "sample_")
 
 # Append suffixes (doc_id % 3 == 1 slice, variant by doc_id % 4).
 SUFFIXES = [
