@@ -194,6 +194,20 @@ def main() -> None:
         # only the outliers re-run).
         for name, t in list(sweep.items()):
             if t > 5.0:
+                # Session-cache honesty (found r12): the re-run must
+                # not hit frames the first, timed run materialized.
+                # dedup_clusters' cold build is ~4-5 s; when that
+                # crossed this 5 s threshold (r10/r11), the re-run hit
+                # the session-cached cluster map and recorded a 0.02-
+                # 0.04 s cache-hit as the query's floor — a 130x
+                # phantom cliff at the threshold. Clearing the cache
+                # makes the re-run pay the same builds the first run
+                # paid (min() still discards any extra cost this adds).
+                from big_data_final_project_spark.operators import (
+                    scale as _scale,
+                )
+
+                _scale._SESSION_CACHE.clear()
                 t0 = time.perf_counter()
                 _run(cat[name].fn(spark, sf_dir))
                 sweep[name] = round(
