@@ -2089,9 +2089,10 @@ def agg_median_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
     its group's candidate range and counts per bucket — one
     map-side-combinable aggregate over the cached single-column
     projection — then descends into the bucket holding the k-th
-    smallest value (k = ceil(n/2), the lower median). log64(range)
-    ~= 4 passes replace the per-group sort; the oracle finds the
-    same element the opposite way (row_number).
+    smallest value (k = ceil(n/2), the lower median). log_fanout(range)
+    passes (2 at 4096-ary for a cents domain) replace the per-group
+    sort; the oracle finds the same element the opposite way
+    (row_number).
 
     Scale: this is how you take an exact median of a 100 TB column —
     no stage ever sorts or shuffles the data (counts only); the
@@ -2117,7 +2118,15 @@ def agg_median_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     # base[g] = #values < lo (already excluded from the interval)
     base = {g: 0 for g in bounds}
-    fanout = 64
+    # 4096-ary (r12 optimization): the histogram a pass collects is
+    # |groups| x fanout scalars — raising fanout 64 -> 4096 is free
+    # driver-side but halves the number of corpus passes
+    # (log4096(range) = 2 for any cents domain under ~1.7e7; log64 was
+    # 4). Same selected element every round, so results are unchanged.
+    # Overflow headroom: bucketing computes (v - lo) * fanout, safe
+    # while the interval width stays under 2^63/4096 ~= 2.2e15 —
+    # orders of magnitude above any money-cents domain.
+    fanout = 4096
     while True:
         open_groups = {g: b for g, b in bounds.items() if b[0] < b[1]}
         if not open_groups:
@@ -2381,10 +2390,10 @@ def agg_quantiles_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
     the smallest value whose rank reaches ceil(n*q/100)) without any
     sort: every (group, quantile) target keeps its own candidate
     interval, and each round ONE broadcast-join pass maps in-range
-    rows to 64 equal sub-intervals per open target and counts — all
-    twelve selections narrow simultaneously, so exact quantiles of a
-    100 TB column cost the same ~log64(range) ~= 4 counting passes as
-    a single median. The oracle finds the same elements by
+    rows to `fanout` equal sub-intervals per open target and counts —
+    all twelve selections narrow simultaneously, so exact quantiles
+    of a 100 TB column cost the same ~log_fanout(range) (= 2 at
+    4096-ary for a cents domain) counting passes as a single median. The oracle finds the same elements by
     row_number. Replicated rows are bounded by the number of open
     targets a row's group/value matches (<= 4, shrinking each round).
 
@@ -2415,7 +2424,11 @@ def agg_quantiles_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in (25, 50, 75, 90):
             k = (r["n"] * q + 99) // 100
             state[(g, q)] = [r["lo"], r["hi"], k, r["n"], 0]
-    fanout = 64
+    # 4096-ary (r12 optimization, same as agg_median_bisect): two
+    # counting passes instead of four over the cents domain; the
+    # collected histogram is |open targets| x occupied buckets rows,
+    # still driver-trivial. Identical selected elements.
+    fanout = 4096
     while True:
         open_states = {s: b for s, b in state.items() if b[0] < b[1]}
         if not open_states:
