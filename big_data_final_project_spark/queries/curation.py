@@ -15,8 +15,9 @@ Scale posture:
    so the corpus never shuffles, it streams past a broadcast hash set;
  * PII redaction is a pure per-row regexp map (JVM codegen, zero
    shuffles);
- * repetition stats shuffle on (doc_id, gram) — md5-uniform keys, and
-   the per-doc reduction is a two-level partial aggregate;
+ * repetition stats are a pure per-row map (r12): the per-doc top
+   gram frequency is the max run length of the sorted gram array —
+   zero shuffles;
  * domain mixture computes per-source budgets (a tiny aggregate),
    broadcasts the rate table, and gates rows with a deterministic
    content hash — reproducible across engines, runs, and repartitions
@@ -25,7 +26,7 @@ Scale posture:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..data import load_table
@@ -222,45 +223,73 @@ def curation_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-based quality gate (the Gopher rules' shape): a doc
     fails when its most frequent token or bigram covers too much of
     it — the cheap detector for boilerplate / keyword-stuffed /
-    looping text. Two (doc_id, gram)-keyed counts (md5-uniform, no
-    skew) reduced to per-doc maxima — two narrow shuffles, partials
-    map-side; ratios are exact BIGINT/BIGINT divisions in double."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", _toks(F.col("text")).alias("toks")
-    )
-    base = d.select("doc_id", F.size("toks").alias("n_toks"), "toks")
+    looping text. Ratios are exact BIGINT/BIGINT divisions in double.
 
-    tok_top = (
-        base.select("doc_id", F.explode("toks").alias("tok"))
-        .groupBy("doc_id", "tok")
-        .count()
-        .groupBy("doc_id")
-        .agg(F.max("count").alias("top_tok"))
+    Shape (r12 optimization): a per-doc top frequency needs no
+    (doc, gram) shuffle at all — the max count of equal elements IS
+    the max run length of the SORTED gram array, computed per row
+    with array_sort + one aggregate() scan. The previous form
+    (explode -> two-level count -> per-doc max -> two joins back)
+    spent 4 exchanges re-keying corpus-sized gram rows by doc; this
+    is a single stateless projection over the scan — zero exchanges,
+    and at 100 TB the whole gate pipelines into whatever stage reads
+    the documents. Inner-join semantics kept: only docs with >= 2
+    tokens have a bigram top, so the gate emits exactly those
+    (size(NULL toks) is NULL and filters out, matching the old
+    explode-of-NULL behavior)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", _toks(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= 2)
     )
-    bigrams = F.expr("transform(sequence(1, size(toks) - 1), i -> concat(toks[i - 1], ' ', toks[i]))")
-    big_top = (
-        base.where(F.size("toks") >= 2)
-        .select("doc_id", F.explode(bigrams).alias("gram"))
-        .groupBy("doc_id", "gram")
-        .count()
-        .groupBy("doc_id")
-        .agg(F.max("count").alias("top_big"))
+
+    def max_run(arr: Column) -> Column:
+        """Longest run of equal adjacent elements of a SORTED array =
+        max multiplicity of any element. State: (prev, current run,
+        best run); prev=NULL start makes the first comparison NULL ->
+        otherwise(1). The run expression appears twice because a
+        struct field cannot reference a sibling built in the same
+        lambda — both are the same scalar when/plus, evaluated on
+        (acc, x) only (no array re-evaluation inside the lambda)."""
+        run = lambda acc, x: (  # noqa: E731 — shared by two fields
+            F.when(acc["prev"] == x, acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+        )
+        return F.aggregate(
+            arr,
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).cast("long").alias("run"),
+                F.lit(0).cast("long").alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                run(acc, x).alias("run"),
+                F.greatest(acc["best"], run(acc, x)).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        )
+
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> concat(toks[i - 1], ' ', toks[i]))"
+    )
+    base = d.select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        max_run(F.array_sort(F.col("toks"))).alias("top_tok"),
+        max_run(F.array_sort(bigrams)).alias("top_big"),
     )
     t_ratio = F.col("top_tok").cast("double") / F.col("n_toks")
     b_ratio = F.col("top_big").cast("double") / (F.col("n_toks") - 1)
-    return (
-        base.select("doc_id", "n_toks")
-        .join(tok_top, "doc_id")
-        .join(big_top, "doc_id")
-        .select(
-            "doc_id",
-            F.col("n_toks").cast("long").alias("n_tokens"),
-            t_ratio.alias("top_token_ratio"),
-            b_ratio.alias("top_bigram_ratio"),
-            (
-                (t_ratio <= REP_TOP_TOKEN_MAX) & (b_ratio <= REP_TOP_BIGRAM_MAX)
-            ).alias("passes_repetition"),
-        )
+    return base.select(
+        "doc_id",
+        F.col("n_toks").cast("long").alias("n_tokens"),
+        t_ratio.alias("top_token_ratio"),
+        b_ratio.alias("top_bigram_ratio"),
+        (
+            (t_ratio <= REP_TOP_TOKEN_MAX) & (b_ratio <= REP_TOP_BIGRAM_MAX)
+        ).alias("passes_repetition"),
     )
 
 
