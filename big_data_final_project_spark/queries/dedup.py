@@ -2145,16 +2145,17 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: candidate generation touches only prefix shingles (~half
     of each doc, and the RAREST half, so per-element fan-out is
     df_prefix^2 with tiny df); frequent shingles never join. One df
-    aggregate, one prefix self-join, and an inverted-index verify
-    (count shared shingles per candidate pair — no per-doc arrays
-    are ever shipped through the shuffle)."""
+    aggregate, one prefix self-join, and a per-pair array_intersect
+    verify (r12 — see below); per-doc arrays travel only with the
+    bounded CANDIDATE pairs, never through the candidate-generation
+    shuffle."""
     d = load_table(spark, sf_dir, "documents")
     tk = d.select(
         "doc_id", "lang", F.split(_norm(F.col("text")), " ").alias("ss")
     ).filter(F.size("ss") >= 3)
     # one materialization of the distinct (doc, shingle) relation:
-    # four downstream consumers (sizes, df, prefix ranks, verify
-    # probes) would otherwise re-run normalize+shingle+distinct each
+    # three downstream consumers (df, prefix ranks, verify arrays)
+    # would otherwise re-run normalize+shingle+distinct each
     toks = (
         tk.select(
             "doc_id",
@@ -2169,21 +2170,39 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .transform(materialize)
     )
-    sizes = toks.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n")
+    # r12 optimization: the verify step now intersects per-doc hashed
+    # shingle ARRAYS attached to each candidate pair (the
+    # _shingle_index pattern — xxhash64 keys, string-joined oracle, so
+    # a collision would surface as a differential mismatch) instead of
+    # re-joining the full occurrence relation twice and re-aggregating
+    # (was: cand JOIN toks JOIN toks -> |cand| x ~n fan-out -> groupBy;
+    # measured 1.4 s of the query's ~4 s at sf0.1). The doc-array
+    # table is one row per doc and joins map-side; at scale it is a
+    # narrow doc-keyed shuffle of candidates only.
+    darr = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.collect_list(F.xxhash64("tok")).alias("th"),
+        )
+        .transform(materialize)
     )
     df_tab = toks.groupBy("tok").agg(F.count("*").alias("df"))
-    ranked = toks.join(df_tab, "tok").withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy(
-                F.col("df").asc(), F.col("tok").asc()
-            )
-        ),
+    wdoc = Window.partitionBy("doc_id")
+    # n via a window count shares the ranking window's exchange — the
+    # separate sizes aggregate + join it replaces was one more pass
+    # over the occurrence relation
+    ranked = (
+        toks.join(df_tab, "tok")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                wdoc.orderBy(F.col("df").asc(), F.col("tok").asc())
+            ),
+        )
+        .withColumn("n", F.count(F.lit(1)).over(wdoc).cast("bigint"))
     )
-    prefix = ranked.join(sizes, "doc_id").filter(
-        F.col("rn") <= F.expr("n div 2 + 1")
-    )
+    prefix = ranked.filter(F.col("rn") <= F.expr("n div 2 + 1"))
     pre = prefix.select("tok", "lang", "doc_id", "n", "rn").transform(materialize)
     pa, pb = pre.alias("pa"), pre.alias("pb")
     # POSITION filter (PPJoin+, round 5): a hit on the shared prefix
@@ -2214,22 +2233,30 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # verify through the inverted index (count shared shingles via
-    # two equi-joins) instead of materializing per-doc arrays
-    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tok"))
-    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tok"))
-    isect = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b", "lang")
-        .agg(F.count("*").cast("bigint").alias("isect"))
-    )
-    verified = isect.join(
-        sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
-        "doc_a",
-    ).join(
-        sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
-        "doc_b",
+    # verify map-side: attach both docs' hashed shingle arrays to each
+    # candidate pair, one array_intersect per pair (r12; was two
+    # corpus-relation joins + a re-aggregate)
+    verified = (
+        cand.join(
+            darr.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n").alias("n_a"),
+                F.col("th").alias("ta"),
+            ),
+            "doc_a",
+        )
+        .join(
+            darr.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n").alias("n_b"),
+                F.col("th").alias("tb"),
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "isect", F.size(F.array_intersect("ta", "tb")).cast("bigint")
+        )
+        .drop("ta", "tb")
     )
     return (
         verified.withColumn("uni", F.col("n_a") + F.col("n_b") - F.col("isect"))

@@ -135,3 +135,52 @@ def test_repetition_plan_has_no_exchange(spark, tmp_path):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_prefix_filter_join_array_verify_matches_bruteforce(spark, tmp_path):
+    """r12 rewrote dedup_prefix_filter_join's verify step (per-pair
+    array_intersect on hashed shingle arrays instead of two
+    occurrence-relation joins). Pin the whole screen against an
+    unfiltered quadratic reference on a planted corpus with
+    near-duplicate pairs, a cross-lang pair that must NOT match, and
+    a length-ratio-violating pair."""
+    from big_data_final_project_spark.queries.dedup import (
+        dedup_prefix_filter_join,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [
+        (1, base, ),
+        (2, base + " iota",),  # near-dup of 1 (J >= 0.5)
+        (3, "totally different words here make no overlap at all",),
+        (4, base,),  # exact dup of 1
+        (5, " ".join(["alpha beta gamma"] * 12),),  # length-ratio breaker
+    ]
+    sf_dir = _stage_docs(tmp_path / "sf_pfj", docs)
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_a"], r["n_b"], r["isect"], r["uni"])
+        for r in dedup_prefix_filter_join(spark, sf_dir).collect()
+    }
+
+    # brute-force reference: distinct trigram sets per doc in Python
+    def tris(text):
+        toks = " ".join(text.lower().split()).split(" ")
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        } if len(toks) >= 3 else None
+
+    sets = {i: tris(t) for i, t in docs}
+    want = {}
+    for a in sorted(sets):
+        for b in sorted(sets):
+            if a >= b or sets[a] is None or sets[b] is None:
+                continue
+            na, nb = len(sets[a]), len(sets[b])
+            isect = len(sets[a] & sets[b])
+            uni = na + nb - isect
+            if 2 * isect >= uni:
+                want[(a, b)] = (na, nb, isect, uni)
+    assert got == want
+    assert (1, 2) in got and (1, 4) in got  # planted pairs found
+    assert (1, 5) not in got  # length bound filtered
