@@ -390,33 +390,29 @@ def sim_lsh_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         qn = np.sqrt((qq * qq).sum(axis=1))
         sims = (qq @ cq.T) / (qn[:, None] * cn[None, :])
         bucket = int(qpdf["bucket"].iloc[0])
-        frames = []
-        for qi, qid in enumerate(qids):
-            cand = np.flatnonzero(cids != qid)
-            if not len(cand):
-                continue
-            row = sims[qi]
-            sel = cand[np.lexsort((cids[cand], -row[cand]))[:TOP_K]]
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "query_id": int(qid),
-                        "neighbor_id": cids[sel],
-                        "bucket": bucket,
-                        "cosine": row[sel],
-                    }
-                )
-            )
-        if not frames:
-            return pd.DataFrame(
-                {
-                    "query_id": pd.Series(dtype="int64"),
-                    "neighbor_id": pd.Series(dtype="int64"),
-                    "bucket": pd.Series(dtype="int64"),
-                    "cosine": pd.Series(dtype="float64"),
-                }
-            )
-        return pd.concat(frames, ignore_index=True)
+        # r12 (guide §4.2): one vectorized top-k for the whole batch —
+        # the per-query python loop built thousands of 8-row frames
+        # and pd.concat'ed them. Semantics unchanged: per row, order
+        # by (-cosine, neighbor_id) [lexsort, distinct ids => total
+        # order, so filter-then-sort == sort-then-filter], drop the
+        # self column, keep the first TOP_K surviving entries.
+        nq, nc = sims.shape
+        ord2 = np.lexsort((np.broadcast_to(cids, sims.shape), -sims), axis=1)
+        keep = cids[ord2] != qids[:, None]
+        k = min(TOP_K, nc)
+        # positions (within each sorted row) of its first k kept cols
+        pos = np.argsort(~keep, axis=1, kind="stable")[:, :k]
+        valid = np.take_along_axis(keep, pos, axis=1)
+        sel = np.take_along_axis(ord2, pos, axis=1)
+        flat = valid.ravel()
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, k)[flat],
+                "neighbor_id": cids[sel].ravel()[flat],
+                "bucket": np.full(int(flat.sum()), bucket, dtype="int64"),
+                "cosine": np.take_along_axis(sims, sel, axis=1).ravel()[flat],
+            }
+        )
 
     local = (
         q.groupBy("bucket")
