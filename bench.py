@@ -207,6 +207,11 @@ def main() -> None:
                     scale as _scale,
                 )
 
+                for _df in _scale._SESSION_CACHE.values():
+                    try:  # free executor blocks, not just the refs
+                        _df.unpersist(blocking=False)
+                    except Exception:
+                        pass
                 _scale._SESSION_CACHE.clear()
                 t0 = time.perf_counter()
                 _run(cat[name].fn(spark, sf_dir))

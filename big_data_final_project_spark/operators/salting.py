@@ -153,17 +153,58 @@ def _scalar_row_bytes(schema) -> int:
     )
 
 
-def _measured_field_names(schema) -> list[str]:
+def _measured_fields(schema):
     """Fields whose bytes the gate MEASURES from the staged build
-    (nested + unknown types): one sum(octet_length(to_json(...))) per
-    field, folded into the stats aggregate the join already runs. The
-    JSON encoding over-counts vs the in-memory binary layout (quotes,
-    brackets, digit expansion) — pessimistic in the safe direction."""
+    (nested + unknown types), one pair of aggregates per field:
+    sum(octet_length(to_json(...))) AND a binary-layout floor
+    (see _binary_floor_expr); the gate takes the MAX of the two.
+    JSON alone is NOT uniformly pessimistic: it over-counts strings
+    (quotes, escapes) but UNDER-counts small numerics in containers —
+    an array element holding 0..9 is 1-2 JSON bytes vs 8 bytes of
+    UnsafeArrayData, a ~4x under-estimate in exactly the
+    forced-broadcast-OOM direction the gate exists to close. The
+    binary floor covers that direction; the JSON term covers wide
+    strings; max() is pessimistic against both."""
     return [
-        f.name
+        f
         for f in schema.fields
         if f.dataType.typeName() not in _TYPE_WIDTH_BYTES
     ]
+
+
+def _binary_floor_expr(f):
+    """Per-row lower bound (bytes) on the IN-MEMORY size of a nested
+    field, from element counts x physical element width — the part of
+    the layout JSON digit-compression hides. NULL containers count 0
+    (size() would return -1 under the legacy conf)."""
+    t = f.dataType
+    name = t.typeName()
+    col = F.col(f.name)
+    if name == "array":
+        w = _TYPE_WIDTH_BYTES.get(t.elementType.typeName(), 8)
+        return (
+            F.when(col.isNull(), F.lit(0))
+            .otherwise(F.size(col))
+            .cast("long")
+            * F.lit(int(w))
+        )
+    if name == "map":
+        kw = _TYPE_WIDTH_BYTES.get(t.keyType.typeName(), 8)
+        vw = _TYPE_WIDTH_BYTES.get(t.valueType.typeName(), 8)
+        return (
+            F.when(col.isNull(), F.lit(0))
+            .otherwise(F.size(col))
+            .cast("long")
+            * F.lit(int(kw + vw))
+        )
+    if name == "struct":
+        w = sum(
+            _TYPE_WIDTH_BYTES.get(sf.dataType.typeName(), 8)
+            for sf in t.fields
+        )
+        return F.lit(int(max(w, 8))).cast("long")
+    # unknown type: no structural floor available; JSON term only
+    return F.lit(0).cast("long")
 
 
 # Auto-detection floor: a key under this many probe rows is never
@@ -241,11 +282,16 @@ def salted_skew_join(
     so no skew can exist and the salting machinery would be pure
     overhead (VERDICT r9 #4: this is most of the substring family's
     local cost). The byte estimate (ADVICE r10, hardened VERDICT r11
-    #4) is rows x pessimistic schema width for scalar fields plus the
-    MEASURED sum(octet_length(to_json(col))) for nested/unknown
-    fields, folded into the same stats pass over the staged build —
-    a 100-row build of 100k-long arrays can no longer sneak past a
-    flat per-type constant. Behavior note (ADVICE r11): the 64 B
+    #4, floor added r12) is rows x pessimistic schema width for
+    scalar fields plus, for each nested/unknown field, the MAX of the
+    measured sum(octet_length(to_json(col))) and a binary-layout
+    floor (element count x physical width) — folded into the same
+    stats pass over the staged build. A 100-row build of 100k-long
+    arrays can no longer sneak past a flat per-type constant, and an
+    array of SMALL numerics (1-2 JSON digits vs 8 in-memory bytes per
+    element) can no longer sneak past the JSON term. When an override
+    IS set the shortcut is off and the byte aggregates are skipped —
+    no payload-sized JSON pass for a number nobody reads. Behavior note (ADVICE r11): the 64 B
     string estimate means a 1M-row (string key, long count)
     dictionary estimates ~72 MB and takes the salted-shuffle path
     under the 64 MB default — correct, just not map-side; callers
@@ -290,16 +336,26 @@ def salted_skew_join(
     # array-of-100k-longs build pass the gate at an ~800 KB/row
     # under-estimate — the only remaining under-estimate direction,
     # and its failure mode is a forced-broadcast OOM).
-    measured = _measured_field_names(build.schema)
+    # the byte estimate only feeds the broadcast shortcut, which an
+    # explicit threshold override disables — skip the (payload-sized)
+    # JSON serialization entirely in that case
+    measured = _measured_fields(build.schema) if override is None else []
     aggs = [F.sum(F.col(count_col)).alias("t"), F.count(F.lit(1)).alias("n")]
-    aggs += [
-        F.sum(F.octet_length(F.to_json(F.struct(F.col(c))))).alias(f"b{i}")
-        for i, c in enumerate(measured)
-    ]
+    for i, f in enumerate(measured):
+        aggs.append(
+            F.sum(
+                F.octet_length(F.to_json(F.struct(F.col(f.name))))
+            ).alias(f"b{i}")
+        )
+        aggs.append(F.sum(_binary_floor_expr(f)).alias(f"e{i}"))
     stats = build.agg(*aggs).first()
     total, n_build = int(stats["t"] or 0), int(stats["n"])
+    # per-field max(JSON bytes, binary floor): JSON over-counts wide
+    # strings, the floor covers digit-compressed small numerics —
+    # both under-estimate directions closed (r12 review)
     measured_bytes = sum(
-        int(stats[f"b{i}"] or 0) for i in range(len(measured))
+        max(int(stats[f"b{i}"] or 0), int(stats[f"e{i}"] or 0))
+        for i in range(len(measured))
     )
     est_bytes = n_build * _scalar_row_bytes(build.schema) + measured_bytes
     bc_rows = int(

@@ -142,7 +142,9 @@ def test_shuffle_tier_fully_adjudicated():
     m = re.search(r"Full ≥6-exchange tier[^:]*: (.*?)\.\n", txt, re.S)
     assert m, "PLANS.md census missing the full ≥6-exchange tier line"
     tier = re.findall(r"`([a-z_0-9]+)` (\d+)", m.group(1))
-    assert tier, "tier line parsed empty"
+    # an EMPTY tier is the ideal state, not a parse failure — the
+    # generator writes an explicit "(empty — ...)" sentinel for it
+    assert tier or "(empty" in m.group(1), "tier line parsed empty"
     adjudicated = set(re.findall(r"^- `([a-z_0-9]+)`:", txt, re.M))
     missing = [n for n, _ in tier if n not in adjudicated]
     assert not missing, f"≥6-exchange plans without adjudication: {missing}"

@@ -47,6 +47,14 @@ UNICODE_MINI = [
 
 
 def _run_under_layout(spark, name, sf_dir, confs):
+    # Drop session-cached intermediates so every layout recomputes
+    # the FULL pipeline (r12 review: with the shared fixture session,
+    # later layouts would otherwise hash a frame the first layout
+    # materialized — checkpoint reuse, not layout sensitivity; the
+    # full tool avoids this with one subprocess per layout).
+    from big_data_final_project_spark.operators import scale as _scale
+
+    _scale._SESSION_CACHE.clear()
     saved = {k: spark.conf.get(k) for k in confs}
     try:
         for k, v in confs.items():

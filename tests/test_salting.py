@@ -301,6 +301,49 @@ def test_byte_gate_measures_nested_builds(spark):
     assert out2.count() == 5000
 
 
+def test_byte_gate_floors_digit_compressed_arrays(spark):
+    """r12 review: JSON under-counts SMALL numerics in containers (an
+    element holding 0..9 is 1-2 JSON bytes vs 8 bytes of
+    UnsafeArrayData) — a build of single-digit long arrays could pass
+    the JSON-measured cap while its in-memory broadcast is ~4x over.
+    The binary floor (element count x physical width) must refuse it;
+    an identical build whose JSON measure alone already exceeds the
+    cap keeps failing too (max() never loosens the old gate)."""
+    from big_data_final_project_spark.operators.salting import (
+        SKEW_BROADCAST_BYTES_CONF,
+        salted_skew_join,
+    )
+
+    probe = spark.range(2000).select(
+        (F.col("id") % 50).alias("k"), F.col("id").alias("payload")
+    )
+    counts = probe.groupBy("k").agg(F.count("*").alias("n"))
+    # 50 rows x 4000 single-digit ints: JSON ~2 B/elem ~ 0.4 MB
+    # (under a 512 KB cap), binary floor 4 B/elem = 0.8 MB (over it)
+    digits = counts.withColumn(
+        "bulk",
+        F.transform(F.sequence(F.lit(1), F.lit(4000)), lambda i: i % 10),
+    )
+    spark.conf.set(SKEW_BROADCAST_BYTES_CONF, str(1 << 19))
+    try:
+        out = salted_skew_join(probe, digits, "k", "n", F.xxhash64("payload"))
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "_salt" in plan  # the floor refuses the broadcast
+        assert out.count() == 2000
+        # tiny arrays still fit under the same cap -> shortcut kept
+        small = counts.withColumn(
+            "bulk", F.sequence(F.lit(1), F.lit(3))
+        )
+        out2 = salted_skew_join(probe, small, "k", "n", F.xxhash64("payload"))
+        assert (
+            "_salt"
+            not in out2._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert out2.count() == 2000
+    finally:
+        spark.conf.unset(SKEW_BROADCAST_BYTES_CONF)
+
+
 def test_auto_hot_threshold_matches_join_inline_formula(spark):
     """ADVICE r10: the public helper and the join's inline decision
     derive from ONE shared formula — assert they agree, including the

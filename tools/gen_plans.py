@@ -405,8 +405,11 @@ def main() -> None:
             " so NEW entries get reviewed against those three classes."
             " Full ≥6-exchange tier (every entry must carry a written"
             " adjudication below): "
-            + ", ".join(
-                f"`{n}` {s}" for n, s in worst_shuffles if s >= 6
+            + (
+                ", ".join(
+                    f"`{n}` {s}" for n, s in worst_shuffles if s >= 6
+                )
+                or "(empty — no plan reaches 6 exchanges)"
             )
             + ".",
             "",

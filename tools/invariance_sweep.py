@@ -185,21 +185,28 @@ def merge(sf_dir: str) -> int:
                 f"layout passes ran at different source states: "
                 f"{sorted(str(d)[:12] for d in run_digests)}"
             )
+        # a query absent from the baseline shard must FAIL, not pass
+        # by None == None hash comparison (r12 review: stale shards
+        # plus a newly-registered query would otherwise print
+        # '0 failures' for a query that never ran)
+        if not base:
+            rec["err"] = "missing from baseline shard — rerun the layouts"
         ok = rec["err"] is None
         for layout in LAYOUTS:
             if layout == BASELINE:
                 continue
             r = shards[layout].get(name, {})
+            r_err = r.get("err") if r else "missing from layout shard"
             match = (
-                r.get("err") is None
+                r_err is None
                 and base.get("err") is None
                 and r.get("hash") == base.get("hash")
             )
             rec["layouts"][layout] = {
                 "hash_match": bool(match),
-                "err": r.get("err"),
+                "err": r_err,
             }
-            if r.get("err") is not None:
+            if r_err is not None:
                 ok = False
             elif not match and name not in CONTRACT_EXEMPT:
                 ok = False
@@ -228,9 +235,15 @@ def merge(sf_dir: str) -> int:
         f"layouts, {len(fails)} failures"
         f"{': ' + str(fails) if fails else ''}"
     )
+    if fails:
+        # keep the per-layout shards: they hold the divergent hashes /
+        # errors needed to debug, and deleting them would force three
+        # full-registry re-runs just to look (r12 review)
+        print(f"shards kept for debugging: {[_shard_path(l) for l in LAYOUTS]}")
+        return 1
     for layout in LAYOUTS:
         os.remove(_shard_path(layout))
-    return 1 if fails else 0
+    return 0
 
 
 def main() -> int:

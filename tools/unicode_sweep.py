@@ -70,9 +70,15 @@ def generate(src_dir: str, out_dir: str) -> dict:
     stats_path = os.path.join(out_dir, "_UNICODE_STATS.json")
     if os.path.exists(marker) and os.path.exists(stats_path):
         with open(stats_path) as fh:
-            return json.load(fh)
+            cached = json.load(fh)
+        # the cache is keyed on out_dir; only reuse it for the SAME
+        # source corpus (r12 review: a different src_dir with the
+        # default out_dir would silently run against stale data while
+        # the artifact records the new src)
+        if cached.get("_src_dir") == os.path.abspath(src_dir):
+            return cached
     os.makedirs(out_dir, exist_ok=True)
-    stats: dict = {}
+    stats: dict = {"_src_dir": os.path.abspath(src_dir)}
     for name in os.listdir(src_dir):
         if not name.endswith(".parquet"):
             continue
