@@ -52,12 +52,14 @@ PLANTED_DOCS = [
 
 def _reference_repetition(spark):
     """The pre-r12 shape: explode -> (doc, gram) count -> per-doc max
-    -> inner joins. Kept verbatim as the semantic reference."""
+    -> inner joins. Kept verbatim as the semantic reference — except
+    the tokenizer, which reuses the production _toks (ADVICE r12 #4:
+    an inline copy would silently desynchronize this pin if the
+    shared normalizer ever changed)."""
+    from big_data_final_project_spark.queries.text import _toks
+
     d = spark.createDataFrame(PLANTED_DOCS, "doc_id long, text string").select(
-        "doc_id",
-        F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ").alias(
-            "toks"
-        ),
+        "doc_id", _toks(F.col("text")).alias("toks")
     )
     base = d.select("doc_id", F.size("toks").alias("n_toks"), "toks")
     tok_top = (

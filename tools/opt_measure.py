@@ -8,13 +8,15 @@ For each named query (default: bench.py's HEADLINE list):
     cache warm between repeats, which hides exactly the build work an
     optimization round needs to see;
   * records best / all runs;
-  * writes .explain('formatted') to plans/r12/<query>_<tag>.txt.
+  * writes .explain('formatted') to plans/<round>/<query>_<tag>.txt
+    (round tag from $OPT_MEASURE_ROUND, default r13).
 
 Usage:
     python tools/opt_measure.py <tag> [n_runs] [query ...]
         tag: suffix for the plan files (e.g. 'before', 'after')
         env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-             SPARK_GRAFT_CPUS, OPT_MEASURE_SKIP_PLANS=1
+             SPARK_GRAFT_CPUS, OPT_MEASURE_SKIP_PLANS=1,
+             OPT_MEASURE_ROUND (plans subdir, default r13)
 Writes /tmp/opt_measure_<tag>.json with the timings.
 """
 
@@ -57,13 +59,19 @@ def main() -> None:
 
     if len(sys.argv) > 3:
         names = sys.argv[3:]
+        unknown = [n for n in names if n not in cat]
+        if unknown:
+            sys.exit(f"unknown queries (not in catalog): {unknown}")
     else:
         sys.path.insert(0, REPO)
         import bench
 
         names = [n for n in bench.HEADLINE if n in cat]
+    if not names:
+        sys.exit("no queries to measure (HEADLINE/catalog intersection empty)")
 
-    plans_dir = os.path.join(REPO, "plans", "r12")
+    round_tag = os.environ.get("OPT_MEASURE_ROUND", "r13")
+    plans_dir = os.path.join(REPO, "plans", round_tag)
     os.makedirs(plans_dir, exist_ok=True)
 
     # Warm JVM + Arrow workers once (bench.py discipline).
