@@ -236,49 +236,20 @@ def curation_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documents. Inner-join semantics kept: only docs with >= 2
     tokens have a bigram top, so the gate emits exactly those
     (size(NULL toks) is NULL and filters out, matching the old
-    explode-of-NULL behavior)."""
+    explode-of-NULL behavior). The run-length statistics themselves
+    live in _rep_top_cols (r13: shared verbatim with the composed
+    pipeline's inline gate)."""
     d = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", _toks(F.col("text")).alias("toks"))
         .where(F.size("toks") >= 2)
     )
-
-    def max_run(arr: Column) -> Column:
-        """Longest run of equal adjacent elements of a SORTED array =
-        max multiplicity of any element. State: (prev, current run,
-        best run); prev=NULL start makes the first comparison NULL ->
-        otherwise(1). The run expression appears twice because a
-        struct field cannot reference a sibling built in the same
-        lambda — both are the same scalar when/plus, evaluated on
-        (acc, x) only (no array re-evaluation inside the lambda)."""
-        run = lambda acc, x: (  # noqa: E731 — shared by two fields
-            F.when(acc["prev"] == x, acc["run"] + 1)
-            .otherwise(F.lit(1).cast("long"))
-        )
-        return F.aggregate(
-            arr,
-            F.struct(
-                F.lit(None).cast("string").alias("prev"),
-                F.lit(0).cast("long").alias("run"),
-                F.lit(0).cast("long").alias("best"),
-            ),
-            lambda acc, x: F.struct(
-                x.alias("prev"),
-                run(acc, x).alias("run"),
-                F.greatest(acc["best"], run(acc, x)).alias("best"),
-            ),
-            lambda acc: acc["best"],
-        )
-
-    bigrams = F.expr(
-        "transform(sequence(1, size(toks) - 1),"
-        " i -> concat(toks[i - 1], ' ', toks[i]))"
-    )
+    top_tok, top_big = _rep_top_cols(F.col("toks"))
     base = d.select(
         "doc_id",
         F.size("toks").alias("n_toks"),
-        max_run(F.array_sort(F.col("toks"))).alias("top_tok"),
-        max_run(F.array_sort(bigrams)).alias("top_big"),
+        top_tok.alias("top_tok"),
+        top_big.alias("top_big"),
     )
     t_ratio = F.col("top_tok").cast("double") / F.col("n_toks")
     b_ratio = F.col("top_big").cast("double") / (F.col("n_toks") - 1)
@@ -291,6 +262,56 @@ def curation_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (t_ratio <= REP_TOP_TOKEN_MAX) & (b_ratio <= REP_TOP_BIGRAM_MAX)
         ).alias("passes_repetition"),
     )
+
+
+def _max_run(arr: Column) -> Column:
+    """Longest run of equal adjacent elements of a SORTED array =
+    max multiplicity of any element. State: (prev, current run,
+    best run); prev=NULL start makes the first comparison NULL ->
+    otherwise(1). The run expression appears twice because a
+    struct field cannot reference a sibling built in the same
+    lambda — both are the same scalar when/plus, evaluated on
+    (acc, x) only (no array re-evaluation inside the lambda)."""
+    run = lambda acc, x: (  # noqa: E731 — shared by two fields
+        F.when(acc["prev"] == x, acc["run"] + 1)
+        .otherwise(F.lit(1).cast("long"))
+    )
+    return F.aggregate(
+        arr,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run(acc, x).alias("run"),
+            F.greatest(acc["best"], run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
+def _rep_top_cols(tk: Column) -> tuple[Column, Column]:
+    """(top_tok, top_big) of a token-array column — the run-length
+    repetition statistics curation_repetition_stats documents.
+    Factored to module level in r13 so pipeline_corpus_e2e INLINES
+    the Gopher gate into its own label scan (guide §2.4/§6: one
+    stateless projection instead of a second documents scan joined
+    back on doc_id) while the standalone query and the composed
+    pipeline keep literally the same implementation. top_big is NULL
+    for docs with < 2 tokens (no bigram exists; the standalone query
+    filters those rows out, the pipeline maps NULL -> gate failure
+    via its existing coalesce)."""
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - 1),
+        lambda i: F.concat(
+            F.element_at(tk, i), F.lit(" "), F.element_at(tk, i + 1)
+        ),
+    )
+    top_tok = _max_run(F.array_sort(tk))
+    top_big = F.when(F.size(tk) >= 2, _max_run(F.array_sort(bigrams)))
+    return top_tok, top_big
 
 
 MIX_TARGET_FRACTION = 0.8  # per-source token budget = 0.8 * mean share

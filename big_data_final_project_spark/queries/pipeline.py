@@ -773,21 +773,47 @@ def _e2e_labeled_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         BENCH_SOURCE,
         MIX_GATE_BUCKETS,
         MIX_TARGET_FRACTION,
+        REP_TOP_BIGRAM_MAX,
+        REP_TOP_TOKEN_MAX,
+        _rep_top_cols,
         curation_decontaminate,
-        curation_repetition_stats,
         curation_semantic_decontaminate,
     )
     from .dedup import dedup_clusters
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        "lang",
-        "n_chars",
-        F.size(_toks(F.col("text"))).cast("long").alias("n_tokens"),
-    )
-    rep = curation_repetition_stats(spark, sf_dir).select(
-        "doc_id", "passes_repetition"
+    # r13 (guide §2.4/§6): the Gopher repetition gate is a stateless
+    # projection since r12, so joining curation_repetition_stats back
+    # on doc_id paid a second full documents scan plus a corpus-sized
+    # join for a flag computable IN the label scan itself. Inline it
+    # via the SAME _rep_top_cols implementation the standalone query
+    # runs (one shared function, not a re-implementation); docs with
+    # < 2 tokens get NULL exactly like the old left join's misses, and
+    # the downstream coalesce(passes_repetition, false) is unchanged.
+    top_tok, top_big = _rep_top_cols(F.col("toks"))
+    t_ratio = top_tok.cast("double") / F.col("n_tokens")
+    b_ratio = top_big.cast("double") / (F.col("n_tokens") - 1)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars",
+            _toks(F.col("text")).alias("toks"),
+        )
+        .withColumn("n_tokens", F.size("toks").cast("long"))
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars",
+            "n_tokens",
+            F.when(
+                F.col("n_tokens") >= 2,
+                (t_ratio <= REP_TOP_TOKEN_MAX)
+                & (b_ratio <= REP_TOP_BIGRAM_MAX),
+            ).alias("passes_repetition"),
+        )
     )
     con = curation_decontaminate(spark, sf_dir).select(
         "doc_id", "is_contaminated"
@@ -797,8 +823,7 @@ def _e2e_labeled_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clu = dedup_clusters(spark, sf_dir)
     base = (
-        d.join(rep, "doc_id", "left")
-        .join(F.broadcast(clu), "doc_id", "left")
+        d.join(F.broadcast(clu), "doc_id", "left")
         .join(con, "doc_id", "left")
         .join(sem, "doc_id", "left")
     )
