@@ -296,9 +296,18 @@ def sql_recursive_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     web scale prefer the loop form (dedup_clusters) whose per-round
     state is one row per node; this surface is for moderate graphs
     and parity."""
+    from ..operators.scale import materialize
     from .dedup import dedup_minhash_pairs
 
-    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # r13 (guide §5, VERDICT r12 #4): the recursive member joins
+    # `edges` (a view over the minhash candidate pipeline) once PER
+    # LEVEL, and Spark's UnionLoop re-executes the view's whole plan
+    # each iteration — band self-join + distinct, x CC_DEPTH levels.
+    # Stage the pair list once; every level then rescans a
+    # checkpointed table instead of re-deriving the candidates.
+    pairs = materialize(
+        dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    )
     pairs.createOrReplaceTempView("nd_pairs")
     # DISTINCT in the recursive member collapses path multiplicity to
     # one row per (node, reached-label, depth) — without it the walk
