@@ -13,6 +13,47 @@ import os
 
 from pyspark.sql import SparkSession
 
+# Small-data floor for the shuffle-partition hint (VERDICT r12 #5).
+# Target bytes of INPUT per shuffle partition; the default hint is
+# clamped to ceil(input_volume / target) when the input volume is
+# known from $SPARK_GRAFT_SF_DIR. Rationale (r13, measured): at bench
+# scale the corpus is ~17 MB, so a cpus-derived 32-partition hint
+# makes every sub-second stage pay 32-task scheduling overhead for
+# kilobyte partitions — 8 of the 50 headline queries ran >=10% FASTER
+# on 8 cores than 32 (r12 scaling block; reproduced locally at
+# 1.6-1.9x). A same-session A/B of partitions 32 vs 8 on local[32]
+# showed 9 wins up to 32% (graph_random_walks 4.91->3.35 s, tpch_q21
+# 2.05->1.49, bigram LM 1.60->1.28), 3 small losses (<=8%), 4 flat —
+# unlike AQE byte-floor clamps (parallelismFirst=false /
+# minPartitionSize=4MB), which were measured and REJECTED because
+# they also coalesce the CPU-bound small-byte stages this engine
+# lives on (OPTIMIZATION_r13.md item 5; spread() keeps scan-side
+# parallelism at the full core count either way). At real scale the
+# clamp is a no-op: input volume / 4 MB exceeds any core count long
+# before 1 GB of input, so the hint stays cpus-derived and plans are
+# unchanged — exactly the "small-data floor, plan-neutral at scale"
+# shape VERDICT r12 prescribed.
+SHUFFLE_TARGET_MB_ENV = "SPARK_GRAFT_SHUFFLE_TARGET_MB"  # default 4
+
+
+def _input_volume_bytes() -> int | None:
+    """Total bytes under $SPARK_GRAFT_SF_DIR, or None when the env is
+    unset / the dir is unreadable (cluster posture: no clamp)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR")
+    if not sf_dir or not os.path.isdir(sf_dir):
+        return None
+    total = 0
+    try:
+        for root, _dirs, files in os.walk(sf_dir):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    except OSError:
+        return None
+    return total or None
+
 
 def get_spark(
     app_name: str = "big-data-final-project-spark",
@@ -29,6 +70,14 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = max(int(cpus), 8)
+        vol = _input_volume_bytes()
+        target = int(os.environ.get(SHUFFLE_TARGET_MB_ENV, "4")) << 20
+        if vol is not None and target > 0:  # target <= 0 = clamp off
+            # small-data floor clamp (see SHUFFLE_TARGET_MB_ENV above):
+            # never below 8, never above the cpus-derived hint
+            shuffle_partitions = max(
+                8, min(shuffle_partitions, -(-vol // target))
+            )
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
