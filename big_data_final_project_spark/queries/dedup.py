@@ -2148,7 +2148,27 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, one prefix self-join, and a per-pair array_intersect
     verify (r12 — see below); per-doc arrays travel only with the
     bounded CANDIDATE pairs, never through the candidate-generation
-    shuffle."""
+    shuffle.
+
+    Two documented r12-verify assumptions (VERDICT r12 #9):
+    * The verify intersects xxhash64-hashed shingle arrays, so its
+      exactness is probabilistic: a 64-bit collision between two
+      DISTINCT trigrams of a candidate pair would perturb isect. For
+      a pair with m = n_a + n_b distinct trigrams the collision
+      probability is < m^2 / 2^64 (~1e-11 even at m = 1e4); the
+      string-keyed oracle would surface any hit as a differential
+      mismatch, so the hash path is verified per run, not trusted.
+    * The per-doc hashed array is 8 B x n where n = the doc's
+      DISTINCT trigram count, so n < doc token count: a candidate
+      pair's verify row carries at most 16 B x (its own tokens).
+      A pathological giant doc inflates only the candidate pairs it
+      survives into — and the length filter bounds those to docs
+      within 2x of its own size, so giant docs can only pair with
+      giant docs (tests/test_opt_r13.py pins both properties on a
+      planted giant-doc corpus). A deployment with unbounded docs
+      caps n upstream at ingest (doc-length limits), not here —
+      truncating the shingle SET would change jaccard and break the
+      exactness contract."""
     d = load_table(spark, sf_dir, "documents")
     tk = d.select(
         "doc_id", "lang", F.split(_norm(F.col("text")), " ").alias("ss")

@@ -2124,9 +2124,17 @@ def agg_median_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (log4096(range) = 2 for any cents domain under ~1.7e7; log64 was
     # 4). Same selected element every round, so results are unchanged.
     # Overflow headroom: bucketing computes (v - lo) * fanout, safe
-    # while the interval width stays under 2^63/4096 ~= 2.2e15 —
-    # orders of magnitude above any money-cents domain.
+    # while the interval width stays under 2^63/4096 ~= 2.2e15. That
+    # is NOT every bigint domain (decimal(18,2)*100 admits ~1e18
+    # cents; ADVICE r12 #2) — it is safe HERE because the interval is
+    # [min, max] of l_extendedprice cents, bounded by the TPC-H price
+    # formula at ~1.1e7 (v <= 2*2000*121.50*1.1 dollars), asserted
+    # below so a domain change fails loudly instead of wrapping.
     fanout = 4096
+    for g, (lo, hi, _k, _n) in bounds.items():
+        assert (hi - lo + 1) <= (1 << 63) // fanout, (
+            f"bisect interval for group {g!r} too wide for fanout {fanout}"
+        )
     while True:
         open_groups = {g: b for g, b in bounds.items() if b[0] < b[1]}
         if not open_groups:
@@ -2427,8 +2435,14 @@ def agg_quantiles_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4096-ary (r12 optimization, same as agg_median_bisect): two
     # counting passes instead of four over the cents domain; the
     # collected histogram is |open targets| x occupied buckets rows,
-    # still driver-trivial. Identical selected elements.
+    # still driver-trivial. Identical selected elements. Same
+    # (v - lo) * fanout overflow bound as agg_median_bisect
+    # (ADVICE r12 #2): asserted, not assumed.
     fanout = 4096
+    for (g, q), (lo, hi, _k, _n, _b) in state.items():
+        assert (hi - lo + 1) <= (1 << 63) // fanout, (
+            f"bisect interval for ({g!r}, q{q}) too wide for fanout {fanout}"
+        )
     while True:
         open_states = {s: b for s, b in state.items() if b[0] < b[1]}
         if not open_states:
