@@ -33,6 +33,11 @@ def _fast_subset(names: list[str]) -> set[str]:
     fams: dict[str, list[str]] = {}
     for n in names:
         fams.setdefault(n.split("_", 1)[0], []).append(n)
+    # the zipf natural-text fixture queries are the heavy evidence
+    # twins of the dedup screens (90-220 s EACH at sf0.001 — a third
+    # of the driver budget for one family already covered via the
+    # dedup picks); all of them stay in the slow tier
+    fams.pop("zipf", None)
     keep: set[str] = set()
     for members in fams.values():
         keep.add(members[0])
