@@ -108,20 +108,35 @@ def _calibration_probe(spark) -> float:
     stalls), not the engine — recorded at the start and end of every
     bench run so a cross-round headline drift can be attributed:
     probe moved with it = environment drift; probe flat = engine
-    regression. Normalize as headline / (probe / probe_r7_reference)."""
+    regression. Normalize as headline / (probe / probe_r7_reference).
+
+    r13 measurement fix (documented in OPTIMIZATION_r13.md): the
+    probe's aggregation exchange inherited the SESSION's shuffle-
+    partition conf, so the r13 volume-derived partition clamp
+    (session.py) sped the probe itself ~30% (0.25 vs 0.36 s measured
+    alternating at 8 vs 32) — a pinned box meter must not move with
+    engine tuning. The probe now pins its historical 32-partition
+    shape explicitly; pre-r13 probe numbers (BENCH_r*.json) were all
+    taken at 32 and stay comparable."""
     from pyspark.sql import functions as F
 
-    runs = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _run(
-            spark.range(50_000_000, numPartitions=32)
-            .withColumn("k", F.col("id") % 1000)
-            .groupBy("k")
-            .agg(F.sum("id").alias("s"), F.count("*").alias("n"))
-        )
-        runs.append(time.perf_counter() - t0)
-    return round(min(runs), 4)
+    key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(key)
+    spark.conf.set(key, "32")
+    try:
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _run(
+                spark.range(50_000_000, numPartitions=32)
+                .withColumn("k", F.col("id") % 1000)
+                .groupBy("k")
+                .agg(F.sum("id").alias("s"), F.count("*").alias("n"))
+            )
+            runs.append(time.perf_counter() - t0)
+        return round(min(runs), 4)
+    finally:
+        spark.conf.set(key, saved)
 
 
 def main() -> None:
